@@ -1,0 +1,581 @@
+"""Gate registry: fixed and parameterized quantum gates.
+
+Mirrors the reference's gate surface (reference ``gates.py:185-1232``) with a
+TPU-first design: gate *matrices* are pure functions of (parameters, dtype) —
+no global re-materialization step like the reference's ``meta_gate()``
+(reference ``gates.py:497-519``); instead fixed matrices are cached per dtype
+and variable gates are traced-through jnp functions so every gate is
+jit/vmap/grad transparent.
+
+A :class:`Gate` here is just a named wrapper around a dense tensor of shape
+``(d,)*2k`` — there is no mutable tensor-network node graph.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .. import config
+
+Tensor = Any
+
+__all__ = [
+    "Gate",
+    "GateF",
+    "GateVF",
+    "num_to_tensor",
+    "array_to_tensor",
+]
+
+
+def num_to_tensor(*nums: Any, dtype: Optional[str] = None) -> Any:
+    """Convert python numbers / arrays to backend tensors at the active dtype."""
+    dtype = dtype or config.dtypestr()
+    out = [jnp.asarray(n).astype(jnp.dtype(dtype)) for n in nums]
+    if len(out) == 1:
+        return out[0]
+    return out
+
+
+array_to_tensor = num_to_tensor
+
+
+class Gate:
+    """A dense gate tensor with a name; shape ``(d,)*2k`` or matrix form.
+
+    Replacement for the reference's ``Gate(tn.Node)`` (reference
+    ``gates.py:185``) without the tensor-network object graph.
+    """
+
+    def __init__(self, tensor: Tensor, name: str = "any") -> None:
+        self.tensor = jnp.asarray(tensor)
+        self.name = name
+
+    def copy(self) -> "Gate":
+        return Gate(self.tensor, self.name)
+
+    def __repr__(self) -> str:
+        return f"Gate(name={self.name!r}, shape={tuple(self.tensor.shape)})"
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return tuple(self.tensor.shape)
+
+    def matrix(self) -> Tensor:
+        t = self.tensor
+        dim = int(np.sqrt(np.prod(t.shape)))
+        return t.reshape(dim, dim)
+
+
+# ------------------------------------------------------------------
+# fixed matrices (numpy, re-cast per dtype on demand)
+# ------------------------------------------------------------------
+
+_SQRT2 = math.sqrt(2.0)
+
+_i_matrix = np.eye(2)
+_x_matrix = np.array([[0, 1], [1, 0]])
+_y_matrix = np.array([[0, -1j], [1j, 0]])
+_z_matrix = np.array([[1, 0], [0, -1]])
+_h_matrix = np.array([[1, 1], [1, -1]]) / _SQRT2
+_s_matrix = np.array([[1, 0], [0, 1j]])
+_sd_matrix = _s_matrix.conj().T
+_t_matrix = np.array([[1, 0], [0, np.exp(1j * np.pi / 4)]])
+_td_matrix = _t_matrix.conj().T
+_wroot_matrix = np.array(
+    [[1, -np.sqrt(1j)], [np.sqrt(-1j), 1]]
+) / _SQRT2  # sqrt of W=(X+Y)/sqrt(2), reference gates.py
+_sx_matrix = 0.5 * np.array([[1 + 1j, 1 - 1j], [1 - 1j, 1 + 1j]])  # sqrt(X)
+
+
+def _two_qubit(m: np.ndarray) -> np.ndarray:
+    return m
+
+
+def _controlled(m: np.ndarray, num_ctrl: int = 1) -> np.ndarray:
+    dim = m.shape[0]
+    full = np.eye(dim * (2**num_ctrl), dtype=complex)
+    full[-dim:, -dim:] = m
+    return full
+
+
+_cnot_matrix = _controlled(_x_matrix)
+_cy_matrix = _controlled(_y_matrix)
+_cz_matrix = _controlled(_z_matrix)
+_ch_matrix = _controlled(_h_matrix)
+_swap_matrix = np.array(
+    [[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]]
+)
+_iswap_fixed_matrix = np.array(
+    [[1, 0, 0, 0], [0, 0, 1j, 0], [0, 1j, 0, 0], [0, 0, 0, 1]]
+)
+_toffoli_matrix = _controlled(_x_matrix, 2)
+_fredkin_matrix = _controlled(_swap_matrix, 1)
+
+_FIXED_GATES: dict[str, np.ndarray] = {
+    "i": _i_matrix,
+    "x": _x_matrix,
+    "y": _y_matrix,
+    "z": _z_matrix,
+    "h": _h_matrix,
+    "s": _s_matrix,
+    "sd": _sd_matrix,
+    "t": _t_matrix,
+    "td": _td_matrix,
+    "wroot": _wroot_matrix,
+    "sx": _sx_matrix,
+    "cnot": _cnot_matrix,
+    "cy": _cy_matrix,
+    "cz": _cz_matrix,
+    "ch": _ch_matrix,
+    "swap": _swap_matrix,
+    "toffoli": _toffoli_matrix,
+    "fredkin": _fredkin_matrix,
+}
+
+# aliases per reference gates.py (cx=cnot, ccnot=toffoli, cswap=fredkin, ox/oy/oz
+# are 0-controlled)
+GATE_ALIASES: dict[str, str] = {
+    "cx": "cnot",
+    "ccnot": "toffoli",
+    "ccx": "toffoli",
+    "cswap": "fredkin",
+}
+
+
+def _zero_controlled(m: np.ndarray) -> np.ndarray:
+    full = np.eye(m.shape[0] * 2, dtype=complex)
+    full[: m.shape[0], : m.shape[0]] = m
+    return full
+
+
+_FIXED_GATES["ox"] = _zero_controlled(_x_matrix)
+_FIXED_GATES["oy"] = _zero_controlled(_y_matrix)
+_FIXED_GATES["oz"] = _zero_controlled(_z_matrix)
+
+
+@functools.lru_cache(maxsize=None)
+def _fixed_tensor(name: str, dtype: str) -> Tensor:
+    m = _FIXED_GATES[name]
+    nq = int(round(math.log2(m.shape[0])))
+    return jnp.asarray(m.astype(np.dtype(dtype))).reshape((2,) * (2 * nq))
+
+
+# ------------------------------------------------------------------
+# parameterized matrices (jnp, traced)
+# ------------------------------------------------------------------
+
+
+def _pauli(dtype: str) -> Tuple[Tensor, Tensor, Tensor, Tensor]:
+    d = jnp.dtype(dtype)
+    return (
+        jnp.asarray(_i_matrix, dtype=d),
+        jnp.asarray(_x_matrix, dtype=d),
+        jnp.asarray(_y_matrix, dtype=d),
+        jnp.asarray(_z_matrix, dtype=d),
+    )
+
+
+def _theta(theta: Any, dtype: str) -> Tensor:
+    return jnp.asarray(theta).astype(jnp.dtype(dtype))
+
+
+def rgate_matrix(theta: Any = 0, alpha: Any = 0, phi: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    r"""General single-qubit rotation ``exp(-i theta n(alpha, phi) . sigma)``.
+
+    Matches reference ``gates.rgate`` (``gates.py:700-741``):
+    ``n = (sin(alpha) cos(phi), sin(alpha) sin(phi), cos(alpha))``.
+    """
+    dtype = dtype or config.dtypestr()
+    i, x, y, z = _pauli(dtype)
+    theta, alpha, phi = (_theta(v, dtype) for v in (theta, alpha, phi))
+    nx = jnp.sin(alpha) * jnp.cos(phi)
+    ny = jnp.sin(alpha) * jnp.sin(phi)
+    nz = jnp.cos(alpha)
+    axis = nx * x + ny * y + nz * z
+    return jnp.cos(theta) * i - 1j * jnp.sin(theta) * axis
+
+
+def rx_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    r"""``exp(-i theta/2 X)``."""
+    dtype = dtype or config.dtypestr()
+    i, x, _, _ = _pauli(dtype)
+    theta = _theta(theta, dtype)
+    return jnp.cos(theta / 2) * i - 1j * jnp.sin(theta / 2) * x
+
+
+def ry_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    dtype = dtype or config.dtypestr()
+    i, _, y, _ = _pauli(dtype)
+    theta = _theta(theta, dtype)
+    return jnp.cos(theta / 2) * i - 1j * jnp.sin(theta / 2) * y
+
+
+def rz_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    dtype = dtype or config.dtypestr()
+    i, _, _, z = _pauli(dtype)
+    theta = _theta(theta, dtype)
+    return jnp.cos(theta / 2) * i - 1j * jnp.sin(theta / 2) * z
+
+
+def phase_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    """diag(1, exp(i theta)) (reference ``gates.phase_gate``)."""
+    dtype = dtype or config.dtypestr()
+    theta = _theta(theta, dtype)
+    one = jnp.ones((), dtype=jnp.dtype(dtype))
+    return jnp.diag(jnp.stack([one, jnp.exp(1j * theta)]))
+
+
+def u_matrix(theta: Any = 0, phi: Any = 0, lbd: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    r"""OpenQASM U(theta, phi, lambda) gate (reference ``gates.u_gate``)."""
+    dtype = dtype or config.dtypestr()
+    theta, phi, lbd = (_theta(v, dtype) for v in (theta, phi, lbd))
+    c = jnp.cos(theta / 2)
+    s = jnp.sin(theta / 2)
+    return jnp.stack(
+        [
+            jnp.stack([c, -jnp.exp(1j * lbd) * s]),
+            jnp.stack([jnp.exp(1j * phi) * s, jnp.exp(1j * (phi + lbd)) * c]),
+        ]
+    )
+
+
+def cu_matrix(theta: Any = 0, phi: Any = 0, lbd: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    dtype = dtype or config.dtypestr()
+    u = u_matrix(theta, phi, lbd, dtype=dtype)
+    m = jnp.eye(4, dtype=jnp.dtype(dtype))
+    return m.at[2:, 2:].set(u)
+
+
+def _kron2(a: Tensor, b: Tensor) -> Tensor:
+    return jnp.kron(a, b)
+
+
+def rxx_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    r"""``exp(-i theta/2 X⊗X)``."""
+    dtype = dtype or config.dtypestr()
+    i, x, _, _ = _pauli(dtype)
+    theta = _theta(theta, dtype)
+    xx = _kron2(x, x)
+    i4 = jnp.eye(4, dtype=jnp.dtype(dtype))
+    return jnp.cos(theta / 2) * i4 - 1j * jnp.sin(theta / 2) * xx
+
+
+def ryy_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    dtype = dtype or config.dtypestr()
+    _, _, y, _ = _pauli(dtype)
+    theta = _theta(theta, dtype)
+    yy = _kron2(y, y)
+    i4 = jnp.eye(4, dtype=jnp.dtype(dtype))
+    return jnp.cos(theta / 2) * i4 - 1j * jnp.sin(theta / 2) * yy
+
+
+def rzz_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    dtype = dtype or config.dtypestr()
+    _, _, _, z = _pauli(dtype)
+    theta = _theta(theta, dtype)
+    zz = _kron2(z, z)
+    i4 = jnp.eye(4, dtype=jnp.dtype(dtype))
+    return jnp.cos(theta / 2) * i4 - 1j * jnp.sin(theta / 2) * zz
+
+
+def crx_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    dtype = dtype or config.dtypestr()
+    m = jnp.eye(4, dtype=jnp.dtype(dtype))
+    return m.at[2:, 2:].set(rx_matrix(theta, dtype=dtype))
+
+
+def cry_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    dtype = dtype or config.dtypestr()
+    m = jnp.eye(4, dtype=jnp.dtype(dtype))
+    return m.at[2:, 2:].set(ry_matrix(theta, dtype=dtype))
+
+
+def crz_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    dtype = dtype or config.dtypestr()
+    m = jnp.eye(4, dtype=jnp.dtype(dtype))
+    return m.at[2:, 2:].set(rz_matrix(theta, dtype=dtype))
+
+
+def cphase_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    dtype = dtype or config.dtypestr()
+    m = jnp.eye(4, dtype=jnp.dtype(dtype))
+    return m.at[3, 3].set(jnp.exp(1j * _theta(theta, dtype)))
+
+
+def iswap_matrix(theta: Any = 1.0, dtype: Optional[str] = None) -> Tensor:
+    r"""Parameterized iswap: ``exp(i theta pi/2 (X⊗X + Y⊗Y)/2)``.
+
+    ``theta=1`` gives the standard iSWAP (reference ``gates.iswap_gate``
+    ``gates.py:784-826``).
+    """
+    dtype = dtype or config.dtypestr()
+    _, x, y, _ = _pauli(dtype)
+    theta = _theta(theta, dtype)
+    gen = (_kron2(x, x) + _kron2(y, y)) / 2.0
+    i4 = jnp.eye(4, dtype=jnp.dtype(dtype))
+    # gen has eigenvalues {0, ±1}; exp(i a gen) = I + (cos a - 1) gen^2 + i sin a gen
+    a = theta * (np.pi / 2)
+    gen2 = gen @ gen
+    return i4 + (jnp.cos(a) - 1.0) * gen2 + 1j * jnp.sin(a) * gen
+
+
+def exponential_matrix(unitary: Tensor, theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    r"""``exp(-i theta G)`` via matrix exponential (reference ``gates.exponential_gate``)."""
+    import jax.scipy.linalg as jsl
+
+    dtype = dtype or config.dtypestr()
+    theta = _theta(theta, dtype)
+    g = jnp.asarray(unitary).astype(jnp.dtype(dtype))
+    dim = int(np.sqrt(np.prod(g.shape)))
+    return jsl.expm(-1j * theta * g.reshape(dim, dim))
+
+
+def exp1_matrix(unitary: Tensor, theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    r"""``exp(-i theta G)`` for G with ``G^2 = I`` (fast closed form).
+
+    Reference ``gates.exp1_gate`` (``gates.py:894-955``): cos(theta) I -
+    i sin(theta) G.
+    """
+    dtype = dtype or config.dtypestr()
+    theta = _theta(theta, dtype)
+    g = jnp.asarray(unitary).astype(jnp.dtype(dtype))
+    dim = int(np.sqrt(np.prod(np.array(g.shape))))
+    g = g.reshape(dim, dim)
+    i = jnp.eye(dim, dtype=jnp.dtype(dtype))
+    return jnp.cos(theta) * i - 1j * jnp.sin(theta) * g
+
+
+def rzm_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
+    """Diagonal of rz (for the diagonal fast path)."""
+    dtype = dtype or config.dtypestr()
+    theta = _theta(theta, dtype)
+    return jnp.stack([jnp.exp(-1j * theta / 2), jnp.exp(1j * theta / 2)])
+
+
+def su4_matrix(theta: Tensor, dtype: Optional[str] = None) -> Tensor:
+    """Generic SU(4) two-qubit gate from 15 parameters (KAK-like form).
+
+    Reference ``gates.su4_gate`` (``gates.py:956-980``): single-qubit u gates
+    on each side plus an XX+YY+ZZ interaction core.
+    """
+    dtype = dtype or config.dtypestr()
+    theta = jnp.asarray(theta)
+    pre0 = u_matrix(theta[0], theta[1], theta[2], dtype=dtype)
+    pre1 = u_matrix(theta[3], theta[4], theta[5], dtype=dtype)
+    post0 = u_matrix(theta[9], theta[10], theta[11], dtype=dtype)
+    post1 = u_matrix(theta[12], theta[13], theta[14], dtype=dtype)
+    core = (
+        rxx_matrix(theta[6], dtype=dtype)
+        @ ryy_matrix(theta[7], dtype=dtype)
+        @ rzz_matrix(theta[8], dtype=dtype)
+    )
+    return _kron2(post0, post1) @ core @ _kron2(pre0, pre1)
+
+
+def multicontrol_matrix(
+    unitary: Tensor, ctrl: Sequence[int], dtype: Optional[str] = None
+) -> Tensor:
+    """Multi-controlled gate; ``ctrl[i]`` in {0,1} selects control polarity.
+
+    Reference ``gates.multicontrol_gate`` (``gates.py:981-1057``) builds an
+    MPO; here we build the dense matrix (fine for small k) — the dense
+    statevector engine applies it as one tensordot.
+    """
+    dtype = dtype or config.dtypestr()
+    u = jnp.asarray(unitary).astype(jnp.dtype(dtype))
+    dim_u = int(np.sqrt(np.prod(np.array(u.shape))))
+    u = u.reshape(dim_u, dim_u)
+    nctrl = len(ctrl)
+    dim = dim_u * 2**nctrl
+    m = jnp.eye(dim, dtype=jnp.dtype(dtype))
+    # the active control block index: bits of ctrl pattern
+    idx = 0
+    for c in ctrl:
+        idx = idx * 2 + int(c)
+    start = idx * dim_u
+    return m.at[start : start + dim_u, start : start + dim_u].set(u)
+
+
+# ------------------------------------------------------------------
+# gate factories (GateF / GateVF)
+# ------------------------------------------------------------------
+
+
+class GateF:
+    """Factory for fixed (non-parameterized) gates.
+
+    ``g = GateF("h"); g() -> Gate``; supports ``.adjoint()`` and
+    ``.controlled()`` like reference ``gates.py:298-387``.
+    """
+
+    def __init__(self, name: str, matrix_fn: Optional[Callable[..., Tensor]] = None, n: int = 1):
+        self.n = name
+        self.name = name
+        self._matrix_fn = matrix_fn
+        self.nqubits = n
+
+    def __call__(self, *args: Any, **kws: Any) -> Gate:
+        dtype = kws.pop("dtype", None) or config.dtypestr()
+        if self._matrix_fn is not None:
+            m = self._matrix_fn(*args, dtype=dtype, **kws)
+            nq = int(round(math.log2(int(np.sqrt(np.prod(np.array(m.shape)))) if m.ndim == 2 else 2 ** (m.ndim // 2))))
+            dim = int(np.sqrt(np.prod(np.array(m.shape))))
+            nq = int(round(math.log2(dim)))
+            return Gate(jnp.reshape(m, (2,) * (2 * nq)), name=self.name)
+        return Gate(_fixed_tensor(self.name, dtype), name=self.name)
+
+    def matrix(self, *args: Any, **kws: Any) -> Tensor:
+        return self(*args, **kws).matrix()
+
+    def adjoint(self) -> "GateF":
+        base = self
+
+        def adj_fn(*args: Any, dtype: Optional[str] = None, **kws: Any) -> Tensor:
+            m = base(*args, dtype=dtype, **kws).matrix()
+            return jnp.conj(m.T)
+
+        return GateF(self.name + "d", adj_fn, self.nqubits)
+
+    def controlled(self) -> "GateF":
+        base = self
+
+        def ctrl_fn(*args: Any, dtype: Optional[str] = None, **kws: Any) -> Tensor:
+            m = base(*args, dtype=dtype, **kws).matrix()
+            dim = m.shape[0]
+            out = jnp.eye(2 * dim, dtype=m.dtype)
+            return out.at[dim:, dim:].set(m)
+
+        return GateF("c" + self.name, ctrl_fn, self.nqubits + 1)
+
+    def ocontrolled(self) -> "GateF":
+        base = self
+
+        def ctrl_fn(*args: Any, dtype: Optional[str] = None, **kws: Any) -> Tensor:
+            m = base(*args, dtype=dtype, **kws).matrix()
+            dim = m.shape[0]
+            out = jnp.eye(2 * dim, dtype=m.dtype)
+            return out.at[:dim, :dim].set(m)
+
+        return GateF("o" + self.name, ctrl_fn, self.nqubits + 1)
+
+    def __repr__(self) -> str:
+        return f"GateF({self.name!r})"
+
+
+class GateVF(GateF):
+    """Factory for variable (parameterized) gates; same protocol as GateF."""
+
+    def __init__(
+        self,
+        matrix_fn: Callable[..., Tensor],
+        name: str,
+        n: int = 1,
+        default_params: Optional[dict] = None,
+    ):
+        super().__init__(name, matrix_fn, n)
+        self.default_params = default_params or {}
+
+    def __call__(self, *args: Any, **kws: Any) -> Gate:
+        dtype = kws.pop("dtype", None) or config.dtypestr()
+        params = dict(self.default_params)
+        params.update(kws)
+        m = self._matrix_fn(*args, dtype=dtype, **params)
+        dim = int(np.sqrt(np.prod(np.array(m.shape))))
+        nq = int(round(math.log2(dim)))
+        return Gate(jnp.reshape(m, (2,) * (2 * nq)), name=self.name)
+
+
+# registry ----------------------------------------------------------------
+
+#: fixed gate factories, one per entry in the reference registry
+_fixed_names = list(_FIXED_GATES.keys())
+
+_VARIABLE_FNS: dict[str, Tuple[Callable[..., Tensor], int]] = {
+    "r": (rgate_matrix, 1),
+    "rx": (rx_matrix, 1),
+    "ry": (ry_matrix, 1),
+    "rz": (rz_matrix, 1),
+    "phase": (phase_matrix, 1),
+    "u": (u_matrix, 1),
+    "cu": (cu_matrix, 2),
+    "rxx": (rxx_matrix, 2),
+    "ryy": (ryy_matrix, 2),
+    "rzz": (rzz_matrix, 2),
+    "crx": (crx_matrix, 2),
+    "cry": (cry_matrix, 2),
+    "crz": (crz_matrix, 2),
+    "cphase": (cphase_matrix, 2),
+    "iswap": (iswap_matrix, 2),
+    "exp": (exponential_matrix, 0),  # nqubits from the generator
+    "exp1": (exp1_matrix, 0),
+    "exponential": (exponential_matrix, 0),
+    "su4": (su4_matrix, 2),
+    "multicontrol": (multicontrol_matrix, 0),
+}
+
+VARIABLE_ALIASES = {
+    "cr": "cphase",
+    "cp": "cphase",
+    "crr": "cphase",
+}
+
+
+def _build_registry() -> dict[str, GateF]:
+    reg: dict[str, GateF] = {}
+    for name, m in _FIXED_GATES.items():
+        nq = int(round(math.log2(m.shape[0])))
+        reg[name] = GateF(name, None, nq)
+    for alias, target in GATE_ALIASES.items():
+        reg[alias] = GateF(target, None, reg[target].nqubits)
+        reg[alias].name = target
+    for name, (fn, nq) in _VARIABLE_FNS.items():
+        reg[name] = GateVF(fn, name, nq)
+    for alias, target in VARIABLE_ALIASES.items():
+        fn, nq = _VARIABLE_FNS[target]
+        reg[alias] = GateVF(fn, target, nq)
+    return reg
+
+
+GATES: dict[str, GateF] = _build_registry()
+
+#: names of gates that take no parameters
+FIXED_GATE_NAMES = _fixed_names + list(GATE_ALIASES.keys())
+#: names of parameterized gates
+VARIABLE_GATE_NAMES = list(_VARIABLE_FNS.keys()) + list(VARIABLE_ALIASES.keys())
+
+
+def get_gate(name: str) -> GateF:
+    name = name.lower()
+    if name not in GATES:
+        raise KeyError(f"unknown gate {name!r}")
+    return GATES[name]
+
+
+def matrix_for_gate(name: str, dtype: Optional[str] = None, **params: Any) -> Tensor:
+    """Dense matrix of a registered gate at the active dtype."""
+    g = get_gate(name)(**params) if params else get_gate(name)(dtype=dtype)
+    return g.matrix()
+
+
+# module-level factory shortcuts matching reference export style
+# (tc.gates.h, tc.gates.rx, ...)
+def __getattr__(attr: str) -> Any:
+    key = attr
+    if key.endswith("_gate"):
+        key = key[: -len("_gate")]
+    if key in GATES:
+        return GATES[key]
+    raise AttributeError(f"module 'gates' has no attribute {attr!r}")
+
+
+def pauli_gates(dtype: Optional[str] = None) -> list:
+    """[I, X, Y, Z] matrices at the active dtype."""
+    dtype = dtype or config.dtypestr()
+    return list(_pauli(dtype))

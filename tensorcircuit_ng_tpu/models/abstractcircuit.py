@@ -1,0 +1,402 @@
+"""Node-free circuit IR layer: gate metaprogramming + QIR.
+
+Mirrors the reference ``abstractcircuit.py`` (gate-method metaprogramming at
+``:242-373``, QIR at ``:375-496``, inverse ``:498``, composition
+``:1448-1510``, ``expectation_ps`` sugar ``:1523-1603``) but carries no
+tensor-network nodes: the QIR instruction list *is* the circuit, and engines
+(dense statevector, einsum IR, MPS, ...) lower it however they like.
+"""
+
+from __future__ import annotations
+
+import copy as _copy
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import config
+from ..ops import gates as gates_mod
+from ..ops.gates import Gate, GateF, GateVF
+
+Tensor = Any
+
+__all__ = ["AbstractCircuit"]
+
+
+def _is_sequence(x: Any) -> bool:
+    return isinstance(x, (list, tuple, range, np.ndarray)) and not isinstance(
+        x, (str, bytes)
+    )
+
+
+class AbstractCircuit:
+    """Gate bookkeeping shared by every simulator."""
+
+    is_dm = False  # density-matrix flag (doubled wires)
+    _nqubits: int
+    _d: int
+
+    # populated by _meta_apply below
+    sgates = list(gates_mod.FIXED_GATE_NAMES)
+    vgates = list(gates_mod.VARIABLE_GATE_NAMES)
+    gate_aliases = dict(gates_mod.GATE_ALIASES)
+
+    def __init__(self) -> None:
+        self._qir: List[Dict[str, Any]] = []
+        self._extra_qir: List[Dict[str, Any]] = []
+
+    # ------------------------------------------------------------------
+    # gate application plumbing
+    # ------------------------------------------------------------------
+
+    def apply_general_gate(
+        self,
+        gate: Union[Gate, Tensor],
+        *index: int,
+        name: Optional[str] = None,
+        split: Optional[Dict[str, Any]] = None,
+        mpo: bool = False,
+        ir_dict: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        raise NotImplementedError  # engine-specific
+
+    def _apply_gate_instance(
+        self,
+        gatef: GateF,
+        *index: Any,
+        name: str,
+        split: Optional[Dict[str, Any]] = None,
+        **params: Any,
+    ) -> None:
+        """Build the gate tensor and dispatch, broadcasting over index lists.
+
+        Broadcast semantics per reference ``abstractcircuit.py:161-238``:
+        ``c.cx(range(3), range(1, 4))`` zips elementwise; parameter sequences
+        broadcast per-index with scalar fallback.
+        """
+        if index and _is_sequence(index[0]):
+            seqs = [list(i) if _is_sequence(i) else None for i in index]
+            length = len(seqs[0])
+            for s in seqs:
+                if s is not None and len(s) != length:
+                    raise ValueError("mismatched index sequence lengths")
+            for pos in range(length):
+                idx_i = tuple(
+                    (seqs[j][pos] if seqs[j] is not None else index[j])
+                    for j in range(len(index))
+                )
+                params_i = {}
+                for key, val in params.items():
+                    if _is_sequence(val) and len(val) == length:
+                        params_i[key] = val[pos]
+                    elif (
+                        hasattr(val, "shape")
+                        and getattr(val, "ndim", 0) >= 1
+                        and val.shape[0] == length
+                    ):
+                        params_i[key] = val[pos]
+                    else:
+                        params_i[key] = val
+                self._apply_gate_instance(
+                    gatef, *idx_i, name=name, split=split, **params_i
+                )
+            return
+
+        index = tuple(int(i) for i in index)
+        gate = gatef(**params) if params else gatef()
+        ir_dict = {
+            "gatef": gatef,
+            "gate": gate,
+            "index": index,
+            "name": name,
+            "split": split,
+            "mpo": False,
+        }
+        if params:
+            ir_dict["parameters"] = dict(params)
+        self.apply_general_gate(
+            gate, *index, name=name, split=split, ir_dict=ir_dict
+        )
+
+    @classmethod
+    def _meta_apply(cls) -> None:
+        """Register every gate in the registry as a circuit method.
+
+        Equivalent of reference ``abstractcircuit.py:242-373``: both lower and
+        UPPER case method names are installed.
+        """
+
+        def make_method(gname: str, gatef: GateF) -> Callable[..., None]:
+            def method(self: "AbstractCircuit", *index: Any, **params: Any) -> None:
+                split = params.pop("split", None)
+                name = params.pop("name", gname)
+                self._apply_gate_instance(
+                    gatef, *index, name=gname, split=split, **params
+                )
+
+            method.__name__ = gname
+            method.__doc__ = (
+                f"Apply **{gname}** gate on the given qubit indices."
+                "\n\nIndex arguments may be sequences (elementwise broadcast)."
+            )
+            return method
+
+        for gname, gatef in gates_mod.GATES.items():
+            m = make_method(gname, gatef)
+            setattr(cls, gname, m)
+            setattr(cls, gname.upper(), m)
+
+    # arbitrary-matrix gate (reference `any`/`unitary` alias)
+    def any(self, *index: int, unitary: Tensor, name: str = "any", **kws: Any) -> None:
+        """Apply an arbitrary dense gate given its matrix/tensor."""
+        gate = Gate(jnp.asarray(unitary).astype(jnp.dtype(config.dtypestr())), name=name)
+        k = len(index)
+        d = self._d if hasattr(self, "_d") else 2
+        gate.tensor = jnp.reshape(gate.tensor, (d,) * (2 * k))
+        ir_dict = {
+            "gatef": None,
+            "gate": gate,
+            "index": tuple(int(i) for i in index),
+            "name": name,
+            "split": kws.get("split"),
+            "mpo": False,
+            "parameters": {"unitary": gate.tensor},
+        }
+        self.apply_general_gate(
+            gate, *ir_dict["index"], name=name, split=kws.get("split"), ir_dict=ir_dict
+        )
+
+    unitary = any
+    ANY = any
+    UNITARY = any
+
+    # ------------------------------------------------------------------
+    # QIR
+    # ------------------------------------------------------------------
+
+    def to_qir(self) -> List[Dict[str, Any]]:
+        """Return the circuit's intermediate representation (list of dicts)."""
+        return self._qir
+
+    @classmethod
+    def from_qir(
+        cls, qir: List[Dict[str, Any]], circuit_params: Optional[Dict[str, Any]] = None
+    ) -> "AbstractCircuit":
+        """Rebuild a circuit from QIR (reference ``abstractcircuit.py:440-496``)."""
+        if circuit_params is None:
+            circuit_params = {}
+        if "nqubits" not in circuit_params:
+            nqubits = 0
+            for item in qir:
+                nqubits = max(nqubits, max(item["index"]) + 1)
+            circuit_params["nqubits"] = nqubits
+        c = cls(**circuit_params)  # type: ignore
+        c.append_from_qir(qir)
+        return c
+
+    def append_from_qir(self, qir: List[Dict[str, Any]]) -> "AbstractCircuit":
+        for item in qir:
+            self._apply_qir_item(item)
+        return self
+
+    def _apply_qir_item(self, item: Dict[str, Any]) -> None:
+        gatef = item.get("gatef")
+        params = item.get("parameters", {})
+        index = item["index"]
+        if item.get("is_channel"):
+            kraus = item["channel_kraus"]
+            status = item.get("channel_status")
+            self.general_kraus(kraus, *index, status=status, name=item.get("name"))  # type: ignore
+            return
+        if gatef is None:
+            self.any(*index, unitary=item["gate"].tensor, name=item.get("name", "any"))
+        else:
+            self._apply_gate_instance(
+                gatef,
+                *index,
+                name=item.get("name", gatef.name),
+                split=item.get("split"),
+                **params,
+            )
+
+    def initial_mapping(
+        self,
+        logical_physical_mapping: Dict[int, int],
+        n: Optional[int] = None,
+        circuit_params: Optional[Dict[str, Any]] = None,
+    ) -> "AbstractCircuit":
+        """Rebuild the circuit with qubits remapped (reference ``:652``)."""
+        if circuit_params is None:
+            circuit_params = {}
+        if "nqubits" not in circuit_params:
+            circuit_params["nqubits"] = n if n is not None else self._nqubits
+        c = type(self)(**circuit_params)  # type: ignore
+        for item in self._qir:
+            new_item = dict(item)
+            new_item["index"] = tuple(
+                logical_physical_mapping[i] for i in item["index"]
+            )
+            c._apply_qir_item(new_item)
+        return c
+
+    def inverse(self, circuit_params: Optional[Dict[str, Any]] = None) -> "AbstractCircuit":
+        """Return the inverse (adjoint) circuit (reference ``:498-560``)."""
+        if circuit_params is None:
+            circuit_params = {}
+        if "nqubits" not in circuit_params:
+            circuit_params["nqubits"] = self._nqubits
+        c = type(self)(**circuit_params)  # type: ignore
+        for item in reversed(self._qir):
+            m = item["gate"].matrix()
+            c.any(*item["index"], unitary=jnp.conj(m.T), name=(item.get("name") or "any") + "d")
+        return c
+
+    # ------------------------------------------------------------------
+    # composition / copying
+    # ------------------------------------------------------------------
+
+    def append(self, c: "AbstractCircuit", indices: Optional[Sequence[int]] = None) -> "AbstractCircuit":
+        """Append circuit ``c`` after this circuit (in place, returns self)."""
+        for item in c.to_qir():
+            new_item = dict(item)
+            if indices is not None:
+                new_item["index"] = tuple(indices[i] for i in item["index"])
+            self._apply_qir_item(new_item)
+        return self
+
+    def prepend(self, c: "AbstractCircuit") -> "AbstractCircuit":
+        """Prepend circuit ``c`` before this circuit (returns new circuit)."""
+        new = c.copy()
+        new.append(self)
+        return new
+
+    def copy(self) -> "AbstractCircuit":
+        qir = [dict(item) for item in self._qir]
+        c = type(self)(**self._copy_params())  # type: ignore
+        c.append_from_qir(qir)
+        return c
+
+    def _copy_params(self) -> Dict[str, Any]:
+        return {"nqubits": self._nqubits}
+
+    # ------------------------------------------------------------------
+    # stats / info
+    # ------------------------------------------------------------------
+
+    @property
+    def nqubits(self) -> int:
+        return self._nqubits
+
+    def gate_count(self, gate_list: Optional[Sequence[str]] = None) -> int:
+        """Count gates, optionally restricted to names in ``gate_list``."""
+        if gate_list is None:
+            return len(self._qir)
+        gate_list = [g.lower() for g in gate_list]
+        gate_list = [self.gate_aliases.get(g, g) for g in gate_list]
+        cnt = 0
+        for item in self._qir:
+            name = (item.get("name") or "").lower()
+            if name in gate_list or self.gate_aliases.get(name, name) in gate_list:
+                cnt += 1
+        return cnt
+
+    def gate_count_by_condition(
+        self, cond_func: Callable[[Dict[str, Any]], bool]
+    ) -> int:
+        return sum(1 for item in self._qir if cond_func(item))
+
+    def gate_summary(self) -> Dict[str, int]:
+        summary: Dict[str, int] = {}
+        for item in self._qir:
+            name = item.get("name") or "any"
+            summary[name] = summary.get(name, 0) + 1
+        return summary
+
+    def count_flop(self) -> int:
+        """Rough FLOP estimate of the dense-engine forward pass."""
+        d = getattr(self, "_d", 2)
+        total = 0
+        for item in self._qir:
+            k = len(item["index"])
+            total += 8 * d ** (self._nqubits + k)
+        return total
+
+    def __repr__(self) -> str:
+        return (
+            f"{type(self).__name__}(nqubits={self._nqubits}, "
+            f"ngates={len(self._qir)})"
+        )
+
+    # ------------------------------------------------------------------
+    # hardware-style instructions (recorded, engine may interpret)
+    # ------------------------------------------------------------------
+
+    def measure_instruction(self, *index: int) -> None:
+        """Record a measurement instruction (reference ``:834-1005``)."""
+        self._extra_qir.append(
+            {"name": "measure", "index": tuple(index), "pos": len(self._qir)}
+        )
+
+    def reset_instruction(self, *index: int) -> None:
+        self._extra_qir.append(
+            {"name": "reset", "index": tuple(index), "pos": len(self._qir)}
+        )
+
+    def barrier_instruction(self, *index: int) -> None:
+        self._extra_qir.append(
+            {"name": "barrier", "index": tuple(index), "pos": len(self._qir)}
+        )
+
+    # ------------------------------------------------------------------
+    # expectation sugar
+    # ------------------------------------------------------------------
+
+    def expectation(self, *ops: Any, **kws: Any) -> Tensor:
+        raise NotImplementedError
+
+    def expectation_ps(
+        self,
+        x: Optional[Sequence[int]] = None,
+        y: Optional[Sequence[int]] = None,
+        z: Optional[Sequence[int]] = None,
+        ps: Optional[Sequence[int]] = None,
+        reuse: bool = True,
+        noise_conf: Optional[Any] = None,
+        nmc: int = 1000,
+        status: Optional[Tensor] = None,
+        **kws: Any,
+    ) -> Tensor:
+        """Pauli-string expectation sugar (reference ``:1523-1603``).
+
+        ``ps`` is a length-n list with entries 0/1/2/3 for I/X/Y/Z, taking
+        precedence over x/y/z lists.
+        """
+        if ps is not None:
+            x = [i for i, v in enumerate(ps) if v == 1]
+            y = [i for i, v in enumerate(ps) if v == 2]
+            z = [i for i, v in enumerate(ps) if v == 3]
+        obs = []
+        for q in x or ():
+            obs.append((gates_mod.GATES["x"](), [int(q)]))
+        for q in y or ():
+            obs.append((gates_mod.GATES["y"](), [int(q)]))
+        for q in z or ():
+            obs.append((gates_mod.GATES["z"](), [int(q)]))
+        if noise_conf is not None:
+            from .. import noisemodel
+
+            return noisemodel.expectation_noisfy(
+                self, *obs, noise_conf=noise_conf, nmc=nmc, status=status, **kws
+            )
+        return self.expectation(*obs, reuse=reuse, **kws)
+
+    # convenience: dict of pauli-string -> coefficient
+    def expectation_structures(self, structures: Any, weights: Any, **kws: Any) -> Tensor:
+        total = 0.0
+        for s, w in zip(structures, weights):
+            total = total + w * self.expectation_ps(ps=s, **kws)
+        return total
+
+
+AbstractCircuit._meta_apply()

@@ -1,0 +1,420 @@
+"""Dense-engine circuit layer shared by ``Circuit`` and ``DMCircuit``.
+
+Counterpart of reference ``basecircuit.py`` (state bookkeeping, sampling,
+expectation machinery) re-designed for the dense statevector engine in
+:mod:`tensorcircuit_ng_tpu.core.statevec`: the state is a ``(d,)*n`` tensor
+folded over QIR under jit, with the reference's semantics preserved —
+state caching (``basecircuit.py:375-391``), status-driven jittable sampling
+(``:449-560``, ``:1402-1512``), six sample formats, readout error.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..backend import backend as K
+from ..core import statevec
+from ..ops.gates import Gate
+from .abstractcircuit import AbstractCircuit
+
+Tensor = Any
+
+__all__ = ["BaseCircuit"]
+
+
+class BaseCircuit(AbstractCircuit):
+    is_dm = False
+
+    def __init__(
+        self,
+        nqubits: int,
+        inputs: Optional[Tensor] = None,
+        dim: int = 2,
+    ) -> None:
+        super().__init__()
+        self._nqubits = nqubits
+        self._d = dim
+        self._inputs = inputs
+        self._state_cache: Optional[Tensor] = None
+
+    def _copy_params(self) -> Dict[str, Any]:
+        return {"nqubits": self._nqubits, "inputs": self._inputs, "dim": self._d}
+
+    # ------------------------------------------------------------------
+    # state computation
+    # ------------------------------------------------------------------
+
+    def _initial_state(self) -> Tensor:
+        return statevec.init_state(self._nqubits, d=self._d, inputs=self._inputs)
+
+    def apply_general_gate(
+        self,
+        gate: Union[Gate, Tensor],
+        *index: int,
+        name: Optional[str] = None,
+        split: Optional[Dict[str, Any]] = None,
+        mpo: bool = False,
+        ir_dict: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        if not isinstance(gate, Gate):
+            gate = Gate(gate, name=name or "any")
+        index = tuple(int(i) % self._nqubits for i in index)  # negative ok
+        if len(set(index)) != len(index):
+            raise ValueError(f"duplicate qubit indices in gate application: {index}")
+        for i in index:
+            if i >= self._nqubits:
+                raise ValueError(f"qubit index {i} out of range (n={self._nqubits})")
+        if ir_dict is None:
+            ir_dict = {
+                "gatef": None,
+                "gate": gate,
+                "index": index,
+                "name": name or gate.name,
+                "split": split,
+                "mpo": mpo,
+            }
+        else:
+            ir_dict = dict(ir_dict)
+            ir_dict["index"] = index
+        self._qir.append(ir_dict)
+        self._state_cache = None  # invalidate (reference basecircuit.py:371)
+
+    def _compute_state(self) -> Tensor:
+        psi = self._initial_state()
+        for item in self._qir:
+            psi = statevec.apply_unitary(psi, item["gate"].tensor, item["index"])
+        return psi
+
+    def state(self, form: str = "default", reuse: bool = True) -> Tensor:
+        """The output state; cached until the next gate application."""
+        if self._state_cache is None or not reuse:
+            s = self._compute_state()
+            if reuse:
+                self._state_cache = s
+        else:
+            s = self._state_cache
+        if form == "tensor":
+            return s
+        return jnp.reshape(s, (-1,))
+
+    wavefunction = state
+
+    def quvector(self) -> Tensor:
+        return self.state(form="tensor")
+
+    def replace_inputs(self, inputs: Tensor) -> None:
+        """Swap the input state (reference ``basecircuit.py:1703``)."""
+        self._inputs = inputs
+        self._state_cache = None
+
+    # ------------------------------------------------------------------
+    # amplitudes / probabilities
+    # ------------------------------------------------------------------
+
+    def amplitude(self, l: Union[str, Sequence[int], Tensor]) -> Tensor:
+        r"""⟨l|psi⟩ for a basis string like ``"0101"`` (base-d, 0-9A-Z)."""
+        if isinstance(l, str):
+            l = [int(ch, 36) for ch in l]
+        return statevec.amplitude(self.state(form="tensor"), l)
+
+    def probability(self) -> Tensor:
+        """Unnormalized probability vector |psi|^2 (length d^n)."""
+        return statevec.probabilities(self.state(form="tensor"))
+
+    # ------------------------------------------------------------------
+    # measurement / sampling (status-driven, jittable)
+    # ------------------------------------------------------------------
+
+    _MEASURE_EPS = 0.31415926e-12  # tie-break at 0.5, reference basecircuit.py:522
+
+    def measure_jit(
+        self, *index: int, with_prob: bool = False, status: Optional[Tensor] = None
+    ) -> Tuple[Tensor, Tensor]:
+        """Autoregressive projective measurement of ``index`` qubits.
+
+        Fully jittable; randomness is externalized through ``status`` (uniform
+        [0,1) of shape [len(index)]) per the reference contract
+        (``basecircuit.py:449-560``).  Returns (outcomes [len(index)], prob).
+        """
+        n = len(index)
+        if status is None:
+            status = K.implicit_randu([n])
+        psi = self.state(form="tensor")
+        outcomes = []
+        prob = jnp.ones((), dtype=jnp.dtype(config.rdtypestr()))
+        for k, q in enumerate(index):
+            marg = statevec.marginal_probability(psi, [q])
+            marg = marg / jnp.sum(marg)
+            cdf = jnp.cumsum(marg)
+            r = status[k].astype(cdf.dtype)
+            outcome = jnp.searchsorted(cdf, r + self._MEASURE_EPS, side="left")
+            outcome = jnp.clip(outcome, 0, self._d - 1)
+            p_out = marg[outcome]
+            psi = statevec.project_qubit(psi, q, outcome)
+            outcomes.append(outcome)
+            prob = prob * jnp.real(p_out)
+        sample = jnp.stack(outcomes).astype(jnp.int32)
+        if with_prob:
+            return sample, prob
+        return sample, jnp.asarray(-1.0)
+
+    def measure(self, *index: int, with_prob: bool = False) -> Tuple[Tensor, Tensor]:
+        return self.measure_jit(*index, with_prob=with_prob)
+
+    def perfect_sampling(self, status: Optional[Tensor] = None) -> Tuple[Tensor, Tensor]:
+        """Sample all qubits once (reference ``basecircuit.py:449``)."""
+        return self.measure_jit(*range(self._nqubits), with_prob=True, status=status)
+
+    def sample(
+        self,
+        batch: Optional[int] = None,
+        allow_state: bool = False,
+        readout_error: Optional[Tensor] = None,
+        format: Optional[str] = None,
+        random_generator: Optional[Any] = None,
+        status: Optional[Tensor] = None,
+        jittable: bool = True,
+        format_: Optional[str] = None,
+    ) -> Any:
+        """Batched sampling with the reference's six output formats.
+
+        ``allow_state=True`` samples from the full probability vector (one
+        contraction + categorical sampling — preferred ≤ ~32 qubits);
+        otherwise autoregressive perfect sampling per shot (reference
+        ``basecircuit.py:1402-1512``).
+        """
+        if format is None and format_ is not None:
+            format = format_
+        nbatch = 1 if batch is None else batch
+        if allow_state:
+            p = self.probability()
+            p = p / jnp.sum(p)
+            if readout_error is not None:
+                p = self.readouterror_bs(readout_error, p)
+            idx = K.probability_sample(nbatch, p, status=status, g=random_generator)
+            if format is None:
+                # legacy: list of (bitstring tensor, -1.0)
+                from .. import quantum as qu
+
+                bins = qu.sample_int2bin(idx, self._nqubits, self._d)
+                if batch is None:
+                    return bins[0], -1.0
+                return [(bins[i], -1.0) for i in range(nbatch)]
+            from .. import quantum as qu
+
+            return qu.sample2all(
+                idx, self._nqubits, format=format, jittable=jittable, d=self._d
+            )
+        # trajectory path
+        if status is None:
+            if random_generator is None:
+                status = K.implicit_randu([nbatch, self._nqubits])
+            else:
+                status = K.stateful_randu(
+                    random_generator, shape=[nbatch, self._nqubits]
+                )
+
+        def one_shot(st: Tensor) -> Tuple[Tensor, Tensor]:
+            return self.measure_jit(
+                *range(self._nqubits), with_prob=True, status=st
+            )
+
+        samples, probs = jax.vmap(one_shot)(status)
+        if format is None:
+            if batch is None:
+                return samples[0], probs[0]
+            return [(samples[i], probs[i]) for i in range(nbatch)]
+        from .. import quantum as qu
+
+        idx = qu.sample_bin2int(samples, self._nqubits, self._d)
+        return qu.sample2all(
+            idx, self._nqubits, format=format, jittable=jittable, d=self._d
+        )
+
+    def readouterror_bs(
+        self, readout_error: Optional[Sequence[Any]] = None, p: Optional[Tensor] = None
+    ) -> Tensor:
+        """Apply per-qubit readout confusion to probability vector ``p``.
+
+        ``readout_error[i] = [P(0|0), P(1|1)]`` per the reference
+        (``basecircuit.py:1656-1701``).
+        """
+        if readout_error is None:
+            return p
+        n = self._nqubits
+        pt = jnp.reshape(p, (2,) * n)
+        for i, err in enumerate(readout_error):
+            p00 = err[0]
+            p11 = err[1]
+            m = jnp.asarray(
+                [[p00, 1.0 - p11], [1.0 - p00, p11]], dtype=pt.dtype
+            )
+            pt = jnp.tensordot(m, pt, axes=[[1], [i]])
+            pt = jnp.moveaxis(pt, 0, i)
+        return jnp.reshape(pt, (-1,))
+
+    # ------------------------------------------------------------------
+    # expectation
+    # ------------------------------------------------------------------
+
+    def expectation(
+        self,
+        *ops: Tuple[Any, Sequence[int]],
+        reuse: bool = True,
+        enable_lightcone: bool = False,
+        noise_conf: Optional[Any] = None,
+        nmc: int = 1000,
+        status: Optional[Tensor] = None,
+        **kws: Any,
+    ) -> Tensor:
+        """⟨psi| O_1 O_2 ... |psi⟩ with O_i = (operator, [wires]).
+
+        Operators may be ``Gate`` instances or dense tensors.  Mirrors
+        reference ``circuit.py:833-913``; light-cone simplification
+        (``simplify.py:198-296``) is applied at the QIR level when
+        ``enable_lightcone=True``.
+        """
+        if noise_conf is not None:
+            from .. import noisemodel
+
+            return noisemodel.expectation_noisfy(
+                self, *ops, noise_conf=noise_conf, nmc=nmc, status=status, **kws
+            )
+        norm_ops = []
+        for op in ops:
+            if isinstance(op, tuple) and len(op) == 2:
+                o, wires = op
+            else:
+                raise ValueError("each op must be (operator, [wires])")
+            if isinstance(o, Gate):
+                o = o.tensor
+            if not hasattr(wires, "__len__"):
+                wires = [wires]
+            norm_ops.append((jnp.asarray(o), [int(w) % self._nqubits for w in wires]))
+        if enable_lightcone:
+            psi = self._lightcone_state([w for _, ws in norm_ops for w in ws])
+            reuse = False
+        else:
+            psi = self.state(form="tensor", reuse=reuse)
+        phi = psi
+        for o, wires in norm_ops:
+            phi = statevec.apply_unitary(phi, o.astype(phi.dtype), wires)
+        return jnp.vdot(jnp.reshape(psi, (-1,)), jnp.reshape(phi, (-1,)))
+
+    def _lightcone_qir(self, obs_wires: Sequence[int]) -> List[Dict[str, Any]]:
+        """Drop gates outside the observable's causal cone.
+
+        IR-pass replacement for reference ``simplify.py:198-296``.
+        """
+        cone = set(obs_wires)
+        keep: List[Dict[str, Any]] = []
+        for item in reversed(self._qir):
+            if cone.intersection(item["index"]):
+                keep.append(item)
+                cone.update(item["index"])
+        keep.reverse()
+        return keep
+
+    def _lightcone_state(self, obs_wires: Sequence[int]) -> Tensor:
+        psi = self._initial_state()
+        for item in self._lightcone_qir(obs_wires):
+            psi = statevec.apply_unitary(psi, item["gate"].tensor, item["index"])
+        return psi
+
+    def sample_expectation_ps(
+        self,
+        x: Optional[Sequence[int]] = None,
+        y: Optional[Sequence[int]] = None,
+        z: Optional[Sequence[int]] = None,
+        shots: Optional[int] = None,
+        random_generator: Optional[Any] = None,
+        status: Optional[Tensor] = None,
+        readout_error: Optional[Sequence[Any]] = None,
+        noise_conf: Optional[Any] = None,
+        nmc: int = 1000,
+        statusc: Optional[Tensor] = None,
+        **kws: Any,
+    ) -> Tensor:
+        """Shot-based Pauli-string expectation (reference ``:1514-1654``).
+
+        Rotates measured qubits into the Z basis, samples (or uses the exact
+        distribution when ``shots is None``), and averages parities.
+        """
+        if noise_conf is not None:
+            from .. import noisemodel
+
+            return noisemodel.sample_expectation_ps_noisfy(
+                self,
+                x=x,
+                y=y,
+                z=z,
+                shots=shots,
+                noise_conf=noise_conf,
+                nmc=nmc,
+                status=statusc,
+                readout_error=readout_error,
+                **kws,
+            )
+        c = self.copy()
+        for q in x or ():
+            c.h(q)  # type: ignore
+        for q in y or ():
+            c.sd(q)  # type: ignore
+            c.h(q)  # type: ignore
+        measure_wires = list(x or ()) + list(y or ()) + list(z or ())
+        p = c.probability()
+        p = p / jnp.sum(p)
+        if readout_error is not None:
+            p = c.readouterror_bs(readout_error, p)
+        n = self._nqubits
+        # parity of measured wires per basis state
+        basis = jnp.arange(self._d**n)
+        parity = jnp.ones_like(p)
+        pt = jnp.reshape(parity, (self._d,) * n)
+        sign = jnp.asarray([1.0, -1.0] + [1.0] * (self._d - 2), dtype=p.dtype)
+        for w in measure_wires:
+            shape = [1] * n
+            shape[w] = self._d
+            pt = pt * jnp.reshape(sign, shape)
+        parity = jnp.reshape(pt, (-1,))
+        if shots is None:
+            return jnp.sum(p * parity)
+        idx = K.probability_sample(shots, p, status=status, g=random_generator)
+        return jnp.mean(parity[idx])
+
+    # ------------------------------------------------------------------
+    # subsystem tools
+    # ------------------------------------------------------------------
+
+    def projected_subsystem(
+        self, traceout: Sequence[int], left: Union[str, Sequence[int]]
+    ) -> Tensor:
+        """State of remaining qubits after projecting ``traceout`` onto ``left``."""
+        if isinstance(left, str):
+            left = [int(ch, 36) for ch in left]
+        psi = self.state(form="tensor")
+        for q, v in zip(traceout, left):
+            sel = jax.nn.one_hot(v, self._d, dtype=psi.dtype)
+            psi = statevec.apply_diagonal(psi, sel, [q])
+        psi = jnp.reshape(psi, (-1,))
+        nrm = jnp.linalg.norm(psi)
+        psi = psi / nrm
+        keep = [q for q in range(self._nqubits) if q not in set(traceout)]
+        pt = jnp.reshape(psi, (self._d,) * self._nqubits)
+        idx = tuple(
+            (list(left)[list(traceout).index(q)] if q in set(traceout) else slice(None))
+            for q in range(self._nqubits)
+        )
+        sub = pt[idx]
+        return jnp.reshape(sub, (-1,))
+
+    def get_quvector(self) -> Any:
+        """Return the output state as a :class:`~.quantum.QuVector`."""
+        from .. import quantum as qu
+
+        return qu.QuVector.from_tensor(self.state(form="tensor"))

@@ -1,0 +1,329 @@
+"""``Circuit``: the exact statevector simulator.
+
+Counterpart of reference ``circuit.py`` on the dense TPU engine: state-vector
+simulation with jittable Monte-Carlo noise (``unitary_kraus``
+``circuit.py:404-510``, ``general_kraus`` ``:512-623``), post-selection
+``mid_measurement`` (``:196``), conditional measurement, whole-circuit
+``matrix()`` (``:744``), and the free function ``expectation`` (``:920-1065``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..backend import backend as K
+from ..core import statevec
+from ..ops import channels as channels_mod
+from ..ops.gates import Gate
+from .basecircuit import BaseCircuit
+
+Tensor = Any
+
+__all__ = ["Circuit", "expectation"]
+
+
+class Circuit(BaseCircuit):
+    """Exact statevector circuit simulator (dense TPU engine)."""
+
+    def __init__(
+        self,
+        nqubits: int,
+        inputs: Optional[Tensor] = None,
+        mps_inputs: Optional[Any] = None,
+        split: Optional[Dict[str, Any]] = None,
+        dim: int = 2,
+    ) -> None:
+        if mps_inputs is not None:
+            # densify MPS input (tensors, center) — small-n convenience
+            inputs = _mps_to_dense(mps_inputs)
+        super().__init__(nqubits, inputs=inputs, dim=dim)
+        self._split = split
+
+    # ------------------------------------------------------------------
+    # post-selection & conditional logic
+    # ------------------------------------------------------------------
+
+    def mid_measurement(self, index: int, keep: Union[int, Tensor] = 0) -> None:
+        """Post-select ``index`` onto outcome ``keep`` WITHOUT renormalization.
+
+        Reference ``circuit.py:196-226`` (note: recorded with a dedicated name
+        so exporters can skip it; the reference does not record it at all).
+        """
+        sel = jax.nn.one_hot(keep, self._d, dtype=jnp.dtype(config.dtypestr()))
+        g = Gate(jnp.diag(sel), name="mid_measurement")
+        self.apply_general_gate(g, index, name="mid_measurement")
+
+    post_select = mid_measurement
+    mid_measure = mid_measurement
+
+    def cond_measurement(self, index: int, status: Optional[Tensor] = None) -> Tensor:
+        """Projective Z measurement with renormalized collapse; returns outcome.
+
+        Jittable via ``status`` (reference ``basecircuit.py:1723-1754``).
+        """
+        d = self._d
+        projs = []
+        for v in range(d):
+            m = np.zeros((d, d))
+            m[v, v] = 1.0
+            projs.append(m)
+        return self.general_kraus(projs, index, status=status, name="cond_measurement")
+
+    cond_measure = cond_measurement
+
+    def select_gate(self, which: Tensor, kraus: Sequence[Any], *index: int) -> None:
+        """Apply ``kraus[which]`` where ``which`` is a traced int tensor.
+
+        Jittable classical control (reference ``abstractcircuit.py:1393-1446``).
+        """
+        mats = [
+            (k.tensor if isinstance(k, Gate) else jnp.asarray(k)).astype(
+                jnp.dtype(config.dtypestr())
+            )
+            for k in kraus
+        ]
+        dim = self._d ** len(index)
+        mats = [jnp.reshape(m, (dim, dim)) for m in mats]
+        stack = jnp.stack(mats)
+        which = jnp.asarray(which).astype(jnp.int32)
+        chosen = jnp.take(stack, which, axis=0)
+        self.any(*index, unitary=chosen, name="select_gate")  # type: ignore
+
+    conditional_gate = select_gate
+
+    # ------------------------------------------------------------------
+    # Monte-Carlo noise channels
+    # ------------------------------------------------------------------
+
+    def unitary_kraus(
+        self,
+        kraus: Sequence[Any],
+        *index: int,
+        prob: Optional[Sequence[float]] = None,
+        status: Optional[Tensor] = None,
+        name: Optional[str] = None,
+    ) -> Tensor:
+        """Trajectory sampling of a unitary Kraus channel; returns branch index.
+
+        When ``prob is None`` the probabilities are tr(K†K)/dim and operators
+        are renormalized (reference ``circuit.py:459-480``); branch selection
+        is cumulative-sum arithmetic on ``status`` so the whole op is jit- and
+        vmap-safe (``:486-509``).
+        """
+        mats = self._kraus_mats(kraus, index)
+        dim = mats[0].shape[0]
+        if prob is None:
+            probs = []
+            new_mats = []
+            for m in mats:
+                p_i = jnp.real(jnp.trace(jnp.conj(m.T) @ m)) / dim
+                probs.append(p_i)
+                new_mats.append(
+                    m
+                    / jnp.sqrt(p_i.astype(m.dtype) + jnp.asarray(1e-30, dtype=m.dtype))
+                )
+            p = jnp.stack(probs)
+            mats = new_mats
+        else:
+            p = jnp.asarray(prob).astype(jnp.dtype(config.rdtypestr()))
+        p = p / jnp.sum(p)
+        return self._apply_selected_kraus(
+            mats, p, index, status=status, name=name or "unitary_kraus"
+        )
+
+    def general_kraus(
+        self,
+        kraus: Sequence[Any],
+        *index: int,
+        status: Optional[Tensor] = None,
+        with_prob: bool = False,
+        name: Optional[str] = None,
+    ) -> Any:
+        """Trajectory sampling of a general Kraus channel.
+
+        Outcome probabilities are ⟨psi|K†K|psi⟩ on the *current* state
+        (reference ``circuit.py:533-558``); the selected operator is applied
+        renormalized, so the trajectory stays normalized.
+        """
+        mats = self._kraus_mats(kraus, index)
+        psi = self.state(form="tensor")
+        nrm2 = jnp.real(jnp.vdot(jnp.reshape(psi, (-1,)), jnp.reshape(psi, (-1,))))
+        probs = []
+        for m in mats:
+            phi = statevec.apply_unitary(psi, m, index)
+            flat = jnp.reshape(phi, (-1,))
+            probs.append(jnp.real(jnp.vdot(flat, flat)) / nrm2)
+        p = jnp.stack(probs)
+        p = p / jnp.sum(p)
+        new_mats = [
+            m / jnp.sqrt(pi.astype(m.dtype) + jnp.asarray(1e-30, dtype=m.dtype))
+            for m, pi in zip(mats, p)
+        ]
+        idx = self._apply_selected_kraus(
+            new_mats, p, index, status=status, name=name or "general_kraus"
+        )
+        if with_prob:
+            return idx, p
+        return idx
+
+    apply_general_kraus = general_kraus
+
+    def _kraus_mats(self, kraus: Sequence[Any], index: Sequence[int]) -> List[Tensor]:
+        dim = self._d ** len(index)
+        mats = []
+        for k1 in kraus:
+            m = k1.tensor if isinstance(k1, Gate) else jnp.asarray(k1)
+            m = jnp.reshape(m.astype(jnp.dtype(config.dtypestr())), (dim, dim))
+            mats.append(m)
+        return mats
+
+    def _apply_selected_kraus(
+        self,
+        mats: List[Tensor],
+        p: Tensor,
+        index: Sequence[int],
+        status: Optional[Tensor] = None,
+        name: str = "kraus",
+    ) -> Tensor:
+        if status is None:
+            status = K.implicit_randu([])
+        status = jnp.asarray(status)
+        cdf = jnp.cumsum(p)
+        r = jnp.reshape(status, ()).astype(cdf.dtype)
+        idx = jnp.searchsorted(cdf, r + BaseCircuit._MEASURE_EPS, side="left")
+        idx = jnp.clip(idx, 0, len(mats) - 1)
+        onehot = jax.nn.one_hot(idx, len(mats), dtype=mats[0].dtype)
+        op = sum(onehot[i] * mats[i] for i in range(len(mats)))
+        g = Gate(op, name=name)
+        ir_dict = {
+            "gatef": None,
+            "gate": g,
+            "index": tuple(int(i) for i in index),
+            "name": name,
+            "split": None,
+            "mpo": False,
+            "is_channel": True,
+            "channel_kraus": mats,
+            "channel_status": status,
+        }
+        self.apply_general_gate(g, *index, name=name, ir_dict=ir_dict)
+        return idx
+
+    # channel convenience methods (reference _meta_apply_channels
+    # circuit.py:655-683): c.depolarizing(0, px=..., ...) does MC trajectory
+    @classmethod
+    def _meta_apply_channels(cls) -> None:
+        def make_method(cname: str, factory: Callable[..., Any]) -> Callable[..., Tensor]:
+            def method(self: "Circuit", *index: int, status: Optional[Tensor] = None, **params: Any) -> Tensor:
+                kraus = factory(**params)
+                if getattr(kraus, "is_unitary", False):
+                    return self.unitary_kraus(kraus, *index, status=status, name=cname)
+                return self.general_kraus(kraus, *index, status=status, name=cname)
+
+            method.__name__ = cname
+            method.__doc__ = f"Monte-Carlo trajectory application of the {cname} channel."
+            return method
+
+        for cname, factory in channels_mod.CHANNEL_NAMES.items():
+            setattr(cls, cname, make_method(cname, factory))
+
+    def depolarizing2(self, *index: int, px: float = 0, py: float = 0, pz: float = 0, status: Optional[Tensor] = None) -> Tensor:
+        """Alias of ``depolarizing`` kept for reference parity."""
+        return self.depolarizing(*index, px=px, py=py, pz=pz, status=status)  # type: ignore
+
+    # ------------------------------------------------------------------
+    # circuit unitary
+    # ------------------------------------------------------------------
+
+    def matrix(self) -> Tensor:
+        """The full circuit unitary as a (d^n, d^n) matrix.
+
+        Dense-engine version of the reference's MPS-identity trick
+        (``circuit.py:744-769``): apply the QIR to an identity "state" with n
+        extra open input legs.
+        """
+        n = self._nqubits
+        d = self._d
+        psi = jnp.reshape(
+            jnp.eye(d**n, dtype=jnp.dtype(config.dtypestr())), (d,) * (2 * n)
+        )
+        for item in self._qir:
+            psi = statevec.apply_unitary(psi, item["gate"].tensor, item["index"])
+        return jnp.reshape(psi, (d**n, d**n))
+
+    def get_unitary(self) -> Tensor:
+        return self.matrix()
+
+    # ------------------------------------------------------------------
+
+    def to_dm_circuit(self) -> Any:
+        from .densitymatrix import DMCircuit
+
+        dmc = DMCircuit(self._nqubits, inputs=self._inputs, dim=self._d)
+        dmc.append_from_qir(self.to_qir())
+        return dmc
+
+
+Circuit._meta_apply_channels()
+
+
+def _mps_to_dense(mps_inputs: Any) -> Tensor:
+    """Contract (tensors, center) MPS input into a dense state."""
+    if hasattr(mps_inputs, "tensors"):
+        tensors = mps_inputs.tensors
+    else:
+        tensors = mps_inputs
+    psi = None
+    for t in tensors:
+        t = jnp.asarray(t)
+        if psi is None:
+            psi = t  # (l, d, r)
+        else:
+            psi = jnp.tensordot(psi, t, axes=[[-1], [0]])
+    # psi shape (l0, d, d, ..., r): trace boundary legs if trivial
+    psi = jnp.squeeze(psi, axis=(0, -1)) if psi.shape[0] == 1 and psi.shape[-1] == 1 else psi
+    return jnp.reshape(psi, (-1,))
+
+
+def expectation(
+    *ops: Tuple[Any, Sequence[int]],
+    ket: Tensor,
+    bra: Optional[Tensor] = None,
+    conj: bool = True,
+    normalization: bool = False,
+) -> Tensor:
+    """Free-function expectation ⟨bra|ops|ket⟩ on dense states.
+
+    Reference ``circuit.py:920-1065``.
+    """
+    ket = jnp.asarray(ket)
+    n = int(round(np.log2(ket.size) / np.log2(2)))
+    d = 2
+    psi = jnp.reshape(ket, (d,) * n)
+    if bra is None:
+        bra_t = psi
+    else:
+        bra_t = jnp.reshape(jnp.asarray(bra), (d,) * n)
+    phi = psi
+    for op, wires in ops:
+        if isinstance(op, Gate):
+            op = op.tensor
+        if not hasattr(wires, "__len__"):
+            wires = [wires]
+        phi = statevec.apply_unitary(phi, jnp.asarray(op).astype(phi.dtype), list(wires))
+    bra_flat = jnp.reshape(bra_t, (-1,))
+    if conj:
+        bra_flat = jnp.conj(bra_flat)
+    val = jnp.sum(bra_flat * jnp.reshape(phi, (-1,)))
+    if normalization:
+        nrm = jnp.sqrt(
+            jnp.real(jnp.vdot(jnp.reshape(psi, (-1,)), jnp.reshape(psi, (-1,))))
+            * jnp.real(jnp.vdot(jnp.reshape(bra_t, (-1,)), jnp.reshape(bra_t, (-1,))))
+        )
+        val = val / nrm.astype(val.dtype)
+    return val

@@ -1,0 +1,278 @@
+"""``DMCircuit``: exact density-matrix simulator with exact channels.
+
+Counterpart of reference ``densitymatrix.py``: the reference keeps a doubled
+tensor network (``DMCircuit2`` keeps Kraus ops lazily in the network,
+``densitymatrix.py:397-465``); on the dense TPU engine ρ is a ``(d,)*2n``
+tensor (ket legs then bra legs) and channels are applied exactly as
+Σ_k K ρ K† — one fused XLA program under jit.  ``DMCircuit2`` is an alias:
+with eager dense execution the lazy/eager distinction disappears.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..backend import backend as K
+from ..core import statevec
+from ..ops import channels as channels_mod
+from ..ops.gates import Gate
+from .basecircuit import BaseCircuit
+
+Tensor = Any
+
+__all__ = ["DMCircuit", "DMCircuit2", "DensityMatrixCircuit"]
+
+
+class DMCircuit(BaseCircuit):
+    is_dm = True
+
+    def __init__(
+        self,
+        nqubits: int,
+        inputs: Optional[Tensor] = None,
+        dminputs: Optional[Tensor] = None,
+        mps_inputs: Optional[Any] = None,
+        dim: int = 2,
+    ) -> None:
+        super().__init__(nqubits, inputs=inputs, dim=dim)
+        self._dminputs = dminputs
+
+    def _copy_params(self) -> Dict[str, Any]:
+        return {
+            "nqubits": self._nqubits,
+            "inputs": self._inputs,
+            "dminputs": self._dminputs,
+            "dim": self._d,
+        }
+
+    # ------------------------------------------------------------------
+    # state computation
+    # ------------------------------------------------------------------
+
+    def _initial_dm(self) -> Tensor:
+        n = self._nqubits
+        d = self._d
+        if self._dminputs is not None:
+            rho = jnp.asarray(self._dminputs).astype(jnp.dtype(config.dtypestr()))
+            return jnp.reshape(rho, (d,) * (2 * n))
+        psi = statevec.init_state(n, d=d, inputs=self._inputs)
+        flat = jnp.reshape(psi, (-1,))
+        rho = jnp.outer(flat, jnp.conj(flat))
+        return jnp.reshape(rho, (d,) * (2 * n))
+
+    def _apply_unitary_rho(self, rho: Tensor, g: Tensor, wires: Sequence[int]) -> Tensor:
+        n = self._nqubits
+        rho = statevec.apply_unitary(rho, g, list(wires))
+        rho = statevec.apply_unitary(rho, jnp.conj(g), [w + n for w in wires])
+        return rho
+
+    def _apply_kraus_rho(
+        self, rho: Tensor, kraus: Sequence[Tensor], wires: Sequence[int]
+    ) -> Tensor:
+        acc = None
+        for k1 in kraus:
+            term = self._apply_unitary_rho(rho, k1, wires)
+            acc = term if acc is None else acc + term
+        return acc
+
+    def _compute_state(self) -> Tensor:
+        rho = self._initial_dm()
+        for item in self._qir:
+            if item.get("is_channel"):
+                mats = [
+                    jnp.asarray(m).astype(rho.dtype) for m in item["channel_kraus"]
+                ]
+                rho = self._apply_kraus_rho(rho, mats, item["index"])
+            else:
+                rho = self._apply_unitary_rho(rho, item["gate"].tensor, item["index"])
+        return rho
+
+    def densitymatrix(self, check: bool = False, reuse: bool = True) -> Tensor:
+        """ρ as a (d^n, d^n) matrix (reference ``densitymatrix.py:279``)."""
+        rho = self.state(form="tensor", reuse=reuse)
+        dim = self._d**self._nqubits
+        return jnp.reshape(rho, (dim, dim))
+
+    def state(self, form: str = "default", reuse: bool = True) -> Tensor:
+        if self._state_cache is None or not reuse:
+            s = self._compute_state()
+            if reuse:
+                self._state_cache = s
+        else:
+            s = self._state_cache
+        if form == "tensor":
+            return s
+        dim = self._d**self._nqubits
+        return jnp.reshape(s, (dim, dim))
+
+    def wavefunction(self, form: str = "default") -> Tensor:
+        """Dominant eigenvector (valid for pure ρ; reference ``:302``)."""
+        rho = self.densitymatrix()
+        e, v = jnp.linalg.eigh(rho)
+        psi = v[:, -1] * jnp.sqrt(e[-1]).astype(v.dtype)
+        return psi
+
+    def purity(self) -> Tensor:
+        rho = self.densitymatrix()
+        return jnp.real(jnp.trace(rho @ rho))
+
+    def to_circuit(self) -> Any:
+        """Pure-state circuit replaying the unitary part (reference ``:377``)."""
+        from .circuit import Circuit
+
+        c = Circuit(self._nqubits, inputs=self._inputs, dim=self._d)
+        for item in self._qir:
+            if not item.get("is_channel"):
+                c._apply_qir_item(item)
+        return c
+
+    # ------------------------------------------------------------------
+    # channels: exact application
+    # ------------------------------------------------------------------
+
+    def apply_general_kraus(
+        self, kraus: Sequence[Any], *index: Any, name: Optional[str] = None, **kws: Any
+    ) -> None:
+        """Exact channel application Σ_k K ρ K† (reference ``:397-428``)."""
+        if len(index) == 1 and isinstance(index[0], (list, tuple)) and index and not isinstance(index[0], int):
+            # legacy signature: [(kraus, index_tuple), ...] not supported; flatten
+            index = tuple(index[0])
+        index = tuple(int(i) % self._nqubits for i in index)
+        dim = self._d ** len(index)
+        mats = []
+        for k1 in kraus:
+            m = k1.tensor if isinstance(k1, Gate) else jnp.asarray(k1)
+            mats.append(jnp.reshape(m.astype(jnp.dtype(config.dtypestr())), (dim, dim)))
+        g = Gate(mats[0], name=name or "channel")
+        ir_dict = {
+            "gatef": None,
+            "gate": g,
+            "index": index,
+            "name": name or "channel",
+            "split": None,
+            "mpo": False,
+            "is_channel": True,
+            "channel_kraus": mats,
+        }
+        self._qir.append(ir_dict)
+        self._state_cache = None
+
+    general_kraus = apply_general_kraus
+
+    def unitary_kraus(
+        self,
+        kraus: Sequence[Any],
+        *index: int,
+        prob: Optional[Sequence[float]] = None,
+        status: Optional[Tensor] = None,
+        name: Optional[str] = None,
+    ) -> Tensor:
+        """Exact mixed-unitary channel; prob scales the Kraus set."""
+        if prob is not None:
+            mats = []
+            for p, k1 in zip(prob, kraus):
+                m = k1.tensor if isinstance(k1, Gate) else jnp.asarray(k1)
+                mats.append(jnp.sqrt(jnp.asarray(p)).astype(jnp.dtype(config.dtypestr())) * m)
+            kraus = mats
+        self.apply_general_kraus(kraus, *index, name=name or "unitary_kraus")
+        return jnp.asarray(-1)
+
+    @classmethod
+    def _meta_apply_channels(cls) -> None:
+        def make_method(cname: str, factory: Callable[..., Any]) -> Callable[..., None]:
+            def method(self: "DMCircuit", *index: int, status: Optional[Tensor] = None, **params: Any) -> None:
+                kraus = factory(**params)
+                self.apply_general_kraus(kraus, *index, name=cname)
+
+            method.__name__ = cname
+            method.__doc__ = f"Exact application of the {cname} channel on the density matrix."
+            return method
+
+        for cname, factory in channels_mod.CHANNEL_NAMES.items():
+            setattr(cls, cname, make_method(cname, factory))
+
+    # ------------------------------------------------------------------
+    # measurement / expectation on ρ
+    # ------------------------------------------------------------------
+
+    def probability(self) -> Tensor:
+        rho = self.densitymatrix()
+        return jnp.real(jnp.diagonal(rho))
+
+    def measure_jit(
+        self, *index: int, with_prob: bool = False, status: Optional[Tensor] = None
+    ) -> Tuple[Tensor, Tensor]:
+        """Projective measurement from the diagonal distribution."""
+        n = len(index)
+        if status is None:
+            status = K.implicit_randu([n])
+        p_full = self.probability()
+        p_full = p_full / jnp.sum(p_full)
+        pt = jnp.reshape(p_full, (self._d,) * self._nqubits)
+        outcomes = []
+        prob = jnp.ones((), dtype=p_full.dtype)
+        for k, q in enumerate(index):
+            others = [i for i in range(self._nqubits) if i != q]
+            marg = jnp.sum(pt, axis=tuple(others))
+            marg = marg / jnp.sum(marg)
+            cdf = jnp.cumsum(marg)
+            r = status[k].astype(cdf.dtype)
+            outcome = jnp.clip(
+                jnp.searchsorted(cdf, r + self._MEASURE_EPS, side="left"),
+                0,
+                self._d - 1,
+            )
+            p_out = marg[outcome]
+            sel = jax.nn.one_hot(outcome, self._d, dtype=pt.dtype)
+            shape = [1] * self._nqubits
+            shape[q] = self._d
+            pt = pt * jnp.reshape(sel, shape)
+            pt = pt / jnp.sum(pt)
+            outcomes.append(outcome)
+            prob = prob * p_out
+        sample = jnp.stack(outcomes).astype(jnp.int32)
+        if with_prob:
+            return sample, prob
+        return sample, jnp.asarray(-1.0)
+
+    def expectation(
+        self,
+        *ops: Tuple[Any, Sequence[int]],
+        reuse: bool = True,
+        noise_conf: Optional[Any] = None,
+        nmc: int = 1000,
+        status: Optional[Tensor] = None,
+        **kws: Any,
+    ) -> Tensor:
+        """tr(ρ O_1 O_2 ...) exactly."""
+        if noise_conf is not None:
+            from .. import noisemodel
+
+            return noisemodel.expectation_noisfy(
+                self, *ops, noise_conf=noise_conf, nmc=nmc, status=status, **kws
+            )
+        rho = self.state(form="tensor", reuse=reuse)
+        n = self._nqubits
+        phi = rho
+        for op in ops:
+            o, wires = op
+            if isinstance(o, Gate):
+                o = o.tensor
+            if not hasattr(wires, "__len__"):
+                wires = [wires]
+            phi = statevec.apply_unitary(
+                phi, jnp.asarray(o).astype(phi.dtype), [int(w) % n for w in wires]
+            )
+        dim = self._d**n
+        return jnp.trace(jnp.reshape(phi, (dim, dim)))
+
+
+DMCircuit._meta_apply_channels()
+
+DMCircuit2 = DMCircuit
+DensityMatrixCircuit = DMCircuit

@@ -1,0 +1,237 @@
+"""Global noise configuration and unified noisy execution drivers.
+
+Counterpart of reference ``noisemodel.py``: :class:`NoiseConf` binds Kraus
+channels to gate names / qubits / predicates (``noisemodel.py:22-141``),
+``circuit_with_noise`` rewrites QIR inserting channels (``:144-219``), and the
+expectation/sampling drivers dispatch DMCircuit → exact vs Circuit → vmapped
+Monte-Carlo trajectories (``:222-362``) with externalized ``status``
+randomness so everything jits and vmaps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import config
+from .backend import backend as K
+
+Tensor = Any
+
+__all__ = [
+    "NoiseConf",
+    "circuit_with_noise",
+    "expectation_noisfy",
+    "sample_expectation_ps_noisfy",
+    "channel_count",
+]
+
+
+class NoiseConf:
+    """Noise configuration: channel lists keyed by gate name / qubit / condition.
+
+    ``nc.add_noise("rx", kraus_list)`` — all rx gates;
+    ``nc.add_noise("rx", [k1, k2], [[0], [1]])`` — qubit-specific;
+    ``nc.add_noise_by_condition(pred, kraus)`` — predicate over QIR dicts;
+    ``"readout"`` is a pseudo-gate carrying per-qubit [P(0|0), P(1|1)] rows
+    (reference ``noisemodel.py:63-125``).
+    """
+
+    def __init__(self) -> None:
+        self.nc: Dict[str, Any] = {}
+        self.has_quantum = False
+        self.has_readout = False
+        self._conditions: List[Tuple[Callable[[Dict[str, Any]], bool], Any]] = []
+
+    def add_noise(
+        self,
+        gate_name: str,
+        kraus: Any,
+        qubit: Optional[Sequence[Sequence[int]]] = None,
+    ) -> None:
+        gate_name = gate_name.lower()
+        if gate_name == "readout":
+            self.nc["readout"] = kraus
+            self.has_readout = True
+            return
+        if qubit is None:
+            self.nc[gate_name] = {"any": kraus}
+        else:
+            entry = self.nc.get(gate_name)
+            if not isinstance(entry, dict):
+                entry = {}
+            for ks, q in zip(kraus, qubit):
+                entry[tuple(q)] = ks
+            self.nc[gate_name] = entry
+        self.has_quantum = True
+
+    def add_noise_by_condition(
+        self, condition: Callable[[Dict[str, Any]], bool], kraus: Any
+    ) -> None:
+        self._conditions.append((condition, kraus))
+        self.has_quantum = True
+
+    def channels_for(self, qir_item: Dict[str, Any]) -> List[Any]:
+        """All channel KrausLists applying to this QIR instruction."""
+        out: List[Any] = []
+        name = (qir_item.get("name") or "").lower()
+        entry = self.nc.get(name)
+        if isinstance(entry, dict):
+            if "any" in entry:
+                out.append(entry["any"])
+            key = tuple(qir_item["index"])
+            if key in entry:
+                out.append(entry[key])
+        elif entry is not None:
+            out.append(entry)
+        for cond, ks in self._conditions:
+            if cond(qir_item):
+                out.append(ks)
+        return out
+
+
+def channel_count(c: Any, noise_conf: Optional[NoiseConf] = None) -> int:
+    """Number of stochastic channels a noisy run of ``c`` will contain."""
+    if noise_conf is None:
+        return sum(1 for item in c.to_qir() if item.get("is_channel"))
+    cnt = 0
+    for item in c.to_qir():
+        if item.get("is_channel"):
+            cnt += 1
+        chs = noise_conf.channels_for(item)
+        for ks in chs:
+            # one status scalar per site the channel acts on
+            cnt += 1
+    return cnt
+
+
+def circuit_with_noise(
+    c: Any, noise_conf: NoiseConf, status: Optional[Tensor] = None
+) -> Any:
+    """Rebuild ``c`` with channels inserted after matching gates.
+
+    For ``Circuit`` the channels are Monte-Carlo sampled using ``status``
+    (shape ``[channel_count]``); for ``DMCircuit`` they are applied exactly
+    (reference ``noisemodel.py:144-219``).
+    """
+    from .models.circuit import Circuit
+
+    is_mc = isinstance(c, Circuit) and not c.is_dm
+    cnew = type(c)(**c._copy_params())
+    k = 0
+    for item in c.to_qir():
+        cnew._apply_qir_item(item)
+        for ks in noise_conf.channels_for(item):
+            index = item["index"]
+            # single-qubit channels broadcast over the gate's qubits
+            nsite = int(round(np.log2(ks[0].matrix().shape[0]))) if hasattr(ks[0], "matrix") else int(round(np.log2(np.asarray(ks[0]).shape[-1])))
+            if nsite == len(index):
+                targets = [index]
+            else:
+                targets = [(q,) for q in index]
+            for tgt in targets:
+                if is_mc:
+                    st = status[k] if status is not None else None
+                    if getattr(ks, "is_unitary", False):
+                        cnew.unitary_kraus(ks, *tgt, status=st)
+                    else:
+                        cnew.general_kraus(ks, *tgt, status=st)
+                    k += 1
+                else:
+                    cnew.apply_general_kraus(ks, *tgt)
+    return cnew
+
+
+def _mc_channel_count(c: Any, noise_conf: NoiseConf) -> int:
+    cnt = 0
+    for item in c.to_qir():
+        for ks in noise_conf.channels_for(item):
+            index = item["index"]
+            nsite = int(round(np.log2(ks[0].matrix().shape[0]))) if hasattr(ks[0], "matrix") else 1
+            cnt += 1 if nsite == len(index) else len(index)
+    return cnt
+
+
+def expectation_noisfy(
+    c: Any,
+    *ops: Any,
+    noise_conf: Optional[NoiseConf] = None,
+    nmc: int = 1000,
+    status: Optional[Tensor] = None,
+    **kws: Any,
+) -> Tensor:
+    """Noisy expectation: exact on DMCircuit, vmapped MC on Circuit.
+
+    Reference ``noisemodel.py:309-362``.
+    """
+    if noise_conf is None:
+        noise_conf = NoiseConf()
+    from .models.densitymatrix import DMCircuit
+
+    if isinstance(c, DMCircuit):
+        cnoise = circuit_with_noise(c, noise_conf)
+        return cnoise.expectation(*ops, **kws)
+    num = _mc_channel_count(c, noise_conf)
+    if num == 0:
+        return c.expectation(*ops, **kws)
+    if status is None:
+        status = K.implicit_randu([nmc, num])
+
+    def core(st: Tensor) -> Tensor:
+        cnoise = circuit_with_noise(c, noise_conf, status=st)
+        return jnp.real(cnoise.expectation(*ops, **kws))
+
+    vals = jax.vmap(core)(status)
+    return jnp.mean(vals)
+
+
+def sample_expectation_ps_noisfy(
+    c: Any,
+    x: Optional[Sequence[int]] = None,
+    y: Optional[Sequence[int]] = None,
+    z: Optional[Sequence[int]] = None,
+    noise_conf: Optional[NoiseConf] = None,
+    nmc: int = 1000,
+    shots: Optional[int] = None,
+    status: Optional[Tensor] = None,
+    statusc: Optional[Tensor] = None,
+    **kws: Any,
+) -> Tensor:
+    """Noisy shot-based Pauli expectation (reference ``noisemodel.py:222-306``)."""
+    if noise_conf is None:
+        noise_conf = NoiseConf()
+    readout_error = noise_conf.nc.get("readout") if noise_conf.has_readout else None
+    from .models.densitymatrix import DMCircuit
+
+    if isinstance(c, DMCircuit):
+        cnoise = circuit_with_noise(c, noise_conf)
+        return cnoise.sample_expectation_ps(
+            x=x, y=y, z=z, shots=shots, readout_error=readout_error, status=status, **kws
+        )
+    num = _mc_channel_count(c, noise_conf)
+    if num == 0:
+        return c.sample_expectation_ps(
+            x=x, y=y, z=z, shots=shots, readout_error=readout_error, status=status, **kws
+        )
+    if statusc is None:
+        statusc = K.implicit_randu([nmc, num])
+
+    def core(st: Tensor) -> Tensor:
+        cnoise = circuit_with_noise(c, noise_conf, status=st)
+        return jnp.real(
+            cnoise.sample_expectation_ps(
+                x=x,
+                y=y,
+                z=z,
+                shots=shots,
+                readout_error=readout_error,
+                status=status,
+                **kws,
+            )
+        )
+
+    vals = jax.vmap(core)(statusc)
+    return jnp.mean(vals)

@@ -1,0 +1,326 @@
+"""Quantum channels: Kraus sets and representation transforms.
+
+Mirrors reference ``channels.py`` (channel factories ``:55-484``, rep
+transforms kraus/super/choi ``:542-812``, ``composedkraus`` ``:1000``) on the
+JAX backend.  Channels return a :class:`KrausList` of :class:`Gate` whose
+tensors are dense matrices; Monte-Carlo (``Circuit.general_kraus``) and exact
+(``DMCircuit``) engines both consume them.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import config
+from .gates import Gate
+
+Tensor = Any
+
+__all__ = [
+    "KrausList",
+    "depolarizingchannel",
+    "generaldepolarizingchannel",
+    "isotropicdepolarizingchannel",
+    "amplitudedampingchannel",
+    "phasedampingchannel",
+    "resetchannel",
+    "thermalrelaxationchannel",
+    "kraus_to_super",
+    "kraus_to_super_gate",
+    "super_to_choi",
+    "choi_to_super",
+    "kraus_to_choi",
+    "choi_to_kraus",
+    "super_to_kraus",
+    "kraus_identity_check",
+    "is_unitary_kraus",
+    "composedkraus",
+    "CHANNEL_NAMES",
+]
+
+
+class KrausList(list):
+    """List of Kraus ``Gate``s with channel metadata."""
+
+    def __init__(self, iterable: Sequence[Gate], name: str = "channel", is_unitary: bool = False):
+        super().__init__(iterable)
+        self.name = name
+        self.is_unitary = is_unitary
+
+
+def _g(m: Any, name: str) -> Gate:
+    return Gate(jnp.asarray(m).astype(jnp.dtype(config.dtypestr())), name=name)
+
+
+def depolarizingchannel(px: float, py: float, pz: float) -> KrausList:
+    r"""Single-qubit Pauli channel: K = {√(1-p)I, √px X, √py Y, √pz Z}.
+
+    Reference ``channels.py:55-112``.
+    """
+    rdt = jnp.dtype(config.rdtypestr())
+    i = jnp.sqrt(jnp.asarray(1.0 - px - py - pz).astype(rdt)) * jnp.eye(2)
+    x = jnp.sqrt(jnp.asarray(px).astype(rdt)) * jnp.asarray([[0.0, 1.0], [1.0, 0.0]])
+    y = jnp.sqrt(jnp.asarray(py).astype(rdt)) * jnp.asarray([[0.0, -1.0j], [1.0j, 0.0]])
+    z = jnp.sqrt(jnp.asarray(pz).astype(rdt)) * jnp.asarray([[1.0, 0.0], [0.0, -1.0]])
+    return KrausList(
+        [_g(i, "dep_i"), _g(x, "dep_x"), _g(y, "dep_y"), _g(z, "dep_z")],
+        name="depolarizing",
+        is_unitary=True,
+    )
+
+
+def generaldepolarizingchannel(p: Any, num_qubits: int = 1) -> KrausList:
+    r"""n-qubit depolarizing channel over all 4^n Pauli strings.
+
+    ``p`` is a scalar (uniform non-identity probability) or a list of
+    4^n - 1 probabilities (reference ``channels.py:113-194``).
+    """
+    paulis = [
+        np.eye(2),
+        np.array([[0.0, 1.0], [1.0, 0.0]]),
+        np.array([[0.0, -1.0j], [1.0j, 0.0]]),
+        np.array([[1.0, 0.0], [0.0, -1.0]]),
+    ]
+    strings: List[np.ndarray] = [np.eye(1)]
+    for _ in range(num_qubits):
+        strings = [np.kron(s, pm) for s in strings for pm in paulis]
+    m = len(strings)  # 4^n
+    if np.isscalar(p):
+        probs = [1.0 - (m - 1) * p] + [p] * (m - 1)
+    else:
+        probs = [1.0 - float(np.sum(p))] + list(p)
+    ops = [np.sqrt(pr) * s for pr, s in zip(probs, strings)]
+    return KrausList(
+        [_g(o, f"gdep_{k}") for k, o in enumerate(ops)],
+        name="generaldepolarizing",
+        is_unitary=True,
+    )
+
+
+def isotropicdepolarizingchannel(p: float, num_qubits: int = 1) -> KrausList:
+    """Uniform depolarizing with total error probability ``p``."""
+    m = 4**num_qubits
+    return generaldepolarizingchannel(p / (m - 1), num_qubits)
+
+
+def amplitudedampingchannel(gamma: float, p: float = 1.0) -> KrausList:
+    r"""Generalized amplitude damping (reference ``channels.py:195-260``)."""
+    g = jnp.asarray(gamma).astype(jnp.dtype(config.rdtypestr()))
+    pp = jnp.asarray(p).astype(jnp.dtype(config.rdtypestr()))
+    k0 = jnp.sqrt(pp) * jnp.asarray([[1.0, 0.0], [0.0, 0.0]]) + jnp.sqrt(pp) * jnp.asarray([[0.0, 0.0], [0.0, 1.0]]) * jnp.sqrt(1 - g)
+    k1 = jnp.sqrt(pp) * jnp.sqrt(g) * jnp.asarray([[0.0, 1.0], [0.0, 0.0]])
+    k2 = jnp.sqrt(1 - pp) * (
+        jnp.sqrt(1 - g) * jnp.asarray([[1.0, 0.0], [0.0, 0.0]])
+        + jnp.asarray([[0.0, 0.0], [0.0, 1.0]])
+    )
+    k3 = jnp.sqrt(1 - pp) * jnp.sqrt(g) * jnp.asarray([[0.0, 0.0], [1.0, 0.0]])
+    return KrausList(
+        [_g(k0, "ad_0"), _g(k1, "ad_1"), _g(k2, "ad_2"), _g(k3, "ad_3")],
+        name="amplitudedamping",
+    )
+
+
+def phasedampingchannel(gamma: float) -> KrausList:
+    g = jnp.asarray(gamma).astype(jnp.dtype(config.rdtypestr()))
+    k0 = jnp.asarray([[1.0, 0.0], [0.0, 0.0]]) + jnp.sqrt(1 - g) * jnp.asarray(
+        [[0.0, 0.0], [0.0, 1.0]]
+    )
+    k1 = jnp.sqrt(g) * jnp.asarray([[0.0, 0.0], [0.0, 1.0]])
+    return KrausList([_g(k0, "pd_0"), _g(k1, "pd_1")], name="phasedamping")
+
+
+def resetchannel() -> KrausList:
+    k0 = np.array([[1.0, 0.0], [0.0, 0.0]])
+    k1 = np.array([[0.0, 1.0], [0.0, 0.0]])
+    return KrausList([_g(k0, "reset_0"), _g(k1, "reset_1")], name="reset")
+
+
+def thermalrelaxationchannel(
+    t1: float,
+    t2: float,
+    time: float,
+    method: str = "general",
+    excitedstatepopulation: float = 0.0,
+) -> KrausList:
+    r"""T1/T2 thermal relaxation channel (reference ``channels.py:300-484``).
+
+    ``method="AUTO"``/"general" uses the Choi construction valid for
+    t2 <= t1; "ByKraus" valid for t2 <= t1 as closed-form Kraus set.
+    """
+    t1 = float(t1)
+    t2 = float(t2)
+    time = float(time)
+    if t2 > 2 * t1:
+        raise ValueError("t2 cannot exceed 2*t1")
+    p_reset = 1.0 - math.exp(-time / t1)
+    exp_t2 = math.exp(-time / t2)
+    p1 = excitedstatepopulation
+    if method.lower() in ("general", "auto", "bychoi") and t2 <= t1:
+        method_eff = "kraus"
+    elif method.lower() == "bykraus":
+        method_eff = "kraus"
+    else:
+        method_eff = "choi"
+    if method_eff == "kraus" and t2 <= t1:
+        # closed-form Kraus for t2 <= t1
+        pz = (1 - p_reset) * (1 - exp_t2 / max(1e-300, math.exp(-time / t1)) ) / 2
+        pz = max(0.0, pz)
+        pid = 1 - pz - p_reset
+        k0 = math.sqrt(max(0.0, pid)) * np.eye(2)
+        kz = math.sqrt(max(0.0, pz)) * np.diag([1.0, -1.0])
+        kr0 = math.sqrt(max(0.0, p_reset * (1 - p1))) * np.array([[1.0, 0.0], [0.0, 0.0]])
+        kr1 = math.sqrt(max(0.0, p_reset * (1 - p1))) * np.array([[0.0, 1.0], [0.0, 0.0]])
+        ke0 = math.sqrt(max(0.0, p_reset * p1)) * np.array([[0.0, 0.0], [1.0, 0.0]])
+        ke1 = math.sqrt(max(0.0, p_reset * p1)) * np.array([[0.0, 0.0], [0.0, 1.0]])
+        ks = [k0, kz, kr0, kr1, ke0, ke1]
+        ks = [k for k in ks if np.abs(k).max() > 0]
+        return KrausList([_g(k, f"tr_{i}") for i, k in enumerate(ks)], name="thermalrelaxation")
+    # Choi-based general construction (valid also for t1 < t2 <= 2 t1)
+    # C = sum_ij |i><j| ⊗ E(|i><j|)
+    e00 = 1 - p1 * p_reset
+    e11 = p1 * p_reset
+    f00 = (1 - p1) * p_reset
+    f11 = 1 - (1 - p1) * p_reset
+    c = np.zeros((4, 4), dtype=complex)
+    c[0:2, 0:2] = np.diag([e00, e11])  # E(|0><0|)
+    c[2:4, 2:4] = np.diag([f00, f11])  # E(|1><1|)
+    c[0, 3] = exp_t2  # E(|0><1|) = exp_t2 |0><1|
+    c[3, 0] = exp_t2
+    return choi_to_kraus(jnp.asarray(c).astype(jnp.dtype(config.dtypestr())), name="thermalrelaxation")
+
+
+# ------------------------------------------------------------------
+# representation transforms (reference channels.py:542-812)
+# ------------------------------------------------------------------
+
+
+def _mats(kraus: Sequence[Any]) -> List[Tensor]:
+    out = []
+    for k in kraus:
+        m = k.matrix() if isinstance(k, Gate) else jnp.asarray(k)
+        if m.ndim != 2:
+            dim = int(np.sqrt(np.prod(np.array(m.shape))))
+            m = jnp.reshape(m, (dim, dim))
+        out.append(m.astype(jnp.dtype(config.dtypestr())))
+    return out
+
+
+def kraus_to_super(kraus: Sequence[Any]) -> Tensor:
+    r"""Superoperator: S = Σ_k conj(K_k) ⊗ K_k acting on vec(ρ) row-major.
+
+    Convention: vec(ρ') = S vec(ρ) with vec row-major (ρ_{ij} at i*d+j),
+    S = Σ K ⊗ conj(K).
+    """
+    ms = _mats(kraus)
+    s = None
+    for m in ms:
+        term = jnp.kron(m, jnp.conj(m))
+        s = term if s is None else s + term
+    return s
+
+
+def kraus_to_super_gate(kraus: Sequence[Any]) -> Tensor:
+    """Same as :func:`kraus_to_super` (reference ``channels.py:542``)."""
+    return kraus_to_super(kraus)
+
+
+def super_to_choi(s: Tensor) -> Tensor:
+    r"""Reshuffle superoperator to Choi matrix.
+
+    Conventions: row-major vec, S_{(a b),(i j)} = Σ K_{ai} conj(K_{bj}),
+    C = Σ_ij |i><j| ⊗ E(|i><j|) so C_{(i a),(j b)} = S_{(a b),(i j)}.
+    """
+    d2 = s.shape[0]
+    d = int(np.sqrt(d2))
+    t = jnp.reshape(s, (d, d, d, d))  # (a,b,i,j)
+    c = jnp.transpose(t, (2, 0, 3, 1))  # (i,a,j,b)
+    return jnp.reshape(c, (d2, d2))
+
+
+def choi_to_super(c: Tensor) -> Tensor:
+    d2 = c.shape[0]
+    d = int(np.sqrt(d2))
+    t = jnp.reshape(c, (d, d, d, d))  # (i,a,j,b)
+    s = jnp.transpose(t, (1, 3, 0, 2))  # (a,b,i,j)
+    return jnp.reshape(s, (d2, d2))
+
+
+def kraus_to_choi(kraus: Sequence[Any]) -> Tensor:
+    ms = _mats(kraus)
+    c = None
+    for m in ms:
+        v = jnp.reshape(jnp.transpose(m), (-1, 1))  # v_{(i,a)} = K_{a i}
+        term = v @ jnp.conj(v.T)
+        c = term if c is None else c + term
+    return c
+
+
+def choi_to_kraus(c: Tensor, truncation_rules: Optional[dict] = None, name: str = "channel") -> KrausList:
+    """Eigendecompose the Choi matrix into Kraus operators."""
+    c = jnp.asarray(c)
+    d2 = c.shape[0]
+    d = int(np.sqrt(d2))
+    e, v = jnp.linalg.eigh(c)
+    eps = 1e-10 if truncation_rules is None else truncation_rules.get("max_singular_values_eps", 1e-10)
+    ks = []
+    e_np = np.asarray(e)
+    v_np = np.asarray(v)
+    for i in range(d2 - 1, -1, -1):
+        if e_np[i] > eps:
+            k = math.sqrt(float(e_np[i])) * v_np[:, i].reshape(d, d).T
+            ks.append(_g(k, f"{name}_{len(ks)}"))
+    if not ks:
+        ks = [_g(np.zeros((d, d)), f"{name}_0")]
+    return KrausList(ks, name=name)
+
+
+def super_to_kraus(s: Tensor) -> KrausList:
+    return choi_to_kraus(super_to_choi(s))
+
+
+def kraus_identity_check(kraus: Sequence[Any], atol: float = 1e-5) -> None:
+    """Assert Σ K†K = I (CPTP check), reference ``channels.py:812-860``."""
+    ms = _mats(kraus)
+    d = ms[0].shape[0]
+    acc = sum(jnp.conj(m.T) @ m for m in ms)
+    np.testing.assert_allclose(np.asarray(acc), np.eye(d), atol=atol)
+
+
+def is_unitary_kraus(kraus: Sequence[Any], atol: float = 1e-8) -> bool:
+    """True if every Kraus operator is proportional to a unitary."""
+    for m in _mats(kraus):
+        mm = np.asarray(jnp.conj(m.T) @ m)
+        lam = np.trace(mm) / mm.shape[0]
+        if not np.allclose(mm, lam * np.eye(mm.shape[0]), atol=atol):
+            return False
+    return True
+
+
+def composedkraus(kraus1: KrausList, kraus2: KrausList) -> KrausList:
+    """Channel composition: all pairwise products (reference ``channels.py:1000``)."""
+    out = []
+    for a in kraus1:
+        for b in kraus2:
+            out.append(_g(a.matrix() @ b.matrix(), f"{a.name}@{b.name}"))
+    return KrausList(
+        out,
+        name=f"{getattr(kraus1, 'name', 'k1')}∘{getattr(kraus2, 'name', 'k2')}",
+        is_unitary=getattr(kraus1, "is_unitary", False)
+        and getattr(kraus2, "is_unitary", False),
+    )
+
+
+#: channel factory registry for circuit-method metaprogramming
+CHANNEL_NAMES = {
+    "depolarizing": depolarizingchannel,
+    "generaldepolarizing": generaldepolarizingchannel,
+    "isotropicdepolarizing": isotropicdepolarizingchannel,
+    "amplitudedamping": amplitudedampingchannel,
+    "phasedamping": phasedampingchannel,
+    "reset": resetchannel,
+    "thermalrelaxation": thermalrelaxationchannel,
+}

@@ -1,0 +1,33 @@
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+# The image pins JAX_PLATFORMS=axon (remote TPU tunnel); tests run on the
+# host CPU with 8 virtual devices for sharding tests.
+jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import tensorcircuit_ng_tpu as tc
+
+
+@pytest.fixture
+def highp():
+    tc.set_dtype("complex128")
+    yield
+    tc.set_dtype("complex64")
+
+
+@pytest.fixture
+def jaxb():
+    # backend fixture kept for reference-parity in test bodies
+    tc.set_backend("jax")
+    yield
+    tc.set_backend("jax")

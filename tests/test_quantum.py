@@ -1,0 +1,187 @@
+"""quantum.py toolbox tests: Hamiltonians, QI metrics, counts."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import tensorcircuit_ng_tpu as tc
+from tensorcircuit_ng_tpu import quantum as qu
+
+
+def dense_pauli(l):
+    I = np.eye(2)
+    X = np.array([[0, 1], [1, 0]])
+    Y = np.array([[0, -1j], [1j, 0]])
+    Z = np.diag([1, -1])
+    mats = [I, X, Y, Z]
+    out = np.eye(1)
+    for i in l:
+        out = np.kron(out, mats[i])
+    return out
+
+
+@pytest.mark.parametrize("l", [[1, 0], [3, 3], [2, 1], [0, 2], [1, 2, 3], [2, 2, 2]])
+def test_pauli_string_coo(l):
+    sp = qu.PauliStringSum2COO([l], numpy=True)
+    np.testing.assert_allclose(np.asarray(sp.todense()), dense_pauli(l), atol=1e-8)
+
+
+def test_pauli_sum_dense_and_mvp():
+    ls = [[1, 0, 0], [3, 3, 0], [0, 2, 2], [3, 0, 3]]
+    w = [0.5, -1.0, 0.7, 0.3]
+    expected = sum(wi * dense_pauli(li) for wi, li in zip(w, ls))
+    dense = np.asarray(qu.PauliStringSum2Dense(ls, w))
+    np.testing.assert_allclose(dense, expected, atol=1e-6)
+    mvp = qu.PauliStringSum2MVP(ls, w)
+    v = np.random.default_rng(0).normal(size=8) + 1j * np.random.default_rng(1).normal(size=8)
+    v = jnp.asarray(v, dtype=jnp.complex64)
+    np.testing.assert_allclose(np.asarray(mvp(v)), expected @ np.asarray(v), atol=1e-4)
+    # jit + grad compatible
+    f = jax.jit(lambda x: jnp.real(jnp.vdot(x, mvp(x))))
+    assert np.isfinite(float(f(v)))
+
+
+def test_heisenberg_hamiltonian():
+    try:
+        import networkx as nx
+        g = nx.Graph()
+        g.add_edge(0, 1)
+        g.add_edge(1, 2)
+    except ImportError:
+        g = [(0, 1), (1, 2)]
+    h = qu.heisenberg_hamiltonian(g, hzz=1.0, hxx=1.0, hyy=1.0, sparse=False)
+    e = np.linalg.eigvalsh(np.asarray(h))
+    # 3-site Heisenberg chain ground state energy = -4
+    np.testing.assert_allclose(e[0], -4.0, atol=1e-5)
+
+
+def test_entropy_and_entanglement():
+    c = tc.Circuit(2)
+    c.h(0)
+    c.cnot(0, 1)
+    s = c.state()
+    rho_a = qu.reduced_density_matrix(s, [1])
+    np.testing.assert_allclose(np.asarray(rho_a), np.eye(2) / 2, atol=1e-6)
+    np.testing.assert_allclose(float(qu.entanglement_entropy(s, [1])), np.log(2), atol=1e-5)
+    np.testing.assert_allclose(float(qu.renyi_entropy(rho_a, 2)), np.log(2), atol=1e-5)
+    # product state: zero entanglement
+    c2 = tc.Circuit(2)
+    c2.h(0)
+    np.testing.assert_allclose(float(qu.entanglement_entropy(c2.state(), [1])), 0.0, atol=1e-4)
+
+
+def test_fidelity_trace_distance():
+    c = tc.Circuit(1)
+    c.h(0)
+    psi = c.state()
+    rho = np.outer(np.asarray(psi), np.asarray(psi).conj())
+    sigma = np.eye(2) / 2
+    f = float(qu.fidelity(jnp.asarray(rho), jnp.asarray(sigma)))
+    np.testing.assert_allclose(f, 0.5, atol=1e-5)
+    td = float(qu.trace_distance(jnp.asarray(rho), jnp.asarray(sigma)))
+    np.testing.assert_allclose(td, 0.5, atol=1e-4)
+
+
+def test_negativity():
+    c = tc.Circuit(2)
+    c.h(0)
+    c.cnot(0, 1)
+    rho = np.asarray(c.densitymatrix() if hasattr(c, "densitymatrix") else None) if False else np.outer(np.asarray(c.state()), np.asarray(c.state()).conj())
+    neg = float(qu.entanglement_negativity(jnp.asarray(rho), [0]))
+    np.testing.assert_allclose(neg, 0.5, atol=1e-5)
+    logneg = float(qu.log_negativity(jnp.asarray(rho), [0], base="2"))
+    np.testing.assert_allclose(logneg, 1.0, atol=1e-5)
+
+
+def test_gibbs_and_double_state():
+    h = np.diag([0.0, 1.0]).astype(np.complex64)
+    rho = np.asarray(qu.gibbs_state(jnp.asarray(h), beta=1.0))
+    z = 1 + np.exp(-1)
+    np.testing.assert_allclose(np.diag(rho), [1 / z, np.exp(-1) / z], atol=1e-5)
+    psi = np.asarray(qu.double_state(jnp.asarray(h), beta=1.0))
+    rho_red = qu.reduced_density_matrix(jnp.asarray(psi), [1])
+    np.testing.assert_allclose(np.asarray(rho_red), rho, atol=1e-5)
+
+
+def test_partial_transpose_involution():
+    rng = np.random.default_rng(0)
+    m = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+    rho = m @ m.conj().T
+    rho = rho / np.trace(rho)
+    pt = qu.partial_transpose(jnp.asarray(rho), [0])
+    pt2 = qu.partial_transpose(pt, [0])
+    np.testing.assert_allclose(np.asarray(pt2), rho, atol=1e-6)
+
+
+def test_count_conversions():
+    samples = jnp.asarray([0, 3, 3, 2, 0, 0])
+    cv = qu.sample2all(samples, 2, format="count_vector")
+    np.testing.assert_allclose(np.asarray(cv), [3, 0, 1, 2])
+    d_bin = qu.sample2all(samples, 2, format="count_dict_bin")
+    assert d_bin == {"00": 3, "10": 1, "11": 2}
+    d_int = qu.sample2all(samples, 2, format="count_dict_int")
+    assert d_int == {0: 3, 2: 1, 3: 2}
+    sb = np.asarray(qu.sample2all(samples, 2, format="sample_bin"))
+    np.testing.assert_allclose(sb[1], [1, 1])
+    vals, cnts = qu.sample2all(samples, 2, format="count_tuple")
+    np.testing.assert_allclose(np.asarray(vals), [0, 2, 3])
+    # roundtrips
+    cv2 = qu.count_dict2vector(d_int, 2)
+    np.testing.assert_allclose(np.asarray(cv2), np.asarray(cv))
+
+
+def test_measurement_counts():
+    c = tc.Circuit(2)
+    c.h(0)
+    p = qu.measurement_counts(c.state(), counts=None)
+    np.testing.assert_allclose(np.asarray(p), [0.5, 0, 0.5, 0], atol=1e-6)
+    cv = qu.measurement_counts(
+        c.state(), counts=1000, format="count_vector",
+        status=jnp.asarray(np.random.default_rng(0).uniform(size=1000)))
+    cv = np.asarray(cv)
+    assert cv[1] == 0 and cv[3] == 0
+    assert abs(cv[0] - 500) < 100
+
+
+def test_correlation():
+    c = tc.Circuit(2)
+    c.h(0)
+    c.cnot(0, 1)
+    samples = c.sample(batch=500, allow_state=True, format="sample_bin",
+                       status=jnp.asarray(np.random.default_rng(0).uniform(size=500)))
+    corr = float(qu.correlation_from_samples([0, 1], samples, 2))
+    np.testing.assert_allclose(corr, 1.0, atol=1e-6)
+    cv = c.sample(batch=500, allow_state=True, format="count_vector",
+                  status=jnp.asarray(np.random.default_rng(1).uniform(size=500)))
+    corr2 = float(qu.correlation_from_counts([0, 1], cv))
+    np.testing.assert_allclose(corr2, 1.0, atol=1e-6)
+
+
+def test_quoperator_algebra():
+    X = jnp.asarray(np.array([[0, 1], [1, 0]]), dtype=jnp.complex64)
+    Z = jnp.asarray(np.diag([1.0, -1.0]), dtype=jnp.complex64)
+    qx = qu.QuOperator.from_tensor(X)
+    qz = qu.QuOperator.from_tensor(Z)
+    prod = qx @ qz
+    np.testing.assert_allclose(np.asarray(prod.eval_matrix()), np.asarray(X @ Z), atol=1e-6)
+    tp = qx | qz
+    np.testing.assert_allclose(np.asarray(tp.eval_matrix()), np.kron(np.asarray(X), np.asarray(Z)), atol=1e-6)
+    adjoint = (1j * qx).adjoint()
+    np.testing.assert_allclose(np.asarray(adjoint.eval_matrix()), -1j * np.asarray(X), atol=1e-6)
+    # vector
+    c = tc.Circuit(2)
+    c.h(0)
+    c.cnot(0, 1)
+    qv = qu.QuVector.from_tensor(c.state(form="tensor"))
+    rho = qv.projector()
+    np.testing.assert_allclose(float(jnp.real(rho.trace())), 1.0, atol=1e-6)
+    rdm = qv.reduced_density_matrix([0])
+    np.testing.assert_allclose(np.asarray(rdm.eval_matrix()), np.eye(2) / 2, atol=1e-6)
+
+
+def test_expectation_quoperator_in_circuit():
+    c = tc.Circuit(2)
+    c.h(0)
+    qv = c.get_quvector()
+    assert qv.shape == (4, 1)

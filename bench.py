@@ -1,0 +1,96 @@
+"""Benchmark: N=20 TFIM VQE step (BASELINE.json config 1) on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline semantics: speedup relative to the first recorded run of this
+benchmark (stored in BENCH_BASELINE.json at first execution), i.e. round-1
+records 1.0 and later rounds show cumulative speedup.  The reference repo
+publishes no committed number for this config (see BASELINE.md) — its harness
+is examples/vqetfim_benchmark.py.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import tensorcircuit_ng_tpu as tc
+
+    n = 20
+    nlayers = 4
+
+    def energy(params):
+        c = tc.Circuit(n)
+        for i in range(n):
+            c.h(i)
+        for l in range(nlayers):
+            for i in range(n - 1):
+                c.rzz(i, i + 1, theta=params[2 * l, i])
+            for i in range(n):
+                c.rx(i, theta=params[2 * l + 1, i])
+        e = 0.0
+        for i in range(n - 1):
+            e += c.expectation_ps(z=[i, i + 1])
+        for i in range(n):
+            e += -1.0 * c.expectation_ps(x=[i])
+        return jnp.real(e)
+
+    params = jnp.asarray(
+        np.random.default_rng(42).normal(size=(2 * nlayers, n)) * 0.1,
+        dtype=jnp.float32,
+    )
+    vg = jax.jit(jax.value_and_grad(energy))
+
+    # warmup / compile
+    t0 = time.time()
+    v, g = vg(params)
+    jax.block_until_ready((v, g))
+    compile_time = time.time() - t0
+
+    # steady-state timing
+    nsteps = 30
+    t0 = time.time()
+    for _ in range(nsteps):
+        v, g = vg(params)
+        params = params - 0.01 * g
+    jax.block_until_ready((v, params))
+    step_ms = (time.time() - t0) / nsteps * 1000.0
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        baseline_ms = base["step_ms"]
+    else:
+        baseline_ms = step_ms
+        with open(baseline_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "tfim_vqe_n20_l4_step_ms",
+                    "step_ms": step_ms,
+                    "compile_s": compile_time,
+                    "device": str(jax.devices()[0]),
+                },
+                f,
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": "tfim_vqe_n20_l4_step_ms",
+                "value": round(step_ms, 3),
+                "unit": "ms/step",
+                "vs_baseline": round(baseline_ms / step_ms, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -3,18 +3,27 @@
 The reference simulates circuits by lazily building a tensornetwork object
 graph and contracting it (reference ``basecircuit.py:183-373``,
 ``cons.py:845-960``).  On TPU the dominant regime (n ≲ 32 qubits, deep
-circuits, jit/vmap/grad everywhere) is better served by a *dense state
-tensor* of shape ``(d,)*n`` updated in place by gate applications — XLA fuses
-the resulting transpose+matmul chains onto the MXU, shapes are static, and
-the whole circuit becomes one compiled program.  Wide shallow networks
-(amplitudes of 40+ qubit circuits) go through the separate einsum IR
-(:mod:`tensorcircuit_ng_tpu.core.einsum_ir`).
+circuits, jit/vmap/grad everywhere) is better served by a dense state updated
+in place by gate applications.
 
-All functions are pure: state in, state out; `vmap` adds batch dims.
+TPU-layout rule (measured on v5e): the state must NEVER be materialized as a
+rank-n ``(2,)*n`` tensor — XLA pads the two minor dims of every tensor to
+(8, 128) tiles, so rank-n all-2 shapes waste ~256x memory/compute and blow up
+compile time.  Instead the state lives as a FLAT (d^n,) vector and each gate
+application reshapes to rank ≤ 2k+1 exposing only the gate's wires:
+``(A0, d, A1, d, ..., Ak)``.  All segment sizes are large except near the
+minor end, which XLA handles well (verified: 20-gate chains run at
+~1-2 us/gate on 2^20 states for every wire position, vs >150 s *compile* for
+the rank-20 form).
+
+All functions are pure and operate on flat states; ``vmap`` adds batch dims
+on the left.
 """
 
 from __future__ import annotations
 
+import math
+import string
 from typing import Any, Optional, Sequence, Tuple
 
 import numpy as np
@@ -26,6 +35,7 @@ Tensor = Any
 
 __all__ = [
     "init_state",
+    "num_slots",
     "apply_unitary",
     "apply_diagonal",
     "expectation_local",
@@ -33,8 +43,20 @@ __all__ = [
     "amplitude",
     "probabilities",
     "marginal_probability",
-    "project_qubit",
+    "project_slot",
+    "flip_slot",
+    "sign_slot",
 ]
+
+_LETTERS = string.ascii_lowercase + string.ascii_uppercase
+
+
+def num_slots(state: Tensor, d: int = 2) -> int:
+    """Number of qudit slots of a flat state (batch dims allowed on left)."""
+    size = state.shape[-1]
+    n = int(round(math.log(size) / math.log(d)))
+    assert d**n == size, f"state size {size} is not a power of {d}"
+    return n
 
 
 def init_state(
@@ -43,71 +65,111 @@ def init_state(
     dtype: Optional[str] = None,
     inputs: Optional[Tensor] = None,
 ) -> Tensor:
-    """|0...0> of n qudits, or reshape user-provided dense ``inputs``."""
+    """|0...0> of n qudits as a flat (d^n,) vector, or reshape ``inputs``."""
     from .. import config
 
     dtype = dtype or config.dtypestr()
     if inputs is not None:
         s = jnp.asarray(inputs).astype(jnp.dtype(dtype))
-        return jnp.reshape(s, (d,) * n)
+        return jnp.reshape(s, (-1,))
     s = jnp.zeros((d**n,), dtype=jnp.dtype(dtype))
-    s = s.at[0].set(1.0)
-    return jnp.reshape(s, (d,) * n)
+    return s.at[0].set(1.0)
 
 
-def apply_unitary(state: Tensor, gate: Tensor, wires: Sequence[int]) -> Tensor:
-    """Apply a k-site gate tensor to ``state`` on ``wires``.
+def _exposed_shape(n: int, wires: Sequence[int], d: int) -> Tuple[int, ...]:
+    """Shape (A0, d, A1, d, ..., Ak) exposing sorted ``wires``."""
+    shape = []
+    prev = 0
+    for w in wires:
+        shape.append(d ** (w - prev))
+        shape.append(d)
+        prev = w + 1
+    shape.append(d ** (n - prev))
+    return tuple(shape)
 
-    ``gate`` has shape ``(d,)*2k`` (first k axes are output legs) or the
-    matrix form ``(d^k, d^k)``.  Equivalent of one ``tn.contract_between``
-    step in the reference's engine, lowered directly to a tensordot that XLA
-    turns into transpose+matmul on the MXU.
+
+def apply_unitary(
+    state: Tensor, gate: Tensor, wires: Sequence[int], d: int = 2
+) -> Tensor:
+    """Apply a k-site gate to a flat state on ``wires``.
+
+    ``gate`` has shape ``(d,)*2k`` (first k axes are output legs) or matrix
+    form ``(d^k, d^k)``.  Lowered to one einsum whose operand rank is 2k+1 —
+    TPU-tiling friendly for any wire positions (see module docstring).
     """
-    wires = list(wires)
+    wires = [int(w) for w in wires]
     k = len(wires)
-    d = state.shape[-1] if state.ndim else 2
-    d = state.shape[wires[0]]
+    n = num_slots(state, d)
     g = jnp.asarray(gate)
     if g.ndim != 2 * k:
         g = jnp.reshape(g, (d,) * (2 * k))
     g = g.astype(state.dtype)
-    out = jnp.tensordot(g, state, axes=[list(range(k, 2 * k)), wires])
-    # tensordot result: k gate output axes first, then remaining state axes in
-    # original relative order; move them back to `wires`.
-    return jnp.moveaxis(out, list(range(k)), wires)
+    order = list(np.argsort(wires))
+    if order != list(range(k)):
+        # permute gate legs to sorted-wire order (out and in legs together)
+        perm = order + [k + o for o in order]
+        g = jnp.transpose(g, perm)
+    ws = sorted(wires)
+    shape = _exposed_shape(n, ws, d)
+    ps = jnp.reshape(state, shape)
+    # einsum: gate 'o1..ok i1..ik', state 'A0 i1 A1 i2 ... Ak' -> 'A0 o1 A1 ...'
+    g_out = _LETTERS[: k]
+    g_in = _LETTERS[k : 2 * k]
+    seg = _LETTERS[2 * k : 3 * k + 1]
+    state_sub = "".join(seg[i] + g_in[i] for i in range(k)) + seg[k]
+    out_sub = "".join(seg[i] + g_out[i] for i in range(k)) + seg[k]
+    expr = f"{g_out}{g_in},{state_sub}->{out_sub}"
+    out = jnp.einsum(expr, g, ps)
+    return jnp.reshape(out, (-1,))
 
 
-def apply_diagonal(state: Tensor, diag: Tensor, wires: Sequence[int]) -> Tensor:
+def apply_diagonal(
+    state: Tensor, diag: Tensor, wires: Sequence[int], d: int = 2
+) -> Tensor:
     """Apply a diagonal k-site gate given its diagonal of shape ``(d,)*k``.
 
-    Pure broadcast multiply — no transpose of the big state tensor.  This is
-    the dense-engine counterpart of the reference's hyperedge/CopyNode
-    diagonal-gate path (reference ``basecircuit.py:318-369``).
+    Pure broadcast multiply — the dense-engine counterpart of the reference's
+    hyperedge/CopyNode diagonal-gate path (reference
+    ``basecircuit.py:318-369``).
     """
-    wires = list(wires)
+    wires = [int(w) for w in wires]
     k = len(wires)
-    n = state.ndim
-    d = state.shape[wires[0]]
+    n = num_slots(state, d)
     dg = jnp.asarray(diag).astype(state.dtype)
     if dg.ndim != k:
         dg = jnp.reshape(dg, (d,) * k)
-    # order diag axes by wire position so broadcasting lines up
     order = list(np.argsort(wires))
-    dg = jnp.transpose(dg, order)
-    shape = [1] * n
-    for w in wires:
-        shape[w] = d
-    return state * jnp.reshape(dg, shape)
+    if order != list(range(k)):
+        dg = jnp.transpose(dg, order)
+    ws = sorted(wires)
+    shape = _exposed_shape(n, ws, d)
+    ps = jnp.reshape(state, shape)
+    bshape = tuple(d if i % 2 == 1 else 1 for i in range(2 * k)) + (1,)
+    out = ps * jnp.reshape(dg, bshape)
+    return jnp.reshape(out, (-1,))
+
+
+def flip_slot(state: Tensor, wire: int, d: int = 2) -> Tensor:
+    """Apply X-like index reversal on one slot (cheap axis flip)."""
+    n = num_slots(state, d)
+    shape = _exposed_shape(n, [wire], d)
+    return jnp.reshape(jnp.flip(jnp.reshape(state, shape), axis=1), (-1,))
+
+
+def sign_slot(state: Tensor, wire: int, d: int = 2) -> Tensor:
+    """Apply Z-like sign (+1 on 0, -1 on others' parity) on one slot (d=2)."""
+    diag = jnp.asarray([1.0, -1.0], dtype=state.dtype)
+    return apply_diagonal(state, diag, [wire], d)
 
 
 def expectation_local(
-    state: Tensor, ops: Sequence[Tuple[Tensor, Sequence[int]]]
+    state: Tensor, ops: Sequence[Tuple[Tensor, Sequence[int]]], d: int = 2
 ) -> Tensor:
-    """⟨psi| prod_i O_i |psi⟩ for local operators on disjoint wires."""
+    """⟨psi| prod_i O_i |psi⟩ for local operators."""
     phi = state
     for op, wires in ops:
-        phi = apply_unitary(phi, op, wires)
-    return jnp.vdot(jnp.reshape(state, (-1,)), jnp.reshape(phi, (-1,)))
+        phi = apply_unitary(phi, op, wires, d)
+    return jnp.vdot(state, phi)
 
 
 _PAULI = {
@@ -123,62 +185,66 @@ def expectation_ps(
     y: Optional[Sequence[int]] = None,
     z: Optional[Sequence[int]] = None,
 ) -> Tensor:
-    """⟨psi| X_x Y_y Z_z |psi⟩ — Pauli-string expectation on the dense state.
+    """⟨psi| X_x Y_y Z_z |psi⟩ on the dense state.
 
-    TPU-first: Z strings are a pure sign-mask multiply (no matmul); X/Y apply
-    one 2x2 rotation each.  Mirrors the semantics of reference
-    ``abstractcircuit.py:1523-1603``.
+    Z strings are sign-mask multiplies, X a flip, Y a flip plus phase mask —
+    no matmuls at all (reference semantics ``abstractcircuit.py:1523-1603``).
     """
     phi = state
     for q in x or ():
-        phi = apply_unitary(phi, jnp.asarray(_PAULI[1], dtype=state.dtype), [q])
+        phi = flip_slot(phi, q)
     for q in y or ():
-        phi = apply_unitary(phi, jnp.asarray(_PAULI[2], dtype=state.dtype), [q])
-    if z:
-        zdiag = jnp.asarray([1.0, -1.0], dtype=state.dtype)
-        for q in z:
-            phi = apply_diagonal(phi, zdiag, [q])
-    return jnp.vdot(jnp.reshape(state, (-1,)), jnp.reshape(phi, (-1,)))
+        # Y = i * flip ∘ diag(-1, 1) applied on the input index:
+        # Y|0> = i|1>, Y|1> = -i|0>  =>  multiply diag(i, -i) then flip
+        phi = apply_diagonal(phi, jnp.asarray([1j, -1j], dtype=phi.dtype), [q])
+        phi = flip_slot(phi, q)
+    for q in z or ():
+        phi = sign_slot(phi, q)
+    return jnp.vdot(state, phi)
 
 
-def amplitude(state: Tensor, bitstring: Sequence[int]) -> Tensor:
+def amplitude(state: Tensor, bitstring: Sequence[int], d: int = 2) -> Tensor:
     """⟨b|psi⟩ for a computational-basis string (static or traced ints)."""
-    n = state.ndim
-    flat = jnp.reshape(state, (-1,))
-    d = state.shape[0]
+    n = num_slots(state, d)
     b = jnp.asarray(bitstring)
-    idx = jnp.zeros((), dtype=jnp.int32)
-    radix = jnp.asarray(
-        [d ** (n - 1 - i) for i in range(n)], dtype=jnp.int32
-    )
+    radix = jnp.asarray([d ** (n - 1 - i) for i in range(n)], dtype=jnp.int32)
     idx = jnp.sum(b.astype(jnp.int32) * radix)
-    return flat[idx]
+    return state[idx]
 
 
 def probabilities(state: Tensor) -> Tensor:
-    """Full probability vector |psi|^2 of length d^n (real dtype)."""
-    flat = jnp.reshape(state, (-1,))
-    return jnp.real(jnp.conj(flat) * flat)
+    """Probability vector |psi|^2 (real dtype)."""
+    return jnp.real(jnp.conj(state) * state)
 
 
-def marginal_probability(state: Tensor, wires: Sequence[int]) -> Tensor:
-    """Marginal probability tensor over ``wires`` (shape (d,)*len(wires))."""
-    p = jnp.real(jnp.conj(state) * state)
-    n = state.ndim
-    others = [i for i in range(n) if i not in set(wires)]
-    p = jnp.sum(p, axis=tuple(others)) if others else p
-    # sum removes axes; reorder to match requested wire order
-    remaining = [w for w in sorted(wires)]
-    perm = [remaining.index(w) for w in wires]
-    return jnp.transpose(p, perm)
+def marginal_probability(state: Tensor, wires: Sequence[int], d: int = 2) -> Tensor:
+    """Marginal probability over ``wires`` (flat, length d^len(wires))."""
+    wires = [int(w) for w in wires]
+    k = len(wires)
+    n = num_slots(state, d)
+    ws = sorted(wires)
+    p = probabilities(state)
+    ps = jnp.reshape(p, _exposed_shape(n, ws, d))
+    sum_axes = tuple(2 * i for i in range(k + 1))  # the segment axes
+    m = jnp.sum(ps, axis=sum_axes)  # shape (d,)*k in sorted order
+    order = list(np.argsort(wires))
+    inv = [order.index(i) for i in range(k)]
+    if inv != list(range(k)):
+        m = jnp.transpose(m, inv)
+    return jnp.reshape(m, (-1,))
 
 
-def project_qubit(state: Tensor, wire: int, outcome: Tensor, renormalize: bool = True) -> Tensor:
-    """Project ``wire`` onto computational-basis ``outcome`` (0..d-1, traced ok)."""
-    d = state.shape[wire]
+def project_slot(
+    state: Tensor, wire: int, outcome: Tensor, d: int = 2, renormalize: bool = True
+) -> Tensor:
+    """Project ``wire`` onto basis ``outcome`` (0..d-1, traced ok)."""
     sel = jax.nn.one_hot(outcome, d, dtype=state.dtype)
-    proj = apply_diagonal(state, sel, [wire])
+    proj = apply_diagonal(state, sel, [wire], d)
     if renormalize:
-        nrm = jnp.linalg.norm(jnp.reshape(proj, (-1,)))
+        nrm = jnp.linalg.norm(proj)
         proj = proj / jnp.where(nrm == 0, 1.0, nrm).astype(proj.dtype)
     return proj
+
+
+# backwards-compatible alias
+project_qubit = project_slot

@@ -2,8 +2,9 @@
 
 Counterpart of reference ``basecircuit.py`` (state bookkeeping, sampling,
 expectation machinery) re-designed for the dense statevector engine in
-:mod:`tensorcircuit_ng_tpu.core.statevec`: the state is a ``(d,)*n`` tensor
-folded over QIR under jit, with the reference's semantics preserved —
+:mod:`tensorcircuit_ng_tpu.core.statevec`: the state is a flat (d^n,) vector
+folded over QIR under jit (see statevec docstring for the TPU layout rule),
+with the reference's semantics preserved —
 state caching (``basecircuit.py:375-391``), status-driven jittable sampling
 (``:449-560``, ``:1402-1512``), six sample formats, readout error.
 """
@@ -87,11 +88,15 @@ class BaseCircuit(AbstractCircuit):
     def _compute_state(self) -> Tensor:
         psi = self._initial_state()
         for item in self._qir:
-            psi = statevec.apply_unitary(psi, item["gate"].tensor, item["index"])
+            psi = statevec.apply_unitary(psi, item["gate"].tensor, item["index"], self._d)
         return psi
 
     def state(self, form: str = "default", reuse: bool = True) -> Tensor:
-        """The output state; cached until the next gate application."""
+        """The output state (flat); cached until the next gate application.
+
+        ``form="tensor"`` reshapes to ``(d,)*n`` — avoid inside jit for large
+        n (TPU tiling; see core/statevec.py docstring).
+        """
         if self._state_cache is None or not reuse:
             s = self._compute_state()
             if reuse:
@@ -99,8 +104,8 @@ class BaseCircuit(AbstractCircuit):
         else:
             s = self._state_cache
         if form == "tensor":
-            return s
-        return jnp.reshape(s, (-1,))
+            return jnp.reshape(s, (self._d,) * self._nqubits)
+        return s
 
     wavefunction = state
 
@@ -120,11 +125,11 @@ class BaseCircuit(AbstractCircuit):
         r"""⟨l|psi⟩ for a basis string like ``"0101"`` (base-d, 0-9A-Z)."""
         if isinstance(l, str):
             l = [int(ch, 36) for ch in l]
-        return statevec.amplitude(self.state(form="tensor"), l)
+        return statevec.amplitude(self.state(), l, self._d)
 
     def probability(self) -> Tensor:
         """Unnormalized probability vector |psi|^2 (length d^n)."""
-        return statevec.probabilities(self.state(form="tensor"))
+        return statevec.probabilities(self.state())
 
     # ------------------------------------------------------------------
     # measurement / sampling (status-driven, jittable)
@@ -144,18 +149,18 @@ class BaseCircuit(AbstractCircuit):
         n = len(index)
         if status is None:
             status = K.implicit_randu([n])
-        psi = self.state(form="tensor")
+        psi = self.state()
         outcomes = []
         prob = jnp.ones((), dtype=jnp.dtype(config.rdtypestr()))
         for k, q in enumerate(index):
-            marg = statevec.marginal_probability(psi, [q])
+            marg = statevec.marginal_probability(psi, [q], self._d)
             marg = marg / jnp.sum(marg)
             cdf = jnp.cumsum(marg)
             r = status[k].astype(cdf.dtype)
             outcome = jnp.searchsorted(cdf, r + self._MEASURE_EPS, side="left")
             outcome = jnp.clip(outcome, 0, self._d - 1)
             p_out = marg[outcome]
-            psi = statevec.project_qubit(psi, q, outcome)
+            psi = statevec.project_slot(psi, q, outcome, self._d)
             outcomes.append(outcome)
             prob = prob * jnp.real(p_out)
         sample = jnp.stack(outcomes).astype(jnp.int32)
@@ -246,17 +251,14 @@ class BaseCircuit(AbstractCircuit):
         """
         if readout_error is None:
             return p
-        n = self._nqubits
-        pt = jnp.reshape(p, (2,) * n)
         for i, err in enumerate(readout_error):
             p00 = err[0]
             p11 = err[1]
             m = jnp.asarray(
-                [[p00, 1.0 - p11], [1.0 - p00, p11]], dtype=pt.dtype
+                [[p00, 1.0 - p11], [1.0 - p00, p11]], dtype=p.dtype
             )
-            pt = jnp.tensordot(m, pt, axes=[[1], [i]])
-            pt = jnp.moveaxis(pt, 0, i)
-        return jnp.reshape(pt, (-1,))
+            p = statevec.apply_unitary(p, m, [i], self._d)
+        return p
 
     # ------------------------------------------------------------------
     # expectation
@@ -300,11 +302,11 @@ class BaseCircuit(AbstractCircuit):
             psi = self._lightcone_state([w for _, ws in norm_ops for w in ws])
             reuse = False
         else:
-            psi = self.state(form="tensor", reuse=reuse)
+            psi = self.state(reuse=reuse)
         phi = psi
         for o, wires in norm_ops:
-            phi = statevec.apply_unitary(phi, o.astype(phi.dtype), wires)
-        return jnp.vdot(jnp.reshape(psi, (-1,)), jnp.reshape(phi, (-1,)))
+            phi = statevec.apply_unitary(phi, o.astype(phi.dtype), wires, self._d)
+        return jnp.vdot(psi, phi)
 
     def _lightcone_qir(self, obs_wires: Sequence[int]) -> List[Dict[str, Any]]:
         """Drop gates outside the observable's causal cone.
@@ -323,7 +325,7 @@ class BaseCircuit(AbstractCircuit):
     def _lightcone_state(self, obs_wires: Sequence[int]) -> Tensor:
         psi = self._initial_state()
         for item in self._lightcone_qir(obs_wires):
-            psi = statevec.apply_unitary(psi, item["gate"].tensor, item["index"])
+            psi = statevec.apply_unitary(psi, item["gate"].tensor, item["index"], self._d)
         return psi
 
     def sample_expectation_ps(
@@ -371,17 +373,11 @@ class BaseCircuit(AbstractCircuit):
         p = p / jnp.sum(p)
         if readout_error is not None:
             p = c.readouterror_bs(readout_error, p)
-        n = self._nqubits
-        # parity of measured wires per basis state
-        basis = jnp.arange(self._d**n)
+        # parity of measured wires per basis state (flat sign-mask products)
         parity = jnp.ones_like(p)
-        pt = jnp.reshape(parity, (self._d,) * n)
         sign = jnp.asarray([1.0, -1.0] + [1.0] * (self._d - 2), dtype=p.dtype)
         for w in measure_wires:
-            shape = [1] * n
-            shape[w] = self._d
-            pt = pt * jnp.reshape(sign, shape)
-        parity = jnp.reshape(pt, (-1,))
+            parity = statevec.apply_diagonal(parity, sign, [w], self._d)
         if shots is None:
             return jnp.sum(p * parity)
         idx = K.probability_sample(shots, p, status=status, g=random_generator)
@@ -397,21 +393,19 @@ class BaseCircuit(AbstractCircuit):
         """State of remaining qubits after projecting ``traceout`` onto ``left``."""
         if isinstance(left, str):
             left = [int(ch, 36) for ch in left]
-        psi = self.state(form="tensor")
-        for q, v in zip(traceout, left):
-            sel = jax.nn.one_hot(v, self._d, dtype=psi.dtype)
-            psi = statevec.apply_diagonal(psi, sel, [q])
-        psi = jnp.reshape(psi, (-1,))
+        psi = self.state()
+        # slice out the projected slots, descending so positions stay valid
+        pairs = sorted(zip(traceout, left), key=lambda t: -t[0])
+        n = self._nqubits
+        d = self._d
+        for q, v in pairs:
+            a = d**q
+            b = d ** (n - 1 - q)
+            psi = jnp.reshape(psi, (a, d, b))[:, v, :]
+            psi = jnp.reshape(psi, (-1,))
+            n -= 1
         nrm = jnp.linalg.norm(psi)
-        psi = psi / nrm
-        keep = [q for q in range(self._nqubits) if q not in set(traceout)]
-        pt = jnp.reshape(psi, (self._d,) * self._nqubits)
-        idx = tuple(
-            (list(left)[list(traceout).index(q)] if q in set(traceout) else slice(None))
-            for q in range(self._nqubits)
-        )
-        sub = pt[idx]
-        return jnp.reshape(sub, (-1,))
+        return psi / nrm.astype(psi.dtype)
 
     def get_quvector(self) -> Any:
         """Return the output state as a :class:`~.quantum.QuVector`."""

@@ -151,13 +151,12 @@ class Circuit(BaseCircuit):
         renormalized, so the trajectory stays normalized.
         """
         mats = self._kraus_mats(kraus, index)
-        psi = self.state(form="tensor")
-        nrm2 = jnp.real(jnp.vdot(jnp.reshape(psi, (-1,)), jnp.reshape(psi, (-1,))))
+        psi = self.state()
+        nrm2 = jnp.real(jnp.vdot(psi, psi))
         probs = []
         for m in mats:
-            phi = statevec.apply_unitary(psi, m, index)
-            flat = jnp.reshape(phi, (-1,))
-            probs.append(jnp.real(jnp.vdot(flat, flat)) / nrm2)
+            phi = statevec.apply_unitary(psi, m, index, self._d)
+            probs.append(jnp.real(jnp.vdot(phi, phi)) / nrm2)
         p = jnp.stack(probs)
         p = p / jnp.sum(p)
         new_mats = [
@@ -249,11 +248,10 @@ class Circuit(BaseCircuit):
         """
         n = self._nqubits
         d = self._d
-        psi = jnp.reshape(
-            jnp.eye(d**n, dtype=jnp.dtype(config.dtypestr())), (d,) * (2 * n)
-        )
+        psi = jnp.reshape(jnp.eye(d**n, dtype=jnp.dtype(config.dtypestr())), (-1,))
         for item in self._qir:
-            psi = statevec.apply_unitary(psi, item["gate"].tensor, item["index"])
+            # identity "state" has 2n slots; gates act on the first n
+            psi = statevec.apply_unitary(psi, item["gate"].tensor, item["index"], d)
         return jnp.reshape(psi, (d**n, d**n))
 
     def get_unitary(self) -> Tensor:
@@ -273,7 +271,10 @@ Circuit._meta_apply_channels()
 
 
 def _mps_to_dense(mps_inputs: Any) -> Tensor:
-    """Contract (tensors, center) MPS input into a dense state."""
+    """Contract (l, d, r) MPS site tensors into a flat dense state.
+
+    Kept 2D throughout ((grown, bond) matrices) for TPU tiling.
+    """
     if hasattr(mps_inputs, "tensors"):
         tensors = mps_inputs.tensors
     else:
@@ -281,12 +282,14 @@ def _mps_to_dense(mps_inputs: Any) -> Tensor:
     psi = None
     for t in tensors:
         t = jnp.asarray(t)
+        l, d, r = t.shape
         if psi is None:
-            psi = t  # (l, d, r)
+            psi = jnp.reshape(t, (l * d, r))
+            if l == 1:
+                psi = jnp.reshape(t, (d, r))
         else:
-            psi = jnp.tensordot(psi, t, axes=[[-1], [0]])
-    # psi shape (l0, d, d, ..., r): trace boundary legs if trivial
-    psi = jnp.squeeze(psi, axis=(0, -1)) if psi.shape[0] == 1 and psi.shape[-1] == 1 else psi
+            psi = psi @ jnp.reshape(t, (l, d * r))  # (grown, d*r)
+            psi = jnp.reshape(psi, (-1, r))
     return jnp.reshape(psi, (-1,))
 
 
@@ -301,14 +304,8 @@ def expectation(
 
     Reference ``circuit.py:920-1065``.
     """
-    ket = jnp.asarray(ket)
-    n = int(round(np.log2(ket.size) / np.log2(2)))
-    d = 2
-    psi = jnp.reshape(ket, (d,) * n)
-    if bra is None:
-        bra_t = psi
-    else:
-        bra_t = jnp.reshape(jnp.asarray(bra), (d,) * n)
+    psi = jnp.reshape(jnp.asarray(ket), (-1,))
+    bra_t = psi if bra is None else jnp.reshape(jnp.asarray(bra), (-1,))
     phi = psi
     for op, wires in ops:
         if isinstance(op, Gate):
@@ -316,14 +313,11 @@ def expectation(
         if not hasattr(wires, "__len__"):
             wires = [wires]
         phi = statevec.apply_unitary(phi, jnp.asarray(op).astype(phi.dtype), list(wires))
-    bra_flat = jnp.reshape(bra_t, (-1,))
-    if conj:
-        bra_flat = jnp.conj(bra_flat)
-    val = jnp.sum(bra_flat * jnp.reshape(phi, (-1,)))
+    bra_flat = jnp.conj(bra_t) if conj else bra_t
+    val = jnp.sum(bra_flat * phi)
     if normalization:
         nrm = jnp.sqrt(
-            jnp.real(jnp.vdot(jnp.reshape(psi, (-1,)), jnp.reshape(psi, (-1,))))
-            * jnp.real(jnp.vdot(jnp.reshape(bra_t, (-1,)), jnp.reshape(bra_t, (-1,))))
+            jnp.real(jnp.vdot(psi, psi)) * jnp.real(jnp.vdot(bra_t, bra_t))
         )
         val = val / nrm.astype(val.dtype)
     return val

@@ -59,16 +59,16 @@ class DMCircuit(BaseCircuit):
         d = self._d
         if self._dminputs is not None:
             rho = jnp.asarray(self._dminputs).astype(jnp.dtype(config.dtypestr()))
-            return jnp.reshape(rho, (d,) * (2 * n))
+            return jnp.reshape(rho, (-1,))
         psi = statevec.init_state(n, d=d, inputs=self._inputs)
-        flat = jnp.reshape(psi, (-1,))
-        rho = jnp.outer(flat, jnp.conj(flat))
-        return jnp.reshape(rho, (d,) * (2 * n))
+        rho = jnp.outer(psi, jnp.conj(psi))
+        return jnp.reshape(rho, (-1,))
 
     def _apply_unitary_rho(self, rho: Tensor, g: Tensor, wires: Sequence[int]) -> Tensor:
+        # rho is flat with 2n slots: ket legs [0, n), bra legs [n, 2n)
         n = self._nqubits
-        rho = statevec.apply_unitary(rho, g, list(wires))
-        rho = statevec.apply_unitary(rho, jnp.conj(g), [w + n for w in wires])
+        rho = statevec.apply_unitary(rho, g, list(wires), self._d)
+        rho = statevec.apply_unitary(rho, jnp.conj(jnp.asarray(g)), [w + n for w in wires], self._d)
         return rho
 
     def _apply_kraus_rho(
@@ -94,7 +94,7 @@ class DMCircuit(BaseCircuit):
 
     def densitymatrix(self, check: bool = False, reuse: bool = True) -> Tensor:
         """ρ as a (d^n, d^n) matrix (reference ``densitymatrix.py:279``)."""
-        rho = self.state(form="tensor", reuse=reuse)
+        rho = self.state(reuse=reuse)
         dim = self._d**self._nqubits
         return jnp.reshape(rho, (dim, dim))
 
@@ -105,7 +105,7 @@ class DMCircuit(BaseCircuit):
                 self._state_cache = s
         else:
             s = self._state_cache
-        if form == "tensor":
+        if form == "flat":
             return s
         dim = self._d**self._nqubits
         return jnp.reshape(s, (dim, dim))
@@ -212,13 +212,14 @@ class DMCircuit(BaseCircuit):
         if status is None:
             status = K.implicit_randu([n])
         p_full = self.probability()
-        p_full = p_full / jnp.sum(p_full)
-        pt = jnp.reshape(p_full, (self._d,) * self._nqubits)
+        p = p_full / jnp.sum(p_full)
         outcomes = []
         prob = jnp.ones((), dtype=p_full.dtype)
         for k, q in enumerate(index):
-            others = [i for i in range(self._nqubits) if i != q]
-            marg = jnp.sum(pt, axis=tuple(others))
+            # p is a prob vector (not amplitudes): marginal by plain sums
+            a = self._d**q
+            b = self._d ** (self._nqubits - 1 - q)
+            marg = jnp.sum(jnp.reshape(p, (a, self._d, b)), axis=(0, 2))
             marg = marg / jnp.sum(marg)
             cdf = jnp.cumsum(marg)
             r = status[k].astype(cdf.dtype)
@@ -228,11 +229,9 @@ class DMCircuit(BaseCircuit):
                 self._d - 1,
             )
             p_out = marg[outcome]
-            sel = jax.nn.one_hot(outcome, self._d, dtype=pt.dtype)
-            shape = [1] * self._nqubits
-            shape[q] = self._d
-            pt = pt * jnp.reshape(sel, shape)
-            pt = pt / jnp.sum(pt)
+            sel = jax.nn.one_hot(outcome, self._d, dtype=p.dtype)
+            p = statevec.apply_diagonal(p, sel, [q], self._d)
+            p = p / jnp.sum(p)
             outcomes.append(outcome)
             prob = prob * p_out
         sample = jnp.stack(outcomes).astype(jnp.int32)
@@ -256,7 +255,7 @@ class DMCircuit(BaseCircuit):
             return noisemodel.expectation_noisfy(
                 self, *ops, noise_conf=noise_conf, nmc=nmc, status=status, **kws
             )
-        rho = self.state(form="tensor", reuse=reuse)
+        rho = self.state(form="flat", reuse=reuse)
         n = self._nqubits
         phi = rho
         for op in ops:
@@ -266,7 +265,7 @@ class DMCircuit(BaseCircuit):
             if not hasattr(wires, "__len__"):
                 wires = [wires]
             phi = statevec.apply_unitary(
-                phi, jnp.asarray(o).astype(phi.dtype), [int(w) % n for w in wires]
+                phi, jnp.asarray(o).astype(phi.dtype), [int(w) % n for w in wires], self._d
             )
         dim = self._d**n
         return jnp.trace(jnp.reshape(phi, (dim, dim)))

@@ -161,10 +161,16 @@ _FIXED_GATES["oz"] = _zero_controlled(_z_matrix)
 
 
 @functools.lru_cache(maxsize=None)
-def _fixed_tensor(name: str, dtype: str) -> Tensor:
+def _fixed_np(name: str, dtype: str) -> np.ndarray:
     m = _FIXED_GATES[name]
     nq = int(round(math.log2(m.shape[0])))
-    return jnp.asarray(m.astype(np.dtype(dtype))).reshape((2,) * (2 * nq))
+    return np.ascontiguousarray(m.astype(np.dtype(dtype)).reshape((2,) * (2 * nq)))
+
+
+def _fixed_tensor(name: str, dtype: str) -> Tensor:
+    # NOTE: only the numpy constant is cached — jnp arrays created inside a
+    # jit trace are tracers in new JAX and must not outlive the trace.
+    return jnp.asarray(_fixed_np(name, dtype))
 
 
 # ------------------------------------------------------------------

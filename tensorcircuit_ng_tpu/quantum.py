@@ -450,43 +450,35 @@ def PauliStringSum2MVP(
     (2,)*n state tensor — no matrix is ever formed, and the returned function
     jits/vmaps/differentiates.
     """
+    from .core import statevec as _sv
+
     ls = [[int(x) for x in l] for l in ls]
     n = len(ls[0])
     if weight is None:
         weight = [1.0] * len(ls)
-    w = jnp.asarray(np.asarray(weight))
+    w = np.asarray(weight)
 
-    # per-string masks as numpy (static)
-    x_masks = []
-    z_signs = []
-    phases = []
+    # static per-string structure
+    specs = []
     for l in ls:
-        x_axes = [q for q, p in enumerate(l) if p in (1, 2)]
-        # sign vector over basis from Z/Y factors: applied pre-flip on input
-        sign = np.ones([2] * n) if n else np.ones(())
-        for q, p in enumerate(l):
-            if p in (2, 3):
-                shape = [1] * n
-                shape[q] = 2
-                sv = np.array([1.0, -1.0]).reshape(shape)
-                sign = sign * sv
+        x_slots = tuple(q for q, p in enumerate(l) if p in (1, 2))
+        zy_slots = tuple(q for q, p in enumerate(l) if p in (2, 3))
         ny = sum(1 for p in l if p == 2)
-        phases.append((1j) ** ny)
-        x_masks.append(tuple(x_axes))
-        z_signs.append(sign)
-
-    dt = jnp.dtype(config.dtypestr())
+        specs.append((x_slots, zy_slots, (1j) ** ny))
 
     def mvp(v: Tensor) -> Tensor:
-        orig_shape = v.shape
-        psi = jnp.reshape(v, (2,) * n)
+        # flat-state bit ops only — never a rank-n tensor (TPU tiling)
+        psi = jnp.reshape(v, (-1,))
         acc = jnp.zeros_like(psi)
-        for i, l in enumerate(ls):
-            term = psi * jnp.asarray(z_signs[i], dtype=psi.dtype)
-            for ax in x_masks[i]:
-                term = jnp.flip(term, axis=ax)
-            acc = acc + (w[i] * jnp.asarray(phases[i], dtype=dt)).astype(psi.dtype) * term
-        return jnp.reshape(acc, orig_shape)
+        for i, (x_slots, zy_slots, phase) in enumerate(specs):
+            term = psi
+            for q in zy_slots:
+                term = _sv.sign_slot(term, q)
+            for q in x_slots:
+                term = _sv.flip_slot(term, q)
+            coef = jnp.asarray(w[i] * phase, dtype=psi.dtype)
+            acc = acc + coef * term
+        return jnp.reshape(acc, v.shape)
 
     return mvp
 
@@ -582,19 +574,34 @@ def reduced_density_matrix(
     s = jnp.asarray(state)
     size = int(np.prod(s.shape, dtype=np.int64))
     if s.ndim == 2 and s.shape[0] == s.shape[1] and size == s.shape[0] ** 2:
+        # density-matrix input: successive rank-5 partial traces (TPU-safe)
         n = int(round(math.log2(s.shape[0])))
-        rho = jnp.reshape(s, (2,) * (2 * n))
+        flat = jnp.reshape(s, (-1,))
+        m = n
         for q in sorted(cut, reverse=True):
-            rho = jnp.trace(rho, axis1=q, axis2=rho.ndim // 2 + q)
-        keep = n - len(cut)
-        return jnp.reshape(rho, (2**keep, 2**keep))
+            a = 2**q
+            b = 2 ** (m - 1)
+            c = 2 ** (m - 1 - q)
+            t = jnp.reshape(flat, (a, 2, b, 2, c))
+            flat = jnp.reshape(jnp.einsum("aibic->abc", t), (-1,))
+            m -= 1
+        return jnp.reshape(flat, (2**m, 2**m))
     n = int(round(math.log2(size)))
-    psi = jnp.reshape(s, (2,) * n)
+    psi = jnp.reshape(s, (-1,))
     if p is not None:
-        psi = psi * jnp.reshape(jnp.sqrt(p).astype(psi.dtype), (2,) * n)
-    keep = [i for i in range(n) if i not in set(cut)]
-    psi_m = jnp.transpose(psi, keep + cut)
-    psi_m = jnp.reshape(psi_m, (2 ** len(keep), 2 ** len(cut)))
+        psi = psi * jnp.sqrt(jnp.reshape(p, (-1,))).astype(psi.dtype)
+    # move each cut slot to the minor end via rank-3 transposes (TPU-safe)
+    nn = n
+    for q in sorted(cut, reverse=True):
+        # current position of q: earlier moves only touched slots after q
+        a = 2**q
+        b = 2 ** (nn - 1 - q)
+        psi = jnp.reshape(
+            jnp.transpose(jnp.reshape(psi, (a, 2, b)), (0, 2, 1)), (-1,)
+        )
+        # the moved slot now sits at the very end; subsequent (smaller-q)
+        # moves go before it, preserving cut order ascending at the tail
+    psi_m = jnp.reshape(psi, (2 ** (n - len(cut)), 2 ** len(cut)))
     return psi_m @ jnp.conj(psi_m.T)
 
 
@@ -630,15 +637,21 @@ def renyi_entanglement_entropy(state: Tensor, cut: Union[int, Sequence[int]], k:
 
 
 def partial_transpose(rho: Tensor, transposed_sites: Sequence[int]) -> Tensor:
-    """Partial transpose over listed qubits (reference ``quantum.py:3272``)."""
+    """Partial transpose over listed qubits (reference ``quantum.py:3272``).
+
+    Implemented as per-qubit rank-5 axis swaps (slot q ↔ slot n+q) so no
+    rank-2n tensor is materialized (TPU tiling).
+    """
     rho = _to_rho(rho)
     n = int(round(math.log2(rho.shape[0])))
-    t = jnp.reshape(rho, (2,) * (2 * n))
-    perm = list(range(2 * n))
+    flat = jnp.reshape(rho, (-1,))
     for q in transposed_sites:
-        perm[q], perm[n + q] = perm[n + q], perm[q]
-    t = jnp.transpose(t, perm)
-    return jnp.reshape(t, rho.shape)
+        a = 2**q
+        b = 2 ** ((n + q) - q - 1)
+        c = 2 ** (2 * n - (n + q) - 1)
+        t = jnp.reshape(flat, (a, 2, b, 2, c))
+        flat = jnp.reshape(jnp.transpose(t, (0, 3, 2, 1, 4)), (-1,))
+    return jnp.reshape(flat, rho.shape)
 
 
 def entanglement_negativity(rho: Tensor, transposed_sites: Sequence[int]) -> Tensor:

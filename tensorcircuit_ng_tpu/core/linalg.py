@@ -106,10 +106,20 @@ def _copyltu(m: jnp.ndarray) -> jnp.ndarray:
     return jnp.tril(m) + _H(jnp.tril(m, -1))
 
 
-def _tri_solve_rh(x: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    """Compute ``x @ r^{-H}`` via a triangular solve (r upper triangular)."""
+def _tri_solve_rh(x: jnp.ndarray, r: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
+    """Compute ``x @ r^{-H}`` via a triangular solve (r upper triangular).
+
+    Tiny diagonal entries of r are bumped to ``eps`` so gradients stay finite
+    for rank-deficient inputs (common in MPS canonicalization where bonds are
+    rank-deficient by construction); the bumped directions carry zero data so
+    the regularization does not bias nonzero gradient components.
+    """
     import jax.scipy.linalg as jsl
 
+    k = r.shape[-1]
+    diag = jnp.diagonal(r, axis1=-2, axis2=-1)
+    bump = jnp.where(jnp.abs(diag) < eps, jnp.asarray(eps, dtype=r.dtype), jnp.zeros((), dtype=r.dtype))
+    r = r + jnp.eye(k, dtype=r.dtype) * bump[..., None, :]
     # y = x r^{-H}  <=>  r y^H = x^H  with r upper triangular
     yh = jsl.solve_triangular(r, _H(x), lower=False)
     return _H(yh)

@@ -1,0 +1,466 @@
+"""``MPSCircuit``: approximate MPS/TEBD simulator with truncated SVD.
+
+Counterpart of reference ``mpscircuit.py`` + ``mps_base.py``: split rules
+(max bond χ / truncation error, ``mpscircuit.py:227``), canonical-center
+``position`` (``:240``), SWAP networks for non-adjacent gates (``:309-344``),
+wavefunction→MPS factorization (``:765``), MPS expectation (``:965``).
+
+TPU-native design: bond dimensions are **static Python ints tracked at trace
+time** — they grow deterministically with each gate (min(bl*d, d*br, χ)), so
+every tensor has an exact static shape, XLA sees no dynamic ranks, and no
+zero-padding pollutes QR/SVD gradients.  Error-threshold truncation
+(``max_truncation_err``) additionally *masks* singular values inside the
+static shape (``core/linalg.truncated_svd``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..backend import backend as K
+from ..core import linalg as _linalg
+from ..ops.gates import Gate
+from .abstractcircuit import AbstractCircuit
+
+Tensor = Any
+
+__all__ = ["MPSCircuit"]
+
+
+class MPSCircuit(AbstractCircuit):
+    """Matrix-product-state circuit simulator (TEBD-style)."""
+
+    is_mps = True
+
+    def __init__(
+        self,
+        nqubits: int,
+        tensors: Optional[Sequence[Tensor]] = None,
+        wavefunction: Optional[Tensor] = None,
+        split: Optional[Dict[str, Any]] = None,
+        dim: int = 2,
+        center_position: Optional[int] = None,
+    ) -> None:
+        super().__init__()
+        self._nqubits = nqubits
+        self._d = dim
+        split = split or {}
+        self.split = {
+            "max_singular_values": split.get("max_singular_values"),
+            "max_truncation_err": split.get("max_truncation_err", 0.0) or 0.0,
+            "relative": split.get("relative", False),
+        }
+        dt = jnp.dtype(config.dtypestr())
+        if wavefunction is not None:
+            self._tensors = self.wavefunction_to_tensors(wavefunction)
+            self._center = nqubits - 1
+        elif tensors is not None:
+            self._tensors = [jnp.asarray(t).astype(dt) for t in tensors]
+            self._center = center_position if center_position is not None else 0
+        else:
+            self._tensors = [
+                jnp.reshape(
+                    jnp.eye(dim, 1, dtype=dt) * 0.0 + jnp.asarray([[1.0]] + [[0.0]] * (dim - 1), dtype=dt),
+                    (1, dim, 1),
+                )
+                for _ in range(nqubits)
+            ]
+            self._center = 0
+
+    def _bond_cap(self, b: int) -> Optional[int]:
+        """χ bound at bond b (between sites b-1 and b); None = unbounded."""
+        chi = self.split["max_singular_values"]
+        nat = min(self._d**b, self._d ** (self._nqubits - b))
+        return nat if chi is None else min(nat, chi)
+
+    def _copy_params(self) -> Dict[str, Any]:
+        return {
+            "nqubits": self._nqubits,
+            "split": dict(self.split),
+            "dim": self._d,
+        }
+
+    def copy(self) -> "MPSCircuit":
+        c = MPSCircuit(**self._copy_params())
+        c._tensors = list(self._tensors)
+        c._center = self._center
+        c._qir = [dict(i) for i in self._qir]
+        return c
+
+    # ------------------------------------------------------------------
+    # split rules
+    # ------------------------------------------------------------------
+
+    def set_split_rules(self, split: Dict[str, Any]) -> None:
+        """Set global truncation rules (reference ``mpscircuit.py:227``)."""
+        for key in ("max_singular_values", "max_truncation_err", "relative"):
+            if key in split:
+                self.split[key] = split[key]
+        if self.split["max_truncation_err"] is None:
+            self.split["max_truncation_err"] = 0.0
+
+    # ------------------------------------------------------------------
+    # canonical center movement (QR sweeps)
+    # ------------------------------------------------------------------
+
+    def position(self, site: int) -> None:
+        """Move the canonical center to ``site`` via QR sweeps (reference ``:240``)."""
+        while self._center < site:
+            self._shift_right(self._center)
+            self._center += 1
+        while self._center > site:
+            self._shift_left(self._center)
+            self._center -= 1
+
+    def _shift_right(self, i: int) -> None:
+        t = self._tensors[i]
+        bl, d, br = t.shape
+        q, r = _linalg.adaware_qr(jnp.reshape(t, (bl * d, br)))
+        k = min(bl * d, br)
+        self._tensors[i] = jnp.reshape(q, (bl, d, k))
+        nxt = self._tensors[i + 1]
+        self._tensors[i + 1] = jnp.einsum("ab,bdc->adc", r, nxt)
+
+    def _shift_left(self, i: int) -> None:
+        t = self._tensors[i]
+        bl, d, br = t.shape
+        r, q = _linalg.adaware_rq(jnp.reshape(t, (bl, d * br)))
+        k = min(bl, d * br)
+        self._tensors[i] = jnp.reshape(q, (k, d, br))
+        prv = self._tensors[i - 1]
+        self._tensors[i - 1] = jnp.einsum("adb,bc->adc", prv, r)
+
+    # ------------------------------------------------------------------
+    # gate application
+    # ------------------------------------------------------------------
+
+    def apply_general_gate(
+        self,
+        gate: Union[Gate, Tensor],
+        *index: int,
+        name: Optional[str] = None,
+        split: Optional[Dict[str, Any]] = None,
+        mpo: bool = False,
+        ir_dict: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        if not isinstance(gate, Gate):
+            gate = Gate(gate, name=name or "any")
+        index = tuple(int(i) % self._nqubits for i in index)
+        if ir_dict is None:
+            ir_dict = {
+                "gatef": None,
+                "gate": gate,
+                "index": index,
+                "name": name or gate.name,
+                "split": split,
+                "mpo": False,
+            }
+        else:
+            ir_dict = dict(ir_dict)
+            ir_dict["index"] = index
+        self._qir.append(ir_dict)
+        k = len(index)
+        if k == 1:
+            self._apply_single(gate.tensor, index[0])
+        elif k == 2:
+            self.apply_double_gate(gate.tensor, index[0], index[1], split=split)
+        else:
+            self.apply_nqubit_gate(gate.tensor, *index, split=split)
+
+    def _apply_single(self, g: Tensor, i: int) -> None:
+        g = jnp.reshape(jnp.asarray(g), (self._d, self._d)).astype(
+            self._tensors[i].dtype
+        )
+        self._tensors[i] = jnp.einsum("pq,aqb->apb", g, self._tensors[i])
+
+    def _truncate_theta(
+        self,
+        theta: Tensor,
+        bond: int,
+        rules: Dict[str, Any],
+    ) -> Tuple[Tensor, Tensor, Tensor, int]:
+        """SVD of theta with static rank k = min(rows, cols, cap)."""
+        rows, cols = theta.shape
+        cap = self._bond_cap(bond)
+        k = min(rows, cols) if cap is None else min(rows, cols, cap)
+        u, s, vh, _ = _linalg.truncated_svd(
+            theta,
+            max_singular_values=k,
+            max_truncation_err=rules.get("max_truncation_err", 0.0) or 0.0,
+            relative=rules.get("relative", False),
+        )
+        return u, s, vh, k
+
+    def apply_adjacent_double_gate(
+        self,
+        g: Tensor,
+        i: int,
+        j: int,
+        split: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        """Two-site update with truncated SVD (reference ``mps_base.py:33-176``)."""
+        assert abs(i - j) == 1
+        left = min(i, j)
+        self.position(left)
+        d = self._d
+        g = jnp.reshape(jnp.asarray(g), (d,) * 4).astype(self._tensors[left].dtype)
+        if j < i:
+            g = jnp.transpose(g, (1, 0, 3, 2))
+        a = self._tensors[left]
+        b = self._tensors[left + 1]
+        theta = jnp.einsum("adb,bec->adec", a, b)
+        theta = jnp.einsum("pqde,adec->apqc", g, theta)
+        bl = a.shape[0]
+        br = b.shape[2]
+        rules = dict(self.split)
+        if split:
+            rules.update({k1: v for k1, v in split.items() if v is not None})
+        u, s, vh, k = self._truncate_theta(
+            jnp.reshape(theta, (bl * d, d * br)), left + 1, rules
+        )
+        u = u * s.astype(u.dtype)[None, :]
+        self._tensors[left] = jnp.reshape(u, (bl, d, k))
+        self._tensors[left + 1] = jnp.reshape(vh, (k, d, br))
+        # center stays at `left` (u carries the weights)
+
+    def consecutive_swap(self, start: int, end: int) -> None:
+        """SWAP chain moving site ``start`` to ``end`` (reference ``:309``)."""
+        d = self._d
+        swap = np.zeros((d, d, d, d))
+        for a in range(d):
+            for b in range(d):
+                swap[b, a, a, b] = 1.0
+        swap_t = jnp.asarray(swap, dtype=self._tensors[0].dtype)
+        step = 1 if end > start else -1
+        for i in range(start, end, step):
+            self.apply_adjacent_double_gate(swap_t, i, i + step)
+
+    def apply_double_gate(
+        self, g: Tensor, i: int, j: int, split: Optional[Dict[str, Any]] = None
+    ) -> None:
+        """General two-qubit gate via SWAP network when non-adjacent (reference ``:344``)."""
+        if abs(i - j) == 1:
+            self.apply_adjacent_double_gate(g, i, j, split=split)
+            return
+        lo, hi = (i, j) if i < j else (j, i)
+        self.consecutive_swap(lo, hi - 1)
+        if i < j:
+            self.apply_adjacent_double_gate(g, hi - 1, hi, split=split)
+        else:
+            self.apply_adjacent_double_gate(g, hi, hi - 1, split=split)
+        self.consecutive_swap(hi - 1, lo)
+
+    def apply_nqubit_gate(
+        self, g: Tensor, *index: int, split: Optional[Dict[str, Any]] = None
+    ) -> None:
+        """k-site gate: swap into a contiguous window, densify, refactorize.
+
+        Simplified version of the reference's gate→MPO route
+        (``mpscircuit.py:386-669``).
+        """
+        d = self._d
+        k = len(index)
+        if k > 6:
+            raise ValueError("n-qubit MPS gates supported up to 6 sites")
+        lo = min(index)
+        sorted_idx = sorted(index)
+        target = list(range(lo, lo + k))
+        for pos in range(k):
+            if sorted_idx[pos] != target[pos]:
+                self.consecutive_swap(sorted_idx[pos], target[pos])
+        order = sorted(range(k), key=lambda t: index[t])
+        g = jnp.reshape(jnp.asarray(g), (d,) * (2 * k))
+        perm = order + [k + o for o in order]
+        g = jnp.transpose(g, perm)
+        self.position(lo)
+        block = self._tensors[lo]
+        for s in range(lo + 1, lo + k):
+            block = jnp.tensordot(block, self._tensors[s], axes=[[-1], [0]])
+        bl = block.shape[0]
+        br = block.shape[-1]
+        gm = jnp.reshape(g, (d**k, d**k)).astype(block.dtype)
+        bm = jnp.reshape(block, (bl, d**k, br))
+        bm = jnp.einsum("pq,aqb->apb", gm, bm)
+        rest = jnp.reshape(bm, (bl, -1))
+        left_rows = bl
+        rules = dict(self.split)
+        if split:
+            rules.update({k1: v for k1, v in split.items() if v is not None})
+        for s in range(lo, lo + k - 1):
+            m = jnp.reshape(rest, (left_rows * d, -1))
+            u, sv, vh, kdim = self._truncate_theta(m, s + 1, rules)
+            self._tensors[s] = jnp.reshape(u, (left_rows, d, kdim))
+            rest = sv.astype(vh.dtype)[:, None] * vh
+            left_rows = kdim
+        self._tensors[lo + k - 1] = jnp.reshape(rest, (left_rows, d, br))
+        self._center = lo + k - 1
+        for pos in range(k - 1, -1, -1):
+            if target[pos] != sorted_idx[pos]:
+                self.consecutive_swap(target[pos], sorted_idx[pos])
+
+    # ------------------------------------------------------------------
+    # readout
+    # ------------------------------------------------------------------
+
+    def wavefunction(self, form: str = "default") -> Tensor:
+        """Densify to the full d^n vector (2D growth, TPU-safe)."""
+        psi = None
+        for t in self._tensors:
+            bl, d, br = t.shape
+            if psi is None:
+                psi = jnp.reshape(t, (bl * d, br))
+            else:
+                psi = psi @ jnp.reshape(t, (bl, d * br))
+                psi = jnp.reshape(psi, (-1, br))
+        return jnp.reshape(psi, (-1,))
+
+    state = wavefunction
+
+    def proj_with_mps(self, other: "MPSCircuit") -> Tensor:
+        """⟨other|self⟩ via transfer contraction."""
+        env = None
+        for a, b in zip(other._tensors, self._tensors):
+            if env is None:
+                env = jnp.einsum("adb,adc->bc", jnp.conj(a), b)
+            else:
+                env = jnp.einsum("bc,bde,cdf->ef", env, jnp.conj(a), b)
+        return env[0, 0]
+
+    def norm(self) -> Tensor:
+        """||psi|| via transfer contraction (no densification)."""
+        return jnp.sqrt(jnp.real(self.proj_with_mps(self)))
+
+    def normalize(self) -> None:
+        nrm = self.norm()
+        self._tensors[self._center] = self._tensors[self._center] / nrm.astype(
+            self._tensors[self._center].dtype
+        )
+
+    def amplitude(self, l: Union[str, Sequence[int]]) -> Tensor:
+        if isinstance(l, str):
+            l = [int(ch, 36) for ch in l]
+        env = None
+        for t, v in zip(self._tensors, l):
+            m = t[:, int(v), :]
+            env = m if env is None else env @ m
+        return env[0, 0]
+
+    def expectation(
+        self,
+        *ops: Tuple[Any, Sequence[int]],
+        reuse: bool = True,
+        normalized: bool = True,
+        **kws: Any,
+    ) -> Tensor:
+        """⟨psi|O|psi⟩ via transfer sandwich (reference ``mpscircuit.py:965``)."""
+        norm_ops = []
+        has_multi = False
+        for op in ops:
+            o, wires = op
+            if isinstance(o, Gate):
+                o = o.tensor
+            if not hasattr(wires, "__len__"):
+                wires = [wires]
+            wires = [int(w) % self._nqubits for w in wires]
+            norm_ops.append((jnp.asarray(o), wires))
+            if len(wires) > 1:
+                has_multi = True
+        if has_multi:
+            c2 = self.copy()
+            for o, wires in norm_ops:
+                c2.any(*wires, unitary=o)  # type: ignore
+            val = self.proj_with_mps(c2)
+            if normalized:
+                nrm2 = jnp.real(self.proj_with_mps(self))
+                val = val / nrm2.astype(val.dtype)
+            return val
+        site_ops: Dict[int, Tensor] = {}
+        for o, wires in norm_ops:
+            q = wires[0]
+            m = jnp.reshape(o, (self._d, self._d))
+            site_ops[q] = m if q not in site_ops else site_ops[q] @ m
+        env = None
+        for q, t in enumerate(self._tensors):
+            top = t
+            if q in site_ops:
+                top = jnp.einsum("pq,aqb->apb", site_ops[q].astype(t.dtype), t)
+            if env is None:
+                env = jnp.einsum("adb,adc->bc", jnp.conj(t), top)
+            else:
+                env = jnp.einsum("bc,bde,cdf->ef", env, jnp.conj(t), top)
+        val = env[0, 0]
+        if normalized:
+            nrm2 = jnp.real(self.proj_with_mps(self))
+            val = val / nrm2.astype(val.dtype)
+        return val
+
+    def expectation_ps(
+        self,
+        x: Optional[Sequence[int]] = None,
+        y: Optional[Sequence[int]] = None,
+        z: Optional[Sequence[int]] = None,
+        **kws: Any,
+    ) -> Tensor:
+        from ..ops import gates as gates_mod
+
+        obs = []
+        for q in x or ():
+            obs.append((gates_mod.GATES["x"](), [int(q)]))
+        for q in y or ():
+            obs.append((gates_mod.GATES["y"](), [int(q)]))
+        for q in z or ():
+            obs.append((gates_mod.GATES["z"](), [int(q)]))
+        return self.expectation(*obs, **kws)
+
+    # ------------------------------------------------------------------
+    # conversion
+    # ------------------------------------------------------------------
+
+    def wavefunction_to_tensors(self, wavefunction: Tensor) -> List[Tensor]:
+        """Factorize a dense state into MPS site tensors (reference ``:765``)."""
+        d = self._d
+        n = self._nqubits
+        dt = jnp.dtype(config.dtypestr())
+        psi = jnp.reshape(jnp.asarray(wavefunction).astype(dt), (1, -1))
+        tensors: List[Tensor] = []
+        rules = dict(self.split)
+        for i in range(n - 1):
+            bl = psi.shape[0]
+            m = jnp.reshape(psi, (bl * d, -1))
+            u, s, vh, k = self._truncate_theta(m, i + 1, rules)
+            tensors.append(jnp.reshape(u, (bl, d, k)))
+            psi = s.astype(vh.dtype)[:, None] * vh
+        tensors.append(jnp.reshape(psi, (psi.shape[0], d, 1)))
+        return tensors
+
+    def get_bond_dimensions(self) -> List[int]:
+        return [t.shape[2] for t in self._tensors[:-1]]
+
+    def entanglement_entropy(self, cut: int) -> Tensor:
+        """Bipartite entropy at bond ``cut`` from singular values."""
+        c2 = self.copy()
+        c2.position(cut)
+        t = c2._tensors[cut]
+        bl, d, br = t.shape
+        _, s, _ = _linalg.adaware_svd(jnp.reshape(t, (bl * d, br)))
+        p = s * s
+        p = p / jnp.sum(p)
+        p = jnp.clip(p, 1e-12, 1.0)
+        return -jnp.sum(p * jnp.log(p))
+
+    @property
+    def tensors(self) -> List[Tensor]:
+        return self._tensors
+
+    def get_quvector(self) -> Any:
+        from .. import quantum as qu
+
+        return qu.QuVector.from_tensor(
+            jnp.reshape(self.wavefunction(), (self._d,) * self._nqubits)
+        )

@@ -1,0 +1,138 @@
+"""MPSCircuit tests: exact-regime cross-checks vs dense Circuit, truncation."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import tensorcircuit_ng_tpu as tc
+from tensorcircuit_ng_tpu.models.mpscircuit import MPSCircuit
+
+
+def build_pair(n, chi=None):
+    c = tc.Circuit(n)
+    m = MPSCircuit(n, split={"max_singular_values": chi})
+    return c, m
+
+
+def random_circuit_ops(c, seed=0):
+    rng = np.random.default_rng(seed)
+    n = c.nqubits
+    for i in range(n):
+        c.h(i)
+    for l in range(3):
+        for i in range(n):
+            c.rx(i, theta=float(rng.normal()))
+        for i in range(n - 1):
+            c.cnot(i, i + 1)
+        c.rzz(0, n - 1, theta=0.3)  # non-adjacent
+    return c
+
+
+def test_mps_exact_matches_dense():
+    n = 5
+    c, m = build_pair(n, chi=None)  # exact caps
+    random_circuit_ops(c, 1)
+    random_circuit_ops(m, 1)
+    psi_c = np.asarray(c.state())
+    psi_m = np.asarray(m.wavefunction())
+    np.testing.assert_allclose(np.abs(np.vdot(psi_c, psi_m)), 1.0, atol=1e-4)
+    for ps in [dict(z=[0]), dict(x=[2]), dict(z=[0, 4]), dict(x=[1], z=[3])]:
+        np.testing.assert_allclose(
+            np.asarray(m.expectation_ps(**ps)),
+            np.asarray(c.expectation_ps(**ps)),
+            atol=1e-4,
+        )
+
+
+def test_mps_amplitude_and_norm():
+    n = 4
+    c, m = build_pair(n)
+    for cc in (c, m):
+        cc.h(0)
+        for i in range(n - 1):
+            cc.cnot(i, i + 1)
+    np.testing.assert_allclose(np.asarray(m.amplitude("0" * n)), 1 / np.sqrt(2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m.amplitude("1" * n)), 1 / np.sqrt(2), atol=1e-5)
+    np.testing.assert_allclose(float(m.norm()), 1.0, atol=1e-5)
+
+
+def test_mps_truncation_fidelity():
+    n = 8
+    chi = 4
+    c, m = build_pair(n, chi=chi)
+    random_circuit_ops(c, 3)
+    random_circuit_ops(m, 3)
+    psi_c = np.asarray(c.state())
+    psi_m = np.asarray(m.wavefunction())
+    nrm = np.linalg.norm(psi_m)
+    f = np.abs(np.vdot(psi_c, psi_m / nrm))
+    assert f > 0.5  # truncated but overlapping
+    assert max(m.get_bond_dimensions()) <= chi
+
+
+def test_mps_entanglement_entropy():
+    n = 4
+    _, m = build_pair(n)
+    m.h(0)
+    for i in range(n - 1):
+        m.cnot(i, i + 1)
+    s = float(m.entanglement_entropy(2))
+    np.testing.assert_allclose(s, np.log(2), atol=1e-4)
+
+
+def test_mps_from_wavefunction():
+    n = 5
+    c = tc.Circuit(n)
+    random_circuit_ops(c, 7)
+    psi = c.state()
+    m = MPSCircuit(n, wavefunction=psi)
+    np.testing.assert_allclose(
+        np.abs(np.vdot(np.asarray(psi), np.asarray(m.wavefunction()))), 1.0, atol=1e-4
+    )
+
+
+def test_mps_jit_grad():
+    n = 6
+    chi = 8
+
+    def loss(params):
+        m = MPSCircuit(n, split={"max_singular_values": chi})
+        for i in range(n):
+            m.h(i)
+        for i in range(n):
+            m.rx(i, theta=params[i])
+        for i in range(n - 1):
+            m.cnot(i, i + 1)
+        return jnp.real(m.expectation_ps(z=[0, 1]))
+
+    params = jnp.asarray(np.random.default_rng(0).normal(size=n) * 0.3, dtype=jnp.float32)
+    v, g = jax.jit(jax.value_and_grad(loss))(params)
+    assert np.isfinite(float(v))
+    assert np.isfinite(np.asarray(g)).all()
+    # cross-check value vs dense
+    def dense_loss(params):
+        c = tc.Circuit(n)
+        for i in range(n):
+            c.h(i)
+        for i in range(n):
+            c.rx(i, theta=params[i])
+        for i in range(n - 1):
+            c.cnot(i, i + 1)
+        return jnp.real(c.expectation_ps(z=[0, 1]))
+
+    np.testing.assert_allclose(float(v), float(dense_loss(params)), atol=1e-4)
+    g2 = jax.grad(dense_loss)(params)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g2), atol=1e-3)
+
+
+def test_mps_3qubit_gate():
+    n = 5
+    c, m = build_pair(n)
+    for cc in (c, m):
+        cc.h(0)
+        cc.h(1)
+        cc.toffoli(0, 1, 3)
+    np.testing.assert_allclose(
+        np.abs(np.vdot(np.asarray(c.state()), np.asarray(m.wavefunction()))), 1.0, atol=1e-4
+    )

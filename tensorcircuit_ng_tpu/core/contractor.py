@@ -1,0 +1,235 @@
+"""Contraction engine: path finding, execution, slicing, cost introspection.
+
+Counterpart of the reference's contraction machinery (``cons.py:845-1260``):
+paths come from opt_einsum (greedy/optimal/branch/custom optimizers, matching
+``set_contractor``), execution is an opt_einsum expression dispatched to
+jax.numpy (one fused XLA program under jit), and **index slicing** splits the
+largest indices so each slice's biggest intermediate fits in memory — the
+reference's cotengra ``slicing_reconf_opts`` role (``experimental.py:936``),
+implemented with a greedy frequency heuristic.  Paths are cached by IR
+signature (the reference's stable-node-id path cache, ``cons.py:773-800``).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from functools import lru_cache
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .einsum_ir import EinsumIR
+
+logger = logging.getLogger(__name__)
+
+Tensor = Any
+
+__all__ = [
+    "find_path",
+    "contract_ir",
+    "contraction_info",
+    "choose_slices",
+    "sliced_contract_ir",
+]
+
+_PATH_CACHE: Dict[Tuple, Any] = {}
+
+
+def _optimizer_from_config(opts: Optional[dict] = None) -> Any:
+    from .. import config
+
+    cfg = config.current()
+    method = cfg.contractor
+    options = dict(cfg.contractor_options or {})
+    if opts:
+        options.update(opts)
+        method = options.pop("method", method)
+    if method in ("auto", "plain"):
+        return "auto" if method == "auto" else None
+    if method == "custom":
+        return options.get("optimizer")
+    return method  # "greedy", "optimal", "branch-2", "dp", ...
+
+
+def find_path(ir: EinsumIR, optimizer: Any = None) -> Tuple[List[Tuple[int, int]], Any]:
+    """Find (and cache) a pairwise contraction path for the IR."""
+    import opt_einsum as oe
+
+    if optimizer is None:
+        optimizer = _optimizer_from_config()
+    key = (ir.signature(), str(optimizer))
+    if key in _PATH_CACHE:
+        return _PATH_CACHE[key]
+    subscripts = ir.to_subscripts()
+    shapes = ir.shapes()
+    if optimizer is None:  # "plain": left-to-right pairwise
+        path = [(0, 1)] * (len(shapes) - 1)
+        info = None
+    else:
+        path, info = oe.contract_path(
+            subscripts, *shapes, shapes=True, optimize=optimizer
+        )
+    _PATH_CACHE[key] = (path, info)
+    return path, info
+
+
+def contraction_info(ir: EinsumIR, optimizer: Any = None) -> Dict[str, Any]:
+    """FLOP / max-intermediate-size report (reference ``cons.py:1084-1120``)."""
+    _, info = find_path(ir, optimizer)
+    if info is None:
+        return {}
+    return {
+        "flops": float(info.opt_cost),
+        "log10[FLOPs]": math.log10(max(info.opt_cost, 1)),
+        "log2[SIZE]": math.log2(max(info.largest_intermediate, 1)),
+        "largest_intermediate": float(info.largest_intermediate),
+        "path": info.path,
+    }
+
+
+def contract_ir(ir: EinsumIR, optimizer: Any = None) -> Tensor:
+    """Contract the IR into its output tensor (jit/vmap/grad-transparent)."""
+    import opt_einsum as oe
+
+    path, _ = find_path(ir, optimizer)
+    subscripts = ir.to_subscripts()
+    expr = oe.contract_expression(subscripts, *ir.shapes(), optimize=path)
+    return expr(*ir.tensors, backend="jax")
+
+
+# ------------------------------------------------------------------
+# slicing
+# ------------------------------------------------------------------
+
+
+def choose_slices(
+    ir: EinsumIR,
+    target_size: int = 2**28,
+    max_slices: int = 4096,
+    optimizer: Any = None,
+) -> List[int]:
+    """Greedy slice-index selection until the largest intermediate fits.
+
+    Repeatedly: find path on the (sliced) network, identify the largest
+    intermediate, slice the most frequent index appearing in it.  This is
+    the role cotengra's ``slicing_reconf_opts`` plays in the reference.
+    """
+    import opt_einsum as oe
+
+    sliced: List[int] = []
+    cur_inputs = [list(inp) for inp in ir.inputs]
+
+    for _ in range(int(math.log2(max_slices)) + 1):
+        sub_ir = EinsumIR(
+            [tuple(i for i in inp if i not in sliced) for inp in cur_inputs],
+            tuple(i for i in ir.output if i not in sliced),
+            ir.size_dict,
+            ir.tensors,
+        )
+        try:
+            path, info = oe.contract_path(
+                sub_ir.to_subscripts(), *sub_ir.shapes(), shapes=True,
+                optimize=optimizer if optimizer is not None else "greedy",
+            )
+        except Exception:  # pragma: no cover
+            break
+        # locate the largest intermediate from the contraction list itself
+        big_inds: List[str] = []
+        big_size = 0
+        for contraction in info.contraction_list:
+            einsum_str = contraction[2]
+            out_part = einsum_str.split("->")[1]
+            size = 1
+            for ch in out_part:
+                size *= info.size_dict[ch]
+            if size > big_size:
+                big_size = size
+                big_inds = list(out_part)
+        if big_size <= target_size or not big_inds:
+            break
+        # map symbols back to ids
+        ids = sorted(
+            {i for inp in sub_ir.inputs for i in inp} | set(sub_ir.output)
+        )
+        sym2id = {oe.get_symbol(k): i for k, i in enumerate(ids)}
+        # most frequent index (among network inputs) in the big intermediate
+        freq: Dict[int, int] = {}
+        for ch in big_inds:
+            iid = sym2id.get(ch)
+            if iid is None:
+                continue
+            freq[iid] = sum(1 for inp in cur_inputs if iid in inp)
+        if not freq:
+            break
+        pick = max(freq, key=lambda k: (freq[k], k))
+        sliced.append(pick)
+    return sliced
+
+
+def sliced_contract_ir(
+    ir: EinsumIR,
+    sliced_indices: Sequence[int],
+    slice_ids: Optional[Tensor] = None,
+    optimizer: Any = None,
+    slice_weights: Optional[Tensor] = None,
+) -> Tensor:
+    """Contract with the given indices sliced; sums over slice assignments.
+
+    ``slice_ids`` optionally restricts to a subset of slice assignments
+    (int tensor of flat slice ids) — the distribution hook: shard the full
+    id range over devices, every device sums its own slice subset.
+    """
+    import opt_einsum as oe
+
+    d_sizes = [ir.size_dict[i] for i in sliced_indices]
+    nslices = int(np.prod(d_sizes)) if sliced_indices else 1
+    if slice_ids is None:
+        slice_ids = jnp.arange(nslices)
+
+    sub_inputs = [tuple(i for i in inp if i not in set(sliced_indices)) for inp in ir.inputs]
+    sub_ir = EinsumIR(
+        sub_inputs,
+        tuple(i for i in ir.output if i not in set(sliced_indices)),
+        ir.size_dict,
+        ir.tensors,
+    )
+    path, _ = find_path(sub_ir, optimizer)
+    expr = oe.contract_expression(
+        sub_ir.to_subscripts(), *sub_ir.shapes(), optimize=path
+    )
+
+    def one_slice(flat_id: Tensor) -> Tensor:
+        # decode flat id into per-index values
+        vals = []
+        rem = flat_id
+        for sz in reversed(d_sizes):
+            vals.append(rem % sz)
+            rem = rem // sz
+        vals = list(reversed(vals))
+        operands = []
+        for inp, t in zip(ir.inputs, ir.tensors):
+            tt = jnp.asarray(t)
+            cur_axes = list(inp)
+            for sid, sval in zip(sliced_indices, vals):
+                if sid in cur_axes:
+                    ax = cur_axes.index(sid)
+                    tt = jnp.take(tt, sval, axis=ax)
+                    cur_axes.pop(ax)
+            operands.append(tt)
+        return expr(*operands, backend="jax")
+
+    out_shape = tuple(ir.size_dict[i] for i in sub_ir.output)
+    dtype = jnp.asarray(ir.tensors[0]).dtype
+    if slice_weights is None:
+        slice_weights = jnp.ones(slice_ids.shape, dtype=jnp.float32)
+
+    def body(acc, sw):
+        sid, w = sw
+        return acc + w.astype(dtype) * one_slice(sid), None
+
+    init = jnp.zeros(out_shape, dtype=dtype)
+    acc, _ = jax.lax.scan(body, init, (slice_ids, slice_weights))
+    return acc

@@ -1,0 +1,204 @@
+"""Einsum IR: explicit, hashable contraction networks.
+
+Replacement for the reference's mutable tensornetwork Node/Edge graph
+(reference ``cons.py:492-547, 773-800`` extracts exactly this
+``(inputs, output, size_dict)`` topology from node lists).  Circuits lower
+their QIR directly to this IR; paths are found host-side by opt_einsum and
+cached by the IR's structural signature; execution is a jitted einsum chain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+Tensor = Any
+
+__all__ = ["EinsumIR", "circuit_state_ir", "amplitude_ir", "expectation_ir"]
+
+
+@dataclasses.dataclass
+class EinsumIR:
+    """(inputs, output, size_dict) topology + the operand tensors.
+
+    Index ids are ints; ``signature()`` is hashable and independent of tensor
+    values, so jit/path caches key on structure only.
+    """
+
+    inputs: List[Tuple[int, ...]]
+    output: Tuple[int, ...]
+    size_dict: Dict[int, int]
+    tensors: List[Tensor]
+
+    def signature(self) -> Tuple:
+        return (
+            tuple(self.inputs),
+            tuple(self.output),
+            tuple(sorted(self.size_dict.items())),
+        )
+
+    def shapes(self) -> List[Tuple[int, ...]]:
+        return [tuple(self.size_dict[i] for i in inp) for inp in self.inputs]
+
+    def to_subscripts(self) -> str:
+        """opt_einsum-style subscripts using unicode symbols."""
+        import opt_einsum as oe
+
+        ids = sorted({i for inp in self.inputs for i in inp} | set(self.output))
+        sym = {i: oe.get_symbol(k) for k, i in enumerate(ids)}
+        lhs = ",".join("".join(sym[i] for i in inp) for inp in self.inputs)
+        rhs = "".join(sym[i] for i in self.output)
+        return f"{lhs}->{rhs}"
+
+
+class _IRBuilder:
+    """Track per-wire frontier index ids while appending gate tensors."""
+
+    def __init__(self, n: int, d: int = 2):
+        self.n = n
+        self.d = d
+        self.counter = 0
+        self.inputs: List[Tuple[int, ...]] = []
+        self.tensors: List[Tensor] = []
+        self.size: Dict[int, int] = {}
+        self.front: List[int] = []
+        for _ in range(n):
+            self.front.append(self.new_index())
+
+    def new_index(self) -> int:
+        i = self.counter
+        self.counter += 1
+        self.size[i] = self.d
+        return i
+
+    def add_tensor(self, t: Tensor, idx: Sequence[int]) -> None:
+        self.inputs.append(tuple(idx))
+        self.tensors.append(t)
+
+    def add_initial(self, init_vec: Tensor) -> None:
+        """Add |0> (or custom) product-state vectors on the current frontier."""
+        for w in range(self.n):
+            self.add_tensor(init_vec, (self.front[w],))
+
+    def add_gate(self, tensor: Tensor, wires: Sequence[int]) -> None:
+        k = len(wires)
+        d = self.d
+        t = jnp.asarray(tensor)
+        if t.ndim != 2 * k:
+            t = jnp.reshape(t, (d,) * (2 * k))
+        new = [self.new_index() for _ in range(k)]
+        old = [self.front[w] for w in wires]
+        # gate tensor convention: (out..., in...)
+        self.add_tensor(t, tuple(new) + tuple(old))
+        for j, w in enumerate(wires):
+            self.front[w] = new[j]
+
+
+def _zero_vec(d: int, dtype: Any) -> Tensor:
+    v = np.zeros((d,))
+    v[0] = 1.0
+    return jnp.asarray(v, dtype=dtype)
+
+
+def _basis_vec(val: int, d: int, dtype: Any) -> Tensor:
+    v = np.zeros((d,))
+    v[val] = 1.0
+    return jnp.asarray(v, dtype=dtype)
+
+
+def _build_forward(qir: List[Dict[str, Any]], n: int, d: int, dtype: Any) -> _IRBuilder:
+    b = _IRBuilder(n, d)
+    b.add_initial(_zero_vec(d, dtype))
+    for item in qir:
+        b.add_gate(item["gate"].tensor, item["index"])
+    return b
+
+
+def circuit_state_ir(qir: List[Dict[str, Any]], n: int, d: int = 2, dtype: Any = None) -> EinsumIR:
+    """IR whose contraction is the full output state (open legs)."""
+    from .. import config
+
+    dtype = dtype or jnp.dtype(config.dtypestr())
+    b = _build_forward(qir, n, d, dtype)
+    return EinsumIR(b.inputs, tuple(b.front), b.size, b.tensors)
+
+
+def amplitude_ir(
+    qir: List[Dict[str, Any]],
+    n: int,
+    bits: Sequence[int],
+    d: int = 2,
+    dtype: Any = None,
+) -> EinsumIR:
+    """IR for ⟨bits|C|0...0⟩ — a closed (scalar) network."""
+    from .. import config
+
+    dtype = dtype or jnp.dtype(config.dtypestr())
+    b = _build_forward(qir, n, d, dtype)
+    for w in range(n):
+        b.add_tensor(_basis_vec(int(bits[w]), d, dtype), (b.front[w],))
+    return EinsumIR(b.inputs, (), b.size, b.tensors)
+
+
+def expectation_ir(
+    qir: List[Dict[str, Any]],
+    n: int,
+    ops: Sequence[Tuple[Tensor, Sequence[int]]],
+    d: int = 2,
+    dtype: Any = None,
+    lightcone: bool = True,
+) -> EinsumIR:
+    """IR for ⟨0|C† O C|0⟩ (doubled network, reference ``basecircuit.py:393-447``).
+
+    With ``lightcone`` (reference ``simplify.py:198-296``) gates outside the
+    observables' causal cone are dropped before the network is built.
+    """
+    from .. import config
+
+    dtype = dtype or jnp.dtype(config.dtypestr())
+    if lightcone:
+        cone = set()
+        for _, wires in ops:
+            cone.update(int(w) for w in wires)
+        keep: List[Dict[str, Any]] = []
+        for item in reversed(qir):
+            if cone.intersection(item["index"]):
+                keep.append(item)
+                cone.update(item["index"])
+        qir = list(reversed(keep))
+    b = _build_forward(qir, n, d, dtype)
+    ket_front = list(b.front)
+    # operator tensors bridge ket frontier to bra frontier
+    bra_front = list(ket_front)
+    for op, wires in ops:
+        k = len(wires)
+        t = jnp.asarray(op)
+        if t.ndim != 2 * k:
+            t = jnp.reshape(t, (d,) * (2 * k))
+        new = [b.new_index() for _ in range(k)]
+        old = [bra_front[int(w)] for w in wires]
+        b.add_tensor(t, tuple(new) + tuple(old))
+        for j, w in enumerate(wires):
+            bra_front[int(w)] = new[j]
+    # conjugated circuit (bra side), applied in reverse with dagger tensors
+    for item in reversed(qir):
+        k = len(item["index"])
+        t = jnp.asarray(item["gate"].tensor)
+        if t.ndim != 2 * k:
+            t = jnp.reshape(t, (d,) * (2 * k))
+        # dagger: conjugate and swap in/out legs
+        perm = tuple(range(k, 2 * k)) + tuple(range(k))
+        tdg = jnp.conj(jnp.transpose(t, perm))
+        new = [b.new_index() for _ in range(k)]
+        old = [bra_front[w] for w in item["index"]]
+        b.add_tensor(tdg, tuple(new) + tuple(old))
+        for j, w in enumerate(item["index"]):
+            bra_front[w] = new[j]
+    # close with <0| vectors
+    for w in range(n):
+        b.add_tensor(_zero_vec(d, dtype), (bra_front[w],))
+    return EinsumIR(b.inputs, (), b.size, b.tensors)

@@ -121,11 +121,48 @@ class BaseCircuit(AbstractCircuit):
     # amplitudes / probabilities
     # ------------------------------------------------------------------
 
+    #: above this qubit count the dense engine is bypassed for the einsum IR
+    _DENSE_MAX_QUBITS = 30
+
     def amplitude(self, l: Union[str, Sequence[int], Tensor]) -> Tensor:
-        r"""⟨l|psi⟩ for a basis string like ``"0101"`` (base-d, 0-9A-Z)."""
+        r"""⟨l|psi⟩ for a basis string like ``"0101"`` (base-d, 0-9A-Z).
+
+        Large circuits (n > 30) route through the lazy einsum IR with a
+        planned (optionally sliced) contraction instead of the dense state.
+        """
         if isinstance(l, str):
             l = [int(ch, 36) for ch in l]
+        if self._nqubits > self._DENSE_MAX_QUBITS:
+            from ..core import contractor as _ctr
+
+            return _ctr.contract_ir(self.amplitude_before(l))
         return statevec.amplitude(self.state(), l, self._d)
+
+    def amplitude_before(self, l: Union[str, Sequence[int]]) -> Any:
+        """Einsum IR of the ⟨l|C|0⟩ network (reference ``expectation_before``-style)."""
+        from ..core import einsum_ir as _eir
+
+        if isinstance(l, str):
+            l = [int(ch, 36) for ch in l]
+        return _eir.amplitude_ir(self._qir, self._nqubits, l, d=self._d)
+
+    def expectation_before(
+        self, *ops: Tuple[Any, Sequence[int]], enable_lightcone: bool = True
+    ) -> Any:
+        """Einsum IR of the ⟨psi|O|psi⟩ network (reference ``basecircuit.py:393-447``)."""
+        from ..core import einsum_ir as _eir
+
+        norm_ops = []
+        for op in ops:
+            o, wires = op
+            if isinstance(o, Gate):
+                o = o.tensor
+            if not hasattr(wires, "__len__"):
+                wires = [wires]
+            norm_ops.append((jnp.asarray(o), [int(w) % self._nqubits for w in wires]))
+        return _eir.expectation_ir(
+            self._qir, self._nqubits, norm_ops, d=self._d, lightcone=enable_lightcone
+        )
 
     def probability(self) -> Tensor:
         """Unnormalized probability vector |psi|^2 (length d^n)."""
@@ -298,6 +335,16 @@ class BaseCircuit(AbstractCircuit):
             if not hasattr(wires, "__len__"):
                 wires = [wires]
             norm_ops.append((jnp.asarray(o), [int(w) % self._nqubits for w in wires]))
+        if self._nqubits > self._DENSE_MAX_QUBITS:
+            # lazy einsum-IR path (wide shallow circuits): lightcone + planned
+            # contraction, never materializing the dense state
+            from ..core import contractor as _ctr
+            from ..core import einsum_ir as _eir
+
+            ir = _eir.expectation_ir(
+                self._qir, self._nqubits, norm_ops, d=self._d, lightcone=True
+            )
+            return _ctr.contract_ir(ir)
         if enable_lightcone:
             psi = self._lightcone_state([w for _, ws in norm_ops for w in ws])
             reuse = False

@@ -1,0 +1,199 @@
+"""Einsum IR, contraction, slicing, and distributed-contractor tests.
+
+Multi-device paths run on the 8 virtual CPU devices from conftest's
+``xla_force_host_platform_device_count`` (reference test strategy §4).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import tensorcircuit_ng_tpu as tc
+from tensorcircuit_ng_tpu.core import einsum_ir as eir
+from tensorcircuit_ng_tpu.core import contractor as ctr
+from tensorcircuit_ng_tpu.parallel import DistributedContractor, term_sharded_expectation
+
+
+def small_circuit(n, params=None):
+    c = tc.Circuit(n)
+    for i in range(n):
+        c.h(i)
+    for i in range(n - 1):
+        c.cnot(i, i + 1)
+    if params is not None:
+        for i in range(n):
+            c.rx(i, theta=params[i])
+    return c
+
+
+def test_amplitude_ir_matches_dense():
+    n = 6
+    c = small_circuit(n)
+    for bits in ["0" * n, "1" * n, "010101"]:
+        ir = c.amplitude_before(bits)
+        val = ctr.contract_ir(ir)
+        np.testing.assert_allclose(
+            np.asarray(val), np.asarray(c.amplitude(bits)), atol=1e-6
+        )
+
+
+def test_expectation_ir_matches_dense():
+    n = 6
+    params = jnp.asarray(np.random.default_rng(0).normal(size=n), dtype=jnp.float32)
+    c = small_circuit(n, params)
+    ir = c.expectation_before((tc.gates.z(), [0]), (tc.gates.z(), [1]))
+    val = ctr.contract_ir(ir)
+    np.testing.assert_allclose(
+        np.asarray(val), np.asarray(c.expectation_ps(z=[0, 1])), atol=1e-5
+    )
+
+
+def test_contraction_info():
+    n = 8
+    c = small_circuit(n)
+    info = ctr.contraction_info(c.amplitude_before("0" * n))
+    assert info["flops"] > 0
+    assert info["largest_intermediate"] >= 2
+
+
+def deep_circuit(n, depth, seed=1):
+    rng = np.random.default_rng(seed)
+    c = tc.Circuit(n)
+    for i in range(n):
+        c.h(i)
+    for l in range(depth):
+        for i in range(l % 2, n - 1, 2):
+            c.cnot(i, i + 1)
+        for i in range(n):
+            c.rx(i, theta=float(rng.normal()))
+    return c
+
+
+def test_sliced_contraction_matches_full():
+    n = 8
+    c = deep_circuit(n, 6)
+    ir = c.amplitude_before("0" * n)
+    full = ctr.contract_ir(ir)
+    sliced_idx = ctr.choose_slices(ir, target_size=2**4)
+    assert len(sliced_idx) >= 1
+    val = ctr.sliced_contract_ir(ir, sliced_idx)
+    np.testing.assert_allclose(np.asarray(val), np.asarray(full), atol=1e-5)
+    # empty slice set degenerates to the full contraction
+    val2 = ctr.sliced_contract_ir(ir, [])
+    np.testing.assert_allclose(np.asarray(val2), np.asarray(full), atol=1e-5)
+
+
+def test_large_n_amplitude_ghz():
+    # 40-qubit GHZ amplitude through the IR path (dense state impossible)
+    n = 40
+    c = tc.Circuit(n)
+    c.h(0)
+    for i in range(n - 1):
+        c.cnot(i, i + 1)
+    amp0 = c.amplitude("0" * n)
+    amp1 = c.amplitude("1" * n)
+    amp_mixed = c.amplitude("1" + "0" * (n - 1))
+    np.testing.assert_allclose(np.abs(np.asarray(amp0)), 1 / np.sqrt(2), atol=1e-5)
+    np.testing.assert_allclose(np.abs(np.asarray(amp1)), 1 / np.sqrt(2), atol=1e-5)
+    np.testing.assert_allclose(np.abs(np.asarray(amp_mixed)), 0.0, atol=1e-5)
+
+
+def test_large_n_expectation_lightcone():
+    n = 50
+    c = tc.Circuit(n)
+    for i in range(n):
+        c.rx(i, theta=0.1 * (i + 1))
+    for i in range(n - 1):
+        c.cnot(i, i + 1)
+    val = c.expectation_ps(z=[0])
+    np.testing.assert_allclose(np.real(np.asarray(val)), np.cos(0.1), atol=1e-5)
+
+
+def test_distributed_contractor_value_and_grad():
+    n = 8
+    devices = jax.devices()
+    assert len(devices) >= 8
+
+    def ir_fn(params):
+        c = small_circuit(n, params)
+        return c.expectation_before((tc.gates.z(), [0]), (tc.gates.z(), [1]))
+
+    params = jnp.asarray(np.random.default_rng(2).normal(size=n), dtype=jnp.float32)
+    dc = DistributedContractor(ir_fn, params, options={"target_size": 2**6})
+    rep = dc.report()
+    assert rep["devices"] == len(devices)
+    v = dc.value(params)
+    c = small_circuit(n, params)
+    expected = c.expectation_ps(z=[0, 1])
+    np.testing.assert_allclose(np.asarray(v), np.asarray(expected), atol=1e-5)
+    val, grad = dc.value_and_grad(params)
+    np.testing.assert_allclose(float(val), float(np.real(np.asarray(expected))), atol=1e-5)
+
+    def dense_loss(ps):
+        return jnp.real(small_circuit(n, ps).expectation_ps(z=[0, 1]))
+
+    g2 = jax.grad(dense_loss)(params)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(g2), atol=1e-4)
+
+
+def test_distributed_contractor_path_checkpoint(tmp_path):
+    n = 6
+
+    def ir_fn(params):
+        c = small_circuit(n, params)
+        return c.amplitude_before("0" * n)
+
+    params = jnp.asarray(np.zeros(n), dtype=jnp.float32)
+    dc = DistributedContractor(ir_fn, params, options={"target_size": 2**4})
+    fp = str(tmp_path / "tree.pkl")
+    dc.find_path(fp)
+    dc2 = DistributedContractor.from_path(fp, ir_fn, params)
+    v1 = dc.value(params)
+    v2 = dc2.value(params)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+
+
+def test_term_sharded_expectation():
+    n = 6
+    mesh = None  # default over all 8 cpu devices
+    ls, ws = [], []
+    for i in range(n - 1):
+        l = [0] * n
+        l[i] = 3
+        l[i + 1] = 3
+        ls.append(l)
+        ws.append(1.0)
+    for i in range(n):
+        l = [0] * n
+        l[i] = 1
+        ls.append(l)
+        ws.append(-1.0)
+    while len(ls) % 8 != 0:
+        ls.append([0] * n)
+        ws.append(0.0)
+
+    def state_fn(params):
+        c = tc.Circuit(n)
+        for i in range(n):
+            c.h(i)
+        for i in range(n):
+            c.rx(i, theta=params[i])
+        return c.state()
+
+    energy = term_sharded_expectation(state_fn, np.array(ls), np.array(ws))
+    params = jnp.asarray(np.random.default_rng(3).normal(size=n) * 0.3, dtype=jnp.float32)
+    e = energy(params)
+
+    # dense reference
+    c = tc.Circuit(n)
+    for i in range(n):
+        c.h(i)
+    for i in range(n):
+        c.rx(i, theta=params[i])
+    expected = 0.0
+    for i in range(n - 1):
+        expected += np.real(np.asarray(c.expectation_ps(z=[i, i + 1])))
+    for i in range(n):
+        expected += -np.real(np.asarray(c.expectation_ps(x=[i])))
+    np.testing.assert_allclose(float(e), expected, atol=1e-4)

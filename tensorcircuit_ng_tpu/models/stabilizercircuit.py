@@ -1,0 +1,283 @@
+"""``StabilizerCircuit``: Clifford simulator on the self-built tableau engine.
+
+Counterpart of reference ``stabilizercircuit.py`` which wraps stim (C++):
+gate-name forwarding (``:69-116``), measurement/sampling/expectation through
+the tableau (``:157-347``), entanglement entropy from GF(2) rank (``:406``),
+dense ``state()`` materialization (``:117-123``).  Here the engine is
+:mod:`tensorcircuit_ng_tpu.core.tableau` — no external C++ dependency.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .. import config
+from ..core.tableau import Tableau
+from .abstractcircuit import AbstractCircuit
+
+Tensor = Any
+
+__all__ = ["StabilizerCircuit"]
+
+#: gate name -> tableau method (reference ``gate_map`` ``stabilizercircuit.py:105``)
+_GATE_MAP = {
+    "h": "h",
+    "x": "x_gate",
+    "y": "y_gate",
+    "z": "z_gate",
+    "s": "s",
+    "sd": "sd",
+    "sdg": "sd",
+    "sx": "sx",
+    "cnot": "cnot",
+    "cx": "cnot",
+    "cz": "cz",
+    "cy": "cy",
+    "swap": "swap",
+    "iswap": "iswap",
+    "i": None,
+}
+
+
+class StabilizerCircuit(AbstractCircuit):
+    """Clifford-only circuit on the CHP tableau."""
+
+    is_stabilizer = True
+
+    def __init__(self, nqubits: int, inputs: Any = None, tableau_inputs: Optional[Tableau] = None) -> None:
+        super().__init__()
+        if inputs is not None:
+            raise ValueError("StabilizerCircuit does not take dense inputs")
+        self._nqubits = nqubits
+        self._d = 2
+        self._tab = tableau_inputs.copy() if tableau_inputs is not None else Tableau(nqubits)
+        self._measure_record: List[int] = []
+
+    def _copy_params(self) -> Dict[str, Any]:
+        return {"nqubits": self._nqubits}
+
+    def copy(self) -> "StabilizerCircuit":
+        c = StabilizerCircuit(self._nqubits)
+        c._tab = self._tab.copy()
+        c._qir = [dict(i) for i in self._qir]
+        c._measure_record = list(self._measure_record)
+        return c
+
+    # ------------------------------------------------------------------
+
+    def apply_general_gate(
+        self,
+        gate: Any,
+        *index: int,
+        name: Optional[str] = None,
+        split: Optional[Dict[str, Any]] = None,
+        mpo: bool = False,
+        ir_dict: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        gname = (name or "").lower()
+        gname = self.gate_aliases.get(gname, gname)
+        if gname not in _GATE_MAP:
+            raise ValueError(
+                f"gate {gname!r} is not Clifford / not supported by the tableau engine"
+            )
+        index = tuple(int(i) % self._nqubits for i in index)
+        if ir_dict is None:
+            ir_dict = {
+                "gatef": None,
+                "gate": gate,
+                "index": index,
+                "name": gname,
+                "split": None,
+                "mpo": False,
+            }
+        else:
+            ir_dict = dict(ir_dict)
+            ir_dict["index"] = index
+        self._qir.append(ir_dict)
+        meth = _GATE_MAP[gname]
+        if meth is not None:
+            getattr(self._tab, meth)(*index)
+
+    # named clifford applications without building matrices
+    def _apply_gate_instance(self, gatef, *index, name, split=None, **params):
+        if params:
+            raise ValueError("StabilizerCircuit takes no parameterized gates")
+        # broadcast over sequences like the dense engine
+        if index and hasattr(index[0], "__iter__"):
+            seqs = [list(i) for i in index]
+            for pos in range(len(seqs[0])):
+                self._apply_gate_instance(
+                    gatef, *(s[pos] for s in seqs), name=name, split=split
+                )
+            return
+        self.apply_general_gate(None, *index, name=name)
+
+    # ------------------------------------------------------------------
+    # measurement / sampling
+    # ------------------------------------------------------------------
+
+    def mid_measurement(self, index: int, keep: int = 0) -> None:
+        """Post-select qubit ``index`` on ``keep`` (reference ``mid_measurement``)."""
+        out = self._tab.measure(index, status=float(keep))
+        # post-selection: if the outcome was deterministic and != keep, the
+        # state is inconsistent with the projection
+        if out != keep:
+            raise ValueError(
+                "post-selected outcome has zero probability (deterministic mismatch)"
+            )
+
+    def cond_measurement(self, index: int, status: Optional[float] = None) -> int:
+        out = self._tab.measure(index, status=None if status is None else float(status))
+        self._measure_record.append(out)
+        return out
+
+    cond_measure = cond_measurement
+
+    def measure(self, *index: int, with_prob: bool = False, status: Optional[Sequence[float]] = None) -> Tuple[Any, float]:
+        """Measure listed qubits (collapse on a copy; the circuit is unchanged)."""
+        tab = self._tab.copy()
+        outs = []
+        p = 1.0
+        for k, q in enumerate(index):
+            st = None if status is None else float(np.asarray(status)[k])
+            before_random = any(tab.x[tab.n + i, q] for i in range(tab.n))
+            outs.append(tab.measure(q, status=st))
+            if before_random:
+                p *= 0.5
+        res = np.asarray(outs, dtype=np.int32)
+        if with_prob:
+            return res, p
+        return res, -1.0
+
+    measure_jit = measure
+
+    def sample(
+        self,
+        batch: Optional[int] = None,
+        allow_state: bool = False,
+        format: Optional[str] = None,
+        random_generator: Optional[Any] = None,
+        status: Optional[Tensor] = None,
+        **kws: Any,
+    ) -> Any:
+        nbatch = 1 if batch is None else batch
+        if status is None:
+            status = np.random.uniform(size=(nbatch, self._nqubits))
+        status = np.asarray(status)
+        samples = []
+        for b in range(nbatch):
+            res, p = self.measure(
+                *range(self._nqubits), with_prob=True, status=status[b]
+            )
+            samples.append(res)
+        samples = np.stack(samples)
+        if format is None:
+            if batch is None:
+                return samples[0], -1.0
+            return [(samples[b], -1.0) for b in range(nbatch)]
+        from .. import quantum as qu
+        import jax.numpy as jnp
+
+        idx = qu.sample_bin2int(jnp.asarray(samples), self._nqubits)
+        return qu.sample2all(idx, self._nqubits, format=format, jittable=False)
+
+    # ------------------------------------------------------------------
+    # expectation
+    # ------------------------------------------------------------------
+
+    def expectation_ps(
+        self,
+        x: Optional[Sequence[int]] = None,
+        y: Optional[Sequence[int]] = None,
+        z: Optional[Sequence[int]] = None,
+        ps: Optional[Sequence[int]] = None,
+        **kws: Any,
+    ) -> Tensor:
+        """Exact ⟨P⟩ via tableau peek (reference ``:249-287``)."""
+        import jax.numpy as jnp
+
+        if ps is not None:
+            x = [i for i, v in enumerate(ps) if v == 1]
+            y = [i for i, v in enumerate(ps) if v == 2]
+            z = [i for i, v in enumerate(ps) if v == 3]
+        val = self._tab.expectation_pauli(
+            tuple(x or ()), tuple(z or ()), tuple(y or ())
+        )
+        return jnp.asarray(float(val), dtype=jnp.dtype(config.rdtypestr()))
+
+    def expectation(self, *ops: Any, **kws: Any) -> Tensor:
+        raise NotImplementedError(
+            "StabilizerCircuit supports expectation_ps (Pauli strings) only"
+        )
+
+    def sample_expectation_ps(
+        self,
+        x: Optional[Sequence[int]] = None,
+        y: Optional[Sequence[int]] = None,
+        z: Optional[Sequence[int]] = None,
+        shots: Optional[int] = None,
+        status: Optional[Tensor] = None,
+        **kws: Any,
+    ) -> Tensor:
+        import jax.numpy as jnp
+
+        if shots is None:
+            return self.expectation_ps(x=x, y=y, z=z)
+        c = self.copy()
+        for q in x or ():
+            c.h(q)  # type: ignore
+        for q in y or ():
+            c.sd(q)  # type: ignore
+            c.h(q)  # type: ignore
+        wires = list(x or ()) + list(y or ()) + list(z or ())
+        if status is None:
+            status = np.random.uniform(size=(shots, self._nqubits))
+        acc = 0.0
+        for s in range(shots):
+            res, _ = c.measure(*wires, status=np.asarray(status)[s][: len(wires)])
+            acc += (-1.0) ** int(np.sum(res))
+        return jnp.asarray(acc / shots, dtype=jnp.dtype(config.rdtypestr()))
+
+    # ------------------------------------------------------------------
+    # state access / info
+    # ------------------------------------------------------------------
+
+    def state(self, form: str = "default") -> Tensor:
+        """Materialize the dense statevector by replaying the Clifford QIR."""
+        from .circuit import Circuit
+
+        c = Circuit(self._nqubits)
+        for item in self._qir:
+            gname = item["name"]
+            if gname == "i":
+                continue
+            getattr(c, gname)(*item["index"])
+        return c.state(form=form)
+
+    wavefunction = state
+
+    def entanglement_entropy(self, cut: Sequence[int]) -> float:
+        """Entropy of region ``cut`` from GF(2) rank (reference ``:406-495``)."""
+        return self._tab.entanglement_entropy(list(cut))
+
+    def get_tableau(self) -> Tableau:
+        return self._tab
+
+    def current_tableau(self) -> Tableau:
+        return self._tab
+
+    # convenience noise: random Pauli (for QEC-style circuits)
+    def depolarizing(self, *index: int, p: float = 0.0, status: Optional[Any] = None) -> None:
+        """Trajectory depolarizing: applies a random Pauli with prob p per qubit."""
+        rng_vals = (
+            np.asarray(status)
+            if status is not None
+            else np.random.uniform(size=len(index))
+        )
+        for k, q in enumerate(index):
+            r = float(np.asarray(rng_vals).reshape(-1)[k])
+            if r < p:
+                which = int(r / p * 3)  # uniform over x, y, z
+                [self._tab.x_gate, self._tab.y_gate, self._tab.z_gate][which](q)

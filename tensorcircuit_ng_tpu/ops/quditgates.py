@@ -1,0 +1,150 @@
+"""Qudit (d-level) gate matrices.
+
+Counterpart of reference ``quditgates.py:84-617``: clock-and-shift X/Z,
+generalized H (Fourier), two-level rotations rx/ry/rz, u8, cphase, csum.
+All functions return dense (d, d) or (d^2, d^2) jnp matrices at the active
+dtype and are jit/AD transparent in their angle parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import config
+
+Tensor = Any
+
+__all__ = [
+    "x_matrix_func",
+    "z_matrix_func",
+    "h_matrix_func",
+    "i_matrix_func",
+    "rx_matrix_func",
+    "ry_matrix_func",
+    "rz_matrix_func",
+    "phase_matrix_func",
+    "u8_matrix_func",
+    "cphase_matrix_func",
+    "csum_matrix_func",
+    "swap_matrix_func",
+]
+
+
+def _dt() -> Any:
+    return jnp.dtype(config.dtypestr())
+
+
+def i_matrix_func(d: int) -> Tensor:
+    return jnp.eye(d, dtype=_dt())
+
+
+def x_matrix_func(d: int) -> Tensor:
+    """Shift: X|j> = |j+1 mod d>."""
+    m = np.zeros((d, d))
+    for j in range(d):
+        m[(j + 1) % d, j] = 1.0
+    return jnp.asarray(m, dtype=_dt())
+
+
+def z_matrix_func(d: int) -> Tensor:
+    """Clock: Z|j> = w^j |j>, w = exp(2 pi i / d)."""
+    w = np.exp(2j * np.pi / d)
+    return jnp.asarray(np.diag(w ** np.arange(d)), dtype=_dt())
+
+
+def h_matrix_func(d: int) -> Tensor:
+    """Generalized Hadamard (quantum Fourier): H_{jk} = w^{jk}/sqrt(d)."""
+    w = np.exp(2j * np.pi / d)
+    j, k = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    return jnp.asarray(w ** (j * k) / np.sqrt(d), dtype=_dt())
+
+
+def _two_level(d: int, block: Tensor, j: int, k: int) -> Tensor:
+    m = jnp.eye(d, dtype=_dt())
+    m = m.at[j, j].set(block[0, 0])
+    m = m.at[j, k].set(block[0, 1])
+    m = m.at[k, j].set(block[1, 0])
+    m = m.at[k, k].set(block[1, 1])
+    return m
+
+
+def rx_matrix_func(d: int, theta: Any = 0, j: int = 0, k: int = 1) -> Tensor:
+    """Two-level rx rotation in the (j, k) subspace."""
+    theta = jnp.asarray(theta).astype(_dt())
+    c = jnp.cos(theta / 2)
+    s = -1j * jnp.sin(theta / 2)
+    block = jnp.stack([jnp.stack([c, s]), jnp.stack([s, c])])
+    return _two_level(d, block, j, k)
+
+
+def ry_matrix_func(d: int, theta: Any = 0, j: int = 0, k: int = 1) -> Tensor:
+    theta = jnp.asarray(theta).astype(_dt())
+    c = jnp.cos(theta / 2)
+    s = jnp.sin(theta / 2)
+    block = jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
+    return _two_level(d, block, j, k)
+
+
+def rz_matrix_func(d: int, theta: Any = 0, j: int = 0, k: int = 1) -> Tensor:
+    theta = jnp.asarray(theta).astype(_dt())
+    m = jnp.eye(d, dtype=_dt())
+    m = m.at[j, j].set(jnp.exp(-1j * theta / 2))
+    m = m.at[k, k].set(jnp.exp(1j * theta / 2))
+    return m
+
+
+def phase_matrix_func(d: int, theta: Any = 0, j: int = 1) -> Tensor:
+    """diag with exp(i theta) at level j."""
+    theta = jnp.asarray(theta).astype(_dt())
+    m = jnp.eye(d, dtype=_dt())
+    return m.at[j, j].set(jnp.exp(1j * theta))
+
+
+def u8_matrix_func(d: int, gamma: Any = 0, z: Any = 0, eps: Any = 0) -> Tensor:
+    """Qutrit U8 phase gate diag(w^{...}) (reference ``quditgates.py:u8``)."""
+    if d != 3:
+        raise ValueError("u8 gate is defined for qutrits (d=3)")
+    w = jnp.exp(jnp.asarray(2j * np.pi / 3).astype(_dt()))
+    gamma = jnp.asarray(gamma).astype(_dt())
+    z = jnp.asarray(z).astype(_dt())
+    eps = jnp.asarray(eps).astype(_dt())
+    diag = jnp.stack(
+        [jnp.ones((), dtype=_dt()), w**z * jnp.exp(1j * gamma), w ** (2 * z) * jnp.exp(1j * eps)]
+    )
+    return jnp.diag(diag)
+
+
+def cphase_matrix_func(d: int, cv: Optional[int] = None, theta: Any = None) -> Tensor:
+    """Controlled phase: |j,k> -> w^{jk}|j,k> (theta=None) or selective."""
+    if theta is None:
+        w = np.exp(2j * np.pi / d)
+        j, k = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        diag = (w ** (j * k)).reshape(-1)
+        return jnp.asarray(np.diag(diag), dtype=_dt())
+    theta = jnp.asarray(theta).astype(_dt())
+    cv = d - 1 if cv is None else cv
+    m = jnp.eye(d * d, dtype=_dt())
+    for t in range(d):
+        idx = cv * d + t
+        m = m.at[idx, idx].set(jnp.exp(1j * theta * t))
+    return m
+
+
+def csum_matrix_func(d: int) -> Tensor:
+    """Controlled sum (generalized CNOT): |j,k> -> |j, j+k mod d>."""
+    m = np.zeros((d * d, d * d))
+    for j in range(d):
+        for k in range(d):
+            m[j * d + (j + k) % d, j * d + k] = 1.0
+    return jnp.asarray(m, dtype=_dt())
+
+
+def swap_matrix_func(d: int) -> Tensor:
+    m = np.zeros((d * d, d * d))
+    for j in range(d):
+        for k in range(d):
+            m[k * d + j, j * d + k] = 1.0
+    return jnp.asarray(m, dtype=_dt())

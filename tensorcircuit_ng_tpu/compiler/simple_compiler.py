@@ -1,0 +1,150 @@
+"""Native compiler passes on QIR (reference ``compiler/simple_compiler.py``).
+
+Passes: identity pruning (``:17-80``), adjacent-gate merging on equal
+supports (``:81-200``), u-gate replacement by rz/ry/rz (``:201-260``), and
+the ``simple_compile`` fixpoint loop (``:261-316``).  All passes are
+QIR→QIR; parameters must be concrete (compilation is a host-side step).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["prune_pass", "merge_pass", "replace_u_pass", "simple_compile"]
+
+
+def _gate_matrix(item: Dict[str, Any]) -> np.ndarray:
+    g = item["gate"]
+    m = np.asarray(g.matrix() if hasattr(g, "matrix") else g)
+    dim = int(round(math.sqrt(m.size)))
+    return m.reshape(dim, dim)
+
+
+def _is_identity(m: np.ndarray, atol: float = 1e-6) -> bool:
+    d = m.shape[0]
+    phase = m[0, 0]
+    if abs(abs(phase) - 1.0) > atol:
+        return False
+    return bool(np.allclose(m, phase * np.eye(d), atol=atol))
+
+
+def prune_pass(qir: List[Dict[str, Any]], atol: float = 1e-6) -> List[Dict[str, Any]]:
+    """Drop gates that are (global-phase) identity."""
+    out = []
+    for item in qir:
+        try:
+            if _is_identity(_gate_matrix(item), atol):
+                continue
+        except Exception:
+            pass
+        out.append(item)
+    return out
+
+
+def merge_pass(qir: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    """Merge neighboring gates acting on identical qubit supports.
+
+    Special-cases same-name rotation merging (theta addition) to keep the
+    gate names hardware-friendly; otherwise merges into one ``any`` matrix.
+    """
+    from ..ops.gates import Gate
+
+    out: List[Dict[str, Any]] = []
+    for item in qir:
+        if out:
+            prev = out[-1]
+            if tuple(prev["index"]) == tuple(item["index"]):
+                pn, cn = prev.get("name"), item.get("name")
+                if (
+                    pn == cn
+                    and pn in ("rx", "ry", "rz", "rzz", "rxx", "ryy", "phase", "cphase")
+                    and "parameters" in prev
+                    and "parameters" in item
+                ):
+                    theta = float(np.real(np.asarray(prev["parameters"].get("theta", 0)))) + float(
+                        np.real(np.asarray(item["parameters"].get("theta", 0)))
+                    )
+                    from ..ops import gates as gates_mod
+
+                    gatef = gates_mod.GATES[pn]
+                    out[-1] = {
+                        "gatef": gatef,
+                        "gate": gatef(theta=theta),
+                        "index": prev["index"],
+                        "name": pn,
+                        "parameters": {"theta": theta},
+                        "split": None,
+                        "mpo": False,
+                    }
+                    continue
+                try:
+                    m = _gate_matrix(item) @ _gate_matrix(prev)
+                    out[-1] = {
+                        "gatef": None,
+                        "gate": Gate(m, name="any"),
+                        "index": prev["index"],
+                        "name": "any",
+                        "split": None,
+                        "mpo": False,
+                    }
+                    continue
+                except Exception:
+                    pass
+        out.append(item)
+    return out
+
+
+def replace_u_pass(qir: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    """Rewrite u(θ, φ, λ) into rz(φ) ry(θ) rz(λ) (up to global phase)."""
+    from ..ops import gates as gates_mod
+
+    out = []
+    for item in qir:
+        if (item.get("name") or "").lower() == "u" and "parameters" in item:
+            p = item["parameters"]
+            theta = float(np.real(np.asarray(p.get("theta", 0))))
+            phi = float(np.real(np.asarray(p.get("phi", 0))))
+            lbd = float(np.real(np.asarray(p.get("lbd", 0))))
+            q = item["index"]
+            for name, val in (("rz", lbd), ("ry", theta), ("rz", phi)):
+                gatef = gates_mod.GATES[name]
+                out.append(
+                    {
+                        "gatef": gatef,
+                        "gate": gatef(theta=val),
+                        "index": q,
+                        "name": name,
+                        "parameters": {"theta": val},
+                        "split": None,
+                        "mpo": False,
+                    }
+                )
+        else:
+            out.append(item)
+    return out
+
+
+def simple_compile(
+    circuit: Any,
+    info: Optional[Dict[str, Any]] = None,
+    output: str = "circuit",
+    compiled_options: Optional[Dict[str, Any]] = None,
+) -> Any:
+    """Fixpoint pass loop (reference ``simple_compile`` ``:261-316``)."""
+    qir = list(circuit.to_qir())
+    for _ in range(20):
+        new = replace_u_pass(qir)
+        new = merge_pass(new)
+        new = prune_pass(new)
+        if len(new) == len(qir):
+            qir = new
+            break
+        qir = new
+    new_c = type(circuit)(**circuit._copy_params())
+    new_c.append_from_qir(qir)
+    if output == "qir":
+        return qir
+    return new_c, info or {}

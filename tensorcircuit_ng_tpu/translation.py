@@ -1,0 +1,334 @@
+"""Circuit interop: OpenQASM 2, JSON, qiskit/cirq (optional), perm matrices.
+
+Counterpart of reference ``translation.py``: QIR↔JSON with a tensor codec
+(``:602-721``), OpenQASM (own text emitter/parser — qiskit is not vendored
+in this image), ``qir2qiskit``/``qiskit2tc``/``qir2cirq`` behind optional
+imports (``:221, :434, :119``), wire-order ``perm_matrix`` (``:63``).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Tensor = Any
+
+__all__ = [
+    "perm_matrix",
+    "qir2json",
+    "json2qir",
+    "circuit_to_json",
+    "circuit_from_json",
+    "qir2qasm",
+    "qasm2tc",
+    "circuit_to_qasm",
+    "circuit_from_qasm",
+    "qir2qiskit",
+    "qiskit2tc",
+    "qir2cirq",
+]
+
+
+def perm_matrix(n: int) -> np.ndarray:
+    """Bit-reversal permutation matrix (little- vs big-endian wire order)."""
+    dim = 2**n
+    p = np.zeros((dim, dim))
+    for i in range(dim):
+        rev = int(format(i, f"0{n}b")[::-1], 2)
+        p[rev, i] = 1.0
+    return p
+
+
+# ------------------------------------------------------------------
+# JSON codec (reference translation.py:602-721)
+# ------------------------------------------------------------------
+
+
+def _tensor_to_json(t: Any) -> Dict[str, Any]:
+    a = np.asarray(t)
+    return {
+        "shape": list(a.shape),
+        "dtype": str(a.dtype),
+        "real": np.real(a).reshape(-1).tolist(),
+        "imag": np.imag(a).reshape(-1).tolist(),
+    }
+
+
+def _tensor_from_json(d: Dict[str, Any]) -> np.ndarray:
+    re_ = np.asarray(d["real"], dtype=np.float64)
+    im = np.asarray(d["imag"], dtype=np.float64)
+    a = (re_ + 1j * im).reshape(d["shape"])
+    return a
+
+
+def qir2json(qir: Sequence[Dict[str, Any]], simplified: bool = False) -> List[Dict[str, Any]]:
+    """Serialize QIR into plain JSON-compatible dicts."""
+    out = []
+    for item in qir:
+        entry: Dict[str, Any] = {
+            "name": item.get("name", "any"),
+            "index": list(item["index"]),
+        }
+        params = item.get("parameters", {})
+        jparams = {}
+        for k, v in params.items():
+            if hasattr(v, "shape") and np.asarray(v).ndim > 0:
+                jparams[k] = _tensor_to_json(v)
+            elif hasattr(v, "item") or isinstance(v, (int, float, complex)):
+                vv = complex(np.asarray(v))
+                jparams[k] = [vv.real, vv.imag]
+            else:
+                jparams[k] = v
+        if jparams:
+            entry["parameters"] = jparams
+        if not simplified and item.get("gatef") is None and item.get("gate") is not None:
+            entry["gate_tensor"] = _tensor_to_json(item["gate"].tensor)
+        out.append(entry)
+    return out
+
+
+def json2qir(data: Sequence[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    """Deserialize; returns QIR-shaped dicts consumable by append_from_qir."""
+    from .ops import gates as gates_mod
+    from .ops.gates import Gate
+
+    qir = []
+    for entry in data:
+        name = entry["name"]
+        params = {}
+        for k, v in entry.get("parameters", {}).items():
+            if isinstance(v, dict) and "shape" in v:
+                params[k] = _tensor_from_json(v)
+            elif isinstance(v, list) and len(v) == 2:
+                params[k] = v[0] if v[1] == 0 else complex(v[0], v[1])
+            else:
+                params[k] = v
+        item: Dict[str, Any] = {
+            "index": tuple(entry["index"]),
+            "name": name,
+            "split": None,
+            "mpo": False,
+        }
+        if "gate_tensor" in entry:
+            item["gatef"] = None
+            item["gate"] = Gate(
+                np.asarray(_tensor_from_json(entry["gate_tensor"])), name=name
+            )
+        else:
+            item["gatef"] = gates_mod.GATES.get(name)
+            item["parameters"] = params
+            if item["gatef"] is None:
+                raise ValueError(f"unknown gate {name!r} without tensor payload")
+        qir.append(item)
+    return qir
+
+
+def circuit_to_json(c: Any, simplified: bool = False, as_str: bool = True) -> Any:
+    payload = {
+        "nqubits": c.nqubits,
+        "qir": qir2json(c.to_qir(), simplified=simplified),
+    }
+    return json.dumps(payload) if as_str else payload
+
+
+def circuit_from_json(data: Any, circuit_class: Optional[Any] = None) -> Any:
+    from .models.circuit import Circuit
+
+    if isinstance(data, str):
+        data = json.loads(data)
+    cls = circuit_class or Circuit
+    c = cls(data["nqubits"])
+    c.append_from_qir(json2qir(data["qir"]))
+    return c
+
+
+# ------------------------------------------------------------------
+# OpenQASM 2 (own emitter/parser; no qiskit dependency)
+# ------------------------------------------------------------------
+
+_QASM_EMIT = {
+    "h": "h",
+    "x": "x",
+    "y": "y",
+    "z": "z",
+    "s": "s",
+    "sd": "sdg",
+    "t": "t",
+    "td": "tdg",
+    "sx": "sx",
+    "cnot": "cx",
+    "cx": "cx",
+    "cy": "cy",
+    "cz": "cz",
+    "swap": "swap",
+    "toffoli": "ccx",
+    "ccx": "ccx",
+    "fredkin": "cswap",
+    "i": "id",
+}
+
+_QASM_PARAM = {
+    "rx": ("rx", ["theta"]),
+    "ry": ("ry", ["theta"]),
+    "rz": ("rz", ["theta"]),
+    "phase": ("p", ["theta"]),
+    "cphase": ("cp", ["theta"]),
+    "crx": ("crx", ["theta"]),
+    "cry": ("cry", ["theta"]),
+    "crz": ("crz", ["theta"]),
+    "rxx": ("rxx", ["theta"]),
+    "ryy": ("ryy", ["theta"]),
+    "rzz": ("rzz", ["theta"]),
+    "u": ("u", ["theta", "phi", "lbd"]),
+}
+
+
+def qir2qasm(qir: Sequence[Dict[str, Any]], n: int) -> str:
+    """Emit OpenQASM 2.0 text from QIR."""
+    lines = [
+        "OPENQASM 2.0;",
+        'include "qelib1.inc";',
+        f"qreg q[{n}];",
+    ]
+    for item in qir:
+        name = (item.get("name") or "any").lower()
+        idx = ",".join(f"q[{i}]" for i in item["index"])
+        if name in _QASM_EMIT:
+            lines.append(f"{_QASM_EMIT[name]} {idx};")
+        elif name in _QASM_PARAM:
+            qname, pnames = _QASM_PARAM[name]
+            params = item.get("parameters", {})
+            vals = []
+            for p in pnames:
+                v = params.get(p, 0.0)
+                vals.append(repr(float(np.real(np.asarray(v)))))
+            lines.append(f"{qname}({','.join(vals)}) {idx};")
+        else:
+            raise ValueError(f"gate {name!r} has no OpenQASM 2 representation")
+    return "\n".join(lines) + "\n"
+
+
+def circuit_to_qasm(c: Any) -> str:
+    return qir2qasm(c.to_qir(), c.nqubits)
+
+
+_QASM_IMPORT = {v: k for k, v in _QASM_EMIT.items()}
+_QASM_IMPORT.update({"id": "i", "cx": "cnot", "p": "phase", "cp": "cphase", "u3": "u", "u": "u"})
+_QASM_PARAM_IMPORT = {v[0]: (k, v[1]) for k, v in _QASM_PARAM.items()}
+_QASM_PARAM_IMPORT["u3"] = ("u", ["theta", "phi", "lbd"])
+
+
+def qasm2tc(qasm: str, circuit_class: Optional[Any] = None) -> Any:
+    """Parse an OpenQASM 2.0 subset into a circuit (reference ``qiskit2tc`` role)."""
+    from .models.circuit import Circuit
+
+    cls = circuit_class or Circuit
+    n = None
+    ops: List[Tuple[str, List[float], List[int]]] = []
+    for raw in qasm.splitlines():
+        line = raw.split("//")[0].strip()
+        if not line or line.startswith(("OPENQASM", "include")):
+            continue
+        m = re.match(r"qreg\s+(\w+)\[(\d+)\]", line)
+        if m:
+            n = int(m.group(2))
+            continue
+        if line.startswith(("creg", "barrier", "measure")):
+            continue
+        m = re.match(r"(\w+)\s*(\(([^)]*)\))?\s+(.*);", line)
+        if not m:
+            continue
+        gname = m.group(1)
+        params = (
+            [float(_eval_qasm_expr(x)) for x in m.group(3).split(",")]
+            if m.group(3)
+            else []
+        )
+        qubits = [int(x) for x in re.findall(r"\[(\d+)\]", m.group(4))]
+        ops.append((gname, params, qubits))
+    if n is None:
+        n = max((max(q) for _, _, q in ops if q), default=-1) + 1
+    c = cls(n)
+    for gname, params, qubits in ops:
+        if params:
+            tc_name, pnames = _QASM_PARAM_IMPORT[gname]
+            kwargs = dict(zip(pnames, params))
+            getattr(c, tc_name)(*qubits, **kwargs)
+        else:
+            tc_name = _QASM_IMPORT.get(gname, gname)
+            getattr(c, tc_name)(*qubits)
+    return c
+
+
+circuit_from_qasm = qasm2tc
+
+
+def _eval_qasm_expr(expr: str) -> float:
+    expr = expr.strip().replace("pi", repr(math.pi))
+    allowed = set("0123456789.+-*/() e")
+    if not set(expr) <= allowed:
+        raise ValueError(f"disallowed characters in QASM expression {expr!r}")
+    return float(eval(expr, {"__builtins__": {}}, {}))  # noqa: S307 - sanitized
+
+
+# ------------------------------------------------------------------
+# qiskit / cirq (optional dependencies)
+# ------------------------------------------------------------------
+
+
+def qir2qiskit(qir: Sequence[Dict[str, Any]], n: int) -> Any:
+    """QIR -> qiskit.QuantumCircuit (requires qiskit installed)."""
+    try:
+        from qiskit import QuantumCircuit  # type: ignore
+        from qiskit.qasm2 import loads  # type: ignore
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("qiskit is not installed in this environment") from e
+    return loads(qir2qasm(qir, n))
+
+
+def qiskit2tc(qc: Any, circuit_class: Optional[Any] = None) -> Any:
+    """qiskit.QuantumCircuit -> circuit (via OpenQASM 2 text)."""
+    try:
+        from qiskit.qasm2 import dumps  # type: ignore
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("qiskit is not installed in this environment") from e
+    return qasm2tc(dumps(qc), circuit_class)
+
+
+def qir2cirq(qir: Sequence[Dict[str, Any]], n: int) -> Any:
+    """QIR -> cirq.Circuit (requires cirq installed)."""
+    try:
+        import cirq  # type: ignore
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("cirq is not installed in this environment") from e
+    qubits = cirq.LineQubit.range(n)
+    ops = []
+    gate_map = {
+        "h": cirq.H,
+        "x": cirq.X,
+        "y": cirq.Y,
+        "z": cirq.Z,
+        "s": cirq.S,
+        "t": cirq.T,
+        "cnot": cirq.CNOT,
+        "cz": cirq.CZ,
+        "swap": cirq.SWAP,
+        "toffoli": cirq.TOFFOLI,
+    }
+    for item in qir:
+        name = (item.get("name") or "").lower()
+        idx = [qubits[i] for i in item["index"]]
+        params = item.get("parameters", {})
+        if name in gate_map:
+            ops.append(gate_map[name](*idx))
+        elif name in ("rx", "ry", "rz"):
+            th = float(np.real(np.asarray(params.get("theta", 0))))
+            ops.append(getattr(cirq, name)(th)(*idx))
+        else:
+            m = np.asarray(item["gate"].matrix())
+            ops.append(cirq.MatrixGate(m)(*idx))
+    return cirq.Circuit(ops)

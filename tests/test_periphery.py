@@ -1,0 +1,247 @@
+"""Periphery tests: translation, compiler, results, cloud, vis, layers, symbolic."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import tensorcircuit_ng_tpu as tc
+from tensorcircuit_ng_tpu import translation, utils
+from tensorcircuit_ng_tpu.compiler import simple_compile, default_compile
+from tensorcircuit_ng_tpu.results import counts as counts_mod
+from tensorcircuit_ng_tpu.results.readout_mitigation import ReadoutMit
+
+
+def sample_circuit():
+    c = tc.Circuit(3)
+    c.h(0)
+    c.rx(1, theta=0.5)
+    c.cnot(0, 1)
+    c.rzz(1, 2, theta=0.3)
+    c.u(2, theta=0.2, phi=0.1, lbd=0.4)
+    return c
+
+
+def test_json_roundtrip():
+    c = sample_circuit()
+    s = translation.circuit_to_json(c)
+    c2 = translation.circuit_from_json(s)
+    np.testing.assert_allclose(np.asarray(c2.state()), np.asarray(c.state()), atol=1e-5)
+
+
+def test_qasm_roundtrip():
+    c = sample_circuit()
+    qasm = translation.circuit_to_qasm(c)
+    assert "OPENQASM 2.0" in qasm
+    c2 = translation.qasm2tc(qasm)
+    np.testing.assert_allclose(
+        np.abs(np.vdot(np.asarray(c2.state()), np.asarray(c.state()))), 1.0, atol=1e-5
+    )
+
+
+def test_qasm_parse_expressions():
+    qasm = """OPENQASM 2.0;
+include "qelib1.inc";
+qreg q[2];
+h q[0];
+rz(pi/2) q[1];
+cx q[0],q[1];
+"""
+    c = translation.qasm2tc(qasm)
+    assert c.nqubits == 2
+    assert c.gate_count() == 3
+
+
+def test_perm_matrix():
+    p = translation.perm_matrix(2)
+    # |01> (int 1) <-> |10> (int 2)
+    v = np.zeros(4)
+    v[1] = 1
+    np.testing.assert_allclose(p @ v, np.eye(4)[2], atol=1e-9)
+
+
+def test_simple_compile_merge_prune():
+    c = tc.Circuit(2)
+    c.rz(0, theta=0.3)
+    c.rz(0, theta=-0.3)  # cancels
+    c.rx(1, theta=0.2)
+    c.rx(1, theta=0.3)  # merges to 0.5
+    c.cnot(0, 1)
+    cc, info = simple_compile(c)
+    assert cc.gate_count() == 2
+    np.testing.assert_allclose(
+        np.abs(np.vdot(np.asarray(cc.state()), np.asarray(c.state()))), 1.0, atol=1e-5
+    )
+
+
+def test_default_compile_u_replacement():
+    c = tc.Circuit(1)
+    c.u(0, theta=0.7, phi=0.2, lbd=0.9)
+    cc, info = default_compile(c)
+    assert "logical_physical_mapping" in info
+    np.testing.assert_allclose(
+        np.abs(np.vdot(np.asarray(cc.state()), np.asarray(c.state()))), 1.0, atol=1e-5
+    )
+
+
+def test_counts_toolbox():
+    cnt = {"00": 50, "01": 25, "11": 25}
+    m = counts_mod.marginal_count(cnt, [1])
+    assert m == {"0": 50, "1": 50}
+    v = counts_mod.count2vec(cnt)
+    np.testing.assert_allclose(v, [0.5, 0.25, 0, 0.25])
+    back = counts_mod.vec2count(v * 100, prune=True)
+    assert back["00"] == 50
+    e = counts_mod.expectation(cnt, z=[0])
+    np.testing.assert_allclose(e, 0.5 + 0.25 - 0.25, atol=1e-9)
+    assert counts_mod.kl_divergence(cnt, cnt) < 1e-6
+
+
+def test_readout_mitigation_local():
+    # fake noisy executor: apply known confusion to ideal counts
+    p01, p10 = 0.1, 0.05  # P(read 1|0), P(read 0|1)
+
+    def execute(circuits, shots):
+        out = []
+        for c in circuits:
+            p = np.asarray(c.probability())
+            p = p / p.sum()
+            pt = p.reshape([2] * c.nqubits)
+            m = np.array([[1 - p01, p10], [p01, 1 - p10]])
+            for q in range(c.nqubits):
+                pt = np.tensordot(m, pt, axes=[[1], [q]])
+                pt = np.moveaxis(pt, 0, q)
+            pflat = pt.reshape(-1)
+            cnt = {}
+            for i, pi in enumerate(pflat):
+                if pi > 1e-9:
+                    cnt[format(i, f"0{c.nqubits}b")] = int(round(pi * shots))
+            out.append(cnt)
+        return out
+
+    mit = ReadoutMit(execute)
+    mit.cals_from_system(2, shots=100000, method="local")
+    # bell state measured with readout error
+    c = tc.Circuit(2)
+    c.h(0)
+    c.cnot(0, 1)
+    raw = execute([c], 100000)[0]
+    raw_e = counts_mod.expectation(raw, z=[0, 1])
+    mit_e = mit.expectation(raw, z=[0, 1], method="inverse")
+    assert abs(mit_e - 1.0) < 0.02
+    assert abs(raw_e - 1.0) > 0.1
+    mit_e2 = mit.expectation(raw, z=[0, 1], method="square")
+    assert abs(mit_e2 - 1.0) < 0.02
+    mit_e3 = mit.expectation(raw, z=[0, 1], method="M3")
+    assert abs(mit_e3 - 1.0) < 0.05
+
+
+def test_cloud_local_provider():
+    from tensorcircuit_ng_tpu import cloud
+
+    cloud.set_provider("local")
+    cloud.set_device("default")
+    c = tc.Circuit(2)
+    c.h(0)
+    c.cnot(0, 1)
+    t = cloud.submit_task(circuit=c, shots=100)
+    res = t.results()
+    assert sum(res.values()) == 100
+    assert set(res.keys()) <= {"00", "11"}
+    devices = cloud.list_devices()
+    assert len(devices) >= 1
+
+
+def test_batch_expectation_ps_local_exact_vs_device():
+    from tensorcircuit_ng_tpu.cloud.wrapper import batch_expectation_ps
+
+    c = tc.Circuit(2)
+    c.h(0)
+    c.cnot(0, 1)
+    pss = [[3, 3], [1, 1], [3, 0]]
+    exact = batch_expectation_ps(c, pss, device=None)
+    np.testing.assert_allclose(exact, [1.0, 1.0, 0.0], atol=1e-5)
+    sampled = batch_expectation_ps(c, pss, device="local::default", shots=4096, with_rem=False)
+    np.testing.assert_allclose(sampled, [1.0, 1.0, 0.0], atol=0.1)
+
+
+def test_vis_tex_and_draw():
+    from tensorcircuit_ng_tpu import vis
+
+    c = sample_circuit()
+    tex = vis.circuit_to_tex(c)
+    assert "quantikz" in tex and "targ" in tex
+    txt = vis.draw(c)
+    assert "q0" in txt
+
+
+def test_about():
+    report = tc.about()
+    assert "Jax version" in report
+
+
+def test_utils_benchmark_and_alias():
+    f = jax.jit(lambda x: jnp.sum(x * x))
+    out, staging, running = utils.benchmark(f, jnp.ones(16), verbose=False)
+    assert staging >= running
+
+    @utils.arg_alias(alias_dict={"theta": ["angle"]})
+    def g(theta=0.0):
+        return theta
+
+    assert g(angle=1.5) == 1.5
+
+
+def test_symbol_circuit():
+    import sympy as sp
+
+    th = sp.Symbol("theta", real=True)
+    c = tc.SymbolCircuit(2)
+    c.rx(0, theta=th)
+    expr = c.expectation_ps(z=[0])
+    np.testing.assert_allclose(complex(expr.subs({th: 0.8})).real, np.cos(0.8), atol=1e-8)
+    cc = c.to_circuit({th: 0.8})
+    np.testing.assert_allclose(
+        float(np.real(np.asarray(cc.expectation_ps(z=[0])))), np.cos(0.8), atol=1e-6
+    )
+
+
+def test_flax_quantum_layer():
+    flax = pytest.importorskip("flax")
+    n = 2
+
+    def f(w, x):
+        c = tc.Circuit(n)
+        c.rx(0, theta=w[0] + x[0])
+        c.rx(1, theta=w[1] + x[1])
+        return jnp.real(c.expectation_ps(z=[0]))
+
+    from tensorcircuit_ng_tpu.keras import QuantumLayer
+
+    layer = QuantumLayer(f=f, weights_shape=(n,))
+    params = layer.init(jax.random.PRNGKey(0), jnp.zeros(n))
+    y = layer.apply(params, jnp.asarray([0.1, 0.2]))
+    assert np.isfinite(float(y))
+    g = jax.grad(lambda p, x: layer.apply(p, x))(params, jnp.asarray([0.1, 0.2]))
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_torch_quantum_net():
+    torch = pytest.importorskip("torch")
+    n = 2
+
+    def f(w):
+        c = tc.Circuit(n)
+        c.rx(0, theta=w[0])
+        c.rx(1, theta=w[1])
+        c.cnot(0, 1)
+        return jnp.real(c.expectation_ps(z=[1]))
+
+    from tensorcircuit_ng_tpu.torchnn import QuantumNet
+
+    net = QuantumNet(f, weights_shape=(n,))
+    y = net()
+    y.backward()
+    for p in net.parameters():
+        assert p.grad is not None

@@ -1,0 +1,185 @@
+"""ctypes bindings for native (C++) components.
+
+The reference rides on external native engines for contraction-path search
+(kahypar, omeco — SURVEY.md §2.6); here the equivalent is an in-repo C++
+simulated-annealing tree optimizer (``native/treesa.cpp``) compiled on first
+use with g++ and loaded via ctypes.  Falls back gracefully when no compiler
+is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import math
+import os
+import subprocess
+import tempfile
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["treesa_available", "treesa_path", "TreeSAOptimizer"]
+
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_TRIED = False
+
+
+def _native_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+
+
+def _build_lib() -> Optional[str]:
+    src = os.path.join(_native_dir(), "treesa.cpp")
+    out = os.path.join(_native_dir(), "libtreesa.so")
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", out, src],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return out
+    except (OSError, subprocess.SubprocessError) as e:
+        logger.warning("treesa native build failed: %s", e)
+        return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    path = _build_lib()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.treesa_optimize.restype = ctypes.c_double
+    lib.treesa_optimize.argtypes = [
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def treesa_available() -> bool:
+    return _load() is not None
+
+
+def treesa_path(
+    inputs: Sequence[Sequence[Any]],
+    output: Sequence[Any],
+    size_dict: dict,
+    n_iters: int = 2000,
+    t0: float = 10.0,
+    t1: float = 0.05,
+    size_weight: float = 0.6,
+    seed: int = 42,
+) -> List[Tuple[int, int]]:
+    """SA-optimized contraction path in linear (opt_einsum) format."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native treesa library unavailable (no g++?)")
+    ids = sorted({i for inp in inputs for i in inp} | set(output))
+    id2pos = {x: k for k, x in enumerate(ids)}
+    flat: List[int] = []
+    offsets = [0]
+    for inp in inputs:
+        flat.extend(id2pos[i] for i in inp)
+        offsets.append(len(flat))
+    out_inds = [id2pos[i] for i in output]
+    log2_sizes = [math.log2(size_dict[i]) for i in ids]
+
+    n = len(inputs)
+    flat_a = (ctypes.c_int * max(len(flat), 1))(*flat)
+    off_a = (ctypes.c_int * len(offsets))(*offsets)
+    out_a = (ctypes.c_int * max(len(out_inds), 1))(*out_inds)
+    sz_a = (ctypes.c_double * len(log2_sizes))(*log2_sizes)
+    path_a = (ctypes.c_int * (2 * (n - 1)))()
+    score = lib.treesa_optimize(
+        n,
+        len(ids),
+        flat_a,
+        off_a,
+        out_a,
+        len(out_inds),
+        sz_a,
+        int(n_iters),
+        float(t0),
+        float(t1),
+        float(size_weight),
+        int(seed),
+        path_a,
+    )
+    if score < 0:
+        raise RuntimeError("treesa optimization failed")
+    ssa = [(path_a[2 * k], path_a[2 * k + 1]) for k in range(n - 1)]
+    return _ssa_to_linear(ssa, n)
+
+
+def _ssa_to_linear(ssa: List[Tuple[int, int]], n: int) -> List[Tuple[int, int]]:
+    """Convert SSA-id pairs to opt_einsum linear path (positions in live list)."""
+    ids = list(range(n))
+    out = []
+    next_ssa = n
+    for a, b in ssa:
+        ia = ids.index(a)
+        ib = ids.index(b)
+        if ia > ib:
+            ia, ib = ib, ia
+        out.append((ia, ib))
+        ids.pop(ib)
+        ids.pop(ia)
+        ids.append(next_ssa)
+        next_ssa += 1
+    return out
+
+
+try:
+    from opt_einsum.paths import PathOptimizer as _OEPathOptimizer
+except ImportError:  # pragma: no cover
+    _OEPathOptimizer = object  # type: ignore
+
+
+class TreeSAOptimizer(_OEPathOptimizer):
+    """opt_einsum-compatible path optimizer backed by the C++ SA engine.
+
+    Plug in anywhere an ``optimize=`` argument is accepted, or via
+    ``tc.set_contractor("custom", optimizer=TreeSAOptimizer())``.
+    """
+
+    def __init__(self, n_iters: int = 2000, size_weight: float = 0.6, seed: int = 42):
+        self.n_iters = n_iters
+        self.size_weight = size_weight
+        self.seed = seed
+
+    def __call__(self, inputs, output, size_dict, memory_limit=None):
+        # opt_einsum passes inputs as list of frozensets/strs of symbols
+        inputs = [sorted(inp) for inp in inputs]
+        output = sorted(output)
+        if len(inputs) == 1:
+            return [(0,)]
+        return treesa_path(
+            inputs,
+            output,
+            size_dict,
+            n_iters=self.n_iters,
+            size_weight=self.size_weight,
+            seed=self.seed,
+        )

@@ -28,6 +28,12 @@ Tensor = Any
 __all__ = ["BaseCircuit"]
 
 
+#: gates applied via the diagonal fast path (broadcast multiply, no matmul)
+_DIAGONAL_GATES = frozenset(
+    ["z", "s", "sd", "t", "td", "rz", "rzz", "cz", "cphase", "phase", "mid_measurement"]
+)
+
+
 class BaseCircuit(AbstractCircuit):
     is_dm = False
 
@@ -82,14 +88,24 @@ class BaseCircuit(AbstractCircuit):
         else:
             ir_dict = dict(ir_dict)
             ir_dict["index"] = index
+        if (ir_dict.get("name") or "").lower() in _DIAGONAL_GATES:
+            ir_dict["diagonal"] = True
         self._qir.append(ir_dict)
         self._state_cache = None  # invalidate (reference basecircuit.py:371)
 
     def _compute_state(self) -> Tensor:
         psi = self._initial_state()
         for item in self._qir:
-            psi = statevec.apply_unitary(psi, item["gate"].tensor, item["index"], self._d)
+            psi = self._apply_item(psi, item)
         return psi
+
+    def _apply_item(self, psi: Tensor, item: Dict[str, Any]) -> Tensor:
+        k = len(item["index"])
+        if item.get("diagonal"):
+            dim = self._d**k
+            diag = jnp.diagonal(jnp.reshape(item["gate"].tensor, (dim, dim)))
+            return statevec.apply_diagonal(psi, diag, item["index"], self._d)
+        return statevec.apply_unitary(psi, item["gate"].tensor, item["index"], self._d)
 
     def state(self, form: str = "default", reuse: bool = True) -> Tensor:
         """The output state (flat); cached until the next gate application.
@@ -372,7 +388,7 @@ class BaseCircuit(AbstractCircuit):
     def _lightcone_state(self, obs_wires: Sequence[int]) -> Tensor:
         psi = self._initial_state()
         for item in self._lightcone_qir(obs_wires):
-            psi = statevec.apply_unitary(psi, item["gate"].tensor, item["index"], self._d)
+            psi = self._apply_item(psi, item)
         return psi
 
     def sample_expectation_ps(

@@ -21,13 +21,14 @@ from ..core import statevec
 from ..ops import channels as channels_mod
 from ..ops.gates import Gate
 from .basecircuit import BaseCircuit
+from .detectors import DetectorMixin
 
 Tensor = Any
 
 __all__ = ["Circuit", "expectation"]
 
 
-class Circuit(BaseCircuit):
+class Circuit(DetectorMixin, BaseCircuit):
     """Exact statevector circuit simulator (dense TPU engine)."""
 
     def __init__(
@@ -116,6 +117,7 @@ class Circuit(BaseCircuit):
         vmap-safe (``:486-509``).
         """
         mats = self._kraus_mats(kraus, index)
+        orig_mats = mats
         dim = mats[0].shape[0]
         if prob is None:
             probs = []
@@ -133,7 +135,8 @@ class Circuit(BaseCircuit):
             p = jnp.asarray(prob).astype(jnp.dtype(config.rdtypestr()))
         p = p / jnp.sum(p)
         return self._apply_selected_kraus(
-            mats, p, index, status=status, name=name or "unitary_kraus"
+            mats, p, index, status=status, name=name or "unitary_kraus",
+            orig_mats=orig_mats,
         )
 
     def general_kraus(
@@ -164,7 +167,8 @@ class Circuit(BaseCircuit):
             for m, pi in zip(mats, p)
         ]
         idx = self._apply_selected_kraus(
-            new_mats, p, index, status=status, name=name or "general_kraus"
+            new_mats, p, index, status=status, name=name or "general_kraus",
+            orig_mats=mats,
         )
         if with_prob:
             return idx, p
@@ -188,6 +192,7 @@ class Circuit(BaseCircuit):
         index: Sequence[int],
         status: Optional[Tensor] = None,
         name: str = "kraus",
+        orig_mats: Optional[List[Tensor]] = None,
     ) -> Tensor:
         if status is None:
             status = K.implicit_randu([])
@@ -207,7 +212,9 @@ class Circuit(BaseCircuit):
             "split": None,
             "mpo": False,
             "is_channel": True,
-            "channel_kraus": mats,
+            # original (unnormalized) Kraus set: exact replay (DMCircuit,
+            # detector trajectories) recomputes branch probabilities from it
+            "channel_kraus": orig_mats if orig_mats is not None else mats,
             "channel_status": status,
         }
         self.apply_general_gate(g, *index, name=name, ir_dict=ir_dict)

@@ -1,0 +1,77 @@
+"""QEC detector machinery tests: repetition code with injected errors."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import tensorcircuit_ng_tpu as tc
+
+
+def test_detector_noiseless_never_fires():
+    # 3-qubit repetition code, one stabilizer measurement round via ancillas
+    c = tc.Circuit(5)  # data: 0,1,2; ancilla: 3,4
+    c.h(0)
+    c.cnot(0, 1)
+    c.cnot(1, 2)
+    # parity checks Z0Z1 -> anc 3, Z1Z2 -> anc 4
+    c.cnot(0, 3)
+    c.cnot(1, 3)
+    c.cnot(1, 4)
+    c.cnot(2, 4)
+    c.measure_instruction(3)
+    c.measure_instruction(4)
+    c.detector(-2)
+    c.detector(-1)
+    det = c.sample_detector(shots=20, status=jnp.asarray(np.random.default_rng(0).uniform(size=(20, 2))),
+                            statusc=jnp.asarray(np.zeros((20, 1))))
+    assert np.asarray(det).shape == (20, 2)
+    assert np.asarray(det).sum() == 0
+
+
+def test_detector_fires_on_error():
+    c = tc.Circuit(5)
+    c.h(0)
+    c.cnot(0, 1)
+    c.cnot(1, 2)
+    c.x(1)  # deterministic bit-flip error on data qubit 1
+    c.cnot(0, 3)
+    c.cnot(1, 3)
+    c.cnot(1, 4)
+    c.cnot(2, 4)
+    c.measure_instruction(3)
+    c.measure_instruction(4)
+    c.detector(-2)
+    c.detector(-1)
+    det = np.asarray(c.sample_detector(shots=10,
+        status=jnp.asarray(np.random.default_rng(1).uniform(size=(10, 2))),
+        statusc=jnp.asarray(np.zeros((10, 1)))))
+    # both detectors adjacent to qubit 1 fire every shot
+    assert np.all(det == 1)
+
+
+def test_detector_probability_with_channel():
+    px = 0.25
+    c = tc.Circuit(2)
+    c.depolarizing(0, px=px, py=0.0, pz=0.0, status=jnp.asarray(0.0))
+    # rebuild channel as QIR-replayed channel for fresh per-shot statuses:
+    c.cnot(0, 1)
+    c.measure_instruction(1)
+    c.detector(-1)
+    rng = np.random.default_rng(3)
+    p = c.detector_probabilities(shots=3000,
+        status=jnp.asarray(rng.uniform(size=(3000, 1))),
+        statusc=jnp.asarray(rng.uniform(size=(3000, 1))))
+    np.testing.assert_allclose(float(p[0]), px, atol=0.05)
+
+
+def test_reset_instruction():
+    c = tc.Circuit(2)
+    c.x(0)
+    c.measure_instruction(0)
+    c.reset_instruction(0)
+    c.measure_instruction(0)
+    c.detector(-1)  # post-reset measurement should always be 0
+    det = np.asarray(c.sample_detector(shots=5,
+        status=jnp.asarray(np.random.default_rng(0).uniform(size=(5, 3))),
+        statusc=jnp.asarray(np.zeros((5, 1)))))
+    assert det.sum() == 0

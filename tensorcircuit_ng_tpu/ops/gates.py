@@ -581,6 +581,31 @@ def __getattr__(attr: str) -> Any:
     raise AttributeError(f"module 'gates' has no attribute {attr!r}")
 
 
+def batched_unitary(thetas: Tensor, nqubits: int = 1) -> Tensor:
+    """Batch of Haar-structured unitaries from parameter rows (reference ``gates.py:419``).
+
+    Builds U = exp(i H(theta)) per batch row with H hermitian assembled from
+    the row; vmapped and jit/AD transparent.
+    """
+    import jax
+
+    thetas = jnp.asarray(thetas)
+    dim = 2**nqubits
+
+    def one(th: Tensor) -> Tensor:
+        need = dim * dim
+        th = jnp.resize(th, (need,))
+        m = jnp.reshape(th, (dim, dim))
+        h = (m + jnp.conj(m.T)) / 2.0 + 1j * (m - jnp.conj(m.T)) / 2.0
+        h = (h + jnp.conj(h.T)) / 2.0
+        e, v = jnp.linalg.eigh(h)
+        return (v * jnp.exp(1j * e)[None, :]) @ jnp.conj(v.T)
+
+    if thetas.ndim == 1:
+        return one(thetas.astype(jnp.dtype(config.dtypestr())))
+    return jax.vmap(one)(thetas.astype(jnp.dtype(config.dtypestr())))
+
+
 def pauli_gates(dtype: Optional[str] = None) -> list:
     """[I, X, Y, Z] matrices at the active dtype."""
     dtype = dtype or config.dtypestr()

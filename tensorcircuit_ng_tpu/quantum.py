@@ -46,6 +46,10 @@ __all__ = [
     "entanglement_entropy",
     "renyi_entanglement_entropy",
     "partial_transpose",
+    "stabilizer_renyi_entropy",
+    "tn2qop",
+    "quimb2qop",
+    "tenpy2qop",
     "entanglement_negativity",
     "log_negativity",
     "fidelity",
@@ -764,6 +768,103 @@ def purified_state(rho: Tensor) -> Tensor:
     e = jnp.clip(jnp.real(e), 0.0, None)
     psi = jnp.einsum("in,n->in", v, jnp.sqrt(e).astype(v.dtype))
     return jnp.reshape(psi, (-1,))
+
+
+def stabilizer_renyi_entropy(state: Tensor, alpha: int = 2) -> Tensor:
+    """Stabilizer Rényi entropy M_alpha via fast Walsh-Hadamard transforms.
+
+    Reference ``quantum.py:3054`` (FWHT method): the Pauli spectrum
+    |⟨psi|P|psi⟩|^2 / 2^n over all 4^n Pauli strings is a distribution;
+    M_alpha = (1/(1-alpha)) log Σ p^alpha - log 2^n.  Computed without
+    enumerating Pauli matrices: characteristic-function identities reduce the
+    spectrum to Hadamard transforms of the state's autocorrelations.
+    """
+    psi = jnp.reshape(jnp.asarray(state), (-1,))
+    n = int(round(math.log2(psi.shape[0])))
+    # chi[x, z] = <psi| X^x Z^z |psi> computed via
+    # <psi|X^x Z^z|psi> = sum_s conj(psi[s ^ x]) psi[s] (-1)^{s·z}
+    # for each x: f_x[s] = conj(psi[s^x]) psi[s]; chi[x, :] = FWHT(f_x)
+    def fwht(v: Tensor) -> Tensor:
+        m = v.shape[-1]
+        h = int(round(math.log2(m)))
+        for q in range(h):
+            a = 2**q
+            v = jnp.reshape(v, (-1, a, 2, m // (2 * a)) if False else v.shape)
+            vr = jnp.reshape(v, (m // (2 * a), 2, a))
+            plus = vr[:, 0, :] + vr[:, 1, :]
+            minus = vr[:, 0, :] - vr[:, 1, :]
+            v = jnp.reshape(jnp.stack([plus, minus], axis=1), (m,))
+        return v
+
+    # vectorized over x via vmap; 4^n work total — small n only
+    xs = jnp.arange(2**n)
+
+    def chi_row(x: Tensor) -> Tensor:
+        rolled = psi[jnp.bitwise_xor(jnp.arange(2**n), x)]
+        f = jnp.conj(rolled) * psi
+        return fwht(f)
+
+    chi = jax.vmap(chi_row)(xs)  # [2^n, 2^n]
+    p = jnp.abs(chi) ** 2 / (2**n)
+    p = p / jnp.sum(p)
+    p = jnp.clip(p, 1e-30, 1.0)
+    if alpha == 1:
+        ent = -jnp.sum(p * jnp.log(p))
+    else:
+        ent = jnp.log(jnp.sum(p**alpha)) / (1 - alpha)
+    return ent - n * math.log(2.0)
+
+
+def tn2qop(tensors: Sequence[Tensor]) -> QuOperator:
+    """MPO site tensors [(l, out, in, r)] -> dense QuOperator.
+
+    Interop role of reference ``tn2qop quantum.py:1955`` without the
+    tensornetwork dependency.
+    """
+    acc = None
+    for t in tensors:
+        t = jnp.asarray(t)
+        l, o, i, r = t.shape
+        if acc is None:
+            acc = t
+        else:
+            acc = jnp.einsum("aijb,bklc->aikjlc", acc, t)
+            al, ao, ai, ar = (
+                acc.shape[0],
+                acc.shape[1] * acc.shape[2],
+                acc.shape[3] * acc.shape[4],
+                acc.shape[5],
+            )
+            acc = jnp.reshape(acc, (al, ao, ai, ar))
+    assert acc.shape[0] == 1 and acc.shape[-1] == 1
+    m = jnp.reshape(acc, (acc.shape[1], acc.shape[2]))
+    nsites = len(tensors)
+    d = int(round(m.shape[0] ** (1.0 / nsites)))
+    dims = (d,) * nsites
+    return QuOperator(jnp.reshape(m, dims + dims), dims, dims)
+
+
+def quimb2qop(mpo: Any) -> QuOperator:
+    """quimb MPO -> QuOperator (requires quimb; reference ``quantum.py:1824``)."""
+    arrays = [np.asarray(t) for t in mpo.arrays]
+    # quimb convention (l, r, out, in) -> (l, out, in, r); boundary tensors
+    # lack the l/r bond
+    fixed = []
+    for k, a in enumerate(arrays):
+        if a.ndim == 3 and k == 0:
+            a = a[None, ...]  # (1, r, out, in)
+        elif a.ndim == 3:
+            a = a[:, None, ...]  # (l, 1, out, in)
+        fixed.append(np.transpose(a, (0, 2, 3, 1)))
+    return tn2qop([jnp.asarray(a) for a in fixed])
+
+
+def tenpy2qop(mpo: Any) -> QuOperator:
+    """tenpy MPO -> QuOperator (requires tenpy; reference ``quantum.py:1644``)."""
+    ws = [np.asarray(mpo.get_W(i).to_ndarray()) for i in range(mpo.L)]
+    # tenpy convention (wL, wR, p, p*) -> (l, out, in, r)
+    fixed = [np.transpose(w, (0, 2, 3, 1)) for w in ws]
+    return tn2qop([jnp.asarray(w) for w in fixed])
 
 
 def taylorlnm(x: Tensor, k: int) -> Tensor:

@@ -25,28 +25,19 @@ def main() -> None:
     import jax.numpy as jnp
 
     import tensorcircuit_ng_tpu as tc
-    from tensorcircuit_ng_tpu import experimental
 
     n = 20
     nlayers = 4
 
-    def layer(c, p):
-        for i in range(n - 1):
-            c.rzz(i, i + 1, theta=p[0, i])
-        for i in range(n):
-            c.rx(i, theta=p[1, i])
+    pairs = [(i, i + 1) for i in range(n - 1)]
 
     def energy(params):
-        c0 = tc.Circuit(n)
-        for i in range(n):
-            c0.h(i)
-        c = experimental.scan_circuit_layers(c0, layer, params)
-        e = 0.0
-        for i in range(n - 1):
-            e += c.expectation_ps(z=[i, i + 1])
-        for i in range(n):
-            e += -1.0 * c.expectation_ps(x=[i])
-        return jnp.real(e)
+        c = tc.Circuit(n)
+        c.h_layer()
+        for l in range(nlayers):
+            c.rzz_product(pairs, params[l, 0, : n - 1])
+            c.rx_layer(params[l, 1])
+        return jnp.real(c.expectation_zz_sum(pairs)) - c.expectation_x_sum()
 
     params = jnp.asarray(
         np.random.default_rng(42).normal(size=(nlayers, 2, n)) * 0.1,

@@ -35,6 +35,9 @@ Tensor = Any
 
 __all__ = [
     "init_state",
+    "apply_zz_product_phase",
+    "expectation_zz_sum",
+    "expectation_x_sum",
     "num_slots",
     "apply_unitary",
     "apply_diagonal",
@@ -147,6 +150,57 @@ def apply_diagonal(
     bshape = tuple(d if i % 2 == 1 else 1 for i in range(2 * k)) + (1,)
     out = ps * jnp.reshape(dg, bshape)
     return jnp.reshape(out, (-1,))
+
+
+def apply_zz_product_phase(
+    state: Tensor, pairs: Sequence[Tuple[int, int]], thetas: Tensor
+) -> Tensor:
+    r"""exp(-i/2 Σ_k θ_k Z_a Z_b) — ALL pair phases in one fused pass.
+
+    The per-basis exponent is computed from bit arithmetic on an iota (XLA
+    fuses the whole chain into a single elementwise pass over the state),
+    replacing len(pairs) separate rzz applications (qubits only, d=2).
+    """
+    n = num_slots(state, 2)
+    idx = jnp.arange(state.shape[0], dtype=jnp.int32)
+    thetas = jnp.reshape(jnp.asarray(thetas), (-1,))
+    expo = jnp.zeros(state.shape[0], dtype=jnp.float32)
+    for k, (a, b) in enumerate(pairs):
+        za = 1 - 2 * ((idx >> (n - 1 - int(a))) & 1)
+        zb = 1 - 2 * ((idx >> (n - 1 - int(b))) & 1)
+        expo = expo + thetas[k].astype(jnp.float32) * (za * zb).astype(jnp.float32)
+    phase = jnp.exp(jnp.asarray(-0.5j, dtype=state.dtype) * expo.astype(state.dtype))
+    return state * phase
+
+
+def expectation_zz_sum(
+    state: Tensor,
+    pairs: Sequence[Tuple[int, int]],
+    weights: Optional[Tensor] = None,
+) -> Tensor:
+    r"""Σ_k w_k ⟨Z_a Z_b⟩ — all ZZ correlators in ONE pass over |psi|²."""
+    n = num_slots(state, 2)
+    idx = jnp.arange(state.shape[0], dtype=jnp.int32)
+    p = probabilities(state)
+    acc = jnp.zeros(state.shape[0], dtype=p.dtype)
+    for k, (a, b) in enumerate(pairs):
+        za = 1 - 2 * ((idx >> (n - 1 - int(a))) & 1)
+        zb = 1 - 2 * ((idx >> (n - 1 - int(b))) & 1)
+        w = 1.0 if weights is None else weights[k]
+        acc = acc + (w * (za * zb)).astype(p.dtype)
+    return jnp.sum(p * acc)
+
+
+def expectation_x_sum(state: Tensor, wires: Optional[Sequence[int]] = None) -> Tensor:
+    r"""Σ_q ⟨X_q⟩ via per-wire pair sums (one reduction per wire)."""
+    n = num_slots(state, 2)
+    wires = range(n) if wires is None else wires
+    total = jnp.zeros((), dtype=jnp.float32)
+    for q in wires:
+        shape = _exposed_shape(n, [int(q)], 2)
+        v = jnp.reshape(state, shape)
+        total = total + 2.0 * jnp.real(jnp.sum(jnp.conj(v[:, 0, :]) * v[:, 1, :])).astype(jnp.float32)
+    return total
 
 
 def flip_slot(state: Tensor, wire: int, d: int = 2) -> Tensor:

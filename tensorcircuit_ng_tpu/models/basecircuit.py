@@ -100,12 +100,129 @@ class BaseCircuit(AbstractCircuit):
         return psi
 
     def _apply_item(self, psi: Tensor, item: Dict[str, Any]) -> Tensor:
+        if item.get("fused_1q_layer"):
+            from ..core import kernels
+
+            return kernels.fused_single_qubit_layer(psi, item["gates"])
+        if item.get("zz_product"):
+            return statevec.apply_zz_product_phase(psi, item["pairs"], item["thetas"])
         k = len(item["index"])
         if item.get("diagonal"):
             dim = self._d**k
             diag = jnp.diagonal(jnp.reshape(item["gate"].tensor, (dim, dim)))
             return statevec.apply_diagonal(psi, diag, item["index"], self._d)
         return statevec.apply_unitary(psi, item["gate"].tensor, item["index"], self._d)
+
+    def _expanded_qir(self) -> List[Dict[str, Any]]:
+        """QIR with fused-layer items expanded to plain per-gate dicts.
+
+        Used by paths that need one-tensor-per-gate structure (matrix(),
+        einsum IR lowering, inverse, translation).
+        """
+        out: List[Dict[str, Any]] = []
+        for item in self._qir:
+            if item.get("fused_1q_layer"):
+                for q in range(self._nqubits):
+                    out.append(
+                        {
+                            "gatef": None,
+                            "gate": Gate(item["gates"][q], name="any"),
+                            "index": (q,),
+                            "name": "fused1q",
+                            "split": None,
+                            "mpo": False,
+                            "diagonal": False,
+                        }
+                    )
+            elif item.get("zz_product"):
+                from ..ops import gates as gates_mod
+
+                thetas = item["thetas"]
+                for k, (a, b) in enumerate(item["pairs"]):
+                    g = gates_mod.GATES["rzz"](theta=thetas[k])
+                    out.append(
+                        {
+                            "gatef": gates_mod.GATES["rzz"],
+                            "gate": g,
+                            "index": (int(a), int(b)),
+                            "name": "rzz",
+                            "parameters": {"theta": thetas[k]},
+                            "split": None,
+                            "mpo": False,
+                            "diagonal": True,
+                        }
+                    )
+            else:
+                out.append(item)
+        return out
+
+    # ------------------------------------------------------------------
+    # fused layer application (TPU hot path; Pallas kernel when on TPU)
+    # ------------------------------------------------------------------
+
+    def fused_single_qubit_layer(self, gates: Tensor, name: str = "fused_1q_layer") -> None:
+        """Apply gates[q] on every qubit q in one fused pass (Pallas on TPU)."""
+        gates = jnp.asarray(gates).astype(jnp.dtype(config.dtypestr()))
+        assert gates.shape[0] == self._nqubits
+        self._qir.append(
+            {
+                "fused_1q_layer": True,
+                "gates": gates,
+                "index": tuple(range(self._nqubits)),
+                "name": name,
+                "split": None,
+                "mpo": False,
+            }
+        )
+        self._state_cache = None
+
+    def rx_layer(self, thetas: Tensor) -> None:
+        """rx(thetas[q]) on every qubit, fused."""
+        from ..ops.gates import rx_matrix
+
+        gates = jax.vmap(lambda t: rx_matrix(t))(jnp.reshape(jnp.asarray(thetas), (-1,)))
+        self.fused_single_qubit_layer(gates, name="rx_layer")
+
+    def ry_layer(self, thetas: Tensor) -> None:
+        from ..ops.gates import ry_matrix
+
+        gates = jax.vmap(lambda t: ry_matrix(t))(jnp.reshape(jnp.asarray(thetas), (-1,)))
+        self.fused_single_qubit_layer(gates, name="ry_layer")
+
+    def rz_layer(self, thetas: Tensor) -> None:
+        from ..ops.gates import rz_matrix
+
+        gates = jax.vmap(lambda t: rz_matrix(t))(jnp.reshape(jnp.asarray(thetas), (-1,)))
+        self.fused_single_qubit_layer(gates, name="rz_layer")
+
+    def h_layer(self) -> None:
+        """Hadamard on every qubit, fused."""
+        from ..ops import gates as gates_mod
+
+        h = gates_mod.GATES["h"]().matrix()
+        gates = jnp.broadcast_to(h, (self._nqubits, 2, 2))
+        self.fused_single_qubit_layer(gates, name="h_layer")
+
+    def rzz_product(self, pairs: Sequence[Tuple[int, int]], thetas: Tensor) -> None:
+        """exp(-i/2 Σ θ_k Z_a Z_b) over all listed pairs in one fused pass."""
+        self._qir.append(
+            {
+                "zz_product": True,
+                "pairs": [(int(a), int(b)) for a, b in pairs],
+                "thetas": jnp.reshape(jnp.asarray(thetas), (-1,)),
+                "index": tuple(sorted({q for p_ in pairs for q in p_})),
+                "name": "rzz_product",
+                "split": None,
+                "mpo": False,
+            }
+        )
+        self._state_cache = None
+
+    def expectation_zz_sum(self, pairs: Sequence[Tuple[int, int]], weights: Optional[Tensor] = None) -> Tensor:
+        return statevec.expectation_zz_sum(self.state(), pairs, weights)
+
+    def expectation_x_sum(self, wires: Optional[Sequence[int]] = None) -> Tensor:
+        return statevec.expectation_x_sum(self.state(), wires)
 
     def state(self, form: str = "default", reuse: bool = True) -> Tensor:
         """The output state (flat); cached until the next gate application.
@@ -160,7 +277,7 @@ class BaseCircuit(AbstractCircuit):
 
         if isinstance(l, str):
             l = [int(ch, 36) for ch in l]
-        return _eir.amplitude_ir(self._qir, self._nqubits, l, d=self._d)
+        return _eir.amplitude_ir(self._expanded_qir(), self._nqubits, l, d=self._d)
 
     def expectation_before(
         self, *ops: Tuple[Any, Sequence[int]], enable_lightcone: bool = True
@@ -177,7 +294,7 @@ class BaseCircuit(AbstractCircuit):
                 wires = [wires]
             norm_ops.append((jnp.asarray(o), [int(w) % self._nqubits for w in wires]))
         return _eir.expectation_ir(
-            self._qir, self._nqubits, norm_ops, d=self._d, lightcone=enable_lightcone
+            self._expanded_qir(), self._nqubits, norm_ops, d=self._d, lightcone=enable_lightcone
         )
 
     def probability(self) -> Tensor:
@@ -358,7 +475,7 @@ class BaseCircuit(AbstractCircuit):
             from ..core import einsum_ir as _eir
 
             ir = _eir.expectation_ir(
-                self._qir, self._nqubits, norm_ops, d=self._d, lightcone=True
+                self._expanded_qir(), self._nqubits, norm_ops, d=self._d, lightcone=True
             )
             return _ctr.contract_ir(ir)
         if enable_lightcone:

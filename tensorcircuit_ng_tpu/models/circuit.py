@@ -256,7 +256,7 @@ class Circuit(DetectorMixin, BaseCircuit):
         n = self._nqubits
         d = self._d
         psi = jnp.reshape(jnp.eye(d**n, dtype=jnp.dtype(config.dtypestr())), (-1,))
-        for item in self._qir:
+        for item in self._expanded_qir():
             # identity "state" has 2n slots; gates act on the first n
             psi = statevec.apply_unitary(psi, item["gate"].tensor, item["index"], d)
         return jnp.reshape(psi, (d**n, d**n))

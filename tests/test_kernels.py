@@ -1,0 +1,140 @@
+"""Pallas fused-layer kernel tests (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import tensorcircuit_ng_tpu as tc
+from tensorcircuit_ng_tpu.core import kernels
+
+
+@pytest.fixture
+def interpret_mode():
+    kernels._FORCE_PALLAS_INTERPRET = True
+    yield
+    kernels._FORCE_PALLAS_INTERPRET = False
+
+
+def random_state_and_gates(n, seed=0):
+    rng = np.random.default_rng(seed)
+    psi = rng.standard_normal(2**n) + 1j * rng.standard_normal(2**n)
+    psi = jnp.asarray(psi / np.linalg.norm(psi), dtype=jnp.complex64)
+    gates = []
+    for _ in range(n):
+        m = rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2))
+        q, _ = np.linalg.qr(m)
+        gates.append(q)
+    return psi, jnp.asarray(np.stack(gates), dtype=jnp.complex64)
+
+
+@pytest.mark.parametrize("n", [4, 8, 10])
+def test_fused_layer_forward(interpret_mode, n):
+    psi, gates = random_state_and_gates(n, seed=n)
+    out = kernels._fused_fwd_impl(psi, gates)
+    ref = kernels._apply_layer_reference(psi, gates)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_layer_gradients(interpret_mode):
+    n = 8
+    psi, gates = random_state_and_gates(n, seed=2)
+
+    def loss_fused(g, p):
+        y = kernels.fused_single_qubit_layer(p, g)
+        return jnp.real(jnp.sum(y).real + jnp.imag(jnp.sum(y * y)))
+
+    def loss_ref(g, p):
+        y = kernels._apply_layer_reference(p, g)
+        return jnp.real(jnp.sum(y).real + jnp.imag(jnp.sum(y * y)))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(gates, psi)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(gates, psi)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-4)
+
+
+def test_fused_layer_rx_parameterized(interpret_mode):
+    # typical VQE use: rx(theta_q) on every qubit, grad through thetas
+    n = 8
+    from tensorcircuit_ng_tpu.ops.gates import rx_matrix
+
+    def loss(thetas):
+        c = tc.Circuit(n)
+        for i in range(n):
+            c.h(i)
+        psi = c.state()
+        gates = jax.vmap(lambda t: rx_matrix(t))(thetas)
+        psi = kernels.fused_single_qubit_layer(psi, gates)
+        from tensorcircuit_ng_tpu.core import statevec
+
+        return jnp.real(statevec.expectation_ps(psi, z=[0, 1]))
+
+    thetas = jnp.asarray(np.random.default_rng(0).normal(size=n) * 0.4, dtype=jnp.float32)
+
+    def loss_ref(thetas):
+        c = tc.Circuit(n)
+        for i in range(n):
+            c.h(i)
+        for i in range(n):
+            c.rx(i, theta=thetas[i])
+        return jnp.real(c.expectation_ps(z=[0, 1]))
+
+    np.testing.assert_allclose(float(loss(thetas)), float(loss_ref(thetas)), atol=1e-5)
+    g1 = jax.grad(loss)(thetas)
+    g2 = jax.grad(loss_ref)(thetas)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_fused_circuit_api_matches_plain():
+    n = 6
+    rng = np.random.default_rng(1)
+    thz = jnp.asarray(rng.normal(size=n - 1) * 0.4, dtype=jnp.float32)
+    thx = jnp.asarray(rng.normal(size=n) * 0.4, dtype=jnp.float32)
+    pairs = [(i, i + 1) for i in range(n - 1)]
+
+    c1 = tc.Circuit(n)
+    c1.h_layer()
+    c1.rzz_product(pairs, thz)
+    c1.rx_layer(thx)
+
+    c2 = tc.Circuit(n)
+    for i in range(n):
+        c2.h(i)
+    for k, (a, b) in enumerate(pairs):
+        c2.rzz(a, b, theta=thz[k])
+    for i in range(n):
+        c2.rx(i, theta=thx[i])
+
+    np.testing.assert_allclose(np.asarray(c1.state()), np.asarray(c2.state()), atol=1e-5)
+    # fused energy helpers
+    e1 = float(c1.expectation_zz_sum(pairs)) - float(c1.expectation_x_sum())
+    e2 = sum(float(np.real(np.asarray(c2.expectation_ps(z=[a, b])))) for a, b in pairs)
+    e2 -= sum(float(np.real(np.asarray(c2.expectation_ps(x=[i])))) for i in range(n))
+    np.testing.assert_allclose(e1, e2, atol=1e-4)
+    # matrix()/IR expansion of fused items
+    np.testing.assert_allclose(np.asarray(c1.matrix()), np.asarray(c2.matrix()), atol=1e-5)
+    # grads through the fused stack
+    def loss(tz, tx):
+        c = tc.Circuit(n)
+        c.h_layer()
+        c.rzz_product(pairs, tz)
+        c.rx_layer(tx)
+        return jnp.real(c.expectation_zz_sum(pairs)) - c.expectation_x_sum()
+
+    def loss_ref(tz, tx):
+        c = tc.Circuit(n)
+        for i in range(n):
+            c.h(i)
+        for k, (a, b) in enumerate(pairs):
+            c.rzz(a, b, theta=tz[k])
+        for i in range(n):
+            c.rx(i, theta=tx[i])
+        e = sum(jnp.real(c.expectation_ps(z=[a, b])) for a, b in pairs)
+        e -= sum(jnp.real(c.expectation_ps(x=[i])) for i in range(n))
+        return e
+
+    g1 = jax.grad(loss, argnums=(0, 1))(thz, thx)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(thz, thx)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-4)

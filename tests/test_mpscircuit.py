@@ -136,3 +136,31 @@ def test_mps_3qubit_gate():
     np.testing.assert_allclose(
         np.abs(np.vdot(np.asarray(c.state()), np.asarray(m.wavefunction()))), 1.0, atol=1e-4
     )
+
+
+def test_mps_perfect_sampling_matches_dense():
+    n = 5
+    c, m = build_pair(n)
+    random_circuit_ops(c, 11)
+    random_circuit_ops(m, 11)
+    # identical status -> identical autoregressive outcomes as dense engine
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        st = jnp.asarray(rng.uniform(size=n))
+        bits_m, p_m = m.perfect_sampling(status=st)
+        bits_c, p_c = c.perfect_sampling(status=st)
+        np.testing.assert_allclose(np.asarray(bits_m), np.asarray(bits_c))
+        np.testing.assert_allclose(float(p_m), float(p_c), atol=1e-4)
+
+
+def test_mps_batch_sample_statistics():
+    n = 3
+    _, m = build_pair(n)
+    m.h(0)
+    m.cnot(0, 1)
+    m.cnot(1, 2)
+    rng = np.random.default_rng(3)
+    cv = m.sample(batch=400, format="count_vector", status=jnp.asarray(rng.uniform(size=(400, n))))
+    cv = np.asarray(cv)
+    assert cv[0] + cv[7] == 400  # GHZ: only |000> and |111>
+    assert abs(int(cv[0]) - 200) < 80

@@ -82,7 +82,8 @@ class DMCircuit(BaseCircuit):
 
     def _compute_state(self) -> Tensor:
         rho = self._initial_dm()
-        for item in self._qir:
+        # expand fused-layer items: the DM doubling needs per-gate tensors
+        for item in self._expanded_qir():
             if item.get("is_channel"):
                 mats = [
                     jnp.asarray(m).astype(rho.dtype) for m in item["channel_kraus"]

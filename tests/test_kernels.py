@@ -11,9 +11,9 @@ from tensorcircuit_ng_tpu.core import kernels
 
 @pytest.fixture
 def interpret_mode():
-    kernels._FORCE_PALLAS_INTERPRET = True
+    kernels.set_interpret_mode(True)
     yield
-    kernels._FORCE_PALLAS_INTERPRET = False
+    kernels.set_interpret_mode(False)
 
 
 def random_state_and_gates(n, seed=0):

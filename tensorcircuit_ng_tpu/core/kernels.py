@@ -70,15 +70,28 @@ def _apply_layer_reference(state: Tensor, gates: Tensor) -> Tensor:
 
 
 def fused_single_qubit_layer_pallas(state: Tensor, gates: Tensor) -> Tensor:
-    """Row-kernel + lane-matmul fused layer (UNITARY gates)."""
+    """Row-kernel + lane-matmul fused layer (UNITARY gates).
+
+    Qubits split three ways: the first few large-stride qubits (beyond the
+    kernel's VMEM row-block budget) apply as plain einsums; the middle
+    ``<= MAX_KERNEL_QUBITS`` row qubits fuse into the Pallas kernel pair; the
+    last 7 "lane" qubits collapse into one 128x128 MXU matmul.
+    """
+    from . import statevec
+
     n = gates.shape[0]
     nq = int(round(math.log2(state.shape[0])))
     assert nq == n, "one gate per qubit required"
     nlane = min(_LANE_QUBITS, n)
     nrow = n - nlane
-    psi = jnp.reshape(state, (max(2**nrow, 1), 2**nlane))
-    if nrow > 0:
-        psi = kernels_rowlayer.row_layer(psi, gates[:nrow])
+    nkernel = min(nrow, kernels_rowlayer.MAX_KERNEL_QUBITS)
+    nouter = nrow - nkernel
+    psi = state
+    for q in range(nouter):  # large-stride qubits: plain einsum (native AD)
+        psi = statevec.apply_unitary(psi, gates[q], [q])
+    psi = jnp.reshape(psi, (max(2**nrow, 1), 2**nlane))
+    if nkernel > 0:
+        psi = kernels_rowlayer.row_layer(psi, gates[nouter:nrow])
     mlane = _lane_matrix(gates, nlane).astype(psi.dtype)
     psi = psi @ mlane.T
     return jnp.reshape(psi, (-1,))

@@ -26,7 +26,9 @@ Tensor = Any
 
 __all__ = ["row_layer", "LANE_BLOCK"]
 
-LANE_BLOCK = 64  # lanes per grid step (keeps 2 states in VMEM at n=20)
+#: max row-qubits handled inside one kernel block: 2^MAX_KERNEL_QUBITS rows
+#: x 128 lanes x f32 must fit twice (state + cotangent) in VMEM
+MAX_KERNEL_QUBITS = 12
 
 _INTERPRET = False
 
@@ -147,8 +149,8 @@ def _pallas_row_fwd(gr, gi, sr, si):
 
     nrow = gr.shape[0]
     r, lanes = sr.shape
-    lb = min(LANE_BLOCK, lanes)
-    grid = (lanes // lb,)
+    rb = 2**nrow  # strides all fit within blocks of 2^nrow rows
+    grid = (r // rb,)
     kernel = _fwd_kernel(nrow)
     return pl.pallas_call(
         kernel,
@@ -160,12 +162,12 @@ def _pallas_row_fwd(gr, gi, sr, si):
         in_specs=[
             pl.BlockSpec((nrow, 2, 2), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nrow, 2, 2), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, lb), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, lb), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((r, lb), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, lb), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ),
         interpret=_INTERPRET,
     )(gr, gi, sr, si)
@@ -177,8 +179,8 @@ def _pallas_row_bwd(gr, gi, yr, yi, ctr, cti):
 
     nrow = gr.shape[0]
     r, lanes = yr.shape
-    lb = min(LANE_BLOCK, lanes)
-    grid = (lanes // lb,)
+    rb = 2**nrow
+    grid = (r // rb,)
     kernel = _bwd_kernel(nrow)
     dsr, dsi, dgr, dgi = pl.pallas_call(
         kernel,
@@ -192,20 +194,20 @@ def _pallas_row_bwd(gr, gi, yr, yi, ctr, cti):
         in_specs=[
             pl.BlockSpec((nrow, 2, 2), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nrow, 2, 2), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, lb), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, lb), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, lb), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, lb), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((r, lb), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, lb), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nrow, 2, 2), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nrow, 2, 2), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((r, lb), jnp.float32),
-            pltpu.VMEM((r, lb), jnp.float32),
+            pltpu.VMEM((rb, lanes), jnp.float32),
+            pltpu.VMEM((rb, lanes), jnp.float32),
         ],
         interpret=_INTERPRET,
     )(gr, gi, yr, yi, ctr, cti)
@@ -213,12 +215,14 @@ def _pallas_row_bwd(gr, gi, yr, yi, ctr, cti):
 
 
 def _row_layer_reference(state2d: Tensor, gates: Tensor) -> Tensor:
-    """Unfused fallback on the (R, lanes) complex view."""
+    """Unfused fallback on the (R, lanes) complex view.
+
+    Gate k acts on the bit with stride 2^(ng-1-k) (the lowest ng bits)."""
     nrow = gates.shape[0]
     r, lanes = state2d.shape
     psi = state2d
     for q in range(nrow):
-        s = r >> (q + 1)
+        s = (2**nrow) >> (q + 1)
         v = jnp.reshape(psi, (r // (2 * s), 2, s, lanes))
         g = gates[q].astype(psi.dtype)
         v = jnp.einsum("ab,xbsl->xasl", g, v)
@@ -228,10 +232,9 @@ def _row_layer_reference(state2d: Tensor, gates: Tensor) -> Tensor:
 
 @jax.custom_vjp
 def row_layer(state2d: Tensor, gates: Tensor) -> Tensor:
-    """Apply gates[q] on row-qubit q of a (R, lanes) complex state view.
-
-    Row qubit q owns bit (log2(R)-1-q) of the row index.  UNITARY gates only
-    (see module docstring).
+    """Apply gates[k] on the k-th of the ng LOWEST row bits of a (R, lanes)
+    complex view (gate k stride = 2^(ng-1-k)).  UNITARY gates only (see
+    module docstring); ng must be ≤ MAX_KERNEL_QUBITS for the fused path.
     """
     return _row_fwd_impl(state2d, gates)
 
@@ -282,7 +285,7 @@ def _row_bwd_reference(y: Tensor, gates: Tensor, ct: Tensor):
     cur_ct = ct
     dgs = [None] * nrow
     for q in range(nrow - 1, -1, -1):
-        s = r >> (q + 1)
+        s = (2**nrow) >> (q + 1)
         gdag = jnp.conj(gates[q].T)
         v = jnp.reshape(cur_s, (r // (2 * s), 2, s, lanes))
         cur_s = jnp.reshape(jnp.einsum("ab,xbsl->xasl", gdag.astype(v.dtype), v), (r, lanes))

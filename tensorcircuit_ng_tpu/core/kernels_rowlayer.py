@@ -63,8 +63,8 @@ def _fwd_kernel(nrow: int):
         for q in range(nrow):
             s = r_total >> (q + 1)
             m = (
-                gr_ref[q, 0, 0], gi_ref[q, 0, 0], gr_ref[q, 0, 1], gi_ref[q, 0, 1],
-                gr_ref[q, 1, 0], gi_ref[q, 1, 0], gr_ref[q, 1, 1], gi_ref[q, 1, 1],
+                gr_ref[q, 0], gi_ref[q, 0], gr_ref[q, 1], gi_ref[q, 1],
+                gr_ref[q, 2], gi_ref[q, 2], gr_ref[q, 3], gi_ref[q, 3],
             )
             nr, ni = _butterfly(or_ref[:], oi_ref[:], rows, s, m)
             or_ref[:] = nr
@@ -85,8 +85,10 @@ def _bwd_kernel(nrow: int):
 
         @pl.when(j == 0)
         def _():
-            dgr_ref[:] = jnp.zeros_like(dgr_ref)
-            dgi_ref[:] = jnp.zeros_like(dgi_ref)
+            for qq in range(dgr_ref.shape[0]):
+                for ee in range(4):
+                    dgr_ref[qq, ee] = 0.0
+                    dgi_ref[qq, ee] = 0.0
 
         # cur_s lives in scratch; cur_ct walks in the ds output refs
         s_r[:] = yr_ref[:]
@@ -99,10 +101,10 @@ def _bwd_kernel(nrow: int):
             s = r_total >> (q + 1)
             bit = (rows // s) % 2
             is_lo = bit == 0
-            g00r, g00i = gr_ref[q, 0, 0], gi_ref[q, 0, 0]
-            g01r, g01i = gr_ref[q, 0, 1], gi_ref[q, 0, 1]
-            g10r, g10i = gr_ref[q, 1, 0], gi_ref[q, 1, 0]
-            g11r, g11i = gr_ref[q, 1, 1], gi_ref[q, 1, 1]
+            g00r, g00i = gr_ref[q, 0], gi_ref[q, 0]
+            g01r, g01i = gr_ref[q, 1], gi_ref[q, 1]
+            g10r, g10i = gr_ref[q, 2], gi_ref[q, 2]
+            g11r, g11i = gr_ref[q, 3], gi_ref[q, 3]
             # 1) un-apply: cur_s = g^dagger cur_s  (g† = conj-transpose)
             mdag = (g00r, -g00i, g10r, -g10i, g01r, -g01i, g11r, -g11i)
             nsr, nsi = _butterfly(s_r[:], s_i[:], rows, s, mdag)
@@ -126,14 +128,14 @@ def _bwd_kernel(nrow: int):
             prod_same_i = cr * nsi + ci * nsr
             prod_part_r = cr * pr - ci * pi
             prod_part_i = cr * pi + ci * pr
-            dgr_ref[q, 0, 0] += jnp.sum(lo * prod_same_r)
-            dgi_ref[q, 0, 0] += jnp.sum(lo * prod_same_i)
-            dgr_ref[q, 0, 1] += jnp.sum(lo * prod_part_r)
-            dgi_ref[q, 0, 1] += jnp.sum(lo * prod_part_i)
-            dgr_ref[q, 1, 1] += jnp.sum(hi * prod_same_r)
-            dgi_ref[q, 1, 1] += jnp.sum(hi * prod_same_i)
-            dgr_ref[q, 1, 0] += jnp.sum(hi * prod_part_r)
-            dgi_ref[q, 1, 0] += jnp.sum(hi * prod_part_i)
+            dgr_ref[q, 0] += jnp.sum(lo * prod_same_r)
+            dgi_ref[q, 0] += jnp.sum(lo * prod_same_i)
+            dgr_ref[q, 1] += jnp.sum(lo * prod_part_r)
+            dgi_ref[q, 1] += jnp.sum(lo * prod_part_i)
+            dgr_ref[q, 3] += jnp.sum(hi * prod_same_r)
+            dgi_ref[q, 3] += jnp.sum(hi * prod_same_i)
+            dgr_ref[q, 2] += jnp.sum(hi * prod_part_r)
+            dgi_ref[q, 2] += jnp.sum(hi * prod_part_i)
             # 3) ct walk: cur_ct = g^T cur_ct
             mt = (g00r, g00i, g10r, g10i, g01r, g01i, g11r, g11i)
             ncr, nci = _butterfly(cr, ci, rows, s, mt)
@@ -160,8 +162,8 @@ def _pallas_row_fwd(gr, gi, sr, si):
             jax.ShapeDtypeStruct(si.shape, si.dtype),
         ),
         in_specs=[
-            pl.BlockSpec((nrow, 2, 2), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nrow, 2, 2), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ],
@@ -170,7 +172,7 @@ def _pallas_row_fwd(gr, gi, sr, si):
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ),
         interpret=_INTERPRET,
-    )(gr, gi, sr, si)
+    )(jnp.reshape(gr, (nrow, 4)), jnp.reshape(gi, (nrow, 4)), sr, si)
 
 
 def _pallas_row_bwd(gr, gi, yr, yi, ctr, cti):
@@ -188,12 +190,12 @@ def _pallas_row_bwd(gr, gi, yr, yi, ctr, cti):
         out_shape=(
             jax.ShapeDtypeStruct(yr.shape, yr.dtype),
             jax.ShapeDtypeStruct(yi.shape, yi.dtype),
-            jax.ShapeDtypeStruct(gr.shape, gr.dtype),
-            jax.ShapeDtypeStruct(gi.shape, gi.dtype),
+            jax.ShapeDtypeStruct((nrow, 4), gr.dtype),
+            jax.ShapeDtypeStruct((nrow, 4), gi.dtype),
         ),
         in_specs=[
-            pl.BlockSpec((nrow, 2, 2), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nrow, 2, 2), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
@@ -202,16 +204,20 @@ def _pallas_row_bwd(gr, gi, yr, yi, ctr, cti):
         out_specs=(
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nrow, 2, 2), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nrow, 2, 2), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((rb, lanes), jnp.float32),
             pltpu.VMEM((rb, lanes), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(gr, gi, yr, yi, ctr, cti)
-    return dsr, dsi, dgr, dgi
+    )(
+        jnp.reshape(gr, (nrow, 4)),
+        jnp.reshape(gi, (nrow, 4)),
+        yr, yi, ctr, cti,
+    )
+    return dsr, dsi, jnp.reshape(dgr, (nrow, 2, 2)), jnp.reshape(dgi, (nrow, 2, 2))
 
 
 def _row_layer_reference(state2d: Tensor, gates: Tensor) -> Tensor:

@@ -50,7 +50,7 @@ def split_two_qubit_gate(
     return a, s, b
 
 
-def gate_schmidt_rank(gate: Tensor, tol: float = 1e-9, d: int = 2) -> int:
+def gate_schmidt_rank(gate: Tensor, tol: float = 1e-6, d: int = 2) -> int:
     """Operator-Schmidt rank of a two-site gate (1 = product, 2 = CNOT-like)."""
     _, s, _ = split_two_qubit_gate(gate, d=d)
     return int(np.sum(np.asarray(s) > tol))

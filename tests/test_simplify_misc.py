@@ -1,0 +1,77 @@
+"""simplify passes, chems templates, QCIS translation tests."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import tensorcircuit_ng_tpu as tc
+from tensorcircuit_ng_tpu import simplify
+from tensorcircuit_ng_tpu.templates import chems
+from tensorcircuit_ng_tpu.cloud import tianyan
+
+
+def test_split_two_qubit_gate_reconstruction():
+    g = np.asarray(tc.gates.cnot().matrix())
+    a, s, b = simplify.split_two_qubit_gate(jnp.asarray(g))
+    rec = np.einsum("oik,k,kpj->opij", np.asarray(a), np.asarray(s), np.asarray(b))
+    rec = rec.reshape(4, 4)  # (o1 o2) x (i1 i2)
+    np.testing.assert_allclose(rec, g, atol=1e-6)
+    assert simplify.gate_schmidt_rank(jnp.asarray(g)) == 2
+    swap = np.asarray(tc.gates.swap().matrix())
+    assert simplify.gate_schmidt_rank(jnp.asarray(swap)) == 4
+    prod = np.kron(np.diag([1, 1j]), np.asarray(tc.gates.h().matrix()))
+    assert simplify.gate_schmidt_rank(jnp.asarray(prod)) == 1
+
+
+def test_light_cone_qir():
+    c = tc.Circuit(4)
+    c.h(0)
+    c.h(3)
+    c.cnot(0, 1)
+    c.cnot(2, 3)
+    kept = simplify.light_cone_qir(c.to_qir(), [0])
+    names_idx = [(i["name"], i["index"]) for i in kept]
+    assert ("cnot", (2, 3)) not in names_idx
+    assert ("cnot", (0, 1)) in names_idx
+
+
+def test_h2_hamiltonian_ground_energy():
+    h = np.asarray(chems.h2_hamiltonian())
+    e = np.linalg.eigvalsh(h)
+    # H2/STO-3G ground state approx -1.85 Hartree (incl. identity offset here)
+    assert e[0] < -1.8
+    np.testing.assert_allclose(h, h.conj().T, atol=1e-8)
+
+
+def test_jordan_wigner_two_body_matches_fgs():
+    tc.set_dtype("complex128")
+    try:
+        L = 3
+        hpq = np.array([[0.5, 0.7, 0.0], [0.7, -0.2, 0.3], [0.0, 0.3, 0.1]])
+        ls, ws = chems.jordan_wigner_two_body(hpq)
+        from tensorcircuit_ng_tpu import quantum as qu
+        from tensorcircuit_ng_tpu.models.fgs import FGSTestSimulator
+
+        hq = np.asarray(qu.PauliStringSum2Dense(ls, ws))
+        sim = FGSTestSimulator(L, filled=[0])
+        hd = sim.hamiltonian_dense(hpq.astype(complex))
+        np.testing.assert_allclose(np.sort(np.linalg.eigvalsh(hq)),
+                                   np.sort(np.linalg.eigvalsh(hd)), atol=1e-8)
+    finally:
+        tc.set_dtype("complex64")
+
+
+def test_qcis_translation():
+    c = tc.Circuit(2)
+    c.h(0)
+    c.cz(0, 1)
+    c.rz(1, theta=0.5)
+    c.cnot(0, 1)
+    text = tianyan.qir2qcis(c.to_qir(), 2)
+    assert "CZ Q0 Q1" in text
+    assert "RZ Q1" in text
+    assert text.count("M Q") == 2
+    bad = tianyan.validate_topology(c.to_qir(), [(0, 1)])
+    assert bad == []
+    bad2 = tianyan.validate_topology(c.to_qir(), [(1, 2)])
+    assert len(bad2) == 2

@@ -28,7 +28,7 @@ __all__ = ["row_layer", "LANE_BLOCK"]
 
 #: max row-qubits handled inside one kernel block: 2^MAX_KERNEL_QUBITS rows
 #: x 128 lanes x f32 must fit twice (state + cotangent) in VMEM
-MAX_KERNEL_QUBITS = 12
+MAX_KERNEL_QUBITS = 11
 
 _INTERPRET = False
 
@@ -171,6 +171,7 @@ def _pallas_row_fwd(gr, gi, sr, si):
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ),
+        input_output_aliases={2: 0, 3: 1},
         interpret=_INTERPRET,
     )(jnp.reshape(gr, (nrow, 4)), jnp.reshape(gi, (nrow, 4)), sr, si)
 
@@ -211,6 +212,7 @@ def _pallas_row_bwd(gr, gi, yr, yi, ctr, cti):
             pltpu.VMEM((rb, lanes), jnp.float32),
             pltpu.VMEM((rb, lanes), jnp.float32),
         ],
+        input_output_aliases={4: 0, 5: 1},
         interpret=_INTERPRET,
     )(
         jnp.reshape(gr, (nrow, 4)),

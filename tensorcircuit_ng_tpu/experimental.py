@@ -38,6 +38,8 @@ __all__ = [
     "parameter_shift_grad_v2",
     "finite_difference_differentiator",
     "jax_jitted_function_save",
+    "save_params",
+    "load_params",
     "jax_jitted_function_load",
     "broadcast_py_object",
     "scan_circuit_layers",
@@ -249,6 +251,33 @@ def jax_jitted_function_load(path: str) -> Callable[..., Any]:
         blob = fp.read()
     exported = jexport.deserialize(blob)
     return exported.call
+
+
+# ------------------------------------------------------------------
+# parameter checkpointing (orbax)
+# ------------------------------------------------------------------
+
+
+def save_params(path: str, params: Any) -> None:
+    """Checkpoint a parameter pytree with orbax (reference keeps params as
+    plain arrays + keras save helpers; orbax is the TPU-native store)."""
+    import orbax.checkpoint as ocp
+    import os
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, params, force=True)
+
+
+def load_params(path: str, template: Any = None) -> Any:
+    import orbax.checkpoint as ocp
+    import os
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    if template is not None:
+        return ckptr.restore(path, item=template)
+    return ckptr.restore(path)
 
 
 # ------------------------------------------------------------------

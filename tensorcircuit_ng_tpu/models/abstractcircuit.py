@@ -204,6 +204,12 @@ class AbstractCircuit:
         gatef = item.get("gatef")
         params = item.get("parameters", {})
         index = item["index"]
+        if item.get("fused_1q_layer"):
+            self.fused_single_qubit_layer(item["gates"], name=item.get("name", "fused_1q_layer"))  # type: ignore
+            return
+        if item.get("zz_product"):
+            self.rzz_product(item["pairs"], item["thetas"])  # type: ignore
+            return
         if item.get("is_channel"):
             kraus = item["channel_kraus"]
             status = item.get("channel_status")
@@ -247,7 +253,8 @@ class AbstractCircuit:
         if "nqubits" not in circuit_params:
             circuit_params["nqubits"] = self._nqubits
         c = type(self)(**circuit_params)  # type: ignore
-        for item in reversed(self._qir):
+        qir = self._expanded_qir() if hasattr(self, "_expanded_qir") else self._qir
+        for item in reversed(qir):
             m = item["gate"].matrix()
             c.any(*item["index"], unitary=jnp.conj(m.T), name=(item.get("name") or "any") + "d")
         return c

@@ -127,10 +127,17 @@ def json2qir(data: Sequence[Dict[str, Any]]) -> List[Dict[str, Any]]:
     return qir
 
 
+def _export_qir(c: Any) -> Any:
+    """Per-gate QIR view (fused layers expanded) for exporters."""
+    if hasattr(c, "_expanded_qir"):
+        return c._expanded_qir()
+    return c.to_qir()
+
+
 def circuit_to_json(c: Any, simplified: bool = False, as_str: bool = True) -> Any:
     payload = {
         "nqubits": c.nqubits,
-        "qir": qir2json(c.to_qir(), simplified=simplified),
+        "qir": qir2json(_export_qir(c), simplified=simplified),
     }
     return json.dumps(payload) if as_str else payload
 
@@ -213,7 +220,7 @@ def qir2qasm(qir: Sequence[Dict[str, Any]], n: int) -> str:
 
 
 def circuit_to_qasm(c: Any) -> str:
-    return qir2qasm(c.to_qir(), c.nqubits)
+    return qir2qasm(_export_qir(c), c.nqubits)
 
 
 _QASM_IMPORT = {v: k for k, v in _QASM_EMIT.items()}

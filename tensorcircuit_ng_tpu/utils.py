@@ -6,7 +6,27 @@ import functools
 import time
 from typing import Any, Callable, Optional, Sequence, Tuple
 
-__all__ = ["benchmark", "arg_alias", "return_partial", "append"]
+__all__ = ["benchmark", "arg_alias", "return_partial", "append", "cost_analysis"]
+
+
+def cost_analysis(f: Callable[..., Any], *args: Any, **kws: Any) -> dict:
+    """XLA cost analysis of a jitted function: FLOPs, bytes accessed, etc.
+
+    The tracing/profiling hook of SURVEY.md §5 — analog of the reference's
+    ``contraction_info=True`` cost report (``cons.py:1084-1120``) but for any
+    compiled program.
+    """
+    import jax
+
+    jitted = f if hasattr(f, "lower") else jax.jit(f)
+    compiled = jitted.lower(*args, **kws).compile()
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return dict(ca)
+    except Exception:
+        return {}
 
 
 def benchmark(f: Callable[..., Any], *args: Any, tries: int = 5, verbose: bool = True) -> Tuple[Any, float, float]:

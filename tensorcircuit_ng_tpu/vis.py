@@ -97,7 +97,8 @@ def _fmt_name(name: str, item: Dict[str, Any]) -> str:
 
 
 def circuit_to_tex(c: Any, **kws: Any) -> str:
-    return qir2tex(c.to_qir(), c.nqubits, **kws)
+    qir = c._expanded_qir() if hasattr(c, "_expanded_qir") else c.to_qir()
+    return qir2tex(qir, c.nqubits, **kws)
 
 
 def render_pdf(tex: str, filename: str = "circuit", path: str = ".") -> Optional[str]:
@@ -122,7 +123,8 @@ def draw(c: Any) -> str:
     """Dependency-free unicode circuit sketch."""
     n = c.nqubits
     lines = [f"q{q}: " for q in range(n)]
-    for item in c.to_qir():
+    qir = c._expanded_qir() if hasattr(c, "_expanded_qir") else c.to_qir()
+    for item in qir:
         idx = list(item["index"])
         name = (item.get("name") or "?")[:4]
         width = len(name) + 2

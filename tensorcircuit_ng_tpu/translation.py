@@ -214,9 +214,32 @@ def qir2qasm(qir: Sequence[Dict[str, Any]], n: int) -> str:
                 v = params.get(p, 0.0)
                 vals.append(repr(float(np.real(np.asarray(v)))))
             lines.append(f"{qname}({','.join(vals)}) {idx};")
+        elif len(item["index"]) == 1 and item.get("gate") is not None:
+            # arbitrary single-qubit gate: ZYZ decomposition -> u(theta,phi,lam)
+            m = np.asarray(item["gate"].matrix())
+            theta, phi, lam = _u3_angles(m)
+            lines.append(f"u({theta!r},{phi!r},{lam!r}) {idx};")
         else:
             raise ValueError(f"gate {name!r} has no OpenQASM 2 representation")
     return "\n".join(lines) + "\n"
+
+
+def _u3_angles(m: np.ndarray) -> Tuple[float, float, float]:
+    """(theta, phi, lam) with U ~ u(theta, phi, lam) up to global phase."""
+    a = abs(m[0, 0])
+    b = abs(m[1, 0])
+    theta = 2.0 * math.atan2(b, a)
+    if a > 1e-9 and b > 1e-9:
+        ref = np.angle(m[0, 0])
+        phi = float(np.angle(m[1, 0]) - ref)
+        lam = float(np.angle(-m[0, 1]) - ref)
+    elif a <= 1e-9:  # theta = pi
+        phi = float(np.angle(m[1, 0]) - np.angle(-m[0, 1]))
+        lam = 0.0
+    else:  # theta = 0
+        phi = float(np.angle(m[1, 1]) - np.angle(m[0, 0]))
+        lam = 0.0
+    return float(theta), phi, lam
 
 
 def circuit_to_qasm(c: Any) -> str:

@@ -90,6 +90,11 @@ def __getattr__(name):  # lazy heavy/optional submodules
         "quditgates": (".ops.quditgates", None),
         "parallel": (".parallel", None),
         "DistributedContractor": (".parallel.distributed", "DistributedContractor"),
+        "simplify": (".simplify", None),
+        "utils": (".utils", None),
+        "applications": (".applications", None),
+        "zx": (".zx", None),
+        "symbolgates": (".models.symbolcircuit", None),
     }
     if name in lazy:
         mod_name, attr = lazy[name]

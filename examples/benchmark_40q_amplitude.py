@@ -1,0 +1,51 @@
+"""40-qubit sliced random-circuit amplitude (BASELINE config 5 harness).
+
+Single-chip version of the v5e-16 target: the DistributedContractor slices
+the contraction so each slice fits, and scans slices sequentially on one
+device (on a 16-chip mesh the same code spreads slices over ICI).
+"""
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+import tensorcircuit_ng_tpu as tc
+from tensorcircuit_ng_tpu.core import contractor as ctr
+
+n = 40
+depth = 6
+
+
+def build(seed=7):
+    rng = np.random.default_rng(seed)
+    c = tc.Circuit(n)
+    for i in range(n):
+        c.h(i)
+    for l in range(depth):
+        for i in range(l % 2, n - 1, 2):
+            c.cnot(i, i + 1)
+        for i in range(n):
+            c.rz(i, theta=float(rng.normal()))
+            c.rx(i, theta=float(rng.normal()))
+    return c
+
+
+if __name__ == "__main__":
+    c = build()
+    bits = "0" * n
+    t0 = time.time()
+    ir = c.amplitude_before(bits)
+    info = ctr.contraction_info(ir)
+    print(f"path found in {time.time()-t0:.1f}s: log2 size {info['log2[SIZE]']:.1f}, "
+          f"log10 flops {info['log10[FLOPs]']:.1f}")
+    sliced = ctr.choose_slices(ir, target_size=2**26)
+    print("sliced indices:", len(sliced), "-> slices:", 2 ** len(sliced))
+    t0 = time.time()
+    if sliced:
+        val = ctr.sliced_contract_ir(ir, sliced)
+    else:
+        val = ctr.contract_ir(ir)
+    val = complex(np.asarray(val))
+    dt = time.time() - t0
+    print(f"amplitude = {val:.3e}  (contraction {dt:.1f}s)")

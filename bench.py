@@ -1,16 +1,14 @@
-"""Benchmark: N=20 TFIM VQE step (BASELINE.json config 1) on one TPU chip.
+"""Benchmark: N=20 TFIM VQE training step throughput on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline semantics: speedup relative to the first recorded run of this
-benchmark (stored in BENCH_BASELINE.json at first execution) — round 1
-recorded 27.5 ms/step; later rounds show cumulative speedup.  The reference
-repo publishes no committed number for this config (see BASELINE.md); its
-harness is examples/vqetfim_benchmark.py.
-
-Implementation notes: circuit layers run under lax.scan
-(tc.experimental.scan_circuit_layers) so the compiled program is O(1) in
-depth; rzz gates ride the diagonal fast path.
+Methodology (see CLAUDE.md "axon timing"): K optimizer steps run inside ONE
+jit via ``lax.scan`` with a host fetch at the end — per-dispatch tunnel
+latency and the tunnel's request memoization would otherwise corrupt the
+numbers.  vs_baseline = speedup over the recorded UNFUSED per-gate engine
+measured with the same methodology (BENCH_BASELINE.json); the fused path uses
+``rzz_product`` (one phase pass per layer), ``rx_layer`` (Pallas row kernel +
+lane-kron MXU matmul), and block-sandwich energy sums.
 """
 
 import json
@@ -28,6 +26,7 @@ def main() -> None:
 
     n = 20
     nlayers = 4
+    K = 50
 
     pairs = [(i, i + 1) for i in range(n - 1)]
 
@@ -39,26 +38,29 @@ def main() -> None:
             c.rx_layer(params[l, 1])
         return jnp.real(c.expectation_zz_sum(pairs)) - c.expectation_x_sum()
 
-    params = jnp.asarray(
-        np.random.default_rng(42).normal(size=(nlayers, 2, n)) * 0.1,
-        dtype=jnp.float32,
-    )
-    vg = jax.jit(jax.value_and_grad(energy))
+    vg = jax.value_and_grad(energy)
 
-    # warmup / compile
+    def body(p, _):
+        v, g = vg(p)
+        return p - 0.01 * g, v
+
+    fk = jax.jit(lambda p: jax.lax.scan(body, p, None, length=K))
+
+    rng = np.random.default_rng(42)
+    p0 = jnp.asarray(rng.normal(size=(nlayers, 2, n)) * 0.1, dtype=jnp.float32)
     t0 = time.time()
-    v, g = vg(params)
-    jax.block_until_ready((v, g))
+    out = fk(p0)
+    final_e = float(out[1][-1])  # host fetch forces execution
     compile_time = time.time() - t0
 
-    # steady-state timing
-    nsteps = 50
-    t0 = time.time()
-    for _ in range(nsteps):
-        v, g = vg(params)
-        params = params - 0.01 * g
-    jax.block_until_ready((v, params))
-    step_ms = (time.time() - t0) / nsteps * 1000.0
+    best = float("inf")
+    for _ in range(3):
+        p = jnp.asarray(rng.normal(size=(nlayers, 2, n)) * 0.1, dtype=jnp.float32)
+        t0 = time.time()
+        out = fk(p)
+        _ = float(out[1][-1])
+        best = min(best, (time.time() - t0) / K)
+    step_ms = best * 1000.0
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
@@ -74,6 +76,8 @@ def main() -> None:
                 {
                     "metric": "tfim_vqe_n20_l4_step_ms",
                     "step_ms": step_ms,
+                    "methodology": "scan50-in-jit + host fetch",
+                    "variant": "fused (no unfused baseline recorded)",
                     "compile_s": compile_time,
                     "device": str(jax.devices()[0]),
                 },

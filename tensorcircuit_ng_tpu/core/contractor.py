@@ -90,14 +90,40 @@ def contraction_info(ir: EinsumIR, optimizer: Any = None) -> Dict[str, Any]:
     }
 
 
-def contract_ir(ir: EinsumIR, optimizer: Any = None) -> Tensor:
-    """Contract the IR into its output tensor (jit/vmap/grad-transparent)."""
+def contract_ir(
+    ir: EinsumIR,
+    optimizer: Any = None,
+    dry_run: bool = False,
+    strip_exponent: bool = False,
+) -> Any:
+    """Contract the IR into its output tensor (jit/vmap/grad-transparent).
+
+    ``dry_run`` returns zeros of the output shape without contracting (the
+    reference's ``debug_level=2`` shape-only mode, ``cons.py:928-946``);
+    ``strip_exponent`` rescales operands and returns ``(value, log_factor)``
+    with the true result = value * exp(log_factor) — for huge-magnitude
+    networks (reference ``cons.py:736-740``).
+    """
     import opt_einsum as oe
 
+    out_shape = tuple(ir.size_dict[i] for i in ir.output)
+    if dry_run:
+        return jnp.zeros(out_shape, dtype=jnp.asarray(ir.tensors[0]).dtype)
     path, _ = find_path(ir, optimizer)
     subscripts = ir.to_subscripts()
     expr = oe.contract_expression(subscripts, *ir.shapes(), optimize=path)
-    return expr(*ir.tensors, backend="jax")
+    if not strip_exponent:
+        return expr(*ir.tensors, backend="jax")
+    scaled = []
+    log_factor = jnp.zeros((), dtype=jnp.float32)
+    for t in ir.tensors:
+        t = jnp.asarray(t)
+        s = jnp.max(jnp.abs(t))
+        s = jnp.where(s == 0, 1.0, s)
+        scaled.append(t / s.astype(t.dtype))
+        log_factor = log_factor + jnp.log(s).astype(jnp.float32)
+    val = expr(*scaled, backend="jax")
+    return val, log_factor
 
 
 # ------------------------------------------------------------------

@@ -218,6 +218,22 @@ class BaseCircuit(AbstractCircuit):
         )
         self._state_cache = None
 
+    def mpo(self, *index: int, mpo: Any = None, name: str = "mpo") -> None:
+        """Apply an MPO / QuOperator as a gate on ``index`` (densified).
+
+        Reference MPO-gate path (``basecircuit.py:295-316``); the dense engine
+        materializes the operator matrix (fine for few-site MPOs).
+        """
+        from .. import quantum as qu
+
+        if isinstance(mpo, qu.QuOperator):
+            m = mpo.eval_matrix()
+        elif isinstance(mpo, (list, tuple)):
+            m = qu.tn2qop(mpo).eval_matrix()
+        else:
+            m = jnp.asarray(mpo)
+        self.any(*index, unitary=m, name=name)  # type: ignore
+
     def expectation_zz_sum(self, pairs: Sequence[Tuple[int, int]], weights: Optional[Tensor] = None) -> Tensor:
         return statevec.expectation_zz_sum(self.state(), pairs, weights)
 

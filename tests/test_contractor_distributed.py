@@ -197,3 +197,39 @@ def test_term_sharded_expectation():
     for i in range(n):
         expected += -np.real(np.asarray(c.expectation_ps(x=[i])))
     np.testing.assert_allclose(float(e), expected, atol=1e-4)
+
+
+def test_dry_run_and_strip_exponent():
+    n = 6
+    c = small_circuit(n)
+    ir = c.amplitude_before("0" * n)
+    z = ctr.contract_ir(ir, dry_run=True)
+    assert z.shape == ()
+    assert complex(np.asarray(z)) == 0
+    val, logf = ctr.contract_ir(ir, strip_exponent=True)
+    full = ctr.contract_ir(ir)
+    np.testing.assert_allclose(
+        complex(np.asarray(val)) * np.exp(float(logf)), complex(np.asarray(full)), atol=1e-6
+    )
+
+
+def test_mpo_gate_application():
+    import tensorcircuit_ng_tpu.quantum as qu
+
+    # rzz as a 2-site MPO: bond-2 decomposition of exp(-i theta/2 Z x Z)
+    theta = 0.6
+    za = np.zeros((1, 2, 2, 2), dtype=complex)
+    za[0, :, :, 0] = np.cos(theta / 2) * np.eye(2)
+    za[0, :, :, 1] = -1j * np.sin(theta / 2) * np.diag([1, -1])
+    zb = np.zeros((2, 2, 2, 1), dtype=complex)
+    zb[0, :, :, 0] = np.eye(2)
+    zb[1, :, :, 0] = np.diag([1, -1])
+    c = tc.Circuit(3)
+    c.h(0)
+    c.h(1)
+    c.mpo(0, 1, mpo=[za, zb])
+    c2 = tc.Circuit(3)
+    c2.h(0)
+    c2.h(1)
+    c2.rzz(0, 1, theta=theta)
+    np.testing.assert_allclose(np.asarray(c.state()), np.asarray(c2.state()), atol=1e-5)

@@ -51,6 +51,13 @@ def _optimizer_from_config(opts: Optional[dict] = None) -> Any:
         return "auto" if method == "auto" else None
     if method == "custom":
         return options.get("optimizer")
+    if method in ("treesa", "sa"):
+        from .native import TreeSAOptimizer, treesa_available
+
+        if treesa_available():
+            return TreeSAOptimizer(**options)
+        logger.warning("treesa native lib unavailable; falling back to greedy")
+        return "greedy"
     return method  # "greedy", "optimal", "branch-2", "dp", ...
 
 

@@ -75,3 +75,34 @@ def test_qcis_translation():
     assert bad == []
     bad2 = tianyan.validate_topology(c.to_qir(), [(1, 2)])
     assert len(bad2) == 2
+
+
+def test_treesa_contractor_config():
+    from tensorcircuit_ng_tpu.core import native
+    if not native.treesa_available():
+        pytest.skip("no g++")
+    from tensorcircuit_ng_tpu.core import contractor as ctr
+    c = tc.Circuit(6)
+    for i in range(6):
+        c.h(i)
+    for i in range(5):
+        c.cnot(i, i + 1)
+    with tc.runtime_contractor("treesa", n_iters=200):
+        ir = c.amplitude_before("0" * 6)
+        v1 = ctr.contract_ir(ir)
+    v2 = complex(np.asarray(c.amplitude("0" * 6)))
+    np.testing.assert_allclose(complex(np.asarray(v1)), v2, atol=1e-5)
+
+
+def test_cost_analysis_and_params_ckpt(tmp_path):
+    from tensorcircuit_ng_tpu import utils, experimental
+    import jax
+
+    f = lambda x: jnp.sum(x @ x)
+    ca = utils.cost_analysis(f, jnp.ones((64, 64)))
+    assert isinstance(ca, dict)
+    params = {"w": jnp.ones((3,)), "b": jnp.zeros((2, 2))}
+    path = str(tmp_path / "ckpt")
+    experimental.save_params(path, params)
+    restored = experimental.load_params(path)
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.ones(3))

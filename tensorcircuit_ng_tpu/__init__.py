@@ -41,6 +41,8 @@ from .quantum import (
     PauliStringSum2COO,
     PauliStringSum2Dense,
     PauliStringSum2MVP,
+    aslinearoperator,
+    LinearOperator,
 )
 
 # module namespace parity with the reference
@@ -82,6 +84,9 @@ def __getattr__(name):  # lazy heavy/optional submodules
         "cite": (".about", "cite"),
         "keras": (".keras", None),
         "KerasLayer": (".keras", "KerasLayer"),
+        "KerasHardwareLayer": (".keras", "KerasHardwareLayer"),
+        "TorchHardwareLayer": (".torchnn", "TorchHardwareLayer"),
+        "HardwareNet": (".torchnn", "HardwareNet"),
         "QuantumLayer": (".keras", "QuantumLayer"),
         "torchnn": (".torchnn", None),
         "TorchLayer": (".torchnn", "TorchLayer"),

@@ -10,9 +10,22 @@ numpy callers — via VJP + dlpack/numpy conversion, mirroring reference
 from .torch import torch_interface, torch_interface_kws, pytorch_interface
 from .scipy import scipy_interface, scipy_optimize_interface
 from .numpy import numpy_interface
+from .tensorflow import tensorflow_interface, tf_interface
 from .tensortrans import general_args_to_numpy, numpy_args_to_backend
 
+
+def jax_interface(fun, jit: bool = False):
+    """Identity adapter: this framework is JAX-native, so a jax-facing wrap
+    of a backend function is the function itself (kept for reference parity,
+    reference ``interfaces/jax.py:69``)."""
+    import jax
+
+    return jax.jit(fun) if jit else fun
+
 __all__ = [
+    "jax_interface",
+    "tensorflow_interface",
+    "tf_interface",
     "torch_interface",
     "torch_interface_kws",
     "pytorch_interface",

@@ -33,6 +33,18 @@ Tensor = Any
 __all__ = ["MPSCircuit"]
 
 
+def _truncate_to(m, cap, rules):
+    from ..core import linalg as _linalg2
+
+    u, s, vh, _ = _linalg2.truncated_svd(
+        m,
+        max_singular_values=cap,
+        max_truncation_err=rules.get("max_truncation_err", 0.0) or 0.0,
+        relative=rules.get("relative", False),
+    )
+    return u, s, vh, cap
+
+
 def _mps_sample_once(tensors, status, d, eps):
     """One autoregressive sample from a right-canonical MPS (center at 0)."""
     outcomes = []
@@ -325,6 +337,95 @@ class MPSCircuit(AbstractCircuit):
         for pos in range(k - 1, -1, -1):
             if target[pos] != sorted_idx[pos]:
                 self.consecutive_swap(target[pos], sorted_idx[pos])
+
+    # ------------------------------------------------------------------
+    # MPO machinery (reference mpscircuit.py:386-669)
+    # ------------------------------------------------------------------
+
+    def gate_to_mpo(self, gate: Tensor, k: int) -> List[Tensor]:
+        """Factor a dense k-site gate into MPO site tensors (l, out, in, r).
+
+        Successive SVDs along the site chain (reference ``gate_to_MPO``
+        ``mpscircuit.py:386-453``); exact (no truncation) — MPO bonds grow as
+        needed up to d^2 per cut.
+        """
+        d = self._d
+        g = jnp.reshape(jnp.asarray(gate), (d,) * (2 * k))
+        # interleave (o1, i1, o2, i2, ...)
+        perm = []
+        for j in range(k):
+            perm.extend([j, k + j])
+        g = jnp.transpose(g, perm)
+        tensors: List[Tensor] = []
+        rest = jnp.reshape(g, (1, -1))
+        left_bond = 1
+        for j in range(k - 1):
+            m = jnp.reshape(rest, (left_bond * d * d, -1))
+            u, s, vh = _linalg.adaware_svd(m)
+            bond = min(m.shape)
+            u = u[:, :bond]
+            tensors.append(jnp.reshape(u, (left_bond, d, d, bond)))
+            rest = s[:bond].astype(vh.dtype)[:, None] * vh[:bond]
+            left_bond = bond
+        tensors.append(jnp.reshape(rest, (left_bond, d, d, 1)))
+        return tensors
+
+    def apply_mpo(self, mpo_tensors: Sequence[Tensor], *index: int, compress: bool = True) -> None:
+        """Apply an MPO on contiguous ascending sites; compress afterwards.
+
+        Reference ``apply_MPO`` ``mpscircuit.py:537-635``: site tensors merge
+        as A'_q = W_q ⊗ A_q over shared physical legs, multiplying bonds;
+        a truncation sweep restores the split-rule bond caps.
+        """
+        index = [int(q) for q in index]
+        assert index == list(range(index[0], index[0] + len(index))), (
+            "apply_mpo requires contiguous ascending sites; use swaps first"
+        )
+        for w, q in zip(mpo_tensors, index):
+            w = jnp.asarray(w).astype(self._tensors[q].dtype)
+            a = self._tensors[q]
+            # w: (l, o, i, r); a: (bl, i, br) -> (l*bl, o, r*br)
+            new = jnp.einsum("loir,bic->lbocr", w, a)
+            l, b, o, r, c2 = new.shape
+            self._tensors[q] = jnp.reshape(new, (l * b, o, r * c2))
+        self._center = index[0]
+        if compress:
+            self.compress()
+
+    def compress(self, max_singular_values: Optional[int] = None, max_truncation_err: Optional[float] = None) -> None:
+        """Truncation sweep restoring bond caps after bond-inflating ops."""
+        rules = dict(self.split)
+        if max_singular_values is not None:
+            rules["max_singular_values"] = max_singular_values
+        if max_truncation_err is not None:
+            rules["max_truncation_err"] = max_truncation_err
+        n = self._nqubits
+        # right-canonicalize fully, then truncate sweeping left -> right
+        self.position(n - 1)
+        self.position(0)
+        for i in range(n - 1):
+            t = self._tensors[i]
+            bl, d, br = t.shape
+            m = jnp.reshape(t, (bl * d, br))
+            cap = br
+            chi = rules.get("max_singular_values")
+            nat = self._bond_cap(i + 1)
+            if nat is not None:
+                cap = min(cap, nat)
+            if chi is not None:
+                cap = min(cap, chi)
+            cap = min(cap, bl * d)
+            u, s, vh, k = self._truncate_theta(m, i + 1, rules) if cap == self._bond_cap(i + 1) else _truncate_to(m, cap, rules)
+            self._tensors[i] = jnp.reshape(u, (bl, d, u.shape[1]))
+            carry = s.astype(vh.dtype)[:, None] * vh
+            nxt = self._tensors[i + 1]
+            self._tensors[i + 1] = jnp.einsum("ab,bdc->adc", carry, nxt)
+        self._center = n - 1
+
+    def rxx(self, i: int, j: int, theta: Any = 0) -> None:  # noqa: D401 - registered
+        from ..ops import gates as gates_mod
+
+        self._apply_gate_instance(gates_mod.GATES["rxx"], i, j, name="rxx", theta=theta)
 
     # ------------------------------------------------------------------
     # readout

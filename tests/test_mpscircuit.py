@@ -164,3 +164,50 @@ def test_mps_batch_sample_statistics():
     cv = np.asarray(cv)
     assert cv[0] + cv[7] == 400  # GHZ: only |000> and |111>
     assert abs(int(cv[0]) - 200) < 80
+
+
+def test_gate_to_mpo_and_apply():
+    n = 6
+    theta = 0.7
+    _, m = build_pair(n, chi=16)
+    for i in range(n):
+        m.h(i)
+    # 3-site gate: rzz(0,1) ⊗ rz(2)-ish composite built densely
+    import scipy.linalg as sl
+    zz1 = np.kron(np.kron(np.diag([1, -1]), np.diag([1, -1])), np.eye(2))
+    z3 = np.kron(np.eye(4), np.diag([1, -1]))
+    gate = sl.expm(-1j * theta / 2 * (zz1 + 0.4 * z3))
+    mpo = m.gate_to_mpo(jnp.asarray(gate), 3)
+    # verify reconstruction
+    acc = None
+    for t in mpo:
+        t = np.asarray(t)
+        if acc is None:
+            acc = t
+        else:
+            acc = np.einsum("...r,rois->...ois", acc, t)
+    # acc: (1, o1,i1, o2,i2, o3,i3, 1)
+    acc = acc.reshape(2, 2, 2, 2, 2, 2)
+    acc = acc.transpose(0, 2, 4, 1, 3, 5).reshape(8, 8)
+    np.testing.assert_allclose(acc, gate, atol=1e-5)
+
+    m.apply_mpo(mpo, 1, 2, 3)
+    c = tc.Circuit(n)
+    for i in range(n):
+        c.h(i)
+    c.any(1, 2, 3, unitary=jnp.asarray(gate))
+    f = abs(np.vdot(np.asarray(c.state()), np.asarray(m.wavefunction())))
+    np.testing.assert_allclose(f, 1.0, atol=1e-4)
+
+
+def test_mps_compress():
+    n = 6
+    _, m = build_pair(n, chi=None)  # exact
+    random_circuit_ops(m, 5)
+    nrm_before = float(m.norm())
+    psi_before = np.asarray(m.wavefunction())
+    m.compress(max_singular_values=4)
+    assert max(m.get_bond_dimensions()) <= 4
+    psi_after = np.asarray(m.wavefunction())
+    overlap = abs(np.vdot(psi_before, psi_after)) / (np.linalg.norm(psi_before) * np.linalg.norm(psi_after))
+    assert overlap > 0.5

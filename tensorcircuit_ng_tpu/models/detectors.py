@@ -21,6 +21,34 @@ from ..core import statevec
 
 Tensor = Any
 
+
+def _dm_measure_kernel(rho: Tensor, q: int, n: int, signed: bool) -> Tensor:
+    """Dephasing (unsigned) or (Zρ+ρZ)/2 (signed) measurement kernel."""
+    zdiag = jnp.asarray([1.0, -1.0], dtype=rho.dtype)
+    z_ket = statevec.apply_diagonal(rho, zdiag, [q], 2)
+    z_bra = statevec.apply_diagonal(rho, zdiag, [n + q], 2)
+    if signed:
+        return (z_ket + z_bra) / 2.0
+    return (rho + statevec.apply_diagonal(z_ket, zdiag, [n + q], 2)) / 2.0
+
+
+def _dm_reset_after_measure(rho: Tensor, q: int, n: int) -> Tensor:
+    """After a measurement kernel: map |1><1| population back to |0><0|.
+
+    The post-measurement rho is qubit-diagonal on q; reset = P0 rho P0 +
+    X P1 rho P1 X.
+    """
+    p0 = jnp.asarray([1.0, 0.0], dtype=rho.dtype)
+    p1 = jnp.asarray([0.0, 1.0], dtype=rho.dtype)
+    r0 = statevec.apply_diagonal(
+        statevec.apply_diagonal(rho, p0, [q], 2), p0, [n + q], 2
+    )
+    r1 = statevec.apply_diagonal(
+        statevec.apply_diagonal(rho, p1, [q], 2), p1, [n + q], 2
+    )
+    r1 = statevec.flip_slot(statevec.flip_slot(r1, q, 2), n + q, 2)
+    return r0 + r1
+
 __all__ = ["DetectorMixin"]
 
 
@@ -174,3 +202,99 @@ class DetectorMixin:
         """Estimated firing probability of each detector."""
         det = self.sample_detector(shots, status=status, statusc=statusc)
         return jnp.mean(det.astype(jnp.float32), axis=0)
+
+    def detector_probabilities_exact(self) -> Tensor:
+        """EXACT detector firing probabilities via signed density evolution.
+
+        Parity trick (the role of the reference's Walsh-Hadamard parity
+        network, ``basecircuit.py:895-973``): E[(-1)^parity] is obtained by
+        replaying the circuit as a density matrix where measurements inside
+        the detector's record set apply the signed kernel
+        P₀ρP₀ − P₁ρP₁ = (Zρ + ρZ)/2 and other measurements dephase
+        (ρ + ZρZ)/2; channels apply exactly.  Then p(fire) = (1 − E)/2.
+        One DM evolution per detector — exact for arbitrary Kraus noise.
+        """
+        d = self._d
+        assert d == 2, "exact detector probabilities implemented for qubits"
+        n = self._nqubits
+        # map record index -> (extra position, qubit)
+        records: List[Tuple[int, int]] = []
+        for ei, e in enumerate(self._extra_qir):
+            if e["name"] in ("measure", "reset"):
+                for q in e["index"]:
+                    records.append((ei, q))
+        detectors = [e for e in self._extra_qir if e["name"] == "detector"]
+        out = []
+        for det in detectors:
+            target = set()
+            for rref in det["records"]:
+                idx = rref if rref >= 0 else len(records) + rref
+                target.add(idx)
+            rho = self._dm_initial()
+            rec_counter = 0
+            extras = sorted(
+                range(len(self._extra_qir)),
+                key=lambda i: (self._extra_qir[i]["pos"], i),
+            )
+            eptr = 0
+
+            def run_extras(pos: int, rho: Tensor, rec_counter: int, eptr: int):
+                while (
+                    eptr < len(extras)
+                    and self._extra_qir[extras[eptr]]["pos"] <= pos
+                ):
+                    e = self._extra_qir[extras[eptr]]
+                    if e["name"] in ("measure", "reset"):
+                        for q in e["index"]:
+                            signed = rec_counter in target
+                            rho = _dm_measure_kernel(rho, q, n, signed)
+                            if e["name"] == "reset":
+                                rho = _dm_reset_after_measure(rho, q, n)
+                            rec_counter += 1
+                    eptr += 1
+                return rho, rec_counter, eptr
+
+            for pos, item in enumerate(self._qir):
+                rho, rec_counter, eptr = run_extras(pos, rho, rec_counter, eptr)
+                rho = self._dm_apply_item(rho, item)
+            rho, rec_counter, eptr = run_extras(len(self._qir), rho, rec_counter, eptr)
+            dim = d**n
+            e_val = jnp.real(jnp.trace(jnp.reshape(rho, (dim, dim))))
+            out.append((1.0 - e_val) / 2.0)
+        return jnp.stack(out)
+
+    # --- density-matrix helpers for the exact path ---------------------
+
+    def _dm_initial(self) -> Tensor:
+        psi = self._initial_state()
+        rho = jnp.outer(psi, jnp.conj(psi))
+        return jnp.reshape(rho, (-1,))
+
+    def _dm_apply_item(self, rho: Tensor, item: Dict[str, Any]) -> Tensor:
+        n = self._nqubits
+        d = self._d
+        if item.get("is_channel"):
+            acc = None
+            for m in item["channel_kraus"]:
+                m = jnp.asarray(m).astype(rho.dtype)
+                t = statevec.apply_unitary(rho, m, item["index"], d)
+                t = statevec.apply_unitary(
+                    t, jnp.conj(m), [w + n for w in item["index"]], d
+                )
+                acc = t if acc is None else acc + t
+            return acc
+        # unitary (incl. fused items expanded)
+        items = [item]
+        if item.get("fused_1q_layer") or item.get("zz_product"):
+            saved, self._qir = self._qir, [item]
+            try:
+                items = self._expanded_qir()
+            finally:
+                self._qir = saved
+        for it in items:
+            g = it["gate"].tensor
+            rho = statevec.apply_unitary(rho, g, it["index"], d)
+            rho = statevec.apply_unitary(
+                rho, jnp.conj(jnp.asarray(g)), [w + n for w in it["index"]], d
+            )
+        return rho

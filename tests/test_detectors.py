@@ -75,3 +75,38 @@ def test_reset_instruction():
         status=jnp.asarray(np.random.default_rng(0).uniform(size=(5, 3))),
         statusc=jnp.asarray(np.zeros((5, 1)))))
     assert det.sum() == 0
+
+
+def test_exact_detector_probabilities_match_sampling():
+    px = 0.2
+    c = tc.Circuit(3)
+    c.h(0)
+    c.cnot(0, 1)
+    c.depolarizing(1, px=px, py=0.0, pz=0.0, status=jnp.asarray(0.0))
+    c.cnot(0, 2)
+    c.measure_instruction(1)
+    c.measure_instruction(2)
+    c.detector(-2)   # parity of measurement on qubit 1 (X-error detector)
+    c.detector(-1, -2)  # joint parity
+    exact = np.asarray(c.detector_probabilities_exact())
+    rng = np.random.default_rng(0)
+    sampled = np.asarray(c.detector_probabilities(
+        shots=4000,
+        status=jnp.asarray(rng.uniform(size=(4000, 2))),
+        statusc=jnp.asarray(rng.uniform(size=(4000, 1)))))
+    np.testing.assert_allclose(exact, sampled, atol=0.04)
+    # analytic: qubit-1 measurement parity differs from qubit-0 with prob px
+    # (X error flips Z1 correlation); h(0) makes outcomes 50/50 but detector(-2)
+    # measures raw outcome parity -> p = 1/2 exactly; joint parity fires w.p. px
+    np.testing.assert_allclose(exact[1], px, atol=1e-5)
+
+
+def test_exact_detector_noiseless_zero():
+    c = tc.Circuit(2)
+    c.h(0)
+    c.cnot(0, 1)
+    c.measure_instruction(0)
+    c.measure_instruction(1)
+    c.detector(-1, -2)  # GHZ parity always 0
+    p = np.asarray(c.detector_probabilities_exact())
+    np.testing.assert_allclose(p, [0.0], atol=1e-6)

@@ -46,6 +46,8 @@ if __name__ == "__main__":
         val = ctr.sliced_contract_ir(ir, sliced)
     else:
         val = ctr.contract_ir(ir)
-    val = complex(np.asarray(val))
+    # axon tunnel cannot fetch complex buffers: pull real/imag separately
+    vr = float(jnp.real(val))
+    vi = float(jnp.imag(val))
     dt = time.time() - t0
-    print(f"amplitude = {val:.3e}  (contraction {dt:.1f}s)")
+    print(f"amplitude = {vr:.3e} + {vi:.3e}j  (contraction {dt:.1f}s)")

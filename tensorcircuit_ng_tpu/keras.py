@@ -14,7 +14,26 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["QuantumLayer", "KerasLayer", "KerasHardwareLayer"]
+__all__ = [
+    "QuantumLayer",
+    "KerasLayer",
+    "KerasHardwareLayer",
+    "save_func",
+    "load_func",
+]
+
+
+def save_func(f, path, *args, **kws):
+    """Serialize a jitted function via jax.export (reference keras save util)."""
+    from .experimental import jax_jitted_function_save
+
+    jax_jitted_function_save(path, f, *args, **kws)
+
+
+def load_func(path):
+    from .experimental import jax_jitted_function_load
+
+    return jax_jitted_function_load(path)
 
 try:
     import flax.linen as nn

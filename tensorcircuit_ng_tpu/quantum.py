@@ -979,12 +979,27 @@ def sample2all(
     """Dispatch int samples [batch] to any of the reference's six formats.
 
     Formats (reference ``basecircuit.py:1424-1439``): sample_int, sample_bin,
-    count_vector, count_tuple, count_dict_bin, count_dict_int.
+    count_vector, count_tuple, count_dict_bin, count_dict_int.  Above 32
+    qubits the dense d^n count vector is impossible, so count formats fall
+    back to the sparse tuple/dict paths (reference forces jittable=False
+    above 35 qubits, ``basecircuit.py:1508``).
     """
     if format == "sample_int":
         return sample
     if format == "sample_bin":
         return sample_int2bin(sample, n, d)
+    if n * math.log2(d) > 32:
+        if format == "count_vector":
+            raise ValueError(
+                f"count_vector needs a dense {d}**{n} array; use count_tuple/"
+                "count_dict_* formats above 32 qubits"
+            )
+        if format == "count_tuple":
+            return sample2count(sample, n, d, jittable=False)
+        if format in ("count_dict_bin", "count_dict_int"):
+            vals, cnts = sample2count(sample, n, d, jittable=False)
+            key = "bin" if format.endswith("bin") else "int"
+            return count_tuple2dict((vals, cnts), n, key=key, d=d)
     if format == "count_vector":
         _, cv = sample2count(sample, n, d, jittable=True)
         return cv

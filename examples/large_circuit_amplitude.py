@@ -1,5 +1,11 @@
 """40-qubit circuit amplitude through the lazy einsum IR with slicing."""
 
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import tensorcircuit_ng_tpu as tc
 from tensorcircuit_ng_tpu.core import contractor as ctr

@@ -1,5 +1,11 @@
 """Monte-Carlo trajectory noise vs exact density matrix (mirrors examples/mcnoise_boost.py)."""
 
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,5 +1,11 @@
 """Batched-parameter QAOA on MaxCut (mirrors reference examples/qaoa_parallel_opt.py)."""
 
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -3,6 +3,12 @@
 Run on CPU: XLA_FLAGS=--xla_force_host_platform_device_count=8 python examples/sharded_qml.py
 """
 
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,5 +1,11 @@
 """MPS TEBD for the XYZ chain (mirrors reference examples/xyzmodel_tebd)."""
 
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

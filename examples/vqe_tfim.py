@@ -1,5 +1,11 @@
 """N=20 TFIM VQE with scan-layered ansatz (mirrors reference examples/vqetfim_benchmark.py)."""
 
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -36,6 +36,58 @@ def _dtype(d: Optional[str]) -> Any:
     return jnp.dtype(d)
 
 
+class NumpyCOO:
+    """COO sparse matrix whose buffers stay numpy until they meet a tracer.
+
+    Drop-in for the backend sparse type (reference jax backend returns BCOO,
+    ``backends/jax_backend.py``); here buffers are host numpy so jit programs
+    can close over sparse (complex) Hamiltonians on the axon TPU backend —
+    complex device arrays cannot be lowered as jit constants there.  ``@``
+    is a scatter-add contraction: out[r] += v * b[c] (one XLA scatter, MXU
+    unaffected).  Traced/array buffers are kept as-is, so the type also
+    works when constructed inside a jit trace.
+    """
+
+    def __init__(self, indices: Any, values: Any, shape: Any) -> None:
+        import jax.core as _core
+
+        def keep(x: Any) -> Any:
+            if isinstance(x, _core.Tracer):
+                return x
+            return np.asarray(x)
+
+        self.indices = keep(indices)
+        self.values = keep(values)
+        self.shape = tuple(int(s) for s in shape)
+        self.ndim = 2
+        self.dtype = self.values.dtype
+
+    def __matmul__(self, b: Tensor) -> Tensor:
+        rows = self.indices[:, 0]
+        cols = self.indices[:, 1]
+        contrib = self.values * jnp.take(b, cols, axis=0)
+        out_shape = (self.shape[0],) + tuple(b.shape[1:])
+        out = jnp.zeros(out_shape, dtype=contrib.dtype)
+        return out.at[rows].add(contrib)
+
+    def todense(self) -> Tensor:
+        rows = self.indices[:, 0]
+        cols = self.indices[:, 1]
+        out = jnp.zeros(self.shape, dtype=self.values.dtype)
+        return out.at[rows, cols].add(self.values)
+
+    def to_scipy(self) -> Any:
+        import scipy.sparse as sp
+
+        return sp.coo_matrix(
+            (np.asarray(self.values), (np.asarray(self.indices[:, 0]), np.asarray(self.indices[:, 1]))),
+            shape=self.shape,
+        )
+
+    def __repr__(self) -> str:
+        return f"NumpyCOO(shape={self.shape}, nnz={self.values.shape[0]}, dtype={self.dtype})"
+
+
 class JaxBackend:
     """The TPU/JAX backend. Mirrors reference ``backends/jax_backend.py:203``."""
 
@@ -209,9 +261,14 @@ class JaxBackend:
         return a.at[tuple(indices[:, i] for i in range(indices.shape[1]))].set(updates)
 
     def coo_sparse_matrix(self, indices: Tensor, values: Tensor, shape) -> Any:
-        from jax.experimental import sparse as jsparse
+        """COO sparse matrix with HOST-resident buffers (see NumpyCOO).
 
-        return jsparse.BCOO((jnp.asarray(values), jnp.asarray(indices)), shape=tuple(shape))
+        Unlike BCOO (which eagerly device-puts its buffers), concrete
+        index/value planes stay numpy so the matrix can be closed over by
+        jit programs on the axon TPU backend, where complex device arrays
+        cannot be lowered as constants.  Traced values pass through.
+        """
+        return NumpyCOO(indices, values, tuple(shape))
 
     def coo_sparse_matrix_from_numpy(self, a: Any) -> Any:
         import scipy.sparse as sp
@@ -227,7 +284,7 @@ class JaxBackend:
     def is_sparse(self, a: Any) -> bool:
         from jax.experimental import sparse as jsparse
 
-        return isinstance(a, (jsparse.BCOO, jsparse.BCSR))
+        return isinstance(a, (jsparse.BCOO, jsparse.BCSR, NumpyCOO))
 
     def to_dense(self, sp_a: Any) -> Tensor:
         return sp_a.todense()

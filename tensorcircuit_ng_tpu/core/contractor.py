@@ -97,6 +97,59 @@ def contraction_info(ir: EinsumIR, optimizer: Any = None) -> Dict[str, Any]:
     }
 
 
+def _contraction_steps(
+    inputs: Sequence[Tuple[int, ...]],
+    output: Tuple[int, ...],
+    size_dict: Dict[int, int],
+    path: Any,
+) -> List[Tuple[Tuple[int, ...], str]]:
+    """Pairwise einsum steps ((operand positions), subscripts) for a path.
+
+    Cached per signature by the callers; executed with plain ``jnp.einsum``
+    so numpy constants lift directly and tracers pass through — opt_einsum's
+    own jax backend re-jits and calls ``np.asarray`` on results, which breaks
+    under an outer trace and cannot fetch complex buffers on axon.
+    """
+    import opt_einsum as oe
+
+    shapes = [tuple(size_dict[i] for i in inp) for inp in inputs]
+    ids = sorted({i for inp in inputs for i in inp} | set(output))
+    sym = {i: oe.get_symbol(k) for k, i in enumerate(ids)}
+    lhs = ",".join("".join(sym[i] for i in inp) for inp in inputs)
+    rhs = "".join(sym[i] for i in output)
+    _, info = oe.contract_path(f"{lhs}->{rhs}", *shapes, shapes=True, optimize=path)
+    return [
+        (tuple(contraction[0]), contraction[2])
+        for contraction in info.contraction_list
+    ]
+
+
+def _execute_steps(steps: Sequence[Tuple[Tuple[int, ...], str]], operands: Sequence[Any]) -> Any:
+    ops = list(operands)
+    for positions, es in steps:
+        # positions come sorted descending from opt_einsum; the einsum
+        # subscripts follow this pop order
+        arrs = [ops.pop(i) for i in positions]
+        ops.append(jnp.einsum(es, *arrs))
+    assert len(ops) == 1
+    return ops[0]
+
+
+_STEPS_CACHE: Dict[Tuple, Any] = {}
+
+
+def _steps_for(
+    inputs: Sequence[Tuple[int, ...]],
+    output: Tuple[int, ...],
+    size_dict: Dict[int, int],
+    path: Any,
+) -> List[Tuple[Tuple[int, ...], str]]:
+    key = (tuple(inputs), tuple(output), tuple(sorted(size_dict.items())), str(path))
+    if key not in _STEPS_CACHE:
+        _STEPS_CACHE[key] = _contraction_steps(inputs, output, size_dict, path)
+    return _STEPS_CACHE[key]
+
+
 def contract_ir(
     ir: EinsumIR,
     optimizer: Any = None,
@@ -111,25 +164,24 @@ def contract_ir(
     with the true result = value * exp(log_factor) — for huge-magnitude
     networks (reference ``cons.py:736-740``).
     """
-    import opt_einsum as oe
-
     out_shape = tuple(ir.size_dict[i] for i in ir.output)
     if dry_run:
-        return jnp.zeros(out_shape, dtype=jnp.asarray(ir.tensors[0]).dtype)
+        t0 = ir.tensors[0]
+        return jnp.zeros(out_shape, dtype=t0.dtype if hasattr(t0, "dtype") else np.asarray(t0).dtype)
     path, _ = find_path(ir, optimizer)
-    subscripts = ir.to_subscripts()
-    expr = oe.contract_expression(subscripts, *ir.shapes(), optimize=path)
+    steps = _steps_for(ir.inputs, ir.output, ir.size_dict, path)
     if not strip_exponent:
-        return expr(*ir.tensors, backend="jax")
+        return _execute_steps(steps, ir.tensors)
     scaled = []
     log_factor = jnp.zeros((), dtype=jnp.float32)
     for t in ir.tensors:
-        t = jnp.asarray(t)
+        # no eager jnp.asarray: numpy constants must stay numpy (axon cannot
+        # lower complex device-array constants inside jit)
         s = jnp.max(jnp.abs(t))
         s = jnp.where(s == 0, 1.0, s)
         scaled.append(t / s.astype(t.dtype))
         log_factor = log_factor + jnp.log(s).astype(jnp.float32)
-    val = expr(*scaled, backend="jax")
+    val = _execute_steps(steps, scaled)
     return val, log_factor
 
 
@@ -230,9 +282,7 @@ def sliced_contract_ir(
         ir.tensors,
     )
     path, _ = find_path(sub_ir, optimizer)
-    expr = oe.contract_expression(
-        sub_ir.to_subscripts(), *sub_ir.shapes(), optimize=path
-    )
+    steps = _steps_for(sub_ir.inputs, sub_ir.output, sub_ir.size_dict, path)
 
     def one_slice(flat_id: Tensor) -> Tensor:
         # decode flat id into per-index values
@@ -244,7 +294,7 @@ def sliced_contract_ir(
         vals = list(reversed(vals))
         operands = []
         for inp, t in zip(ir.inputs, ir.tensors):
-            tt = jnp.asarray(t)
+            tt = t  # numpy stays numpy; jnp.take lifts it without a transfer
             cur_axes = list(inp)
             for sid, sval in zip(sliced_indices, vals):
                 if sid in cur_axes:
@@ -252,7 +302,7 @@ def sliced_contract_ir(
                     tt = jnp.take(tt, sval, axis=ax)
                     cur_axes.pop(ax)
             operands.append(tt)
-        return expr(*operands, backend="jax")
+        return _execute_steps(steps, operands)
 
     out_shape = tuple(ir.size_dict[i] for i in sub_ir.output)
     dtype = jnp.asarray(ir.tensors[0]).dtype

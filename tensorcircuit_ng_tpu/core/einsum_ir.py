@@ -87,9 +87,9 @@ class _IRBuilder:
     def add_gate(self, tensor: Tensor, wires: Sequence[int]) -> None:
         k = len(wires)
         d = self.d
-        t = jnp.asarray(tensor)
+        t = tensor if hasattr(tensor, "ndim") else np.asarray(tensor)
         if t.ndim != 2 * k:
-            t = jnp.reshape(t, (d,) * (2 * k))
+            t = t.reshape((d,) * (2 * k))
         new = [self.new_index() for _ in range(k)]
         old = [self.front[w] for w in wires]
         # gate tensor convention: (out..., in...)
@@ -99,15 +99,17 @@ class _IRBuilder:
 
 
 def _zero_vec(d: int, dtype: Any) -> Tensor:
-    v = np.zeros((d,))
+    # numpy on purpose: constants must not be device arrays (axon cannot
+    # lower complex device-array constants in jit programs)
+    v = np.zeros((d,), dtype=np.dtype(dtype))
     v[0] = 1.0
-    return jnp.asarray(v, dtype=dtype)
+    return v
 
 
 def _basis_vec(val: int, d: int, dtype: Any) -> Tensor:
-    v = np.zeros((d,))
+    v = np.zeros((d,), dtype=np.dtype(dtype))
     v[val] = 1.0
-    return jnp.asarray(v, dtype=dtype)
+    return v
 
 
 def _build_forward(qir: List[Dict[str, Any]], n: int, d: int, dtype: Any) -> _IRBuilder:
@@ -176,9 +178,9 @@ def expectation_ir(
     bra_front = list(ket_front)
     for op, wires in ops:
         k = len(wires)
-        t = jnp.asarray(op)
+        t = op if hasattr(op, "ndim") else np.asarray(op)
         if t.ndim != 2 * k:
-            t = jnp.reshape(t, (d,) * (2 * k))
+            t = t.reshape((d,) * (2 * k))
         new = [b.new_index() for _ in range(k)]
         old = [bra_front[int(w)] for w in wires]
         b.add_tensor(t, tuple(new) + tuple(old))
@@ -187,12 +189,14 @@ def expectation_ir(
     # conjugated circuit (bra side), applied in reverse with dagger tensors
     for item in reversed(qir):
         k = len(item["index"])
-        t = jnp.asarray(item["gate"].tensor)
+        t = item["gate"].tensor
+        if not hasattr(t, "ndim"):
+            t = np.asarray(t)
         if t.ndim != 2 * k:
-            t = jnp.reshape(t, (d,) * (2 * k))
-        # dagger: conjugate and swap in/out legs
+            t = t.reshape((d,) * (2 * k))
+        # dagger: conjugate and swap in/out legs (np/jnp duck-typed)
         perm = tuple(range(k, 2 * k)) + tuple(range(k))
-        tdg = jnp.conj(jnp.transpose(t, perm))
+        tdg = t.transpose(perm).conj()
         new = [b.new_index() for _ in range(k)]
         old = [bra_front[w] for w in item["index"]]
         b.add_tensor(tdg, tuple(new) + tuple(old))

@@ -63,6 +63,18 @@ def num_slots(state: Tensor, d: int = 2) -> int:
     return n
 
 
+def _as_nd(t: Tensor) -> Tensor:
+    """Lift to an ndarray-like WITHOUT eagerly making a device array.
+
+    Concrete (numpy/list) operands must stay numpy until they meet a traced
+    value: on the axon TPU backend complex jax arrays cannot be lowered as
+    jit constants (host fetch of complex buffers is UNIMPLEMENTED), while
+    numpy constants lower directly.  Methods used downstream (.reshape,
+    .astype, .transpose, .conj) exist on numpy and jax arrays alike.
+    """
+    return t if hasattr(t, "ndim") else np.asarray(t)
+
+
 def init_state(
     n: int,
     d: int = 2,
@@ -104,15 +116,15 @@ def apply_unitary(
     wires = [int(w) for w in wires]
     k = len(wires)
     n = num_slots(state, d)
-    g = jnp.asarray(gate)
+    g = _as_nd(gate)
     if g.ndim != 2 * k:
-        g = jnp.reshape(g, (d,) * (2 * k))
+        g = g.reshape((d,) * (2 * k))
     g = g.astype(state.dtype)
     order = list(np.argsort(wires))
     if order != list(range(k)):
         # permute gate legs to sorted-wire order (out and in legs together)
         perm = order + [k + o for o in order]
-        g = jnp.transpose(g, perm)
+        g = g.transpose(perm)
     ws = sorted(wires)
     shape = _exposed_shape(n, ws, d)
     ps = jnp.reshape(state, shape)
@@ -139,12 +151,12 @@ def apply_diagonal(
     wires = [int(w) for w in wires]
     k = len(wires)
     n = num_slots(state, d)
-    dg = jnp.asarray(diag).astype(state.dtype)
+    dg = _as_nd(diag).astype(state.dtype)
     if dg.ndim != k:
-        dg = jnp.reshape(dg, (d,) * k)
+        dg = dg.reshape((d,) * k)
     order = list(np.argsort(wires))
     if order != list(range(k)):
-        dg = jnp.transpose(dg, order)
+        dg = dg.transpose(order)
     ws = sorted(wires)
     shape = _exposed_shape(n, ws, d)
     ps = jnp.reshape(state, shape)
@@ -170,7 +182,7 @@ def apply_zz_product_phase(
         za = 1 - 2 * ((idx >> (n - 1 - int(a))) & 1)
         zb = 1 - 2 * ((idx >> (n - 1 - int(b))) & 1)
         expo = expo + thetas[k].astype(jnp.float32) * (za * zb).astype(jnp.float32)
-    phase = jnp.exp(jnp.asarray(-0.5j, dtype=state.dtype) * expo.astype(state.dtype))
+    phase = jnp.exp(np.asarray(-0.5j).astype(state.dtype) * expo.astype(state.dtype))
     return state * phase
 
 
@@ -207,7 +219,7 @@ def expectation_1q_sum(
     """
     n = num_slots(state, 2)
     wire_set = set(int(q) for q in (range(n) if wires is None else wires))
-    op = jnp.asarray(op).astype(state.dtype)
+    op = _as_nd(op).astype(state.dtype)
     total = jnp.zeros((), dtype=jnp.float32)
     pos = 0
     eye2 = jnp.eye(2, dtype=state.dtype)
@@ -237,7 +249,7 @@ def expectation_1q_sum(
 
 def expectation_x_sum(state: Tensor, wires: Optional[Sequence[int]] = None) -> Tensor:
     r"""Σ_q ⟨X_q⟩ — block-sandwich MXU evaluation (see expectation_1q_sum)."""
-    x = jnp.asarray([[0.0, 1.0], [1.0, 0.0]], dtype=state.dtype)
+    x = np.asarray([[0.0, 1.0], [1.0, 0.0]]).astype(state.dtype)
     return expectation_1q_sum(state, x, wires)
 
 
@@ -250,7 +262,7 @@ def flip_slot(state: Tensor, wire: int, d: int = 2) -> Tensor:
 
 def sign_slot(state: Tensor, wire: int, d: int = 2) -> Tensor:
     """Apply Z-like sign (+1 on 0, -1 on others' parity) on one slot (d=2)."""
-    diag = jnp.asarray([1.0, -1.0], dtype=state.dtype)
+    diag = np.asarray([1.0, -1.0]).astype(state.dtype)
     return apply_diagonal(state, diag, [wire], d)
 
 
@@ -288,7 +300,7 @@ def expectation_ps(
     for q in y or ():
         # Y = i * flip ∘ diag(-1, 1) applied on the input index:
         # Y|0> = i|1>, Y|1> = -i|0>  =>  multiply diag(i, -i) then flip
-        phi = apply_diagonal(phi, jnp.asarray([1j, -1j], dtype=phi.dtype), [q])
+        phi = apply_diagonal(phi, np.asarray([1j, -1j]).astype(phi.dtype), [q])
         phi = flip_slot(phi, q)
     for q in z or ():
         phi = sign_slot(phi, q)

@@ -54,7 +54,12 @@ class Gate:
     """
 
     def __init__(self, tensor: Tensor, name: str = "any") -> None:
-        self.tensor = jnp.asarray(tensor)
+        # keep concrete tensors as NUMPY: complex jax device arrays cannot be
+        # lowered as jit constants on the axon TPU backend (see _xp_of), and
+        # numpy lifts into both eager and traced jnp ops for free.
+        if not hasattr(tensor, "ndim"):
+            tensor = np.asarray(tensor)
+        self.tensor = tensor
         self.name = name
 
     def copy(self) -> "Gate":
@@ -168,18 +173,47 @@ def _fixed_np(name: str, dtype: str) -> np.ndarray:
 
 
 def _fixed_tensor(name: str, dtype: str) -> Tensor:
-    # NOTE: only the numpy constant is cached — jnp arrays created inside a
-    # jit trace are tracers in new JAX and must not outlive the trace.
-    return jnp.asarray(_fixed_np(name, dtype))
+    # NOTE: stays numpy — cached constants must not be device arrays (they
+    # could not outlive a trace, and complex device arrays cannot be lowered
+    # as jit constants on axon).
+    return _fixed_np(name, dtype)
 
 
 # ------------------------------------------------------------------
-# parameterized matrices (jnp, traced)
+# parameterized matrices (numpy when concrete, jnp when traced)
 # ------------------------------------------------------------------
+#
+# AXON/TPU CONSTRAINT: complex jax device arrays cannot be lowered as jit
+# constants on the axon TPU backend (the MLIR constant handler needs a
+# device->host fetch, which is UNIMPLEMENTED for complex buffers over the
+# tunnel), while *numpy* complex constants lift into XLA programs directly.
+# So gate matrices built from concrete parameters must be plain numpy; only
+# traced parameters flow through jnp.  ``_xp_of`` picks the namespace.
 
 
-def _pauli(dtype: str) -> Tuple[Tensor, Tensor, Tensor, Tensor]:
-    d = jnp.dtype(dtype)
+def _xp_of(*vals: Any) -> Any:
+    import jax
+
+    for v in vals:
+        if isinstance(v, jax.core.Tracer):
+            return jnp
+        if isinstance(v, jax.Array):
+            try:
+                np.asarray(v)  # real scalars/arrays fetch fine eagerly
+            except Exception:  # pragma: no cover - complex device array
+                return jnp
+    return np
+
+
+def _pauli(dtype: str, xp: Any = jnp) -> Tuple[Tensor, Tensor, Tensor, Tensor]:
+    d = np.dtype(dtype)
+    if xp is np:
+        return (
+            _i_matrix.astype(d),
+            _x_matrix.astype(d),
+            _y_matrix.astype(d),
+            _z_matrix.astype(d),
+        )
     return (
         jnp.asarray(_i_matrix, dtype=d),
         jnp.asarray(_x_matrix, dtype=d),
@@ -188,8 +222,16 @@ def _pauli(dtype: str) -> Tuple[Tensor, Tensor, Tensor, Tensor]:
     )
 
 
-def _theta(theta: Any, dtype: str) -> Tensor:
-    return jnp.asarray(theta).astype(jnp.dtype(dtype))
+def _theta(theta: Any, dtype: str, xp: Any = jnp) -> Tensor:
+    return xp.asarray(theta).astype(np.dtype(dtype))
+
+
+def _set_block(m: Tensor, rows: Any, cols: Any, val: Tensor, xp: Any) -> Tensor:
+    if xp is np:
+        m = m.copy()
+        m[rows, cols] = val
+        return m
+    return m.at[rows, cols].set(val)
 
 
 def rgate_matrix(theta: Any = 0, alpha: Any = 0, phi: Any = 0, dtype: Optional[str] = None) -> Tensor:
@@ -199,120 +241,134 @@ def rgate_matrix(theta: Any = 0, alpha: Any = 0, phi: Any = 0, dtype: Optional[s
     ``n = (sin(alpha) cos(phi), sin(alpha) sin(phi), cos(alpha))``.
     """
     dtype = dtype or config.dtypestr()
-    i, x, y, z = _pauli(dtype)
-    theta, alpha, phi = (_theta(v, dtype) for v in (theta, alpha, phi))
-    nx = jnp.sin(alpha) * jnp.cos(phi)
-    ny = jnp.sin(alpha) * jnp.sin(phi)
-    nz = jnp.cos(alpha)
+    xp = _xp_of(theta, alpha, phi)
+    i, x, y, z = _pauli(dtype, xp)
+    theta, alpha, phi = (_theta(v, dtype, xp) for v in (theta, alpha, phi))
+    nx = xp.sin(alpha) * xp.cos(phi)
+    ny = xp.sin(alpha) * xp.sin(phi)
+    nz = xp.cos(alpha)
     axis = nx * x + ny * y + nz * z
-    return jnp.cos(theta) * i - 1j * jnp.sin(theta) * axis
+    return xp.cos(theta) * i - 1j * xp.sin(theta) * axis
 
 
 def rx_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
     r"""``exp(-i theta/2 X)``."""
     dtype = dtype or config.dtypestr()
-    i, x, _, _ = _pauli(dtype)
-    theta = _theta(theta, dtype)
-    return jnp.cos(theta / 2) * i - 1j * jnp.sin(theta / 2) * x
+    xp = _xp_of(theta)
+    i, x, _, _ = _pauli(dtype, xp)
+    theta = _theta(theta, dtype, xp)
+    return xp.cos(theta / 2) * i - 1j * xp.sin(theta / 2) * x
 
 
 def ry_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
     dtype = dtype or config.dtypestr()
-    i, _, y, _ = _pauli(dtype)
-    theta = _theta(theta, dtype)
-    return jnp.cos(theta / 2) * i - 1j * jnp.sin(theta / 2) * y
+    xp = _xp_of(theta)
+    i, _, y, _ = _pauli(dtype, xp)
+    theta = _theta(theta, dtype, xp)
+    return xp.cos(theta / 2) * i - 1j * xp.sin(theta / 2) * y
 
 
 def rz_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
     dtype = dtype or config.dtypestr()
-    i, _, _, z = _pauli(dtype)
-    theta = _theta(theta, dtype)
-    return jnp.cos(theta / 2) * i - 1j * jnp.sin(theta / 2) * z
+    xp = _xp_of(theta)
+    i, _, _, z = _pauli(dtype, xp)
+    theta = _theta(theta, dtype, xp)
+    return xp.cos(theta / 2) * i - 1j * xp.sin(theta / 2) * z
 
 
 def phase_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
     """diag(1, exp(i theta)) (reference ``gates.phase_gate``)."""
     dtype = dtype or config.dtypestr()
-    theta = _theta(theta, dtype)
-    one = jnp.ones((), dtype=jnp.dtype(dtype))
-    return jnp.diag(jnp.stack([one, jnp.exp(1j * theta)]))
+    xp = _xp_of(theta)
+    theta = _theta(theta, dtype, xp)
+    one = xp.ones((), dtype=np.dtype(dtype))
+    return xp.diag(xp.stack([one, xp.exp(1j * theta)]))
 
 
 def u_matrix(theta: Any = 0, phi: Any = 0, lbd: Any = 0, dtype: Optional[str] = None) -> Tensor:
     r"""OpenQASM U(theta, phi, lambda) gate (reference ``gates.u_gate``)."""
     dtype = dtype or config.dtypestr()
-    theta, phi, lbd = (_theta(v, dtype) for v in (theta, phi, lbd))
-    c = jnp.cos(theta / 2)
-    s = jnp.sin(theta / 2)
-    return jnp.stack(
+    xp = _xp_of(theta, phi, lbd)
+    theta, phi, lbd = (_theta(v, dtype, xp) for v in (theta, phi, lbd))
+    c = xp.cos(theta / 2)
+    s = xp.sin(theta / 2)
+    return xp.stack(
         [
-            jnp.stack([c, -jnp.exp(1j * lbd) * s]),
-            jnp.stack([jnp.exp(1j * phi) * s, jnp.exp(1j * (phi + lbd)) * c]),
+            xp.stack([c, -xp.exp(1j * lbd) * s]),
+            xp.stack([xp.exp(1j * phi) * s, xp.exp(1j * (phi + lbd)) * c]),
         ]
     )
 
 
 def cu_matrix(theta: Any = 0, phi: Any = 0, lbd: Any = 0, dtype: Optional[str] = None) -> Tensor:
     dtype = dtype or config.dtypestr()
+    xp = _xp_of(theta, phi, lbd)
     u = u_matrix(theta, phi, lbd, dtype=dtype)
-    m = jnp.eye(4, dtype=jnp.dtype(dtype))
-    return m.at[2:, 2:].set(u)
+    m = xp.eye(4, dtype=np.dtype(dtype))
+    return _set_block(m, slice(2, None), slice(2, None), u, xp)
 
 
-def _kron2(a: Tensor, b: Tensor) -> Tensor:
-    return jnp.kron(a, b)
+def _kron2(a: Tensor, b: Tensor, xp: Any = jnp) -> Tensor:
+    return xp.kron(a, b)
 
 
 def rxx_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
     r"""``exp(-i theta/2 X⊗X)``."""
     dtype = dtype or config.dtypestr()
-    i, x, _, _ = _pauli(dtype)
-    theta = _theta(theta, dtype)
-    xx = _kron2(x, x)
-    i4 = jnp.eye(4, dtype=jnp.dtype(dtype))
-    return jnp.cos(theta / 2) * i4 - 1j * jnp.sin(theta / 2) * xx
+    xp = _xp_of(theta)
+    i, x, _, _ = _pauli(dtype, xp)
+    theta = _theta(theta, dtype, xp)
+    xx = _kron2(x, x, xp)
+    i4 = xp.eye(4, dtype=np.dtype(dtype))
+    return xp.cos(theta / 2) * i4 - 1j * xp.sin(theta / 2) * xx
 
 
 def ryy_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
     dtype = dtype or config.dtypestr()
-    _, _, y, _ = _pauli(dtype)
-    theta = _theta(theta, dtype)
-    yy = _kron2(y, y)
-    i4 = jnp.eye(4, dtype=jnp.dtype(dtype))
-    return jnp.cos(theta / 2) * i4 - 1j * jnp.sin(theta / 2) * yy
+    xp = _xp_of(theta)
+    _, _, y, _ = _pauli(dtype, xp)
+    theta = _theta(theta, dtype, xp)
+    yy = _kron2(y, y, xp)
+    i4 = xp.eye(4, dtype=np.dtype(dtype))
+    return xp.cos(theta / 2) * i4 - 1j * xp.sin(theta / 2) * yy
 
 
 def rzz_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
     dtype = dtype or config.dtypestr()
-    _, _, _, z = _pauli(dtype)
-    theta = _theta(theta, dtype)
-    zz = _kron2(z, z)
-    i4 = jnp.eye(4, dtype=jnp.dtype(dtype))
-    return jnp.cos(theta / 2) * i4 - 1j * jnp.sin(theta / 2) * zz
+    xp = _xp_of(theta)
+    _, _, _, z = _pauli(dtype, xp)
+    theta = _theta(theta, dtype, xp)
+    zz = _kron2(z, z, xp)
+    i4 = xp.eye(4, dtype=np.dtype(dtype))
+    return xp.cos(theta / 2) * i4 - 1j * xp.sin(theta / 2) * zz
 
 
 def crx_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
     dtype = dtype or config.dtypestr()
-    m = jnp.eye(4, dtype=jnp.dtype(dtype))
-    return m.at[2:, 2:].set(rx_matrix(theta, dtype=dtype))
+    xp = _xp_of(theta)
+    m = xp.eye(4, dtype=np.dtype(dtype))
+    return _set_block(m, slice(2, None), slice(2, None), rx_matrix(theta, dtype=dtype), xp)
 
 
 def cry_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
     dtype = dtype or config.dtypestr()
-    m = jnp.eye(4, dtype=jnp.dtype(dtype))
-    return m.at[2:, 2:].set(ry_matrix(theta, dtype=dtype))
+    xp = _xp_of(theta)
+    m = xp.eye(4, dtype=np.dtype(dtype))
+    return _set_block(m, slice(2, None), slice(2, None), ry_matrix(theta, dtype=dtype), xp)
 
 
 def crz_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
     dtype = dtype or config.dtypestr()
-    m = jnp.eye(4, dtype=jnp.dtype(dtype))
-    return m.at[2:, 2:].set(rz_matrix(theta, dtype=dtype))
+    xp = _xp_of(theta)
+    m = xp.eye(4, dtype=np.dtype(dtype))
+    return _set_block(m, slice(2, None), slice(2, None), rz_matrix(theta, dtype=dtype), xp)
 
 
 def cphase_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
     dtype = dtype or config.dtypestr()
-    m = jnp.eye(4, dtype=jnp.dtype(dtype))
-    return m.at[3, 3].set(jnp.exp(1j * _theta(theta, dtype)))
+    xp = _xp_of(theta)
+    m = xp.eye(4, dtype=np.dtype(dtype))
+    return _set_block(m, 3, 3, xp.exp(1j * _theta(theta, dtype, xp)), xp)
 
 
 def iswap_matrix(theta: Any = 1.0, dtype: Optional[str] = None) -> Tensor:
@@ -322,24 +378,30 @@ def iswap_matrix(theta: Any = 1.0, dtype: Optional[str] = None) -> Tensor:
     ``gates.py:784-826``).
     """
     dtype = dtype or config.dtypestr()
-    _, x, y, _ = _pauli(dtype)
-    theta = _theta(theta, dtype)
-    gen = (_kron2(x, x) + _kron2(y, y)) / 2.0
-    i4 = jnp.eye(4, dtype=jnp.dtype(dtype))
+    xp = _xp_of(theta)
+    _, x, y, _ = _pauli(dtype, xp)
+    theta = _theta(theta, dtype, xp)
+    gen = (_kron2(x, x, xp) + _kron2(y, y, xp)) / 2.0
+    i4 = xp.eye(4, dtype=np.dtype(dtype))
     # gen has eigenvalues {0, ±1}; exp(i a gen) = I + (cos a - 1) gen^2 + i sin a gen
     a = theta * (np.pi / 2)
     gen2 = gen @ gen
-    return i4 + (jnp.cos(a) - 1.0) * gen2 + 1j * jnp.sin(a) * gen
+    return i4 + (xp.cos(a) - 1.0) * gen2 + 1j * xp.sin(a) * gen
 
 
 def exponential_matrix(unitary: Tensor, theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
     r"""``exp(-i theta G)`` via matrix exponential (reference ``gates.exponential_gate``)."""
+    dtype = dtype or config.dtypestr()
+    xp = _xp_of(unitary, theta)
+    theta = _theta(theta, dtype, xp)
+    g = xp.asarray(unitary).astype(np.dtype(dtype))
+    dim = int(np.sqrt(np.prod(np.array(g.shape))))
+    if xp is np:
+        import scipy.linalg as sl
+
+        return sl.expm(-1j * theta * g.reshape(dim, dim))
     import jax.scipy.linalg as jsl
 
-    dtype = dtype or config.dtypestr()
-    theta = _theta(theta, dtype)
-    g = jnp.asarray(unitary).astype(jnp.dtype(dtype))
-    dim = int(np.sqrt(np.prod(g.shape)))
     return jsl.expm(-1j * theta * g.reshape(dim, dim))
 
 
@@ -350,19 +412,21 @@ def exp1_matrix(unitary: Tensor, theta: Any = 0, dtype: Optional[str] = None) ->
     i sin(theta) G.
     """
     dtype = dtype or config.dtypestr()
-    theta = _theta(theta, dtype)
-    g = jnp.asarray(unitary).astype(jnp.dtype(dtype))
+    xp = _xp_of(unitary, theta)
+    theta = _theta(theta, dtype, xp)
+    g = xp.asarray(unitary).astype(np.dtype(dtype))
     dim = int(np.sqrt(np.prod(np.array(g.shape))))
     g = g.reshape(dim, dim)
-    i = jnp.eye(dim, dtype=jnp.dtype(dtype))
-    return jnp.cos(theta) * i - 1j * jnp.sin(theta) * g
+    i = xp.eye(dim, dtype=np.dtype(dtype))
+    return xp.cos(theta) * i - 1j * xp.sin(theta) * g
 
 
 def rzm_matrix(theta: Any = 0, dtype: Optional[str] = None) -> Tensor:
     """Diagonal of rz (for the diagonal fast path)."""
     dtype = dtype or config.dtypestr()
-    theta = _theta(theta, dtype)
-    return jnp.stack([jnp.exp(-1j * theta / 2), jnp.exp(1j * theta / 2)])
+    xp = _xp_of(theta)
+    theta = _theta(theta, dtype, xp)
+    return xp.stack([xp.exp(-1j * theta / 2), xp.exp(1j * theta / 2)])
 
 
 def su4_matrix(theta: Tensor, dtype: Optional[str] = None) -> Tensor:
@@ -372,7 +436,8 @@ def su4_matrix(theta: Tensor, dtype: Optional[str] = None) -> Tensor:
     on each side plus an XX+YY+ZZ interaction core.
     """
     dtype = dtype or config.dtypestr()
-    theta = jnp.asarray(theta)
+    xp = _xp_of(theta)
+    theta = xp.asarray(theta)
     pre0 = u_matrix(theta[0], theta[1], theta[2], dtype=dtype)
     pre1 = u_matrix(theta[3], theta[4], theta[5], dtype=dtype)
     post0 = u_matrix(theta[9], theta[10], theta[11], dtype=dtype)
@@ -382,7 +447,7 @@ def su4_matrix(theta: Tensor, dtype: Optional[str] = None) -> Tensor:
         @ ryy_matrix(theta[7], dtype=dtype)
         @ rzz_matrix(theta[8], dtype=dtype)
     )
-    return _kron2(post0, post1) @ core @ _kron2(pre0, pre1)
+    return _kron2(post0, post1, xp) @ core @ _kron2(pre0, pre1, xp)
 
 
 def multicontrol_matrix(
@@ -395,18 +460,19 @@ def multicontrol_matrix(
     statevector engine applies it as one tensordot.
     """
     dtype = dtype or config.dtypestr()
-    u = jnp.asarray(unitary).astype(jnp.dtype(dtype))
+    xp = _xp_of(unitary)
+    u = xp.asarray(unitary).astype(np.dtype(dtype))
     dim_u = int(np.sqrt(np.prod(np.array(u.shape))))
     u = u.reshape(dim_u, dim_u)
     nctrl = len(ctrl)
     dim = dim_u * 2**nctrl
-    m = jnp.eye(dim, dtype=jnp.dtype(dtype))
+    m = xp.eye(dim, dtype=np.dtype(dtype))
     # the active control block index: bits of ctrl pattern
     idx = 0
     for c in ctrl:
         idx = idx * 2 + int(c)
     start = idx * dim_u
-    return m.at[start : start + dim_u, start : start + dim_u].set(u)
+    return _set_block(m, slice(start, start + dim_u), slice(start, start + dim_u), u, xp)
 
 
 # ------------------------------------------------------------------
@@ -434,7 +500,7 @@ class GateF:
             nq = int(round(math.log2(int(np.sqrt(np.prod(np.array(m.shape)))) if m.ndim == 2 else 2 ** (m.ndim // 2))))
             dim = int(np.sqrt(np.prod(np.array(m.shape))))
             nq = int(round(math.log2(dim)))
-            return Gate(jnp.reshape(m, (2,) * (2 * nq)), name=self.name)
+            return Gate(m.reshape((2,) * (2 * nq)), name=self.name)
         return Gate(_fixed_tensor(self.name, dtype), name=self.name)
 
     def matrix(self, *args: Any, **kws: Any) -> Tensor:
@@ -445,7 +511,7 @@ class GateF:
 
         def adj_fn(*args: Any, dtype: Optional[str] = None, **kws: Any) -> Tensor:
             m = base(*args, dtype=dtype, **kws).matrix()
-            return jnp.conj(m.T)
+            return m.T.conj()
 
         return GateF(self.name + "d", adj_fn, self.nqubits)
 
@@ -455,8 +521,9 @@ class GateF:
         def ctrl_fn(*args: Any, dtype: Optional[str] = None, **kws: Any) -> Tensor:
             m = base(*args, dtype=dtype, **kws).matrix()
             dim = m.shape[0]
-            out = jnp.eye(2 * dim, dtype=m.dtype)
-            return out.at[dim:, dim:].set(m)
+            xp = _xp_of(m)
+            out = xp.eye(2 * dim, dtype=m.dtype)
+            return _set_block(out, slice(dim, None), slice(dim, None), m, xp)
 
         return GateF("c" + self.name, ctrl_fn, self.nqubits + 1)
 
@@ -466,8 +533,9 @@ class GateF:
         def ctrl_fn(*args: Any, dtype: Optional[str] = None, **kws: Any) -> Tensor:
             m = base(*args, dtype=dtype, **kws).matrix()
             dim = m.shape[0]
-            out = jnp.eye(2 * dim, dtype=m.dtype)
-            return out.at[:dim, :dim].set(m)
+            xp = _xp_of(m)
+            out = xp.eye(2 * dim, dtype=m.dtype)
+            return _set_block(out, slice(None, dim), slice(None, dim), m, xp)
 
         return GateF("o" + self.name, ctrl_fn, self.nqubits + 1)
 
@@ -495,7 +563,7 @@ class GateVF(GateF):
         m = self._matrix_fn(*args, dtype=dtype, **params)
         dim = int(np.sqrt(np.prod(np.array(m.shape))))
         nq = int(round(math.log2(dim)))
-        return Gate(jnp.reshape(m, (2,) * (2 * nq)), name=self.name)
+        return Gate(m.reshape((2,) * (2 * nq)), name=self.name)
 
 
 # registry ----------------------------------------------------------------

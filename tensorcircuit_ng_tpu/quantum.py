@@ -349,7 +349,10 @@ def PauliStringSum2Dense(
     dense = np.asarray(sp.todense())
     if numpy:
         return dense
-    return jnp.asarray(dense).astype(jnp.dtype(config.dtypestr()))
+    # NUMPY on purpose: a complex device array cannot be closed over by jit
+    # programs on the axon TPU backend; numpy constants lift for free and
+    # every jnp op accepts them.
+    return dense.astype(np.dtype(config.dtypestr()))
 
 
 def _pauli_string_coo_numpy(l: Sequence[int]) -> Tuple[np.ndarray, np.ndarray]:
@@ -403,7 +406,7 @@ def PauliString2COO(l: Sequence[int], weight: Optional[Any] = None) -> Any:
     size = 1 << len(l)
     rows = np.arange(size, dtype=np.int64)
     indices = np.stack([rows, cols], axis=1)
-    return K.coo_sparse_matrix(indices, jnp.asarray(vals).astype(jnp.dtype(config.dtypestr())), (size, size))
+    return K.coo_sparse_matrix(indices, np.asarray(vals).astype(np.dtype(config.dtypestr())), (size, size))
 
 
 def PauliStringSum2COO(
@@ -441,7 +444,7 @@ def PauliStringSum2COO(
     coo = m.tocoo()
     indices = np.stack([coo.row, coo.col], axis=1)
     return K.coo_sparse_matrix(
-        indices, jnp.asarray(coo.data).astype(jnp.dtype(config.dtypestr())), (size, size)
+        indices, np.asarray(coo.data).astype(np.dtype(config.dtypestr())), (size, size)
     )
 
 
@@ -480,7 +483,7 @@ def PauliStringSum2MVP(
                 term = _sv.sign_slot(term, q)
             for q in x_slots:
                 term = _sv.flip_slot(term, q)
-            coef = jnp.asarray(w[i] * phase, dtype=psi.dtype)
+            coef = np.asarray(w[i] * phase).astype(psi.dtype)
             acc = acc + coef * term
         return jnp.reshape(acc, v.shape)
 

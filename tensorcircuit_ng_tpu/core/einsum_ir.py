@@ -172,6 +172,18 @@ def expectation_ir(
                 keep.append(item)
                 cone.update(item["index"])
         qir = list(reversed(keep))
+    # restrict the network to the wires actually touched: every other wire
+    # contributes a trivial <0|0>=1 factor, and dropping them keeps the
+    # operand count O(cone size) instead of O(n) — this is what makes
+    # n=500 shallow-circuit expectations fast (reference README demo)
+    support = sorted(
+        {int(w) for item in qir for w in item["index"]}
+        | {int(w) for _, wires in ops for w in wires}
+    )
+    wmap = {w: i for i, w in enumerate(support)}
+    qir = [dict(item, index=tuple(wmap[int(w)] for w in item["index"])) for item in qir]
+    ops = [(op, tuple(wmap[int(w)] for w in wires)) for op, wires in ops]
+    n = max(len(support), 1)
     b = _build_forward(qir, n, d, dtype)
     ket_front = list(b.front)
     # operator tensors bridge ket frontier to bra frontier

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import tensorcircuit_ng_tpu as tc
 from tensorcircuit_ng_tpu import experimental
 
-n, nlayers, steps = 20, 4, 100
+n, nlayers, steps = 20, 4, 30
 
 
 def layer(c, p):
@@ -28,9 +28,8 @@ def energy(params):
     for i in range(n):
         c0.h(i)
     c = experimental.scan_circuit_layers(c0, layer, params)
-    e = sum(c.expectation_ps(z=[i, i + 1]) for i in range(n - 1))
-    e -= sum(c.expectation_ps(x=[i]) for i in range(n))
-    return jnp.real(e)
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    return jnp.real(c.expectation_zz_sum(pairs)) - c.expectation_x_sum()
 
 
 if __name__ == "__main__":

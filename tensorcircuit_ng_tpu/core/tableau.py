@@ -124,6 +124,10 @@ class Tableau:
 
     # ------------------------------------------------------ measurement
 
+    def is_random(self, q: int) -> bool:
+        """True iff a Z measurement on q has a random outcome."""
+        return bool(np.any(self.x[self.n :, q]))
+
     def measure(self, q: int, status: Optional[float] = None) -> int:
         """Projective Z measurement on qubit q (collapses the tableau)."""
         n = self.n

@@ -15,6 +15,7 @@ import numpy as np
 
 from .. import config
 from ..core.tableau import Tableau
+from ..core.native_tableau import make_tableau, native_tableau_available, NativeTableau
 from .abstractcircuit import AbstractCircuit
 
 Tensor = Any
@@ -52,7 +53,9 @@ class StabilizerCircuit(AbstractCircuit):
             raise ValueError("StabilizerCircuit does not take dense inputs")
         self._nqubits = nqubits
         self._d = 2
-        self._tab = tableau_inputs.copy() if tableau_inputs is not None else Tableau(nqubits)
+        self._tab = (
+            tableau_inputs.copy() if tableau_inputs is not None else make_tableau(nqubits)
+        )
         self._measure_record: List[int] = []
 
     def _copy_params(self) -> Dict[str, Any]:
@@ -142,7 +145,7 @@ class StabilizerCircuit(AbstractCircuit):
         p = 1.0
         for k, q in enumerate(index):
             st = None if status is None else float(np.asarray(status)[k])
-            before_random = any(tab.x[tab.n + i, q] for i in range(tab.n))
+            before_random = tab.is_random(q)
             outs.append(tab.measure(q, status=st))
             if before_random:
                 p *= 0.5
@@ -163,16 +166,26 @@ class StabilizerCircuit(AbstractCircuit):
         **kws: Any,
     ) -> Any:
         nbatch = 1 if batch is None else batch
-        if status is None:
-            status = np.random.uniform(size=(nbatch, self._nqubits))
-        status = np.asarray(status)
-        samples = []
-        for b in range(nbatch):
-            res, p = self.measure(
-                *range(self._nqubits), with_prob=True, status=status[b]
+        if status is None and isinstance(self._tab, NativeTableau):
+            # fast path: whole batch sampled inside the C++ engine (the
+            # stim-speed role; one tableau copy + n measurements per shot)
+            seed = (
+                int(random_generator.integers(2**63))
+                if hasattr(random_generator, "integers")
+                else 0
             )
-            samples.append(res)
-        samples = np.stack(samples)
+            samples = self._tab.sample(nbatch, seed=seed).astype(np.int32)
+        else:
+            if status is None:
+                status = np.random.uniform(size=(nbatch, self._nqubits))
+            status = np.asarray(status)
+            samples = []
+            for b in range(nbatch):
+                res, p = self.measure(
+                    *range(self._nqubits), with_prob=True, status=status[b]
+                )
+                samples.append(res)
+            samples = np.stack(samples)
         if format is None:
             if batch is None:
                 return samples[0], -1.0

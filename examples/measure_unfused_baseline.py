@@ -2,9 +2,9 @@
 
 This is the architecture-equivalent of the reference's per-gate contraction
 (one einsum per gate, one expectation contraction per Hamiltonian term) run
-on the same TPU chip with the same scan-in-jit methodology as bench.py.
-The full K=50 unrolled AD program OOMs the axon compile helper, so K is
-lower; per-step time is unaffected (same traced body).
+on the same TPU chip.  The scanned AD program OOMs the axon compile helper
+for K>=10, so this measures K=1 (single step per dispatch); subtract the
+~40ms tunnel dispatch floor when comparing to scan-based numbers.
 """
 
 import os
@@ -23,7 +23,7 @@ import tensorcircuit_ng_tpu as tc
 
 n = 20
 nlayers = 4
-K = 10
+K = 1
 
 
 def energy(params):

@@ -67,8 +67,21 @@ class DMCircuit(BaseCircuit):
     def _apply_unitary_rho(self, rho: Tensor, g: Tensor, wires: Sequence[int]) -> Tensor:
         # rho is flat with 2n slots: ket legs [0, n), bra legs [n, 2n)
         n = self._nqubits
+        g = statevec._as_nd(g)  # numpy stays numpy (axon complex-constant rule)
         rho = statevec.apply_unitary(rho, g, list(wires), self._d)
-        rho = statevec.apply_unitary(rho, jnp.conj(jnp.asarray(g)), [w + n for w in wires], self._d)
+        rho = statevec.apply_unitary(rho, g.conj(), [w + n for w in wires], self._d)
+        return rho
+
+    def _apply_diagonal_rho(self, rho: Tensor, diag: Tensor, wires: Sequence[int]) -> Tensor:
+        """Diagonal-gate fast path: two broadcast multiplies, no einsum.
+
+        The reference's hyperedge/CopyNode diagonal path specialized to the
+        doubled network (U rho U† with U diagonal = d ⊙ rho ⊙ d̄).
+        """
+        n = self._nqubits
+        diag = statevec._as_nd(diag)
+        rho = statevec.apply_diagonal(rho, diag, list(wires), self._d)
+        rho = statevec.apply_diagonal(rho, diag.conj(), [w + n for w in wires], self._d)
         return rho
 
     def _apply_kraus_rho(
@@ -86,9 +99,14 @@ class DMCircuit(BaseCircuit):
         for item in self._expanded_qir():
             if item.get("is_channel"):
                 mats = [
-                    jnp.asarray(m).astype(rho.dtype) for m in item["channel_kraus"]
+                    statevec._as_nd(m).astype(rho.dtype) for m in item["channel_kraus"]
                 ]
                 rho = self._apply_kraus_rho(rho, mats, item["index"])
+            elif item.get("diagonal"):
+                dim = self._d ** len(item["index"])
+                t = statevec._as_nd(item["gate"].tensor)
+                diag = np.diagonal(t.reshape(dim, dim)) if isinstance(t, np.ndarray) else jnp.diagonal(t.reshape(dim, dim))
+                rho = self._apply_diagonal_rho(rho, diag, item["index"])
             else:
                 rho = self._apply_unitary_rho(rho, item["gate"].tensor, item["index"])
         return rho

@@ -5,10 +5,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Methodology (see CLAUDE.md "axon timing"): K optimizer steps run inside ONE
 jit via ``lax.scan`` with a host fetch at the end — per-dispatch tunnel
 latency and the tunnel's request memoization would otherwise corrupt the
-numbers.  vs_baseline = speedup over the recorded UNFUSED per-gate engine
-measured with the same methodology (BENCH_BASELINE.json); the fused path uses
-``rzz_product`` (one phase pass per layer), ``rx_layer`` (Pallas row kernel +
-lane-kron MXU matmul), and block-sandwich energy sums.
+numbers.  vs_baseline = speedup over BENCH_BASELINE.json: the earliest
+engine variant that compiles on this toolchain at all (the
+reference-architecture per-gate engine OOMs the TPU compile helper even for
+a single AD step — examples/measure_unfused_baseline.py).  The current path
+uses ``rzz_product`` (one phase pass per layer), ``rx_layer`` (Pallas row
+kernel + lane-kron MXU matmul), and block-sandwich energy sums.
 """
 
 import json

@@ -11,5 +11,8 @@ from . import optimization
 from . import dqas
 from . import layers
 from . import graphdata
+from . import finance
+from . import physics
+from . import ensemble
 
 __all__ = ["optimization", "dqas", "layers", "graphdata"]

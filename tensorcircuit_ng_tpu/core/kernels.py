@@ -69,7 +69,9 @@ def _apply_layer_reference(state: Tensor, gates: Tensor) -> Tensor:
     return state
 
 
-def fused_single_qubit_layer_pallas(state: Tensor, gates: Tensor) -> Tensor:
+def fused_single_qubit_layer_pallas(
+    state: Tensor, gates: Tensor, fuse_lane: bool = False
+) -> Tensor:
     """Row-kernel + lane-matmul fused layer (UNITARY gates).
 
     Qubits split three ways: the first few large-stride qubits (beyond the
@@ -84,16 +86,25 @@ def fused_single_qubit_layer_pallas(state: Tensor, gates: Tensor) -> Tensor:
     assert nq == n, "one gate per qubit required"
     nlane = min(_LANE_QUBITS, n)
     nrow = n - nlane
+    # NOTE: row_layer_lane (lane matmul fused into the kernel) measured
+    # SLOWER end-to-end (7.44 vs 6.29 ms/step on the N=20 bench): the
+    # fused backward's extra VMEM pressure forces a half-size row block,
+    # which costs more than the saved HBM pass. Kept available via
+    # fuse_lane=True for larger-lane configs.
     nkernel = min(nrow, kernels_rowlayer.MAX_KERNEL_QUBITS)
     nouter = nrow - nkernel
     psi = state
     for q in range(nouter):  # large-stride qubits: plain einsum (native AD)
         psi = statevec.apply_unitary(psi, gates[q], [q])
     psi = jnp.reshape(psi, (max(2**nrow, 1), 2**nlane))
-    if nkernel > 0:
-        psi = kernels_rowlayer.row_layer(psi, gates[nouter:nrow])
     mlane = _lane_matrix(gates, nlane).astype(psi.dtype)
-    psi = psi @ mlane.T
+    if nkernel > 0 and fuse_lane:
+        psi = kernels_rowlayer.row_layer_lane(psi, gates[nouter:nrow], mlane.T)
+    elif nkernel > 0:
+        psi = kernels_rowlayer.row_layer(psi, gates[nouter:nrow])
+        psi = psi @ mlane.T
+    else:
+        psi = psi @ mlane.T
     return jnp.reshape(psi, (-1,))
 
 

@@ -24,11 +24,14 @@ import jax.numpy as jnp
 
 Tensor = Any
 
-__all__ = ["row_layer", "LANE_BLOCK"]
+__all__ = ["row_layer", "row_layer_lane"]
 
 #: max row-qubits handled inside one kernel block: 2^MAX_KERNEL_QUBITS rows
 #: x 128 lanes x f32 must fit twice (state + cotangent) in VMEM
 MAX_KERNEL_QUBITS = 11
+#: the lane-fused backward additionally keeps un-laned state + walked
+#: cotangent + matmul temps live, so its row block is one qubit smaller
+MAX_KERNEL_QUBITS_LANE = 10
 
 _INTERPRET = False
 
@@ -54,33 +57,55 @@ def _butterfly(cr, ci, rows, s, m):
     return jnp.where(is_lo, lo_r, hi_r), jnp.where(is_lo, lo_i, hi_i)
 
 
-def _fwd_kernel(nrow: int):
-    def kernel(gr_ref, gi_ref, sr_ref, si_ref, or_ref, oi_ref):
-        or_ref[:] = sr_ref[:]
-        oi_ref[:] = si_ref[:]
-        r_total = or_ref.shape[0]
-        rows = jax.lax.broadcasted_iota(jnp.int32, or_ref.shape, 0)
+def _fwd_kernel(nrow: int, with_lane: bool = False):
+    def kernel(*refs):
+        if with_lane:
+            gr_ref, gi_ref, mr_ref, mi_ref, sr_ref, si_ref, or_ref, oi_ref = refs
+        else:
+            gr_ref, gi_ref, sr_ref, si_ref, or_ref, oi_ref = refs
+        cr = sr_ref[:]
+        ci = si_ref[:]
+        r_total = cr.shape[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, cr.shape, 0)
         for q in range(nrow):
             s = r_total >> (q + 1)
             m = (
                 gr_ref[q, 0], gi_ref[q, 0], gr_ref[q, 1], gi_ref[q, 1],
                 gr_ref[q, 2], gi_ref[q, 2], gr_ref[q, 3], gi_ref[q, 3],
             )
-            nr, ni = _butterfly(or_ref[:], oi_ref[:], rows, s, m)
-            or_ref[:] = nr
-            oi_ref[:] = ni
+            cr, ci = _butterfly(cr, ci, rows, s, m)
+        if with_lane:
+            # y = psi @ M (complex, planes) — MXU matmul fused in-kernel
+            mr = mr_ref[:]
+            mi = mi_ref[:]
+            f32 = jnp.float32
+            yr = jnp.dot(cr, mr, preferred_element_type=f32) - jnp.dot(
+                ci, mi, preferred_element_type=f32
+            )
+            yi = jnp.dot(cr, mi, preferred_element_type=f32) + jnp.dot(
+                ci, mr, preferred_element_type=f32
+            )
+            or_ref[:] = yr
+            oi_ref[:] = yi
+        else:
+            or_ref[:] = cr
+            oi_ref[:] = ci
 
     return kernel
 
 
-def _bwd_kernel(nrow: int):
+def _bwd_kernel(nrow: int, with_lane: bool = False):
     from jax.experimental import pallas as pl
 
-    def kernel(
-        gr_ref, gi_ref, yr_ref, yi_ref, ctr_ref, cti_ref,
-        dsr_ref, dsi_ref, dgr_ref, dgi_ref,
-        s_r, s_i,
-    ):
+    def kernel(*refs):
+        if with_lane:
+            (gr_ref, gi_ref, mr_ref, mi_ref, yr_ref, yi_ref, ctr_ref, cti_ref,
+             dsr_ref, dsi_ref, dgr_ref, dgi_ref, dmr_ref, dmi_ref,
+             s_r, s_i) = refs
+        else:
+            (gr_ref, gi_ref, yr_ref, yi_ref, ctr_ref, cti_ref,
+             dsr_ref, dsi_ref, dgr_ref, dgi_ref,
+             s_r, s_i) = refs
         j = pl.program_id(0)
 
         @pl.when(j == 0)
@@ -90,11 +115,58 @@ def _bwd_kernel(nrow: int):
                     dgr_ref[qq, ee] = 0.0
                     dgi_ref[qq, ee] = 0.0
 
-        # cur_s lives in scratch; cur_ct walks in the ds output refs
-        s_r[:] = yr_ref[:]
-        s_i[:] = yi_ref[:]
-        dsr_ref[:] = ctr_ref[:]
-        dsi_ref[:] = cti_ref[:]
+        if with_lane:
+            @pl.when(j == 0)
+            def _():
+                dmr_ref[:] = jnp.zeros_like(dmr_ref)
+                dmi_ref[:] = jnp.zeros_like(dmi_ref)
+            f32 = jnp.float32
+            dg_dim = (((1,), (1,)), ((), ()))  # a @ b^T
+            dt_dim = (((0,), (0,)), ((), ()))  # a^T @ b
+            mr = mr_ref[:]
+            mi = mi_ref[:]
+            yr = yr_ref[:]
+            yi = yi_ref[:]
+            ctr0 = ctr_ref[:]
+            cti0 = cti_ref[:]
+            # un-lane the state: fwd was y = psi @ M with M unitary, so
+            # psi = y @ M^{-1} = y @ conj(M)^T
+            sr0 = (
+                jax.lax.dot_general(yr, mr, dg_dim, preferred_element_type=f32)
+                + jax.lax.dot_general(yi, mi, dg_dim, preferred_element_type=f32)
+            )
+            si0 = (
+                jax.lax.dot_general(yi, mr, dg_dim, preferred_element_type=f32)
+                - jax.lax.dot_general(yr, mi, dg_dim, preferred_element_type=f32)
+            )
+            # dM += psi^T @ ct (plain transpose, complex product)
+            dmr_ref[:] += (
+                jax.lax.dot_general(sr0, ctr0, dt_dim, preferred_element_type=f32)
+                - jax.lax.dot_general(si0, cti0, dt_dim, preferred_element_type=f32)
+            )
+            dmi_ref[:] += (
+                jax.lax.dot_general(sr0, cti0, dt_dim, preferred_element_type=f32)
+                + jax.lax.dot_general(si0, ctr0, dt_dim, preferred_element_type=f32)
+            )
+            # ct walk through the lane map: ct_pre = ct @ M^T
+            nctr = (
+                jax.lax.dot_general(ctr0, mr, dg_dim, preferred_element_type=f32)
+                - jax.lax.dot_general(cti0, mi, dg_dim, preferred_element_type=f32)
+            )
+            ncti = (
+                jax.lax.dot_general(ctr0, mi, dg_dim, preferred_element_type=f32)
+                + jax.lax.dot_general(cti0, mr, dg_dim, preferred_element_type=f32)
+            )
+            s_r[:] = sr0
+            s_i[:] = si0
+            dsr_ref[:] = nctr
+            dsi_ref[:] = ncti
+        else:
+            # cur_s lives in scratch; cur_ct walks in the ds output refs
+            s_r[:] = yr_ref[:]
+            s_i[:] = yi_ref[:]
+            dsr_ref[:] = ctr_ref[:]
+            dsi_ref[:] = cti_ref[:]
         r_total = s_r.shape[0]
         rows = jax.lax.broadcasted_iota(jnp.int32, s_r.shape, 0)
         for q in range(nrow - 1, -1, -1):
@@ -145,7 +217,7 @@ def _bwd_kernel(nrow: int):
     return kernel
 
 
-def _pallas_row_fwd(gr, gi, sr, si):
+def _pallas_row_fwd(gr, gi, sr, si, mr=None, mi=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -153,7 +225,29 @@ def _pallas_row_fwd(gr, gi, sr, si):
     r, lanes = sr.shape
     rb = 2**nrow  # strides all fit within blocks of 2^nrow rows
     grid = (r // rb,)
-    kernel = _fwd_kernel(nrow)
+    with_lane = mr is not None
+    kernel = _fwd_kernel(nrow, with_lane)
+    smem = [
+        pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    lane_specs = (
+        [
+            pl.BlockSpec((lanes, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        if with_lane
+        else []
+    )
+    state_specs = [
+        pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    nin = 2 + len(lane_specs)
+    args = [jnp.reshape(gr, (nrow, 4)), jnp.reshape(gi, (nrow, 4))]
+    if with_lane:
+        args += [mr, mi]
+    args += [sr, si]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -161,22 +255,17 @@ def _pallas_row_fwd(gr, gi, sr, si):
             jax.ShapeDtypeStruct(sr.shape, sr.dtype),
             jax.ShapeDtypeStruct(si.shape, si.dtype),
         ),
-        in_specs=[
-            pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=smem + lane_specs + state_specs,
         out_specs=(
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ),
-        input_output_aliases={2: 0, 3: 1},
+        input_output_aliases={nin: 0, nin + 1: 1},
         interpret=_INTERPRET,
-    )(jnp.reshape(gr, (nrow, 4)), jnp.reshape(gi, (nrow, 4)), sr, si)
+    )(*args)
 
 
-def _pallas_row_bwd(gr, gi, yr, yi, ctr, cti):
+def _pallas_row_bwd(gr, gi, yr, yi, ctr, cti, mr=None, mi=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -184,42 +273,68 @@ def _pallas_row_bwd(gr, gi, yr, yi, ctr, cti):
     r, lanes = yr.shape
     rb = 2**nrow
     grid = (r // rb,)
-    kernel = _bwd_kernel(nrow)
-    dsr, dsi, dgr, dgi = pl.pallas_call(
+    with_lane = mr is not None
+    kernel = _bwd_kernel(nrow, with_lane)
+    smem = [
+        pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    lane_in = (
+        [
+            pl.BlockSpec((lanes, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        if with_lane
+        else []
+    )
+    state_specs = [
+        pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM)
+        for _ in range(4)
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct(yr.shape, yr.dtype),
+        jax.ShapeDtypeStruct(yi.shape, yi.dtype),
+        jax.ShapeDtypeStruct((nrow, 4), gr.dtype),
+        jax.ShapeDtypeStruct((nrow, 4), gi.dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    if with_lane:
+        out_shapes += [
+            jax.ShapeDtypeStruct((lanes, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((lanes, lanes), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((lanes, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    nin = 2 + len(lane_in)  # index of ctr among inputs is nin+2
+    args = [jnp.reshape(gr, (nrow, 4)), jnp.reshape(gi, (nrow, 4))]
+    if with_lane:
+        args += [mr, mi]
+    args += [yr, yi, ctr, cti]
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=(
-            jax.ShapeDtypeStruct(yr.shape, yr.dtype),
-            jax.ShapeDtypeStruct(yi.shape, yi.dtype),
-            jax.ShapeDtypeStruct((nrow, 4), gr.dtype),
-            jax.ShapeDtypeStruct((nrow, 4), gi.dtype),
-        ),
-        in_specs=[
-            pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
-        ),
+        out_shape=tuple(out_shapes),
+        in_specs=smem + lane_in + state_specs,
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((rb, lanes), jnp.float32),
             pltpu.VMEM((rb, lanes), jnp.float32),
         ],
-        input_output_aliases={4: 0, 5: 1},
+        input_output_aliases={nin + 2: 0, nin + 3: 1},
         interpret=_INTERPRET,
-    )(
-        jnp.reshape(gr, (nrow, 4)),
-        jnp.reshape(gi, (nrow, 4)),
-        yr, yi, ctr, cti,
-    )
-    return dsr, dsi, jnp.reshape(dgr, (nrow, 2, 2)), jnp.reshape(dgi, (nrow, 2, 2))
+    )(*args)
+    dsr, dsi, dgr, dgi = outs[:4]
+    dg = (jnp.reshape(dgr, (nrow, 2, 2)), jnp.reshape(dgi, (nrow, 2, 2)))
+    if with_lane:
+        return dsr, dsi, dg[0], dg[1], outs[4], outs[5]
+    return dsr, dsi, dg[0], dg[1]
 
 
 def _row_layer_reference(state2d: Tensor, gates: Tensor) -> Tensor:
@@ -308,3 +423,66 @@ def _row_bwd_reference(y: Tensor, gates: Tensor, ct: Tensor):
 
 
 row_layer.defvjp(_row_fwd, _row_bwd)
+
+
+# ---------------------------------------------------------------------------
+# row layer + fused lane matmul: y = (butterflies(psi)) @ M, one HBM pass
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def row_layer_lane(state2d: Tensor, gates: Tensor, mlane: Tensor) -> Tensor:
+    """Row-qubit butterflies then ``@ mlane`` fused into ONE kernel pass.
+
+    ``mlane`` is the (lanes, lanes) right-multiplication matrix (i.e. the
+    transposed kron of the lane gates); both ``gates`` and ``mlane`` must be
+    unitary (backward un-applies them).  Falls back to the unfused reference
+    off-TPU.
+    """
+    return _lane_fwd_impl(state2d, gates, mlane)
+
+
+def _lane_fwd_impl(state2d: Tensor, gates: Tensor, mlane: Tensor) -> Tensor:
+    if not (_on_tpu() or _INTERPRET):
+        y = _row_layer_reference(state2d, gates)
+        return y @ mlane.astype(y.dtype)
+    sr = jnp.real(state2d).astype(jnp.float32)
+    si = jnp.imag(state2d).astype(jnp.float32)
+    gr = jnp.real(gates).astype(jnp.float32)
+    gi = jnp.imag(gates).astype(jnp.float32)
+    mr = jnp.real(mlane).astype(jnp.float32)
+    mi = jnp.imag(mlane).astype(jnp.float32)
+    orr, oii = _pallas_row_fwd(gr, gi, sr, si, mr, mi)
+    return (orr + 1j * oii).astype(state2d.dtype)
+
+
+def _lane_fwd(state2d: Tensor, gates: Tensor, mlane: Tensor):
+    y = _lane_fwd_impl(state2d, gates, mlane)
+    return y, (y, gates, mlane)
+
+
+def _lane_bwd(res, ct):
+    y, gates, mlane = res
+    if not (_on_tpu() or _INTERPRET):
+        # un-lane, then reuse the reference row backward; dM = psi^T @ ct
+        psi = y @ jnp.conj(mlane).T.astype(y.dtype)
+        ct_pre = ct @ mlane.T.astype(ct.dtype)
+        dmlane = jnp.matmul(psi.T, ct)
+        ds, dg = _row_bwd_reference(psi, gates, ct_pre)
+        return ds, dg, dmlane
+    gr = jnp.real(gates).astype(jnp.float32)
+    gi = jnp.imag(gates).astype(jnp.float32)
+    mr = jnp.real(mlane).astype(jnp.float32)
+    mi = jnp.imag(mlane).astype(jnp.float32)
+    yr = jnp.real(y).astype(jnp.float32)
+    yi = jnp.imag(y).astype(jnp.float32)
+    ctr = jnp.real(ct).astype(jnp.float32)
+    cti = jnp.imag(ct).astype(jnp.float32)
+    dsr, dsi, dgr, dgi, dmr, dmi = _pallas_row_bwd(gr, gi, yr, yi, ctr, cti, mr, mi)
+    ds = (dsr + 1j * dsi).astype(y.dtype)
+    dg = (dgr + 1j * dgi).astype(gates.dtype)
+    dm = (dmr + 1j * dmi).astype(mlane.dtype)
+    return ds, dg, dm
+
+
+row_layer_lane.defvjp(_lane_fwd, _lane_bwd)

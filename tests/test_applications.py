@@ -86,3 +86,109 @@ def test_made():
     allx = jnp.asarray([[int(b) for b in format(i, f"0{n}b")] for i in range(2**n)], dtype=jnp.float32)
     total = float(jnp.sum(jnp.exp(model.apply(params, allx))))
     np.testing.assert_allclose(total, 1.0, atol=1e-4)
+
+
+def test_portfolio_qubo_and_stockdata():
+    import numpy as np
+    from tensorcircuit_ng_tpu.applications import finance
+
+    rng = np.random.default_rng(0)
+    daily = 1.0 + rng.normal(0, 0.01, size=(6, 40))
+    prices = 100.0 * np.cumprod(daily, axis=1)
+    sd = finance.StockData(prices)
+    mu = sd.get_return()
+    cov = sd.get_covariance()
+    assert mu.shape == (6,)
+    assert cov.shape == (6, 6)
+    np.testing.assert_allclose(cov, cov.T, atol=1e-9)
+    Q = finance.QUBO_from_portfolio(cov, mu, q=0.5, B=2, t=10.0)
+    assert Q.shape == (6, 6)
+    # brute-force check: optimum satisfies the budget when penalty dominates
+    best, best_x = None, None
+    for m in range(2**6):
+        x = np.array([(m >> i) & 1 for i in range(6)], dtype=float)
+        v = x @ Q @ x
+        if best is None or v < best:
+            best, best_x = v, x
+    assert int(best_x.sum()) == 2
+
+
+def test_physics_baselines():
+    import numpy as np
+    from tensorcircuit_ng_tpu.applications import physics
+    import tensorcircuit_ng_tpu as tc
+    from tensorcircuit_ng_tpu import quantum as qu
+
+    # compare against exact diagonalization on a small PBC chain
+    L = 6
+    edges = [(i, (i + 1) % L) for i in range(L)]
+    # TFIM: -sum ZZ - sum X (Pauli convention)
+    ls, ws = [], []
+    for a, b in edges:
+        l = [0] * L
+        l[a] = 3
+        l[b] = 3
+        ls.append(l)
+        ws.append(-1.0)
+    for i in range(L):
+        l = [0] * L
+        l[i] = 1
+        ls.append(l)
+        ws.append(-1.0)
+    h = qu.PauliStringSum2Dense(ls, ws, numpy=True)
+    e0 = float(np.linalg.eigvalsh(h)[0])
+    np.testing.assert_allclose(physics.TFIM1Denergy(L), e0, rtol=1e-8)
+
+    # Heisenberg: sum XX+YY+ZZ
+    ls, ws = [], []
+    for a, b in edges:
+        for pp in (1, 2, 3):
+            l = [0] * L
+            l[a] = pp
+            l[b] = pp
+            ls.append(l)
+            ws.append(1.0)
+    h = qu.PauliStringSum2Dense(ls, ws, numpy=True)
+    e0 = float(np.linalg.eigvalsh(h)[0])
+    np.testing.assert_allclose(physics.Heisenberg1Denergy(L), e0, rtol=1e-6)
+
+
+def test_data_collapse():
+    import numpy as np
+    from tensorcircuit_ng_tpu.applications.physics import data_collapse
+
+    # synthetic perfect collapse: obs = f((p-pc) L^(1/nu)) with f(x)=tanh(x)
+    pc, nu = 0.5, 1.3
+    ns = [8, 16, 32]
+    ps = [list(np.linspace(0.3, 0.7, 21)) for _ in ns]
+    obs = [[float(np.tanh((p - pc) * L ** (1 / nu))) for p in ps[i]] for i, L in enumerate(ns)]
+    _, xs, ys, loss_good = data_collapse(ns, ps, obs, pc, nu)
+    _, _, _, loss_bad = data_collapse(ns, ps, obs, pc + 0.1, nu * 2)
+    assert loss_good < loss_bad / 10
+    assert loss_good < 1e-2
+
+
+def test_bagging_ensemble():
+    import numpy as np
+    from tensorcircuit_ng_tpu.applications.ensemble import bagging
+
+    class Stub:
+        def __init__(self, bias):
+            self.bias = bias
+
+        def predict(self, x):
+            return np.clip(x[:, 0] * 0.0 + self.bias, 0, 1)
+
+    bag = bagging()
+    bag.append(Stub(0.9), True)
+    bag.append(Stub(0.8), True)
+    bag.append(Stub(0.2), True)
+    x = np.zeros((5, 3))
+    avg = bag.predict(x, voting_policy="average")
+    np.testing.assert_allclose(avg[:, 0], (0.9 + 0.8 + 0.2) / 3, atol=1e-9)
+    w = bag.predict(x, voting_policy="weight")
+    assert np.all(w[:, 0] > avg[:, 0])  # confident 0.9 outweighs 0.2
+    hard = bag.predict(x, voting_policy="most")
+    np.testing.assert_array_equal(hard, np.ones(5, dtype=int))
+    acc = bag.eval(x, np.ones(5), voting_policy="most")
+    assert acc == 1.0

@@ -138,3 +138,40 @@ def test_fused_circuit_api_matches_plain():
     g2 = jax.grad(loss_ref, argnums=(0, 1))(thz, thx)
     np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-4)
+
+
+def test_row_layer_lane_matches_separate(interpret_mode):
+    """Lane-fused kernel (optional path) == row kernel + explicit matmul."""
+    import jax
+    import jax.numpy as jnp
+    from tensorcircuit_ng_tpu.core import kernels_rowlayer as krl
+
+    rng = np.random.default_rng(5)
+    nrow, lanes = 3, 128
+    r = 2 ** (nrow + 1)  # two grid blocks
+
+    def rand_u(k):
+        h = rng.normal(size=(k, k)) + 1j * rng.normal(size=(k, k))
+        q, _ = np.linalg.qr(h)
+        return q
+
+    gates = jnp.asarray(np.stack([rand_u(2) for _ in range(nrow)]), dtype=jnp.complex64)
+    mlane = jnp.asarray(rand_u(lanes), dtype=jnp.complex64)
+    psi = rng.normal(size=(r, lanes)) + 1j * rng.normal(size=(r, lanes))
+    psi = jnp.asarray(psi / np.linalg.norm(psi), dtype=jnp.complex64)
+
+    y1 = krl.row_layer_lane(psi, gates, mlane)
+    y2 = krl.row_layer(psi, gates) @ mlane
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+    # gradients agree with the unfused composition
+    def loss_fused(p, g, m):
+        return jnp.real(jnp.sum(krl.row_layer_lane(p, g, m) * jnp.conj(psi)))
+
+    def loss_ref(p, g, m):
+        return jnp.real(jnp.sum((krl.row_layer(p, g) @ m) * jnp.conj(psi)))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(psi, gates, mlane)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(psi, gates, mlane)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -14,5 +14,6 @@ from . import graphdata
 from . import finance
 from . import physics
 from . import ensemble
+from . import vqes
 
 __all__ = ["optimization", "dqas", "layers", "graphdata"]

@@ -65,7 +65,10 @@ class NumpyCOO:
     def __matmul__(self, b: Tensor) -> Tensor:
         rows = self.indices[:, 0]
         cols = self.indices[:, 1]
-        contrib = self.values * jnp.take(b, cols, axis=0)
+        vals = self.values
+        if getattr(b, "ndim", 1) > 1:
+            vals = vals.reshape(vals.shape + (1,) * (b.ndim - 1))
+        contrib = vals * jnp.take(b, cols, axis=0)
         out_shape = (self.shape[0],) + tuple(b.shape[1:])
         out = jnp.zeros(out_shape, dtype=contrib.dtype)
         return out.at[rows].add(contrib)
@@ -280,6 +283,57 @@ class JaxBackend:
 
     def sparse_dense_matmul(self, sp_a: Any, b: Tensor) -> Tensor:
         return sp_a @ b
+
+    def lobpcg(
+        self,
+        a: Tensor,
+        x: Tensor,
+        m: Optional[Tensor] = None,
+        largest: bool = False,
+        tol: float = 0.0,
+        max_iter: int = 100,
+    ) -> Tuple[Tensor, Tensor]:
+        """Smallest/largest eigenpairs via LOBPCG (reference jax_ops ``_lobpcg``).
+
+        ``a`` may be dense, sparse (NumpyCOO/BCOO), or a matvec callable;
+        ``x`` is the (dim, k) initial block.  Returns (eigenvalues, vectors).
+        """
+        from jax.experimental.sparse.linalg import lobpcg_standard
+
+        if callable(a) and not hasattr(a, "shape"):
+            mv = a
+        elif self.is_sparse(a):
+            mv = lambda v: a @ v
+        else:
+            amat = jnp.asarray(a)
+            mv = lambda v: amat @ v
+        x = jnp.asarray(x)
+        is_complex = jnp.iscomplexobj(x) or jnp.iscomplexobj(mv(x[:, :1]))
+        if is_complex:
+            # jax lobpcg is real-only: embed Hermitian H as the real
+            # symmetric [[Re, -Im], [Im, Re]] acting on stacked (Re; Im)
+            dim = x.shape[0]
+
+            def mv_real(v2):
+                c = v2[:dim] + 1j * v2[dim:]
+                out = mv(c.astype(x.dtype))
+                return jnp.concatenate([jnp.real(out), jnp.imag(out)], axis=0).astype(
+                    jnp.float32
+                )
+
+            x_real = jnp.concatenate(
+                [jnp.real(x), jnp.imag(x)], axis=0
+            ).astype(jnp.float32)
+            op = mv_real if largest else (lambda v: -mv_real(v))
+            theta, u, _ = lobpcg_standard(op, x_real, m=max_iter)
+            vals = theta if largest else -theta
+            vecs = (u[:dim] + 1j * u[dim:]).astype(x.dtype)
+            norm = jnp.linalg.norm(vecs, axis=0, keepdims=True)
+            return vals, vecs / jnp.where(norm == 0, 1.0, norm)
+        op = mv if largest else (lambda v: -mv(v))
+        theta, u, _ = lobpcg_standard(op, x, m=max_iter)
+        vals = theta if largest else -theta
+        return vals, u
 
     def is_sparse(self, a: Any) -> bool:
         from jax.experimental import sparse as jsparse

@@ -870,6 +870,73 @@ def tenpy2qop(mpo: Any) -> QuOperator:
     return tn2qop([jnp.asarray(w) for w in fixed])
 
 
+def generate_local_hamiltonian(
+    *hlist: Tensor, matrix_form: bool = True
+) -> Any:
+    """Tensor product of local terms as one operator (reference ``quantum.py:1520``).
+
+    ``generate_local_hamiltonian(h01, h23)`` acts h01 on the first sites and
+    h23 on the next; returns the dense matrix (``matrix_form=True``) or the
+    lazy QuOperator.
+    """
+    from functools import reduce
+
+    ops = [QuOperator.from_tensor(jnp.asarray(h)) for h in hlist]
+    hop = reduce(lambda a, b: a.tensor_product(b), ops)
+    if matrix_form:
+        return hop.eval_matrix()
+    return hop
+
+
+def qop2tn(qop: QuOperator) -> Any:
+    """QuOperator -> list of tensornetwork Nodes (requires tensornetwork).
+
+    Reverse of :func:`tn2qop` (reference ``qop2tn quantum.py:2020``).
+    """
+    import tensornetwork as tn  # gated: not bundled in this image
+
+    m = np.asarray(qop.eval_matrix())
+    return [tn.Node(m)]
+
+
+def qop2quimb(qop: QuOperator) -> Any:
+    """QuOperator -> quimb dense operator (requires quimb; reference ``:1889``)."""
+    import quimb  # gated
+
+    return quimb.qu(np.asarray(qop.eval_matrix()), qtype="dop", sparse=False)
+
+
+def qop2tenpy(qop: QuOperator) -> Any:
+    """QuOperator -> tenpy MPO (requires tenpy; reference ``qop2tenpy:1725``).
+
+    Builds the MPO from the dense matrix via sequential SVD splitting.
+    """
+    import tenpy  # gated
+    from tenpy.networks.mpo import MPO
+    from tenpy.networks.site import SpinHalfSite
+
+    m = np.asarray(qop.eval_matrix())
+    n = int(round(np.log2(m.shape[0])))
+    t = m.reshape((2,) * (2 * n))
+    perm = [i for pair in zip(range(n), range(n, 2 * n)) for i in pair]
+    t = np.transpose(t, perm).reshape(1, *(4,) * n, 1)
+    ws = []
+    rest = t.reshape(t.shape[0] * 4, -1)
+    left = t.shape[0]
+    for i in range(n - 1):
+        u, s, vh = np.linalg.svd(rest, full_matrices=False)
+        keep = int(np.sum(s > 1e-12))
+        u, s, vh = u[:, :keep], s[:keep], vh[:keep]
+        ws.append(u.reshape(left, 4, keep))
+        left = keep
+        rest = (np.diag(s) @ vh).reshape(keep * 4, -1)
+    ws.append(rest.reshape(left, 4, 1))
+    # (l, p, p*, r) tenpy W tensors (wL, wR, p, p*)
+    site = SpinHalfSite(conserve=None)
+    Ws = [np.transpose(w.reshape(w.shape[0], 2, 2, w.shape[-1]), (0, 3, 1, 2)) for w in ws]
+    return MPO([site] * n, Ws)
+
+
 def taylorlnm(x: Tensor, k: int) -> Tensor:
     """Taylor expansion of ln(I + x) to order k (reference helper)."""
     d = x.shape[0]

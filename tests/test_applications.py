@@ -192,3 +192,32 @@ def test_bagging_ensemble():
     np.testing.assert_array_equal(hard, np.ones(5, dtype=int))
     acc = bag.eval(x, np.ones(5), voting_policy="most")
     assert acc == 1.0
+
+
+def test_vqnhe_improves_on_plain_vqe():
+    import numpy as np
+    from tensorcircuit_ng_tpu.applications.vqes import VQNHE, construct_matrix
+
+    n = 4
+    ham = []
+    for i in range(n - 1):
+        row = [1.0] + [0] * n
+        row[1 + i] = 3
+        row[2 + i] = 3
+        ham.append(row)
+    for i in range(n):
+        row = [-1.0] + [0] * n
+        row[1 + i] = 1
+        ham.append(row)
+    hm = construct_matrix(ham)
+    e_exact = float(np.linalg.eigvalsh(hm)[0])
+
+    v = VQNHE(n, ham, model_type="complex", ansatz="hea", nlayers=2, units=8)
+    e0 = v.energy(v.circuit_params, v.model_params)
+    best, _, _ = v.training(maxiter=120, verbose=False)
+    assert best < float(e0) - 0.1
+    assert best >= e_exact - 1e-4  # variational bound
+    # rbm variant runs
+    v2 = VQNHE(n, ham, model_type="rbm", ansatz="hn", units=6)
+    best2, _, _ = v2.training(maxiter=60)
+    assert best2 >= e_exact - 1e-4

@@ -185,3 +185,45 @@ def test_expectation_quoperator_in_circuit():
     c.h(0)
     qv = c.get_quvector()
     assert qv.shape == (4, 1)
+
+
+def test_generate_local_hamiltonian_and_lobpcg():
+    import numpy as np
+    from tensorcircuit_ng_tpu import quantum as qu
+    from tensorcircuit_ng_tpu.backend import backend as K
+
+    z = np.diag([1.0, -1.0])
+    x = np.array([[0.0, 1.0], [1.0, 0.0]])
+    h = qu.generate_local_hamiltonian(np.kron(z, z).reshape(2, 2, 2, 2), x)
+    np.testing.assert_allclose(
+        np.asarray(h).reshape(8, 8), np.kron(np.kron(z, z), x), atol=1e-6
+    )
+    qop = qu.generate_local_hamiltonian(x, z, matrix_form=False)
+    np.testing.assert_allclose(
+        np.asarray(qop.eval_matrix()), np.kron(x, z), atol=1e-6
+    )
+
+    # lobpcg ground state of a sparse TFIM matches dense eigh
+    n = 5
+    ls, ws = [], []
+    for i in range(n - 1):
+        l = [0] * n
+        l[i] = 3
+        l[i + 1] = 3
+        ls.append(l)
+        ws.append(1.0)
+    for i in range(n):
+        l = [0] * n
+        l[i] = 1
+        ls.append(l)
+        ws.append(-1.0)
+    hs = qu.PauliStringSum2COO(ls, ws)
+    hd = qu.PauliStringSum2Dense(ls, ws, numpy=True)
+    e_exact = float(np.linalg.eigvalsh(hd)[0])
+    x0 = np.random.default_rng(0).normal(size=(2**n, 4)).astype(np.complex64)
+    vals, vecs = K.lobpcg(hs, x0, max_iter=300)
+    np.testing.assert_allclose(float(np.real(vals[0])), e_exact, atol=1e-3)
+    # residual check on the eigenvector
+    v0 = np.asarray(vecs[:, 0])
+    res = np.linalg.norm(np.asarray(hs.todense()) @ v0 - vals[0] * v0)
+    assert res < 5e-2

@@ -329,6 +329,64 @@ def _bessel_jn_array(kmax: int, x: float) -> np.ndarray:
     return jv(np.arange(kmax + 1), x)
 
 
+def _bessel_jn_miller(kmax: int, x: Tensor) -> Tensor:
+    """J_0..J_kmax at traced real x — pure-JAX Miller backward recurrence.
+
+    Counterpart of the reference's rescaled traced Bessel (reference
+    ``backends/jax_ops.py:377`` bessel_jv_jax_rescaled): enables jit/grad
+    through the evolution *time* in chebyshev_evol.  Downward recurrence
+    f_{k-1} = (2k/x) f_k - f_{k+1} from k = kmax + pad, normalized with
+    J_0 + 2 sum_m J_{2m} = 1.  Guarded at x ~ 0 (J_k(0) = delta_k0).
+    """
+    pad = kmax + 18
+    kstart = kmax + pad
+    xs = jnp.where(jnp.abs(x) < 1e-8, 1.0, x)  # avoid 0-division; fixed below
+    dtype = jnp.asarray(xs).dtype
+
+    # downward recurrence with per-step rescaling (raw values overflow f32
+    # within ~20 steps for small x); true values reconstructed in log space
+    def body(carry, k):
+        fk, fk1 = carry
+        fkm1 = (2.0 * k / xs) * fk - fk1
+        s = jnp.maximum(jnp.abs(fkm1), 1.0)
+        return (fkm1 / s, fk / s), (fkm1, jnp.log(s))
+
+    ks = jnp.arange(kstart, 0, -1, dtype=dtype)
+    seed = (jnp.asarray(1e-10, dtype=dtype), jnp.zeros_like(xs))
+    _, (emits, logs) = jax.lax.scan(body, seed, ks)
+    # emit_i = true_i * prod_{j<i} 1/s_j  =>  true_i = emit_i * exp(L_{i-1})
+    lcum = jnp.concatenate([jnp.zeros((1,), dtype=dtype), jnp.cumsum(logs)[:-1]])
+    rel = emits * jnp.exp(lcum - jnp.max(lcum))  # bounded relative values
+    # rel holds f_{kstart-1}..f_0 -> reorder to f_0..f_{kstart-1}
+    allf = rel[::-1]
+    # normalization: J_0 + 2 (J_2 + J_4 + ...) = 1
+    norm = allf[0] + 2.0 * jnp.sum(allf[2::2])
+    j = allf[: kmax + 1] / norm
+    # exact x = 0 limit
+    at0 = jnp.zeros((kmax + 1,), dtype=j.dtype).at[0].set(1.0)
+    return jnp.where(jnp.abs(x) < 1e-8, at0, j)
+
+
+def bessel_jn_traced(kmax: int):
+    """Factory: differentiable J_0..J_kmax(x) with dJ_k = (J_{k-1}-J_{k+1})/2."""
+
+    @jax.custom_jvp
+    def f(x):
+        return _bessel_jn_miller(kmax, x)
+
+    @f.defjvp
+    def f_jvp(primals, tangents):
+        (x,) = primals
+        (dx,) = tangents
+        jext = _bessel_jn_miller(kmax + 1, x)
+        j = jext[: kmax + 1]
+        jm1 = jnp.concatenate([-jext[1:2], jext[:kmax]])  # J_{-1} = -J_1
+        jp1 = jext[1 : kmax + 2]
+        return j, (jm1 - jp1) / 2.0 * dx
+
+    return f
+
+
 def chebyshev_evol(
     h: Any,
     psi0: Tensor,
@@ -357,11 +415,18 @@ def chebyshev_evol(
 
     tau = a * t
     ks = np.arange(M + 1)
-    bessels = _bessel_jn_array(M, tau)
-    coeffs = 2.0 * ((-1j) ** ks) * bessels
-    coeffs[0] = coeffs[0] / 2.0
-    coeffs = jnp.asarray(coeffs, dtype=psi0.dtype)
-    phase = jnp.exp(-1j * jnp.asarray(b * t)).astype(psi0.dtype)
+    if isinstance(tau, jax.core.Tracer) or isinstance(t, jax.Array):
+        # traced evolution time: in-graph differentiable Bessel coefficients
+        bessels = bessel_jn_traced(M)(jnp.asarray(tau, dtype=jnp.float64 if jnp.asarray(tau).dtype == jnp.float64 else jnp.float32))
+        ik = np.power(-1j, np.arange(M + 1))  # numpy constant, lifts for free
+        coeffs = 2.0 * ik * bessels.astype(psi0.dtype)
+        coeffs = coeffs.at[0].set(coeffs[0] / 2.0).astype(psi0.dtype)
+    else:
+        bessels = _bessel_jn_array(M, tau)
+        coeffs = 2.0 * ((-1j) ** ks) * bessels
+        coeffs[0] = coeffs[0] / 2.0
+        coeffs = jnp.asarray(coeffs, dtype=psi0.dtype)
+    phase = jnp.exp(-1j * jnp.asarray(b * t).astype(jnp.asarray(psi0).real.dtype)).astype(psi0.dtype)
 
     t0 = psi0
     t1 = htilde(psi0)

@@ -232,3 +232,64 @@ def test_jax_export_save_load(tmp_path):
     experimental.jax_jitted_function_save(path, f, x)
     g = experimental.jax_jitted_function_load(path)
     np.testing.assert_allclose(np.asarray(g(x)), np.asarray(f(x)), atol=1e-6)
+
+
+def test_traced_time_chebyshev_and_bessel():
+    """Differentiable evolution TIME: traced Bessel coefficients (custom JVP)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from scipy.special import jv
+
+    from tensorcircuit_ng_tpu import timeevol as te
+    from tensorcircuit_ng_tpu import quantum as qu
+
+    f = te.bessel_jn_traced(16)
+    for x in (0.0, 0.4, 3.3, 12.0):
+        np.testing.assert_allclose(
+            np.asarray(f(jnp.asarray(x, jnp.float32))), jv(np.arange(17), x), atol=1e-4
+        )
+    g = jax.jacfwd(f)(jnp.asarray(1.3, jnp.float32))
+    eps = 1e-3
+    fd = (
+        np.asarray(f(jnp.asarray(1.3 + eps, jnp.float32)))
+        - np.asarray(f(jnp.asarray(1.3 - eps, jnp.float32)))
+    ) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(g), fd, atol=1e-3)
+
+    n = 4
+    ls, ws = [], []
+    for i in range(n - 1):
+        l = [0] * n
+        l[i] = 3
+        l[i + 1] = 3
+        ls.append(l)
+        ws.append(1.0)
+    for i in range(n):
+        l = [0] * n
+        l[i] = 1
+        ls.append(l)
+        ws.append(-1.0)
+    h = qu.PauliStringSum2Dense(ls, ws, numpy=True)
+    ev, evec = np.linalg.eigh(h)
+    psi0 = np.zeros(2**n, dtype=np.complex64)
+    psi0[0] = 1.0
+    bounds = (float(ev[-1]) + 0.1, float(ev[0]) - 0.1)
+    t0 = 0.7
+    exact = evec @ np.diag(np.exp(-1j * ev * t0)) @ evec.conj().T @ psi0
+    val = te.chebyshev_evol(
+        h.astype(np.complex64), jnp.asarray(psi0), jnp.asarray(t0), bounds, M=40
+    )
+    assert float(np.linalg.norm(np.asarray(val) - exact)) < 1e-4
+
+    def fidelity(t):
+        psi_t = te.chebyshev_evol(
+            h.astype(np.complex64), jnp.asarray(psi0), t, bounds, M=40
+        )
+        return jnp.abs(jnp.vdot(jnp.asarray(psi0), psi_t)) ** 2
+
+    gv = float(jax.grad(fidelity)(jnp.asarray(t0, jnp.float32)))
+    fdv = (
+        float(fidelity(jnp.asarray(t0 + 1e-3))) - float(fidelity(jnp.asarray(t0 - 1e-3)))
+    ) / 2e-3
+    assert abs(gv - fdv) < 1e-2

@@ -250,12 +250,8 @@ def test_traced_time_chebyshev_and_bessel():
             np.asarray(f(jnp.asarray(x, jnp.float32))), jv(np.arange(17), x), atol=1e-4
         )
     g = jax.jacfwd(f)(jnp.asarray(1.3, jnp.float32))
-    eps = 1e-3
-    fd = (
-        np.asarray(f(jnp.asarray(1.3 + eps, jnp.float32)))
-        - np.asarray(f(jnp.asarray(1.3 - eps, jnp.float32)))
-    ) / (2 * eps)
-    np.testing.assert_allclose(np.asarray(g), fd, atol=1e-3)
+    exact = 0.5 * (jv(np.arange(-1, 16), 1.3) - jv(np.arange(1, 18), 1.3))
+    np.testing.assert_allclose(np.asarray(g), exact, atol=1e-5)
 
     n = 4
     ls, ws = [], []

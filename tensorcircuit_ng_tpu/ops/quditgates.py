@@ -20,6 +20,9 @@ Tensor = Any
 __all__ = [
     "x_matrix_func",
     "z_matrix_func",
+    "s_matrix_func",
+    "rzz_matrix_func",
+    "rxx_matrix_func",
     "h_matrix_func",
     "i_matrix_func",
     "rx_matrix_func",
@@ -68,6 +71,56 @@ def _two_level(d: int, block: Tensor, j: int, k: int) -> Tensor:
     m = m.at[j, k].set(block[0, 1])
     m = m.at[k, j].set(block[1, 0])
     m = m.at[k, k].set(block[1, 1])
+    return m
+
+
+def s_matrix_func(d: int, omega: Optional[complex] = None) -> Tensor:
+    r"""Qudit phase gate: S|j> = w^{j(j+p)/2}|j>, p = d mod 2 (reference ``:148``)."""
+    w = np.exp(2j * np.pi / d) if omega is None else omega
+    j = np.arange(d)
+    p = d % 2
+    return jnp.asarray(np.diag(w ** (j * (j + p) / 2.0)), dtype=_dt())
+
+
+def _pair_index(d: int, j1: int, k1: int, j2: int, k2: int) -> tuple:
+    for v in (j1, k1, j2, k2):
+        if not 0 <= v < d:
+            raise ValueError(f"level index {v} out of range for d={d}")
+    a, b = j1 * d + j2, k1 * d + k2
+    if a == b:
+        raise ValueError("subspace states must be distinct")
+    return a, b
+
+
+def rzz_matrix_func(
+    d: int, theta: Any = 0, j1: int = 0, k1: int = 1, j2: int = 0, k2: int = 1
+) -> Tensor:
+    r"""Two-qudit RZZ on the |j1 j2>, |k1 k2> subspace (reference ``:339``).
+
+    diag(e^{-i theta/2}, e^{+i theta/2}) on the selected pair, identity
+    elsewhere.
+    """
+    a, b = _pair_index(d, j1, k1, j2, k2)
+    theta = jnp.asarray(theta).astype(_dt())
+    m = jnp.eye(d * d, dtype=_dt())
+    m = m.at[a, a].set(jnp.exp(-1j * theta / 2.0))
+    m = m.at[b, b].set(jnp.exp(1j * theta / 2.0))
+    return m
+
+
+def rxx_matrix_func(
+    d: int, theta: Any = 0, j1: int = 0, k1: int = 1, j2: int = 0, k2: int = 1
+) -> Tensor:
+    r"""Two-qudit RXX on the |j1 j2>, |k1 k2> subspace (reference ``:381``)."""
+    a, b = _pair_index(d, j1, k1, j2, k2)
+    theta = jnp.asarray(theta).astype(_dt())
+    c = jnp.cos(theta / 2.0)
+    s = -1j * jnp.sin(theta / 2.0)
+    m = jnp.eye(d * d, dtype=_dt())
+    m = m.at[a, a].set(c)
+    m = m.at[b, b].set(c)
+    m = m.at[a, b].set(s)
+    m = m.at[b, a].set(s)
     return m
 
 

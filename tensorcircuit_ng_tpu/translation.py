@@ -362,3 +362,89 @@ def qir2cirq(qir: Sequence[Dict[str, Any]], n: int) -> Any:
             m = np.asarray(item["gate"].matrix())
             ops.append(cirq.MatrixGate(m)(*idx))
     return cirq.Circuit(ops)
+
+
+# ---------------------------------------------------------------------------
+# stim (text circuit format — no stim dependency needed)
+# ---------------------------------------------------------------------------
+
+_TC2STIM = {
+    "h": "H", "x": "X", "y": "Y", "z": "Z", "s": "S", "sd": "S_DAG",
+    "sx": "SQRT_X", "cnot": "CX", "cx": "CX", "cy": "CY", "cz": "CZ",
+    "swap": "SWAP", "iswap": "ISWAP", "i": "I",
+}
+_STIM2TC = {v: k for k, v in _TC2STIM.items()}
+_STIM2TC.update({"CNOT": "cnot", "ZCX": "cnot", "ZCY": "cy", "ZCZ": "cz"})
+
+
+def tc2stim(c: Any) -> str:
+    """Clifford circuit -> stim program text (reference ``tc2stim``).
+
+    Output loads directly into ``stim.Circuit(text)`` when stim is present;
+    only Clifford gates are representable.
+    """
+    lines = []
+    for item in c.to_qir():
+        name = (item.get("name") or "").lower()
+        if name not in _TC2STIM:
+            raise ValueError(f"gate {name!r} has no stim equivalent")
+        idx = " ".join(str(int(i)) for i in item["index"])
+        lines.append(f"{_TC2STIM[name]} {idx}")
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def stim2tc(program: Any, circuit_class: Optional[Any] = None) -> Any:
+    """stim program (text or stim.Circuit) -> StabilizerCircuit.
+
+    Parses the text format directly (reference ``stim2tc translation.py:798``
+    needs stim; this works without it): gates, M/MZ measurements, R resets,
+    TICK/comments, and REPEAT blocks.
+    """
+    if circuit_class is None:
+        from .models.stabilizercircuit import StabilizerCircuit as circuit_class  # type: ignore
+
+    text = program if isinstance(program, str) else str(program)
+
+    def parse_block(lines: List[str], pos: int) -> Tuple[List[Tuple[str, List[int]]], int]:
+        ops: List[Tuple[str, List[int]]] = []
+        while pos < len(lines):
+            line = lines[pos].split("#", 1)[0].strip()
+            pos += 1
+            if not line:
+                continue
+            if line == "}":
+                return ops, pos
+            if line.upper().startswith("REPEAT"):
+                reps = int(line.split()[1])
+                inner, pos = parse_block(lines, pos)
+                ops.extend(inner * reps)
+                continue
+            parts = line.replace("{", "").split()
+            if not parts:
+                continue
+            ops.append((parts[0].upper(), [int(x) for x in parts[1:] if x.lstrip("-+").isdigit()]))
+        return ops, pos
+
+    ops, _ = parse_block(text.splitlines(), 0)
+    nq = 1 + max((q for _, qs in ops for q in qs), default=0)
+    c = circuit_class(nq)
+    for op, qs in ops:
+        if op in ("TICK", "SHIFT_COORDS", "QUBIT_COORDS", "DETECTOR", "OBSERVABLE_INCLUDE"):
+            continue
+        if op in ("M", "MZ"):
+            for q in qs:
+                c.cond_measurement(q)
+            continue
+        if op in ("R", "RZ"):
+            for q in qs:
+                out = c.cond_measurement(q)
+                if out == 1:
+                    c.x(q)  # type: ignore
+            continue
+        name = _STIM2TC.get(op)
+        if name is None:
+            raise ValueError(f"unsupported stim instruction {op!r}")
+        arity = 2 if name in ("cnot", "cx", "cy", "cz", "swap", "iswap") else 1
+        for g in range(0, len(qs), arity):
+            getattr(c, name)(*qs[g : g + arity])
+    return c

@@ -245,3 +245,44 @@ def test_torch_quantum_net():
     y.backward()
     for p in net.parameters():
         assert p.grad is not None
+
+
+def test_stim_text_translation():
+    import numpy as np
+    import tensorcircuit_ng_tpu as tc
+    from tensorcircuit_ng_tpu import translation as tr
+
+    c = tc.StabilizerCircuit(3)
+    c.h(0)
+    c.cnot(0, 1)
+    c.s(2)
+    c.sd(2)
+    c.cz(1, 2)
+    text = tr.tc2stim(c)
+    assert "S_DAG 2" in text and "CX 0 1" in text
+    c2 = tr.stim2tc(text)
+    for x, y in zip(c.get_tableau().stabilizers(), c2.get_tableau().stabilizers()):
+        np.testing.assert_array_equal(x, y)
+    # REPEAT blocks, TICK, measurements, pairwise 2q broadcast
+    c3 = tr.stim2tc("H 0\nREPEAT 3 {\n CX 0 1\n CX 1 2\n}\nTICK\nM 0 1 2\n")
+    assert len(c3._measure_record) == 3
+    c4 = tr.stim2tc("H 0\nH 2\nCX 0 1 2 3\n")
+    assert int(np.asarray(c4.expectation_ps(z=[0, 1]))) == 1
+
+
+def test_qudit_subspace_two_site_gates():
+    import numpy as np
+    from tensorcircuit_ng_tpu.ops import quditgates as qg
+
+    d = 3
+    w = np.exp(2j * np.pi / d)
+    s = np.asarray(qg.s_matrix_func(d))
+    np.testing.assert_allclose(
+        np.diag(s), [w ** (j * (j + 1) / 2) for j in range(d)], atol=1e-6
+    )
+    m = np.asarray(qg.rzz_matrix_func(d, 0.7, 0, 1, 0, 2))
+    np.testing.assert_allclose(m @ m.conj().T, np.eye(9), atol=1e-6)
+    np.testing.assert_allclose(m[0, 0], np.exp(-0.35j), atol=1e-6)
+    np.testing.assert_allclose(m[5, 5], np.exp(0.35j), atol=1e-6)
+    m2 = np.asarray(qg.rxx_matrix_func(d, 0.7))
+    np.testing.assert_allclose(m2 @ m2.conj().T, np.eye(9), atol=1e-6)

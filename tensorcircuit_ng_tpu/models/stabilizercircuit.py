@@ -281,6 +281,129 @@ class StabilizerCircuit(AbstractCircuit):
     def current_tableau(self) -> Tableau:
         return self._tab
 
+    # ------------------------------------------------------------------
+    # QEC program instructions (stim-style): lazy noise + measurement +
+    # detector records, replayed per shot by sample_detectors (the role the
+    # reference delegates to stim / its ZX StabilizerTCircuit)
+    # ------------------------------------------------------------------
+
+    def measure_instruction(self, *qubits: int) -> List[int]:
+        """stim ``M``: measure now AND record the instruction for resampling."""
+        self._qir.append({"name": "m", "index": tuple(int(q) for q in qubits), "measure": True})
+        return [self.cond_measurement(q) for q in qubits]
+
+    m_instruction = measure_instruction
+
+    def reset_instruction(self, *qubits: int) -> None:
+        """stim ``R``: reset to |0> (recorded for resampling)."""
+        self._qir.append({"name": "r", "index": tuple(int(q) for q in qubits), "reset": True})
+        for q in qubits:
+            out = self.cond_measurement(q)
+            self._measure_record.pop()  # resets don't enter the record
+            if out == 1:
+                self._tab.x_gate(q)
+
+    def _noise_instruction(self, name: str, qubits: Sequence[int], p: float) -> None:
+        self._qir.append(
+            {"name": name, "index": tuple(int(q) for q in qubits), "p": float(p), "noise": True}
+        )
+
+    def x_error(self, *qubits: int, p: float) -> None:
+        self._noise_instruction("x_error", qubits, p)
+
+    def y_error(self, *qubits: int, p: float) -> None:
+        self._noise_instruction("y_error", qubits, p)
+
+    def z_error(self, *qubits: int, p: float) -> None:
+        self._noise_instruction("z_error", qubits, p)
+
+    def depolarize1(self, *qubits: int, p: float) -> None:
+        self._noise_instruction("depolarize1", qubits, p)
+
+    def depolarize2(self, *qubits: int, p: float) -> None:
+        """Two-qubit depolarizing on consecutive pairs (stim DEPOLARIZE2)."""
+        if len(qubits) % 2:
+            raise ValueError("depolarize2 needs an even number of qubits")
+        self._noise_instruction("depolarize2", qubits, p)
+
+    def detector(self, *rec: int) -> None:
+        """stim ``DETECTOR``: XOR of measurement-record offsets (negative)."""
+        self._qir.append({"name": "detector", "rec": tuple(int(r) for r in rec), "meta": True})
+
+    def observable_include(self, *rec: int, idx: int = 0) -> None:
+        self._qir.append(
+            {"name": "observable", "rec": tuple(int(r) for r in rec), "obs_idx": int(idx), "meta": True}
+        )
+
+    def sample_detectors(
+        self, shots: int, seed: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Monte-Carlo detector/observable samples [shots, n_det], [shots, n_obs].
+
+        Replays the recorded program per shot with fresh noise and
+        measurement randomness on the (native) tableau — the stim
+        detector-sampling workflow (reference rides stim / ZX
+        ``sample_detectors``, ``zx/stabilizertcircuit.py:251``).
+        """
+        from ..core.native_tableau import make_tableau
+
+        rng = np.random.default_rng(seed)
+        det_items = [d for d in self._qir if d.get("meta") and d["name"] == "detector"]
+        obs_items = [d for d in self._qir if d.get("meta") and d["name"] == "observable"]
+        n_obs = 1 + max((d["obs_idx"] for d in obs_items), default=-1)
+        dets = np.zeros((shots, len(det_items)), dtype=np.uint8)
+        obs = np.zeros((shots, n_obs), dtype=np.uint8)
+        paulis1 = ("x_gate", "y_gate", "z_gate")
+        for s in range(shots):
+            tab = make_tableau(self._nqubits)
+            record: List[int] = []
+            di = 0
+            for item in self._qir:
+                if item.get("measure"):
+                    for q in item["index"]:
+                        record.append(tab.measure(q, status=rng.random()))
+                elif item.get("reset"):
+                    for q in item["index"]:
+                        if tab.measure(q, status=rng.random()) == 1:
+                            tab.x_gate(q)
+                elif item.get("noise"):
+                    nm, pp = item["name"], item["p"]
+                    if nm == "depolarize2":
+                        qs = item["index"]
+                        for g in range(0, len(qs), 2):
+                            if rng.random() < pp:
+                                w = int(rng.integers(1, 16))  # 15 non-identity pairs
+                                pa, pb = w // 4, w % 4
+                                if pa:
+                                    getattr(tab, paulis1[pa - 1])(qs[g])
+                                if pb:
+                                    getattr(tab, paulis1[pb - 1])(qs[g + 1])
+                        continue
+                    for q in item["index"]:
+                        if rng.random() >= pp:
+                            continue
+                        if nm == "x_error":
+                            tab.x_gate(q)
+                        elif nm == "y_error":
+                            tab.y_gate(q)
+                        elif nm == "z_error":
+                            tab.z_gate(q)
+                        else:  # depolarize1
+                            getattr(tab, paulis1[int(rng.integers(3))])(q)
+                elif item.get("meta"):
+                    bits = [record[r] for r in item["rec"]]
+                    val = int(np.bitwise_xor.reduce(bits)) if bits else 0
+                    if item["name"] == "detector":
+                        dets[s, di] = val
+                        di += 1
+                    else:
+                        obs[s, item["obs_idx"]] ^= val
+                else:
+                    meth = _GATE_MAP.get(item.get("name", ""))
+                    if meth is not None:
+                        getattr(tab, meth)(*item["index"])
+        return dets, obs
+
     # convenience noise: random Pauli (for QEC-style circuits)
     def depolarizing(self, *index: int, p: float = 0.0, status: Optional[Any] = None) -> None:
         """Trajectory depolarizing: applies a random Pauli with prob p per qubit."""

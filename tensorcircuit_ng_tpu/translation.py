@@ -422,29 +422,55 @@ def stim2tc(program: Any, circuit_class: Optional[Any] = None) -> Any:
             parts = line.replace("{", "").split()
             if not parts:
                 continue
-            ops.append((parts[0].upper(), [int(x) for x in parts[1:] if x.lstrip("-+").isdigit()]))
+            head = parts[0].upper()
+            arg = None
+            if "(" in head:
+                head, rest = head.split("(", 1)
+                arg = float(rest.rstrip(")"))
+            targets: List[Any] = []
+            for tok in parts[1:]:
+                tok = tok.strip(",")
+                if tok.lower().startswith("rec[") and tok.endswith("]"):
+                    targets.append(("rec", int(tok[4:-1])))
+                elif tok.lstrip("-+").replace(".", "", 1).isdigit():
+                    if "." in tok:
+                        arg = float(tok)
+                    else:
+                        targets.append(int(tok))
+            ops.append((head, targets, arg))
         return ops, pos
 
     ops, _ = parse_block(text.splitlines(), 0)
-    nq = 1 + max((q for _, qs in ops for q in qs), default=0)
+    nq = 1 + max(
+        (q for _, qs, _ in ops for q in qs if isinstance(q, int)), default=0
+    )
     c = circuit_class(nq)
-    for op, qs in ops:
-        if op in ("TICK", "SHIFT_COORDS", "QUBIT_COORDS", "DETECTOR", "OBSERVABLE_INCLUDE"):
+    for op, qs, arg in ops:
+        if op in ("TICK", "SHIFT_COORDS", "QUBIT_COORDS"):
             continue
+        if op == "DETECTOR":
+            c.detector(*[r for kind, r in qs if kind == "rec"] if qs and isinstance(qs[0], tuple) else [])
+            continue
+        if op == "OBSERVABLE_INCLUDE":
+            recs = [r for item in qs if isinstance(item, tuple) for kind, r in [item] if kind == "rec"]
+            c.observable_include(*recs, idx=int(arg or 0))
+            continue
+        ints = [q for q in qs if isinstance(q, int)]
         if op in ("M", "MZ"):
-            for q in qs:
-                c.cond_measurement(q)
+            c.measure_instruction(*ints)
             continue
         if op in ("R", "RZ"):
-            for q in qs:
-                out = c.cond_measurement(q)
-                if out == 1:
-                    c.x(q)  # type: ignore
+            c.reset_instruction(*ints)
+            continue
+        if op in ("X_ERROR", "Y_ERROR", "Z_ERROR", "DEPOLARIZE1", "DEPOLARIZE2"):
+            meth = {"X_ERROR": "x_error", "Y_ERROR": "y_error", "Z_ERROR": "z_error",
+                    "DEPOLARIZE1": "depolarize1", "DEPOLARIZE2": "depolarize2"}[op]
+            getattr(c, meth)(*ints, p=float(arg or 0.0))
             continue
         name = _STIM2TC.get(op)
         if name is None:
             raise ValueError(f"unsupported stim instruction {op!r}")
         arity = 2 if name in ("cnot", "cx", "cy", "cz", "swap", "iswap") else 1
-        for g in range(0, len(qs), arity):
-            getattr(c, name)(*qs[g : g + arity])
+        for g in range(0, len(ints), arity):
+            getattr(c, name)(*ints[g : g + arity])
     return c

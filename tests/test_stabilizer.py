@@ -107,3 +107,54 @@ def test_non_clifford_raises():
         sc.rx(0, theta=0.3)
     with pytest.raises(ValueError):
         sc.toffoli(0, 1)
+
+
+def test_detector_sampling_repetition_code():
+    """stim-style QEC program: noise + parity checks + detectors (MC rates)."""
+    import numpy as np
+    from tensorcircuit_ng_tpu import translation as tr
+
+    prog = """
+    R 0 1 2 3 4
+    X_ERROR(0.1) 0 2 4
+    CX 0 1 2 1
+    CX 2 3 4 3
+    M 1 3
+    DETECTOR rec[-2]
+    DETECTOR rec[-1]
+    M 0 2 4
+    OBSERVABLE_INCLUDE(0) rec[-3]
+    """
+    c = tr.stim2tc(prog)
+    dets, obs = c.sample_detectors(4000, seed=7)
+    assert dets.shape == (4000, 2)
+    # each detector fires iff exactly one of its two data qubits had an X
+    # error: p = 2 * 0.1 * 0.9 = 0.18
+    assert abs(float(dets[:, 0].mean()) - 0.18) < 0.03
+    assert abs(float(dets[:, 1].mean()) - 0.18) < 0.03
+    assert abs(float(obs[:, 0].mean()) - 0.1) < 0.02
+
+
+def test_detector_sampling_instructions_api():
+    import numpy as np
+    import tensorcircuit_ng_tpu as tc
+
+    c = tc.StabilizerCircuit(2)
+    c.h(0)
+    c.cnot(0, 1)
+    c.depolarize2(0, 1, p=0.0)
+    c.measure_instruction(0, 1)
+    c.detector(-1, -2)  # Bell pair: ZZ parity always even
+    dets, _ = c.sample_detectors(500, seed=1)
+    assert dets.shape == (500, 1)
+    assert float(dets.mean()) == 0.0
+    # with z_error on one arm the parity detector stays silent (Z commutes
+    # with Z measurement) but x_error flips it half the... exactly p
+    c2 = tc.StabilizerCircuit(2)
+    c2.h(0)
+    c2.cnot(0, 1)
+    c2.x_error(0, p=0.25)
+    c2.measure_instruction(0, 1)
+    c2.detector(-1, -2)
+    dets2, _ = c2.sample_detectors(6000, seed=3)
+    assert abs(float(dets2.mean()) - 0.25) < 0.02

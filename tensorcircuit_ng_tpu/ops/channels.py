@@ -16,7 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .. import config
-from .gates import Gate
+from .gates import Gate, _xp_of
 
 Tensor = Any
 
@@ -53,7 +53,11 @@ class KrausList(list):
 
 
 def _g(m: Any, name: str) -> Gate:
-    return Gate(jnp.asarray(m).astype(jnp.dtype(config.dtypestr())), name=name)
+    # concrete matrices stay NUMPY (axon cannot lower complex device-array
+    # constants in jit programs — see CLAUDE.md complex rule); traced pass
+    if not hasattr(m, "ndim"):
+        m = np.asarray(m)
+    return Gate(m.astype(np.dtype(config.dtypestr())), name=name)
 
 
 def depolarizingchannel(px: float, py: float, pz: float) -> KrausList:
@@ -61,11 +65,12 @@ def depolarizingchannel(px: float, py: float, pz: float) -> KrausList:
 
     Reference ``channels.py:55-112``.
     """
-    rdt = jnp.dtype(config.rdtypestr())
-    i = jnp.sqrt(jnp.asarray(1.0 - px - py - pz).astype(rdt)) * jnp.eye(2)
-    x = jnp.sqrt(jnp.asarray(px).astype(rdt)) * jnp.asarray([[0.0, 1.0], [1.0, 0.0]])
-    y = jnp.sqrt(jnp.asarray(py).astype(rdt)) * jnp.asarray([[0.0, -1.0j], [1.0j, 0.0]])
-    z = jnp.sqrt(jnp.asarray(pz).astype(rdt)) * jnp.asarray([[1.0, 0.0], [0.0, -1.0]])
+    xp = _xp_of(px, py, pz)
+    rdt = np.dtype(config.rdtypestr())
+    i = xp.sqrt(xp.asarray(1.0 - px - py - pz).astype(rdt)) * np.eye(2)
+    x = xp.sqrt(xp.asarray(px).astype(rdt)) * np.asarray([[0.0, 1.0], [1.0, 0.0]])
+    y = xp.sqrt(xp.asarray(py).astype(rdt)) * np.asarray([[0.0, -1.0j], [1.0j, 0.0]])
+    z = xp.sqrt(xp.asarray(pz).astype(rdt)) * np.asarray([[1.0, 0.0], [0.0, -1.0]])
     return KrausList(
         [_g(i, "dep_i"), _g(x, "dep_x"), _g(y, "dep_y"), _g(z, "dep_z")],
         name="depolarizing",
@@ -109,15 +114,17 @@ def isotropicdepolarizingchannel(p: float, num_qubits: int = 1) -> KrausList:
 
 def amplitudedampingchannel(gamma: float, p: float = 1.0) -> KrausList:
     r"""Generalized amplitude damping (reference ``channels.py:195-260``)."""
-    g = jnp.asarray(gamma).astype(jnp.dtype(config.rdtypestr()))
-    pp = jnp.asarray(p).astype(jnp.dtype(config.rdtypestr()))
-    k0 = jnp.sqrt(pp) * jnp.asarray([[1.0, 0.0], [0.0, 0.0]]) + jnp.sqrt(pp) * jnp.asarray([[0.0, 0.0], [0.0, 1.0]]) * jnp.sqrt(1 - g)
-    k1 = jnp.sqrt(pp) * jnp.sqrt(g) * jnp.asarray([[0.0, 1.0], [0.0, 0.0]])
-    k2 = jnp.sqrt(1 - pp) * (
-        jnp.sqrt(1 - g) * jnp.asarray([[1.0, 0.0], [0.0, 0.0]])
-        + jnp.asarray([[0.0, 0.0], [0.0, 1.0]])
+    xp = _xp_of(gamma, p)
+    rdt = np.dtype(config.rdtypestr())
+    g = xp.asarray(gamma).astype(rdt)
+    pp = xp.asarray(p).astype(rdt)
+    k0 = xp.sqrt(pp) * np.asarray([[1.0, 0.0], [0.0, 0.0]]) + xp.sqrt(pp) * np.asarray([[0.0, 0.0], [0.0, 1.0]]) * xp.sqrt(1 - g)
+    k1 = xp.sqrt(pp) * xp.sqrt(g) * np.asarray([[0.0, 1.0], [0.0, 0.0]])
+    k2 = xp.sqrt(1 - pp) * (
+        xp.sqrt(1 - g) * np.asarray([[1.0, 0.0], [0.0, 0.0]])
+        + np.asarray([[0.0, 0.0], [0.0, 1.0]])
     )
-    k3 = jnp.sqrt(1 - pp) * jnp.sqrt(g) * jnp.asarray([[0.0, 0.0], [1.0, 0.0]])
+    k3 = xp.sqrt(1 - pp) * xp.sqrt(g) * np.asarray([[0.0, 0.0], [1.0, 0.0]])
     return KrausList(
         [_g(k0, "ad_0"), _g(k1, "ad_1"), _g(k2, "ad_2"), _g(k3, "ad_3")],
         name="amplitudedamping",
@@ -125,11 +132,12 @@ def amplitudedampingchannel(gamma: float, p: float = 1.0) -> KrausList:
 
 
 def phasedampingchannel(gamma: float) -> KrausList:
-    g = jnp.asarray(gamma).astype(jnp.dtype(config.rdtypestr()))
-    k0 = jnp.asarray([[1.0, 0.0], [0.0, 0.0]]) + jnp.sqrt(1 - g) * jnp.asarray(
+    xp = _xp_of(gamma)
+    g = xp.asarray(gamma).astype(np.dtype(config.rdtypestr()))
+    k0 = np.asarray([[1.0, 0.0], [0.0, 0.0]]) + xp.sqrt(1 - g) * np.asarray(
         [[0.0, 0.0], [0.0, 1.0]]
     )
-    k1 = jnp.sqrt(g) * jnp.asarray([[0.0, 0.0], [0.0, 1.0]])
+    k1 = xp.sqrt(g) * np.asarray([[0.0, 0.0], [0.0, 1.0]])
     return KrausList([_g(k0, "pd_0"), _g(k1, "pd_1")], name="phasedamping")
 
 
@@ -190,7 +198,7 @@ def thermalrelaxationchannel(
     c[2:4, 2:4] = np.diag([f00, f11])  # E(|1><1|)
     c[0, 3] = exp_t2  # E(|0><1|) = exp_t2 |0><1|
     c[3, 0] = exp_t2
-    return choi_to_kraus(jnp.asarray(c).astype(jnp.dtype(config.dtypestr())), name="thermalrelaxation")
+    return choi_to_kraus(c.astype(np.dtype(config.dtypestr())), name="thermalrelaxation")
 
 
 # ------------------------------------------------------------------
@@ -201,11 +209,13 @@ def thermalrelaxationchannel(
 def _mats(kraus: Sequence[Any]) -> List[Tensor]:
     out = []
     for k in kraus:
-        m = k.matrix() if isinstance(k, Gate) else jnp.asarray(k)
+        m = k.matrix() if isinstance(k, Gate) else k
+        if not hasattr(m, "ndim"):
+            m = np.asarray(m)
         if m.ndim != 2:
             dim = int(np.sqrt(np.prod(np.array(m.shape))))
-            m = jnp.reshape(m, (dim, dim))
-        out.append(m.astype(jnp.dtype(config.dtypestr())))
+            m = m.reshape(dim, dim)
+        out.append(m.astype(np.dtype(config.dtypestr())))
     return out
 
 
@@ -218,7 +228,8 @@ def kraus_to_super(kraus: Sequence[Any]) -> Tensor:
     ms = _mats(kraus)
     s = None
     for m in ms:
-        term = jnp.kron(m, jnp.conj(m))
+        xp = _xp_of(m)
+        term = xp.kron(m, m.conj())
         s = term if s is None else s + term
     return s
 
@@ -236,35 +247,33 @@ def super_to_choi(s: Tensor) -> Tensor:
     """
     d2 = s.shape[0]
     d = int(np.sqrt(d2))
-    t = jnp.reshape(s, (d, d, d, d))  # (a,b,i,j)
-    c = jnp.transpose(t, (2, 0, 3, 1))  # (i,a,j,b)
-    return jnp.reshape(c, (d2, d2))
+    t = s.reshape(d, d, d, d)  # (a,b,i,j)
+    return t.transpose(2, 0, 3, 1).reshape(d2, d2)  # (i,a,j,b)
 
 
 def choi_to_super(c: Tensor) -> Tensor:
     d2 = c.shape[0]
     d = int(np.sqrt(d2))
-    t = jnp.reshape(c, (d, d, d, d))  # (i,a,j,b)
-    s = jnp.transpose(t, (1, 3, 0, 2))  # (a,b,i,j)
-    return jnp.reshape(s, (d2, d2))
+    t = c.reshape(d, d, d, d)  # (i,a,j,b)
+    return t.transpose(1, 3, 0, 2).reshape(d2, d2)  # (a,b,i,j)
 
 
 def kraus_to_choi(kraus: Sequence[Any]) -> Tensor:
     ms = _mats(kraus)
     c = None
     for m in ms:
-        v = jnp.reshape(jnp.transpose(m), (-1, 1))  # v_{(i,a)} = K_{a i}
-        term = v @ jnp.conj(v.T)
+        v = m.T.reshape(-1, 1)  # v_{(i,a)} = K_{a i}
+        term = v @ v.T.conj()
         c = term if c is None else c + term
     return c
 
 
 def choi_to_kraus(c: Tensor, truncation_rules: Optional[dict] = None, name: str = "channel") -> KrausList:
-    """Eigendecompose the Choi matrix into Kraus operators."""
-    c = jnp.asarray(c)
+    """Eigendecompose the Choi matrix into Kraus operators (host-side)."""
+    c = np.asarray(c)
     d2 = c.shape[0]
     d = int(np.sqrt(d2))
-    e, v = jnp.linalg.eigh(c)
+    e, v = np.linalg.eigh(c)
     eps = 1e-10 if truncation_rules is None else truncation_rules.get("max_singular_values_eps", 1e-10)
     ks = []
     e_np = np.asarray(e)
@@ -286,14 +295,14 @@ def kraus_identity_check(kraus: Sequence[Any], atol: float = 1e-5) -> None:
     """Assert Σ K†K = I (CPTP check), reference ``channels.py:812-860``."""
     ms = _mats(kraus)
     d = ms[0].shape[0]
-    acc = sum(jnp.conj(m.T) @ m for m in ms)
+    acc = sum(m.T.conj() @ m for m in ms)
     np.testing.assert_allclose(np.asarray(acc), np.eye(d), atol=atol)
 
 
 def is_unitary_kraus(kraus: Sequence[Any], atol: float = 1e-8) -> bool:
     """True if every Kraus operator is proportional to a unitary."""
     for m in _mats(kraus):
-        mm = np.asarray(jnp.conj(m.T) @ m)
+        mm = np.asarray(m.T.conj() @ m)
         lam = np.trace(mm) / mm.shape[0]
         if not np.allclose(mm, lam * np.eye(mm.shape[0]), atol=atol):
             return False

@@ -54,3 +54,39 @@ def test_fused_energy_matches_hamiltonian_matrix():
     psi = np.asarray(c.state())
     e_mat = float(np.real(psi.conj() @ h @ psi))
     np.testing.assert_allclose(e_fused, e_mat, atol=1e-4)
+
+
+def test_windowed_lightcone_vqe_matches_dense():
+    """examples/vqe_1000q.py core: per-term window simulation is exact."""
+    import importlib.util
+    import os
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    import tensorcircuit_ng_tpu as tc
+    from tensorcircuit_ng_tpu.core import statevec as sv
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples", "vqe_1000q.py")
+    spec = importlib.util.spec_from_file_location("v1000", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    n, L = 12, mod.L
+    energy_win = mod.make_energy(n)
+    rng = np.random.default_rng(3)
+    params = jnp.asarray(rng.normal(size=(L, 2, n)) * 0.3, dtype=jnp.float32)
+
+    c = tc.Circuit(n)
+    c.h_layer()
+    for l in range(L):
+        even = [(i, i + 1) for i in range(0, n - 1, 2)]
+        odd = [(i, i + 1) for i in range(1, n - 1, 2)]
+        c.rzz_product(even, jnp.stack([params[l, 0, i] for i, _ in even]))
+        c.rzz_product(odd, jnp.stack([params[l, 0, i] for i, _ in odd]))
+        c.rx_layer(params[l, 1])
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    psi = c.state()
+    dense = float(jnp.real(sv.expectation_zz_sum(psi, pairs)) - sv.expectation_x_sum(psi))
+    win = float(energy_win(params))
+    np.testing.assert_allclose(win, dense, atol=2e-4)

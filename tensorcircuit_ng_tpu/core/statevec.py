@@ -186,6 +186,42 @@ def apply_zz_product_phase(
     return state * phase
 
 
+def apply_zz_exponential(
+    state: Tensor, pairs: Sequence[Tuple[int, int]], coeffs: Tensor
+) -> Tensor:
+    r"""exp(Σ_k c_k Z_a Z_b)|psi> — NON-unitary real ZZ filter, one pass.
+
+    The imaginary-θ counterpart of :func:`apply_zz_product_phase` (cooling /
+    imaginary-time filters); remember to renormalize.
+    """
+    n = num_slots(state, 2)
+    idx = jnp.arange(state.shape[0], dtype=jnp.int32)
+    coeffs = jnp.reshape(jnp.asarray(coeffs), (-1,))
+    expo = jnp.zeros(state.shape[0], dtype=jnp.float32)
+    for k, (a, b) in enumerate(pairs):
+        za = 1 - 2 * ((idx >> (n - 1 - int(a))) & 1)
+        zb = 1 - 2 * ((idx >> (n - 1 - int(b))) & 1)
+        expo = expo + coeffs[k].astype(jnp.float32) * (za * zb).astype(jnp.float32)
+    return state * jnp.exp(expo).astype(state.dtype)
+
+
+def apply_multicz(state: Tensor, wires: Sequence[int]) -> Tensor:
+    r"""k-controlled Z: flip the sign of amplitudes where ALL wires are 1.
+
+    One elementwise mask pass on the flat state — an 18-qubit CZ hyperedge
+    costs the same as a single-qubit diagonal (no 2^k matrix, reference
+    challenge problem 10 capability).
+    """
+    n = num_slots(state, 2)
+    idx = jnp.arange(state.shape[0], dtype=jnp.int32)
+    mask = 0
+    for w in wires:
+        mask |= 1 << (n - 1 - int(w))
+    hit = (idx & mask) == mask
+    sign = jnp.where(hit, -1.0, 1.0).astype(state.dtype)
+    return state * sign
+
+
 def expectation_zz_sum(
     state: Tensor,
     pairs: Sequence[Tuple[int, int]],

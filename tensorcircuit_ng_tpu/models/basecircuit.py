@@ -106,6 +106,8 @@ class BaseCircuit(AbstractCircuit):
             return kernels.fused_single_qubit_layer(psi, item["gates"])
         if item.get("zz_product"):
             return statevec.apply_zz_product_phase(psi, item["pairs"], item["thetas"])
+        if item.get("multicz"):
+            return statevec.apply_multicz(psi, item["index"])
         k = len(item["index"])
         if item.get("diagonal"):
             dim = self._d**k
@@ -159,6 +161,28 @@ class BaseCircuit(AbstractCircuit):
     # ------------------------------------------------------------------
     # fused layer application (TPU hot path; Pallas kernel when on TPU)
     # ------------------------------------------------------------------
+
+    def multicz(self, *index: int) -> None:
+        r"""Multi-controlled Z on ``index`` (k-qubit CZ hyperedge).
+
+        Diagonal sign flip where all wires are 1 — one elementwise pass, no
+        2^k matrix (reference expresses this as a cotengra hyperedge).
+        """
+        index = tuple(int(i) % self._nqubits for i in index)
+        self._qir.append(
+            {
+                "gatef": None,
+                "gate": None,
+                "index": index,
+                "name": "multicz",
+                "split": None,
+                "mpo": False,
+                "multicz": True,
+            }
+        )
+        self._state_cache = None
+
+    mcz = multicz
 
     def fused_single_qubit_layer(self, gates: Tensor, name: str = "fused_1q_layer") -> None:
         """Apply gates[q] on every qubit q in one fused pass (Pallas on TPU)."""

@@ -298,3 +298,47 @@ def test_gate_count_and_summary():
     assert c.gate_count(["h"]) == 2
     assert c.gate_count(["cx"]) == 1
     assert c.gate_summary()["h"] == 2
+
+
+def test_multicz_and_zz_exponential():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import tensorcircuit_ng_tpu as tc
+    from tensorcircuit_ng_tpu.core import statevec as sv
+    from tensorcircuit_ng_tpu.ops.gates import multicontrol_matrix
+
+    # multicz == dense multicontrol-Z, and differentiable through params
+    def amp(theta):
+        c = tc.Circuit(4)
+        for i in range(4):
+            c.h(i)
+        c.rx(1, theta=theta)
+        c.multicz(0, 2, 3)
+        return jnp.real(c.state()[0])
+
+    g = jax.grad(amp)(0.3)
+    fd = (amp(0.3 + 1e-3) - amp(0.3 - 1e-3)) / 2e-3
+    np.testing.assert_allclose(float(g), float(fd), atol=1e-3)
+
+    c = tc.Circuit(4)
+    for i in range(4):
+        c.h(i)
+    c.multicz(0, 2, 3)
+    c2 = tc.Circuit(4)
+    for i in range(4):
+        c2.h(i)
+    z = np.diag([1.0, -1.0])
+    c2.any(0, 2, 3, unitary=multicontrol_matrix(z, [1, 1]), name="ccz")
+    np.testing.assert_allclose(np.asarray(c.state()), np.asarray(c2.state()), atol=1e-6)
+
+    # apply_zz_exponential == scipy expm of b*ZZ (non-unitary)
+    import scipy.linalg as sl
+
+    psi = np.random.default_rng(0).normal(size=8) + 1j * np.random.default_rng(1).normal(size=8)
+    psi = (psi / np.linalg.norm(psi)).astype(np.complex64)
+    out = sv.apply_zz_exponential(jnp.asarray(psi), [(0, 2)], jnp.asarray([0.37]))
+    zz = np.kron(np.kron(np.diag([1, -1]), np.eye(2)), np.diag([1, -1]))
+    expected = sl.expm(0.37 * zz) @ psi
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)

@@ -68,9 +68,17 @@ def term_sharded_expectation(
     structures = jax.device_put(jnp.asarray(structures, dtype=jnp.int32), s_shard)
     weights = jax.device_put(jnp.asarray(weights), w_shard)
 
-    def energy(*params: Any) -> Tensor:
+    # multi-process rule: globally-sharded arrays span non-addressable
+    # devices and cannot be CLOSED OVER by a jitted function — they must be
+    # passed as arguments with explicit in_shardings
+    def energy_impl(structures: Tensor, weights: Tensor, *params: Any) -> Tensor:
         psi = state_fn(*params)
         evs = jax.vmap(pauli_term_expectation, in_axes=(None, 0))(psi, structures)
         return jnp.sum(evs * weights.astype(evs.dtype))
 
-    return jax.jit(energy)
+    jitted = jax.jit(energy_impl)
+
+    def energy(*params: Any) -> Tensor:
+        return jitted(structures, weights, *params)
+
+    return energy

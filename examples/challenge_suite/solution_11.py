@@ -71,18 +71,25 @@ def run_solution(config):
         a = theta * XXYY + phi * ZZ + beta * SS2
         return jsl.expm(-1j * a.astype(jnp.complex64))
 
+    def one_layer(psi, layer_params):
+        # identical layer structure -> lax.scan keeps the compiled program
+        # one-layer sized (the full unroll exceeds the TPU compile budget)
+        rot_l, pe_l, po_l = layer_params
+        rots = jax.vmap(lambda t: rz(t[0]) @ ry(t[1]) @ rz(t[2]))(rot_l)
+        for i in range(n):
+            psi = sv.apply_unitary(psi, rots[i], [i], d)
+        ge = jax.vmap(lambda t: bond_gate(t[0], t[1]))(pe_l)
+        for b, (i, j) in enumerate(even_bonds):
+            psi = sv.apply_unitary(psi, ge[b], [i, j], d)
+        go = jax.vmap(lambda t: bond_gate(t[0], t[1]))(po_l)
+        for b, (i, j) in enumerate(odd_bonds):
+            psi = sv.apply_unitary(psi, go[b], [i, j], d)
+        return psi, None
+
     def ansatz_state(params):
-        # params: dict arrays rot (L, n, 3), even (L, nE, 2), odd (L, nO, 2)
         rot, pe, po = params
         psi = jnp.asarray(init)
-        for l in range(nlayers):
-            for i in range(n):
-                u = rz(rot[l, i, 0]) @ ry(rot[l, i, 1]) @ rz(rot[l, i, 2])
-                psi = sv.apply_unitary(psi, u, [i], d)
-            for b, (i, j) in enumerate(even_bonds):
-                psi = sv.apply_unitary(psi, bond_gate(pe[l, b, 0], pe[l, b, 1]), [i, j], d)
-            for b, (i, j) in enumerate(odd_bonds):
-                psi = sv.apply_unitary(psi, bond_gate(po[l, b, 0], po[l, b, 1]), [i, j], d)
+        psi, _ = jax.lax.scan(one_layer, psi, (rot, pe, po))
         return psi
 
     def energy(params):

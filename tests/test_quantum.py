@@ -227,3 +227,36 @@ def test_generate_local_hamiltonian_and_lobpcg():
     v0 = np.asarray(vecs[:, 0])
     res = np.linalg.norm(np.asarray(hs.todense()) @ v0 - vals[0] * v0)
     assert res < 5e-2
+
+
+def test_numpycoo_sparse_ops():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tensorcircuit_ng_tpu.backend import backend as K, NumpyCOO
+
+    idx = np.array([[0, 1], [1, 0], [2, 2], [2, 0]])
+    vals = np.array([1.0 + 1j, 2.0, -1.0, 0.5], dtype=np.complex64)
+    m = K.coo_sparse_matrix(idx, vals, (3, 3))
+    assert isinstance(m, NumpyCOO)
+    assert K.is_sparse(m)
+    dense = np.zeros((3, 3), dtype=np.complex64)
+    for (r, c), v in zip(idx, vals):
+        dense[r, c] += v
+    np.testing.assert_allclose(np.asarray(m.todense()), dense, atol=1e-6)
+    v = np.arange(3).astype(np.complex64)
+    np.testing.assert_allclose(np.asarray(m @ v), dense @ v, atol=1e-6)
+    b = np.arange(6).reshape(3, 2).astype(np.complex64)
+    np.testing.assert_allclose(np.asarray(m @ b), dense @ b, atol=1e-6)
+
+    # closed over jit (the axon-critical property) + tracer passthrough
+    f = jax.jit(lambda x: jnp.real(jnp.sum(m @ x)))
+    np.testing.assert_allclose(float(f(v)), float(np.real(np.sum(dense @ v))), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(K.to_dense(m) if hasattr(K, "to_dense") else m.todense()),
+        dense,
+        atol=1e-6,
+    )
+    sp = m.to_scipy()
+    np.testing.assert_allclose(sp.todense(), dense, atol=1e-6)

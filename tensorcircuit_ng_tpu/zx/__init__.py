@@ -10,6 +10,7 @@ jittable exact-scalar arithmetic of reference ``zx/evaluator.py:23-284``
 from .graph import ZXGraph, Spider
 from .converter import circuit_to_zx
 from .evaluator import ExactScalarArray, gf2_matmul, gf2_rank
+from .simplifier import simplify, remove_identities, color_change
 
 __all__ = [
     "ZXGraph",
@@ -18,4 +19,7 @@ __all__ = [
     "ExactScalarArray",
     "gf2_matmul",
     "gf2_rank",
+    "simplify",
+    "remove_identities",
+    "color_change",
 ]

@@ -125,10 +125,10 @@ class ZXGraph:
         inputs_ir: List[Tuple[int, ...]] = []
         tensors: List[Tensor] = []
 
-        h_mat = jnp.asarray(
-            np.array([[1.0, 1.0], [1.0, -1.0]]) / math.sqrt(2.0), dtype=dt
-        )
-        eye2 = jnp.eye(2, dtype=dt)
+        # numpy constants on purpose (axon cannot lower complex device-array
+        # constants inside jit programs — CLAUDE.md complex rule)
+        h_mat = (np.array([[1.0, 1.0], [1.0, -1.0]]) / math.sqrt(2.0)).astype(dt)
+        eye2 = np.eye(2, dtype=dt)
         for a, b, had in self.edges:
             both_boundary = (
                 self.spiders[a].kind == "B" and self.spiders[b].kind == "B"
@@ -186,10 +186,13 @@ class ZXGraph:
 
 
 def _spider_tensor(kind: str, phase: float, k: int, dt: Any) -> Tensor:
-    """Z spider: δ-tensor with e^{iφ} on the all-1 entry; X = H-conjugated Z."""
+    """Z spider: δ-tensor with e^{iφ} on the all-1 entry; X = H-conjugated Z.
+
+    Returns NUMPY (concrete complex data must stay numpy until it meets a
+    tracer — axon complex rule).
+    """
     if k == 0:
-        val = 1.0 + np.exp(1j * phase)
-        return jnp.asarray(val, dtype=dt)
+        return np.asarray(1.0 + np.exp(1j * phase)).astype(dt)
     t = np.zeros((2,) * k, dtype=complex)
     t[(0,) * k] = 1.0
     t[(1,) * k] = np.exp(1j * phase)
@@ -198,4 +201,4 @@ def _spider_tensor(kind: str, phase: float, k: int, dt: Any) -> Tensor:
         for ax in range(k):
             t = np.tensordot(h, t, axes=[[1], [ax]])
             t = np.moveaxis(t, 0, ax)
-    return jnp.asarray(t, dtype=dt)
+    return t.astype(dt)

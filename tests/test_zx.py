@@ -91,3 +91,53 @@ def test_gf2_matmul():
     a = jnp.asarray([[1, 1], [0, 1]])
     b = jnp.asarray([[1, 0], [1, 1]])
     np.testing.assert_allclose(np.asarray(gf2_matmul(a, b)), [[0, 1], [1, 1]])
+
+
+def test_simplify_preserves_semantics_and_shrinks():
+    import numpy as np
+
+    import tensorcircuit_ng_tpu as tc
+    from tensorcircuit_ng_tpu.zx import circuit_to_zx, simplify
+
+    rng = np.random.default_rng(4)
+    c = tc.Circuit(4)
+    names1 = ["h", "s", "t", "x", "z"]
+    for _ in range(25):
+        if rng.random() < 0.6:
+            getattr(c, names1[rng.integers(len(names1))])(int(rng.integers(4)))
+        else:
+            q = int(rng.integers(3))
+            c.cnot(q, q + 1)
+        if rng.random() < 0.3:
+            c.rz(int(rng.integers(4)), theta=float(rng.normal()))
+
+    g = circuit_to_zx(c)
+    m0 = np.asarray(g.to_matrix())
+    n0 = g.num_spiders()
+    removed = simplify(g)
+    m1 = np.asarray(g.to_matrix())
+    np.testing.assert_allclose(m1, m0, atol=1e-5)
+    assert removed > 0
+    assert g.num_spiders() < n0
+    # graph-like form: only Z and boundary spiders remain
+    kinds = {s.kind for s in g.spiders.values()}
+    assert kinds <= {"Z", "B"}
+
+
+def test_identity_removal_xor_hadamard():
+    import numpy as np
+
+    from tensorcircuit_ng_tpu.zx import ZXGraph, remove_identities
+
+    # B - (H) - Z(0) - (H) - B  ==  plain wire
+    g = ZXGraph()
+    bi = g.add_spider("B")
+    z = g.add_spider("Z", 0.0)
+    bo = g.add_spider("B")
+    g.inputs = [bi]
+    g.outputs = [bo]
+    g.add_edge(bi, z, hadamard=True)
+    g.add_edge(z, bo, hadamard=True)
+    assert remove_identities(g) == 1
+    m = np.asarray(g.to_matrix())
+    np.testing.assert_allclose(m, np.eye(2), atol=1e-6)

@@ -108,6 +108,52 @@ def fused_single_qubit_layer_pallas(
     return jnp.reshape(psi, (-1,))
 
 
+#: route rx_layer through the theta-native kernel. Isolated, that kernel is
+#: ~17% faster fwd+bwd (3.27 vs 3.91 ms/iter for 4 layers on v5e), but in
+#: the full TFIM VQE step it interacts badly with the surrounding
+#: rzz/readout AD graph (9.40 vs 6.32 ms/step measured A/B) — XLA inserts
+#: extra copies around the smaller-block custom call. OFF by default until
+#: the zz pass is fused into the same kernel (round-2 candidate).
+USE_ROTX = False
+
+
+def fused_rx_layer(state: Tensor, thetas: Tensor) -> Tensor:
+    """rx(thetas[q]) on every qubit: theta-native Pallas backward.
+
+    Row qubits use :func:`kernels_rowlayer.rotx_row_layer`, whose VJP
+    produces d(theta) directly (2 block reductions per qubit instead of 8
+    for the generic full-gate cotangent — the dominant backward cost of
+    rotation layers); lane/outer qubits keep the generic autodiff paths.
+    """
+    from . import statevec
+    from ..ops.gates import rx_matrix
+
+    thetas = jnp.reshape(jnp.asarray(thetas), (-1,))
+    if not USE_ROTX:
+        from ..ops.gates import rx_matrix as _rxm
+
+        return fused_single_qubit_layer(state, jax.vmap(_rxm)(thetas))
+    n = thetas.shape[0]
+    nq = int(round(math.log2(state.shape[0])))
+    assert nq == n, "one angle per qubit required"
+    nlane = min(_LANE_QUBITS, n)
+    nrow = n - nlane
+    nkernel = min(nrow, kernels_rowlayer.MAX_KERNEL_QUBITS_ROTX)
+    nouter = nrow - nkernel
+    psi = state
+    for q in range(nouter):
+        psi = statevec.apply_unitary(psi, rx_matrix(thetas[q]), [q])
+    psi = jnp.reshape(psi, (max(2**nrow, 1), 2**nlane))
+    if nkernel > 0:
+        psi = kernels_rowlayer.rotx_row_layer(psi, thetas[nouter:nrow])
+    lane_gates = jax.vmap(lambda t: rx_matrix(t).astype(psi.dtype))(thetas[nrow:])
+    m = lane_gates[0]
+    for j in range(1, nlane):
+        m = jnp.kron(m, lane_gates[j])
+    psi = psi @ m.T
+    return jnp.reshape(psi, (-1,))
+
+
 def fused_single_qubit_layer(state: Tensor, gates: Tensor) -> Tensor:
     """Apply gates[q] on qubit q for all q, fused.
 

@@ -32,6 +32,8 @@ MAX_KERNEL_QUBITS = 11
 #: the lane-fused backward additionally keeps un-laned state + walked
 #: cotangent + matmul temps live, so its row block is one qubit smaller
 MAX_KERNEL_QUBITS_LANE = 10
+#: theta-native rotation backward: same reason (y + ct + scratch + temps)
+MAX_KERNEL_QUBITS_ROTX = 10
 
 _INTERPRET = False
 
@@ -499,3 +501,211 @@ def _lane_bwd(res, ct):
 
 
 row_layer_lane.defvjp(_lane_fwd, _lane_bwd)
+
+
+# ---------------------------------------------------------------------------
+# theta-native RX layer: backward produces d(theta) directly
+# ---------------------------------------------------------------------------
+#
+# The generic row_layer backward accumulates the FULL 2x2 complex gate
+# cotangent (8 masked block reductions per qubit); an RX layer only needs
+# the scalar d(theta_q) = -1/2 sin Re(S1) + 1/2 cos Im(S2) with
+# S1 = sum ct.psi and S2 = sum pct.psi (plain products, JAX linear-transpose
+# convention) — 2 reductions per qubit, ~4x less reduce work, which is the
+# dominant backward cost on the N=20 TFIM bench.
+
+
+def _rotx_fwd_kernel(nrow: int):
+    def kernel(cs_ref, sr_ref, si_ref, or_ref, oi_ref):
+        cr = sr_ref[:]
+        ci = si_ref[:]
+        r_total = cr.shape[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, cr.shape, 0)
+        for q in range(nrow):
+            s = r_total >> (q + 1)
+            c = cs_ref[q, 0]
+            sn = cs_ref[q, 1]
+            # rx = [[c, -i sn], [-i sn, c]]
+            m = (c, 0.0, 0.0, -sn, 0.0, -sn, c, 0.0)
+            cr, ci = _butterfly(cr, ci, rows, s, m)
+        or_ref[:] = cr
+        oi_ref[:] = ci
+
+    return kernel
+
+
+def _rotx_bwd_kernel(nrow: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(
+        cs_ref, yr_ref, yi_ref, ctr_ref, cti_ref,
+        dsr_ref, dsi_ref, dth_ref,
+        s_r, s_i,
+    ):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            for qq in range(dth_ref.shape[0]):
+                dth_ref[qq] = 0.0
+
+        s_r[:] = yr_ref[:]
+        s_i[:] = yi_ref[:]
+        dsr_ref[:] = ctr_ref[:]
+        dsi_ref[:] = cti_ref[:]
+        r_total = s_r.shape[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, s_r.shape, 0)
+        for q in range(nrow - 1, -1, -1):
+            s = r_total >> (q + 1)
+            c = cs_ref[q, 0]
+            sn = cs_ref[q, 1]
+            bit = (rows // s) % 2
+            is_lo = bit == 0
+            # un-apply rx^† = [[c, +i sn], [+i sn, c]]
+            mdag = (c, 0.0, 0.0, sn, 0.0, sn, c, 0.0)
+            nsr, nsi = _butterfly(s_r[:], s_i[:], rows, s, mdag)
+            s_r[:] = nsr
+            s_i[:] = nsi
+            cr = dsr_ref[:]
+            ci = dsi_ref[:]
+            pct_r = jnp.where(
+                is_lo, pltpu.roll(cr, r_total - s, 0), pltpu.roll(cr, s, 0)
+            )
+            pct_i = jnp.where(
+                is_lo, pltpu.roll(ci, r_total - s, 0), pltpu.roll(ci, s, 0)
+            )
+            # d(theta) = -1/2 sin Re(sum ct.psi) + 1/2 cos Im(sum pct.psi)
+            re_s1 = jnp.sum(cr * nsr - ci * nsi)
+            im_s2 = jnp.sum(pct_r * nsi + pct_i * nsr)
+            dth_ref[q] += -0.5 * sn * re_s1 + 0.5 * c * im_s2
+            # ct walk with rx^T = rx (symmetric): new_ct = c ct - i sn pct
+            dsr_ref[:] = c * cr + sn * pct_i
+            dsi_ref[:] = c * ci - sn * pct_r
+        # keep nothing else: ds refs now hold the walked input cotangent
+
+    return kernel
+
+
+def _pallas_rotx_fwd(th, sr, si):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nrow = th.shape[0]
+    r, lanes = sr.shape
+    rb = 2**nrow
+    grid = (r // rb,)
+    cs = jnp.stack([jnp.cos(th / 2), jnp.sin(th / 2)], axis=1)
+    return pl.pallas_call(
+        _rotx_fwd_kernel(nrow),
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct(sr.shape, sr.dtype),
+            jax.ShapeDtypeStruct(si.shape, si.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec((nrow, 2), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ),
+        input_output_aliases={1: 0, 2: 1},
+        interpret=_INTERPRET,
+    )(cs, sr, si)
+
+
+def _pallas_rotx_bwd(th, yr, yi, ctr, cti):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nrow = th.shape[0]
+    r, lanes = yr.shape
+    rb = 2**nrow
+    grid = (r // rb,)
+    cs = jnp.stack([jnp.cos(th / 2), jnp.sin(th / 2)], axis=1)
+    return pl.pallas_call(
+        _rotx_bwd_kernel(nrow),
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct(yr.shape, yr.dtype),
+            jax.ShapeDtypeStruct(yi.shape, yi.dtype),
+            jax.ShapeDtypeStruct((nrow,), th.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec((nrow, 2), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nrow,), lambda j: (0,), memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rb, lanes), jnp.float32),
+            pltpu.VMEM((rb, lanes), jnp.float32),
+        ],
+        input_output_aliases={3: 0, 4: 1},
+        interpret=_INTERPRET,
+    )(cs, yr, yi, ctr, cti)
+
+
+@jax.custom_vjp
+def rotx_row_layer(state2d: Tensor, thetas: Tensor) -> Tensor:
+    """rx(thetas[k]) on the k-th of the nrow LOWEST row bits; dtheta-native VJP."""
+    return _rotx_fwd_impl(state2d, thetas)
+
+
+def _rotx_fwd_impl(state2d: Tensor, thetas: Tensor) -> Tensor:
+    if not (_on_tpu() or _INTERPRET):
+        gates = _rx_gates(thetas)
+        return _row_layer_reference(state2d, gates)
+    sr = jnp.real(state2d).astype(jnp.float32)
+    si = jnp.imag(state2d).astype(jnp.float32)
+    th = jnp.asarray(thetas).astype(jnp.float32)
+    orr, oii = _pallas_rotx_fwd(th, sr, si)
+    return (orr + 1j * oii).astype(state2d.dtype)
+
+
+def _rx_gates(thetas: Tensor) -> Tensor:
+    c = jnp.cos(thetas / 2)
+    s = -1j * jnp.sin(thetas / 2)
+    return jnp.stack(
+        [jnp.stack([c, s], axis=-1), jnp.stack([s, c], axis=-1)], axis=-2
+    ).astype(jnp.complex64)
+
+
+def _rotx_fwd(state2d: Tensor, thetas: Tensor):
+    y = _rotx_fwd_impl(state2d, thetas)
+    return y, (y, thetas)
+
+
+def _rotx_bwd(res, ct):
+    y, thetas = res
+    if not (_on_tpu() or _INTERPRET):
+        gates = _rx_gates(thetas)
+        ds, dg = _row_bwd_reference(y, gates, ct)
+        # chain dgate -> dtheta: dtheta = Re sum(dU/dtheta * dg) (plain)
+        c = jnp.cos(thetas / 2)
+        s = jnp.sin(thetas / 2)
+        du00 = -0.5 * s
+        du01 = -0.5j * c
+        dth = jnp.real(
+            du00 * (dg[:, 0, 0] + dg[:, 1, 1]) + du01 * (dg[:, 0, 1] + dg[:, 1, 0])
+        ).astype(thetas.dtype)
+        return ds, dth
+    th = jnp.asarray(thetas).astype(jnp.float32)
+    yr = jnp.real(y).astype(jnp.float32)
+    yi = jnp.imag(y).astype(jnp.float32)
+    ctr = jnp.real(ct).astype(jnp.float32)
+    cti = jnp.imag(ct).astype(jnp.float32)
+    dsr, dsi, dth = _pallas_rotx_bwd(th, yr, yi, ctr, cti)
+    return (dsr + 1j * dsi).astype(y.dtype), dth.astype(jnp.asarray(thetas).dtype)
+
+
+rotx_row_layer.defvjp(_rotx_fwd, _rotx_bwd)

@@ -100,6 +100,10 @@ class BaseCircuit(AbstractCircuit):
         return psi
 
     def _apply_item(self, psi: Tensor, item: Dict[str, Any]) -> Tensor:
+        if item.get("rx_layer"):
+            from ..core import kernels
+
+            return kernels.fused_rx_layer(psi, item["thetas"])
         if item.get("fused_1q_layer"):
             from ..core import kernels
 
@@ -123,7 +127,23 @@ class BaseCircuit(AbstractCircuit):
         """
         out: List[Dict[str, Any]] = []
         for item in self._qir:
-            if item.get("fused_1q_layer"):
+            if item.get("rx_layer"):
+                from ..ops.gates import rx_matrix
+
+                for q in range(self._nqubits):
+                    out.append(
+                        {
+                            "gatef": None,
+                            "gate": Gate(rx_matrix(item["thetas"][q]), name="rx"),
+                            "index": (q,),
+                            "name": "rx",
+                            "parameters": {"theta": item["thetas"][q]},
+                            "split": None,
+                            "mpo": False,
+                            "diagonal": False,
+                        }
+                    )
+            elif item.get("fused_1q_layer"):
                 for q in range(self._nqubits):
                     out.append(
                         {
@@ -201,11 +221,20 @@ class BaseCircuit(AbstractCircuit):
         self._state_cache = None
 
     def rx_layer(self, thetas: Tensor) -> None:
-        """rx(thetas[q]) on every qubit, fused."""
-        from ..ops.gates import rx_matrix
-
-        gates = jax.vmap(lambda t: rx_matrix(t))(jnp.reshape(jnp.asarray(thetas), (-1,)))
-        self.fused_single_qubit_layer(gates, name="rx_layer")
+        """rx(thetas[q]) on every qubit, fused (theta-native Pallas VJP)."""
+        self._qir.append(
+            {
+                "gatef": None,
+                "gate": None,
+                "index": tuple(range(self._nqubits)),
+                "name": "rx_layer",
+                "split": None,
+                "mpo": False,
+                "rx_layer": True,
+                "thetas": jnp.reshape(jnp.asarray(thetas), (-1,)),
+            }
+        )
+        self._state_cache = None
 
     def ry_layer(self, thetas: Tensor) -> None:
         from ..ops.gates import ry_matrix

@@ -175,3 +175,36 @@ def test_row_layer_lane_matches_separate(interpret_mode):
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(psi, gates, mlane)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_rx_layer_both_paths(interpret_mode):
+    """theta-native rotx (USE_ROTX on) == generic gate layer, incl. grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensorcircuit_ng_tpu.core import kernels
+    from tensorcircuit_ng_tpu.ops.gates import rx_matrix
+
+    n = 9  # 2 row qubits + 7 lanes
+    rng = np.random.default_rng(2)
+    psi = rng.normal(size=2**n) + 1j * rng.normal(size=2**n)
+    psi = jnp.asarray(psi / np.linalg.norm(psi), dtype=jnp.complex64)
+    th = jnp.asarray(rng.normal(size=n) * 0.5, jnp.float32)
+
+    old = kernels.USE_ROTX
+    try:
+        kernels.USE_ROTX = True
+        y1 = kernels.fused_rx_layer(psi, th)
+        kernels.USE_ROTX = False
+        y2 = kernels.fused_rx_layer(psi, th)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+        def loss(t, flag):
+            kernels.USE_ROTX = flag
+            return jnp.real(jnp.sum(kernels.fused_rx_layer(psi, t) * jnp.conj(psi)))
+
+        g1 = jax.grad(lambda t: loss(t, True))(th)
+        g2 = jax.grad(lambda t: loss(t, False))(th)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
+    finally:
+        kernels.USE_ROTX = old

@@ -233,3 +233,55 @@ def test_mpo_gate_application():
     c2.h(1)
     c2.rzz(0, 1, theta=theta)
     np.testing.assert_allclose(np.asarray(c.state()), np.asarray(c2.state()), atol=1e-5)
+
+
+def test_hyperedge_contraction_support():
+    """Indices shared by >2 tensors (CopyNode/hyperedge semantics)."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    # scalar = sum_i a_i b_i c_i  (3-tensor hyperedge on index 0)
+    a, b, c_ = (rng.normal(size=3).astype(np.float32) for _ in range(3))
+    ir = eir.EinsumIR([(0,), (0,), (0,)], (), {0: 3}, [a, b, c_])
+    v = ctr.contract_ir(ir)
+    np.testing.assert_allclose(float(v), float(np.sum(a * b * c_)), atol=1e-6)
+
+    # chained hyperedges with an open leg: out_j = sum_i a_i b_i M_ij d_j
+    M = rng.normal(size=(3, 4)).astype(np.float32)
+    d = rng.normal(size=4).astype(np.float32)
+    ir2 = eir.EinsumIR([(0,), (0,), (0, 1), (1,)], (1,), {0: 3, 1: 4}, [a, b, M, d])
+    v2 = ctr.contract_ir(ir2)
+    np.testing.assert_allclose(
+        np.asarray(v2), np.einsum("i,i,ij,j->j", a, b, M, d), atol=1e-5
+    )
+
+    # jit + AD through a hyperedge
+    def f(x):
+        ir3 = eir.EinsumIR([(0,), (0,), (0,)], (), {0: 3}, [x, b, c_])
+        return ctr.contract_ir(ir3)
+
+    g = jax.grad(f)(jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(g), b * c_, atol=1e-5)
+    vj = jax.jit(f)(jnp.asarray(a))
+    np.testing.assert_allclose(float(vj), float(np.sum(a * b * c_)), atol=1e-5)
+
+
+def test_treesa_handles_hyperedges():
+    from tensorcircuit_ng_tpu.core.native import TreeSAOptimizer, treesa_available
+
+    if not treesa_available():
+        import pytest
+
+        pytest.skip("no g++")
+    rng = np.random.default_rng(1)
+    tensors = [rng.normal(size=(4, 4)).astype(np.float32) for _ in range(4)]
+    # star hyperedge: index 0 in all four tensors
+    ir = eir.EinsumIR(
+        [(0, 1), (0, 2), (0, 3), (0, 4)],
+        (1, 2, 3, 4),
+        {i: 4 for i in range(5)},
+        tensors,
+    )
+    v_greedy = ctr.contract_ir(ir, optimizer="greedy")
+    v_sa = ctr.contract_ir(ir, optimizer=TreeSAOptimizer(n_iters=300))
+    np.testing.assert_allclose(np.asarray(v_sa), np.asarray(v_greedy), atol=1e-4)

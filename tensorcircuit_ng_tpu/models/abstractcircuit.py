@@ -175,6 +175,53 @@ class AbstractCircuit:
     # QIR
     # ------------------------------------------------------------------
 
+    def to_openqasm(self, **kws: Any) -> str:
+        """OpenQASM 2.0 text of the circuit (reference ``abstractcircuit.py:1052``)."""
+        from ..translation import circuit_to_qasm
+
+        return circuit_to_qasm(self)
+
+    def to_openqasm_file(self, file: str, **kws: Any) -> None:
+        with open(file, "w") as f:
+            f.write(self.to_openqasm(**kws))
+
+    @classmethod
+    def from_openqasm(cls, qasm: str, **kws: Any) -> "AbstractCircuit":
+        from ..translation import qasm2tc
+
+        return qasm2tc(qasm, circuit_class=cls)
+
+    @classmethod
+    def from_openqasm_file(cls, file: str, **kws: Any) -> "AbstractCircuit":
+        with open(file) as f:
+            return cls.from_openqasm(f.read(), **kws)
+
+    def get_positional_logical_mapping(self) -> Dict[int, int]:
+        """Position-in-count-bitstring -> logical qubit (reference ``:715``).
+
+        Identity unless explicit measure instructions were recorded; with
+        partial measurement, position i maps to the i-th measured qubit.
+        """
+        measured = [
+            item["index"][0]
+            for item in self._qir
+            if item.get("measure") or item.get("name") == "measure"
+        ]
+        if not measured:
+            return {i: i for i in range(self._nqubits)}
+        return {i: q for i, q in enumerate(measured)}
+
+    def compose(self, other: "AbstractCircuit", indices: Optional[Sequence[int]] = None) -> "AbstractCircuit":
+        """Append another circuit (optionally remapped onto ``indices``)."""
+        qir = other.to_qir()
+        if indices is not None:
+            mapping = {i: int(j) for i, j in enumerate(indices)}
+            qir = [
+                dict(item, index=tuple(mapping[int(q)] for q in item["index"]))
+                for item in qir
+            ]
+        return self.append_from_qir([dict(item) for item in qir])
+
     def to_qir(self) -> List[Dict[str, Any]]:
         """Return the circuit's intermediate representation (list of dicts)."""
         return self._qir

@@ -286,3 +286,27 @@ def test_qudit_subspace_two_site_gates():
     np.testing.assert_allclose(m[5, 5], np.exp(0.35j), atol=1e-6)
     m2 = np.asarray(qg.rxx_matrix_func(d, 0.7))
     np.testing.assert_allclose(m2 @ m2.conj().T, np.eye(9), atol=1e-6)
+
+
+def test_openqasm_methods_and_compose():
+    import numpy as np
+    import tensorcircuit_ng_tpu as tc
+
+    c = tc.Circuit(3)
+    c.h(0)
+    c.cnot(0, 1)
+    c.rx(2, theta=0.3)
+    q = c.to_openqasm()
+    assert "OPENQASM 2.0" in q
+    c2 = tc.Circuit.from_openqasm(q)
+    np.testing.assert_allclose(np.asarray(c2.state()), np.asarray(c.state()), atol=1e-5)
+    assert c.get_positional_logical_mapping() == {0: 0, 1: 1, 2: 2}
+    inner = tc.Circuit(2)
+    inner.h(0)
+    inner.cnot(0, 1)
+    big = tc.Circuit(4)
+    big.compose(inner, indices=[2, 3])
+    ref = tc.Circuit(4)
+    ref.h(2)
+    ref.cnot(2, 3)
+    np.testing.assert_allclose(np.asarray(big.state()), np.asarray(ref.state()), atol=1e-6)

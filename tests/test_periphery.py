@@ -310,3 +310,31 @@ def test_openqasm_methods_and_compose():
     ref.h(2)
     ref.cnot(2, 3)
     np.testing.assert_allclose(np.asarray(big.state()), np.asarray(ref.state()), atol=1e-6)
+
+
+def test_symbolgates_exact_identities():
+    import sympy
+    import numpy as np
+
+    from tensorcircuit_ng_tpu.ops import symbolgates as sg
+
+    # HZH = X exactly
+    assert (sg.sym_h() * sg.sym_z() * sg.sym_h() - sg.sym_x()).norm() == 0
+    # S^2 = Z, T^2 = S
+    assert sympy.simplify((sg.sym_s() ** 2 - sg.sym_z()).norm()) == 0
+    assert sympy.simplify((sg.sym_t() ** 2 - sg.sym_s()).norm()) == 0
+    # rz(theta) rz(-theta) = I symbolically
+    th = sympy.Symbol("theta", real=True)
+    prod = sympy.simplify(sg.sym_rz(th) * sg.sym_rz(-th))
+    assert prod == sympy.eye(2)
+    # euler decomposition matches numeric u gate
+    from tensorcircuit_ng_tpu.ops.gates import u_matrix
+
+    vals = {"t": 0.3, "p": 0.5, "l": 0.7}
+    t, p, l = sympy.symbols("t p l", real=True)
+    m = sg.sym_u(t, p, l).subs({t: vals["t"], p: vals["p"], l: vals["l"]})
+    np.testing.assert_allclose(
+        np.array(m.evalf(), dtype=complex),
+        np.asarray(u_matrix(0.3, 0.5, 0.7)),
+        atol=1e-6,
+    )

@@ -74,6 +74,14 @@ class NoiseConf:
         self._conditions.append((condition, kraus))
         self.has_quantum = True
 
+    @staticmethod
+    def _as_channels(ks: Any) -> List[Any]:
+        """Normalize: a channel is a sequence of Gates/matrices; accept both
+        a bare channel and a list of channels (reference tolerates both)."""
+        if isinstance(ks, (list, tuple)) and ks and isinstance(ks[0], (list, tuple)):
+            return list(ks)
+        return [ks]
+
     def channels_for(self, qir_item: Dict[str, Any]) -> List[Any]:
         """All channel KrausLists applying to this QIR instruction."""
         out: List[Any] = []
@@ -81,15 +89,15 @@ class NoiseConf:
         entry = self.nc.get(name)
         if isinstance(entry, dict):
             if "any" in entry:
-                out.append(entry["any"])
+                out.extend(self._as_channels(entry["any"]))
             key = tuple(qir_item["index"])
             if key in entry:
-                out.append(entry[key])
+                out.extend(self._as_channels(entry[key]))
         elif entry is not None:
-            out.append(entry)
+            out.extend(self._as_channels(entry))
         for cond, ks in self._conditions:
             if cond(qir_item):
-                out.append(ks)
+                out.extend(self._as_channels(ks))
         return out
 
 
@@ -179,6 +187,12 @@ def expectation_noisfy(
         return c.expectation(*ops, **kws)
     if status is None:
         status = K.implicit_randu([nmc, num])
+    elif status.shape[-1] != num:
+        # JAX clamps out-of-bounds gathers silently, which would silently
+        # CORRELATE trajectory randomness — fail loudly instead
+        raise ValueError(
+            f"status last dim {status.shape[-1]} != channel count {num}"
+        )
 
     def core(st: Tensor) -> Tensor:
         cnoise = circuit_with_noise(c, noise_conf, status=st)

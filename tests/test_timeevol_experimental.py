@@ -289,3 +289,41 @@ def test_traced_time_chebyshev_and_bessel():
         float(fidelity(jnp.asarray(t0 + 1e-3))) - float(fidelity(jnp.asarray(t0 - 1e-3)))
     ) / 2e-3
     assert abs(gv - fdv) < 1e-2
+
+
+def test_vvag_and_adaptive_vmap_edges():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import tensorcircuit_ng_tpu as tc
+    from tensorcircuit_ng_tpu.backend import backend as K
+    from tensorcircuit_ng_tpu import experimental
+
+    n = 4
+
+    def f(weights, inputs):
+        c = tc.Circuit(n)
+        for i in range(n):
+            c.rx(i, theta=inputs[i])
+        for i in range(n):
+            c.ry(i, theta=weights[i])
+        return jnp.real(c.expectation_ps(z=[0]))
+
+    vvag = K.vectorized_value_and_grad(f, argnums=0, vectorized_argnums=1)
+    w = jnp.asarray(np.random.default_rng(0).normal(size=n) * 0.3, jnp.float32)
+    xs = jnp.asarray(np.random.default_rng(1).normal(size=(5, n)) * 0.3, jnp.float32)
+    vals, grads = vvag(w, xs)
+    assert vals.shape == (5,)
+    # reference loop: grads must be the SUM over the batch (reference vvag
+    # contract for shared weights)
+    g_sum = sum(jax.grad(f, argnums=0)(w, xs[b]) for b in range(5))
+    np.testing.assert_allclose(np.asarray(grads), np.asarray(g_sum), atol=1e-5)
+    for b in range(5):
+        np.testing.assert_allclose(float(vals[b]), float(f(w, xs[b])), atol=1e-6)
+
+    # adaptive_vmap: batch (7) not divisible by chunk (3)
+    av = experimental.adaptive_vmap(lambda x: jnp.sum(x**2, axis=-1) if False else jnp.sum(x**2), vectorized_argnums=0, chunk_size=3)
+    xs7 = jnp.asarray(np.arange(21.0).reshape(7, 3), jnp.float32)
+    out = av(xs7)
+    np.testing.assert_allclose(np.asarray(out), np.sum(np.asarray(xs7)**2, axis=1), atol=1e-5)

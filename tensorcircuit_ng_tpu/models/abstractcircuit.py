@@ -257,6 +257,12 @@ class AbstractCircuit:
         if item.get("zz_product"):
             self.rzz_product(item["pairs"], item["thetas"])  # type: ignore
             return
+        if item.get("rx_layer"):
+            self.rx_layer(item["thetas"])  # type: ignore
+            return
+        if item.get("multicz"):
+            self.multicz(*item["index"])  # type: ignore
+            return
         if item.get("is_channel"):
             kraus = item["channel_kraus"]
             status = item.get("channel_status")
@@ -302,8 +308,12 @@ class AbstractCircuit:
         c = type(self)(**circuit_params)  # type: ignore
         qir = self._expanded_qir() if hasattr(self, "_expanded_qir") else self._qir
         for item in reversed(qir):
+            if item.get("multicz"):  # diagonal ±1: self-inverse
+                c.multicz(*item["index"])  # type: ignore
+                continue
             m = item["gate"].matrix()
-            c.any(*item["index"], unitary=jnp.conj(m.T), name=(item.get("name") or "any") + "d")
+            mh = m.T.conj() if hasattr(m, "conj") else jnp.conj(m.T)
+            c.any(*item["index"], unitary=mh, name=(item.get("name") or "any") + "d")
         return c
 
     # ------------------------------------------------------------------

@@ -143,6 +143,28 @@ class BaseCircuit(AbstractCircuit):
                             "diagonal": False,
                         }
                     )
+            elif item.get("multicz"):
+                k = len(item["index"])
+                if k <= 8:
+                    from ..ops.gates import multicontrol_matrix
+
+                    z = np.diag([1.0, -1.0])
+                    m = multicontrol_matrix(z, [1] * (k - 1))
+                    out.append(
+                        {
+                            "gatef": None,
+                            "gate": Gate(m, name="multicz"),
+                            "index": item["index"],
+                            "name": "multicz",
+                            "split": None,
+                            "mpo": False,
+                            "diagonal": True,
+                        }
+                    )
+                else:
+                    # too wide to densify; IR/DM consumers must special-case
+                    out.append(item)
+                continue
             elif item.get("fused_1q_layer"):
                 for q in range(self._nqubits):
                     out.append(

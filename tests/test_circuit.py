@@ -342,3 +342,24 @@ def test_multicz_and_zz_exponential():
     zz = np.kron(np.kron(np.diag([1, -1]), np.eye(2)), np.diag([1, -1]))
     expected = sl.expm(0.37 * zz) @ psi
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+def test_inverse_and_matrix_with_fused_items():
+    import numpy as np
+    import jax.numpy as jnp
+
+    import tensorcircuit_ng_tpu as tc
+
+    c = tc.Circuit(4)
+    c.h_layer()
+    c.rzz_product([(0, 1), (2, 3)], jnp.asarray([0.3, 0.5]))
+    c.rx_layer(jnp.asarray([0.1, 0.2, 0.3, 0.4]))
+    c.multicz(0, 1, 2)
+    inv = c.inverse()
+    comb = tc.Circuit(4)
+    comb.append_from_qir([dict(i) for i in c.to_qir()])
+    comb.append_from_qir([dict(i) for i in inv.to_qir()])
+    s = np.asarray(comb.state())
+    np.testing.assert_allclose(abs(s[0]), 1.0, atol=1e-5)
+    m = np.asarray(c.matrix())
+    np.testing.assert_allclose(m @ m.conj().T, np.eye(16), atol=1e-5)

@@ -219,6 +219,15 @@ def qir2qasm(qir: Sequence[Dict[str, Any]], n: int) -> str:
             m = np.asarray(item["gate"].matrix())
             theta, phi, lam = _u3_angles(m)
             lines.append(f"u({theta!r},{phi!r},{lam!r}) {idx};")
+        elif name == "multicz" and len(item["index"]) in (2, 3):
+            qs = [f"q[{int(i)}]" for i in item["index"]]
+            if len(qs) == 2:
+                lines.append(f"cz {qs[0]},{qs[1]};")
+            else:
+                # ccz = H(t) CCX H(t)
+                lines.append(f"h {qs[2]};")
+                lines.append(f"ccx {qs[0]},{qs[1]},{qs[2]};")
+                lines.append(f"h {qs[2]};")
         else:
             raise ValueError(f"gate {name!r} has no OpenQASM 2 representation")
     return "\n".join(lines) + "\n"

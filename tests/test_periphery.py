@@ -338,3 +338,20 @@ def test_symbolgates_exact_identities():
         np.asarray(u_matrix(0.3, 0.5, 0.7)),
         atol=1e-6,
     )
+
+
+def test_openqasm_with_fused_items_and_multicz():
+    import numpy as np
+    import jax.numpy as jnp
+
+    import tensorcircuit_ng_tpu as tc
+
+    c = tc.Circuit(3)
+    c.h_layer()
+    c.rzz_product([(0, 1)], jnp.asarray([0.3]))
+    c.rx_layer(jnp.asarray([0.1, 0.2, 0.3]))
+    c.multicz(0, 1, 2)
+    c2 = tc.Circuit.from_openqasm(c.to_openqasm())
+    np.testing.assert_allclose(
+        np.asarray(c2.state()), np.asarray(c.state()), atol=1e-4
+    )

@@ -302,8 +302,11 @@ class AbstractCircuit:
     def inverse(self, circuit_params: Optional[Dict[str, Any]] = None) -> "AbstractCircuit":
         """Return the inverse (adjoint) circuit (reference ``:498-560``)."""
         if circuit_params is None:
-            circuit_params = {}
-        if "nqubits" not in circuit_params:
+            circuit_params = (
+                dict(self._copy_params()) if hasattr(self, "_copy_params") else {}
+            )
+            circuit_params.pop("inputs", None)  # inverse starts from |0>
+        if "nqubits" not in circuit_params and "nqudits" not in circuit_params:
             circuit_params["nqubits"] = self._nqubits
         c = type(self)(**circuit_params)  # type: ignore
         qir = self._expanded_qir() if hasattr(self, "_expanded_qir") else self._qir

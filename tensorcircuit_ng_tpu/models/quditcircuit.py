@@ -29,6 +29,9 @@ class QuditCircuit(BaseCircuit):
             raise ValueError("dim must be within [2, 36] (base-36 digit strings)")
         super().__init__(nqudits, inputs=inputs, dim=dim)
 
+    def _copy_params(self):
+        return {"nqudits": self._nqubits, "dim": self._d, "inputs": self._inputs}
+
     @property
     def dim(self) -> int:
         return self._d

@@ -117,6 +117,39 @@ class StabilizerCircuit(AbstractCircuit):
             return
         self.apply_general_gate(None, *index, name=name)
 
+    #: gate -> inverse sequence in circuit order; each entry is
+    #: (gate_name, which-of-the-item's-qubits it acts on)
+    _INVERSE_SEQ = {
+        "h": (("h", (0,)),),
+        "x": (("x", (0,)),),
+        "y": (("y", (0,)),),
+        "z": (("z", (0,)),),
+        "s": (("sd", (0,)),),
+        "sd": (("s", (0,)),),
+        # sx = H S H  =>  sx† = H S† H (circuit order)
+        "sx": (("h", (0,)), ("sd", (0,)), ("h", (0,))),
+        "cnot": (("cnot", (0, 1)),),
+        "cz": (("cz", (0, 1)),),
+        "cy": (("cy", (0, 1)),),
+        "swap": (("swap", (0, 1)),),
+        # iswap = SWAP; CZ; S_a; S_b  =>  inverse: S†_a; S†_b; CZ; SWAP
+        "iswap": (("sd", (0,)), ("sd", (1,)), ("cz", (0, 1)), ("swap", (0, 1))),
+        "i": (("i", (0,)),),
+    }
+
+    def inverse(self, circuit_params: Optional[Dict[str, Any]] = None) -> "StabilizerCircuit":
+        """Adjoint circuit by name-level Clifford inversion (no matrices)."""
+        c = StabilizerCircuit(self._nqubits)
+        for item in reversed(self._qir):
+            name = item["name"]
+            seq = self._INVERSE_SEQ.get(name)
+            if seq is None:
+                raise ValueError(f"no Clifford inverse rule for {name!r}")
+            idx = item["index"]
+            for g, which in seq:
+                getattr(c, g)(*(idx[w] for w in which))
+        return c
+
     # ------------------------------------------------------------------
     # measurement / sampling
     # ------------------------------------------------------------------

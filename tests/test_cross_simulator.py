@@ -166,3 +166,26 @@ def test_u1_matches_dense_on_conserving_circuit():
             float(np.real(np.asarray(c.expectation_ps(z=[i])))),
             atol=1e-5,
         )
+
+
+def test_inverse_stabilizer_and_qudit():
+    rng = np.random.default_rng(9)
+    st = tc.StabilizerCircuit(4)
+    random_clifford(st, 4, 30, rng)
+    inv = st.inverse()
+    comb = tc.StabilizerCircuit(4)
+    for item in st.to_qir():
+        getattr(comb, item["name"])(*item["index"])
+    for item in inv.to_qir():
+        getattr(comb, item["name"])(*item["index"])
+    assert all(float(comb.expectation_ps(z=[i])) == 1.0 for i in range(4))
+
+    qc = tc.QuditCircuit(2, dim=3)
+    qc.h(0)
+    qc.csum(0, 1)
+    inv = qc.inverse()
+    comb = tc.QuditCircuit(2, dim=3)
+    comb.append_from_qir([dict(i) for i in qc.to_qir()])
+    comb.append_from_qir([dict(i) for i in inv.to_qir()])
+    s = np.asarray(comb.state())
+    np.testing.assert_allclose(abs(s[0]), 1.0, atol=1e-5)

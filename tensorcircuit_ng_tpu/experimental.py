@@ -258,12 +258,17 @@ def jax_jitted_function_load(path: str) -> Callable[..., Any]:
 # ------------------------------------------------------------------
 
 
-def save_params(path: str, params: Any) -> None:
+def save_params(path: Any, params: Any = None) -> None:
     """Checkpoint a parameter pytree with orbax (reference keeps params as
-    plain arrays + keras save helpers; orbax is the TPU-native store)."""
+    plain arrays + keras save helpers; orbax is the TPU-native store).
+
+    Accepts either argument order (``save_params(path, params)`` or
+    ``save_params(params, path)``)."""
     import orbax.checkpoint as ocp
     import os
 
+    if not isinstance(path, (str, os.PathLike)):
+        path, params = params, path
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, params, force=True)

@@ -355,3 +355,16 @@ def test_openqasm_with_fused_items_and_multicz():
     np.testing.assert_allclose(
         np.asarray(c2.state()), np.asarray(c.state()), atol=1e-4
     )
+
+
+def test_save_params_both_orders(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tensorcircuit_ng_tpu import experimental as ex
+
+    ps = {"a": jnp.ones(3), "b": jnp.asarray([2.0])}
+    ex.save_params(ps, str(tmp_path / "c1"))
+    np.testing.assert_allclose(np.asarray(ex.load_params(str(tmp_path / "c1"))["a"]), 1.0)
+    ex.save_params(str(tmp_path / "c2"), ps)
+    np.testing.assert_allclose(np.asarray(ex.load_params(str(tmp_path / "c2"))["b"]), 2.0)

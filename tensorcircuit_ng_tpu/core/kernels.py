@@ -70,7 +70,7 @@ def _apply_layer_reference(state: Tensor, gates: Tensor) -> Tensor:
 
 
 def fused_single_qubit_layer_pallas(
-    state: Tensor, gates: Tensor, fuse_lane: bool = False
+    state: Tensor, gates: Tensor, fuse_lane: bool = False, constant: bool = False
 ) -> Tensor:
     """Row-kernel + lane-matmul fused layer (UNITARY gates).
 
@@ -100,6 +100,9 @@ def fused_single_qubit_layer_pallas(
     mlane = _lane_matrix(gates, nlane).astype(psi.dtype)
     if nkernel > 0 and fuse_lane:
         psi = kernels_rowlayer.row_layer_lane(psi, gates[nouter:nrow], mlane.T)
+    elif nkernel > 0 and constant:
+        psi = kernels_rowlayer.row_layer_const(psi, gates[nouter:nrow])
+        psi = psi @ mlane.T
     elif nkernel > 0:
         psi = kernels_rowlayer.row_layer(psi, gates[nouter:nrow])
         psi = psi @ mlane.T
@@ -154,7 +157,7 @@ def fused_rx_layer(state: Tensor, thetas: Tensor) -> Tensor:
     return jnp.reshape(psi, (-1,))
 
 
-def fused_single_qubit_layer(state: Tensor, gates: Tensor) -> Tensor:
+def fused_single_qubit_layer(state: Tensor, gates: Tensor, constant: bool = False) -> Tensor:
     """Apply gates[q] on qubit q for all q, fused.
 
     Default is the Pallas path (measured 15.3 vs 25.4 ms/step against the
@@ -162,7 +165,7 @@ def fused_single_qubit_layer(state: Tensor, gates: Tensor) -> Tensor:
     UNITARY (the row-kernel backward reconstructs intermediates by
     un-application).  Use :func:`block_kron_layer` for non-unitary stacks.
     """
-    return fused_single_qubit_layer_pallas(state, gates)
+    return fused_single_qubit_layer_pallas(state, gates, constant=constant)
 
 
 def block_kron_layer(state: Tensor, gates: Tensor, block: int = _LANE_QUBITS) -> Tensor:

@@ -709,3 +709,94 @@ def _rotx_bwd(res, ct):
 
 
 rotx_row_layer.defvjp(_rotx_fwd, _rotx_bwd)
+
+
+# ---------------------------------------------------------------------------
+# constant-gate row layer: backward skips the gate-cotangent reductions
+# ---------------------------------------------------------------------------
+
+
+def _const_bwd_kernel(nrow: int):
+    def kernel(gr_ref, gi_ref, ctr_ref, cti_ref, dsr_ref, dsi_ref):
+        dsr_ref[:] = ctr_ref[:]
+        dsi_ref[:] = cti_ref[:]
+        r_total = dsr_ref.shape[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, dsr_ref.shape, 0)
+        for q in range(nrow - 1, -1, -1):
+            s = r_total >> (q + 1)
+            # ct walk only: cur_ct = g^T cur_ct
+            mt = (
+                gr_ref[q, 0], gi_ref[q, 0], gr_ref[q, 2], gi_ref[q, 2],
+                gr_ref[q, 1], gi_ref[q, 1], gr_ref[q, 3], gi_ref[q, 3],
+            )
+            ncr, nci = _butterfly(dsr_ref[:], dsi_ref[:], rows, s, mt)
+            dsr_ref[:] = ncr
+            dsi_ref[:] = nci
+
+    return kernel
+
+
+def _pallas_row_bwd_const(gr, gi, ctr, cti):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nrow = gr.shape[0]
+    r, lanes = ctr.shape
+    rb = 2**nrow
+    grid = (r // rb,)
+    return pl.pallas_call(
+        _const_bwd_kernel(nrow),
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct(ctr.shape, ctr.dtype),
+            jax.ShapeDtypeStruct(cti.shape, cti.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nrow, 4), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ),
+        input_output_aliases={2: 0, 3: 1},
+        interpret=_INTERPRET,
+    )(jnp.reshape(gr, (nrow, 4)), jnp.reshape(gi, (nrow, 4)), ctr, cti)
+
+
+@jax.custom_vjp
+def row_layer_const(state2d: Tensor, gates: Tensor) -> Tensor:
+    """row_layer for CONSTANT (non-trainable) gates: the backward does only
+    the cotangent transpose walk — no per-gate reduction work (zeros are
+    returned for the gate cotangent)."""
+    return _row_fwd_impl(state2d, gates)
+
+
+def _row_const_fwd(state2d: Tensor, gates: Tensor):
+    return _row_fwd_impl(state2d, gates), gates
+
+
+def _row_const_bwd(gates, ct):
+    if not (_on_tpu() or _INTERPRET):
+        # reference path: transpose-walk with numpy gates
+        nrow = gates.shape[0]
+        r, lanes = ct.shape
+        cur = ct
+        for q in range(nrow - 1, -1, -1):
+            s = (2**nrow) >> (q + 1)
+            v = jnp.reshape(cur, (r // (2 * s), 2, s, lanes))
+            cur = jnp.reshape(
+                jnp.einsum("ab,xbsl->xasl", gates[q].T.astype(v.dtype), v), (r, lanes)
+            )
+        return cur, jnp.zeros_like(gates)
+    gr = jnp.real(gates).astype(jnp.float32)
+    gi = jnp.imag(gates).astype(jnp.float32)
+    ctr = jnp.real(ct).astype(jnp.float32)
+    cti = jnp.imag(ct).astype(jnp.float32)
+    dsr, dsi = _pallas_row_bwd_const(gr, gi, ctr, cti)
+    return (dsr + 1j * dsi).astype(ct.dtype), jnp.zeros_like(gates)
+
+
+row_layer_const.defvjp(_row_const_fwd, _row_const_bwd)

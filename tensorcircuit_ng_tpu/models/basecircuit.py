@@ -107,7 +107,9 @@ class BaseCircuit(AbstractCircuit):
         if item.get("fused_1q_layer"):
             from ..core import kernels
 
-            return kernels.fused_single_qubit_layer(psi, item["gates"])
+            return kernels.fused_single_qubit_layer(
+                psi, item["gates"], constant=bool(item.get("constant"))
+            )
         if item.get("zz_product"):
             return statevec.apply_zz_product_phase(psi, item["pairs"], item["thetas"])
         if item.get("multicz"):
@@ -226,9 +228,23 @@ class BaseCircuit(AbstractCircuit):
 
     mcz = multicz
 
-    def fused_single_qubit_layer(self, gates: Tensor, name: str = "fused_1q_layer") -> None:
-        """Apply gates[q] on every qubit q in one fused pass (Pallas on TPU)."""
-        gates = jnp.asarray(gates).astype(jnp.dtype(config.dtypestr()))
+    def fused_single_qubit_layer(
+        self, gates: Tensor, name: str = "fused_1q_layer", constant: bool = False
+    ) -> None:
+        """Apply gates[q] on every qubit q in one fused pass (Pallas on TPU).
+
+        ``constant=True`` marks non-trainable gates (e.g. h_layer): the
+        backward kernel then skips per-gate cotangent reductions entirely.
+        Concrete gate stacks stay numpy (axon complex-constant rule).
+        """
+        if not hasattr(gates, "ndim"):
+            gates = np.asarray(gates)
+        import jax.core as _core
+
+        if not isinstance(gates, _core.Tracer) and isinstance(gates, np.ndarray):
+            gates = gates.astype(np.dtype(config.dtypestr()))
+        else:
+            gates = jnp.asarray(gates).astype(jnp.dtype(config.dtypestr()))
         assert gates.shape[0] == self._nqubits
         self._qir.append(
             {
@@ -236,6 +252,7 @@ class BaseCircuit(AbstractCircuit):
                 "gates": gates,
                 "index": tuple(range(self._nqubits)),
                 "name": name,
+                "constant": bool(constant),
                 "split": None,
                 "mpo": False,
             }
@@ -275,8 +292,8 @@ class BaseCircuit(AbstractCircuit):
         from ..ops import gates as gates_mod
 
         h = gates_mod.GATES["h"]().matrix()
-        gates = jnp.broadcast_to(h, (self._nqubits, 2, 2))
-        self.fused_single_qubit_layer(gates, name="h_layer")
+        gates = np.broadcast_to(h, (self._nqubits, 2, 2))
+        self.fused_single_qubit_layer(gates, name="h_layer", constant=True)
 
     def rzz_product(self, pairs: Sequence[Tuple[int, int]], thetas: Tensor) -> None:
         """exp(-i/2 Σ θ_k Z_a Z_b) over all listed pairs in one fused pass."""

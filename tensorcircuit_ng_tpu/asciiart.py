@@ -51,3 +51,23 @@ def lucky(seed: Optional[int] = None) -> Any:
     """Draw a quantum fortune (reference ``asciiart.lucky`` role)."""
     rng = random.Random(seed)
     return Art(rng.choice(_FORTUNES))
+
+
+_MESSAGES = {
+    "welcome": str(tpu_art),
+    "bye": "so long, and thanks for all the qubits",
+}
+_CURRENT = {"banner": "welcome"}
+
+
+def set_ascii(b: str = "", conf: Optional[dict] = None) -> None:
+    """Register/choose banner messages (reference ``asciiart.set_ascii`` role)."""
+    if conf:
+        _MESSAGES.update(conf)
+    if b:
+        _CURRENT["banner"] = b
+
+
+def get_message(key: str) -> str:
+    """Fetch a registered message by key (reference ``asciiart.get_message`` role)."""
+    return _MESSAGES.get(key, _MESSAGES[_CURRENT["banner"]])

@@ -39,6 +39,13 @@ __all__ = [
     "kraus_identity_check",
     "is_unitary_kraus",
     "composedkraus",
+    "reshuffle",
+    "is_hermitian_matrix",
+    "krausgate_to_krausmatrix",
+    "krausmatrix_to_krausgate",
+    "evol_kraus",
+    "evol_superop",
+    "check_rep_transformation",
     "CHANNEL_NAMES",
 ]
 
@@ -321,6 +328,88 @@ def composedkraus(kraus1: KrausList, kraus2: KrausList) -> KrausList:
         is_unitary=getattr(kraus1, "is_unitary", False)
         and getattr(kraus2, "is_unitary", False),
     )
+
+
+def reshuffle(op: Tensor, order: Sequence[int]) -> Tensor:
+    """Reshuffle the (out,out,in,in) leg order of a d^2 x d^2 matrix.
+
+    Reference ``channels.py:651``.
+    """
+    xp = _xp_of(op)
+    d0 = int(math.isqrt(int(op.shape[0])))
+    d1 = int(math.isqrt(int(op.shape[1])))
+    shape = (d0, d0, d1, d1)
+    t = xp.transpose(xp.reshape(op, shape), tuple(order))
+    return xp.reshape(
+        t, (shape[order[0]] * shape[order[1]], shape[order[2]] * shape[order[3]])
+    )
+
+
+def is_hermitian_matrix(mat: Tensor, rtol: float = 1e-8, atol: float = 1e-5) -> bool:
+    """True if ``mat`` is a 2D Hermitian matrix (reference ``channels.py:814``)."""
+    mat = np.asarray(mat)
+    if mat.ndim != 2 or mat.shape[0] != mat.shape[1]:
+        return False
+    return np.allclose(mat, mat.conj().T, rtol=rtol, atol=atol)
+
+
+def krausgate_to_krausmatrix(kraus_list: Sequence[Any]) -> List[Tensor]:
+    """Kraus operators in Gate form -> dense matrices (reference :835)."""
+    return _mats(kraus_list)
+
+
+def krausmatrix_to_krausgate(kraus_list: Sequence[Tensor]) -> List[Gate]:
+    """Kraus operators in matrix form -> Gate form (reference :853)."""
+    if not kraus_list or isinstance(kraus_list[0], Gate):
+        return list(kraus_list)
+    return [_g(np.asarray(k), f"kraus_{i}") for i, k in enumerate(kraus_list)]
+
+
+def evol_kraus(density_matrix: Tensor, kraus_list: Sequence[Any]) -> Tensor:
+    r"""ρ' = Σ_k K_k ρ K_k† (reference ``channels.py:873``); jit/AD-safe."""
+    ms = _mats(kraus_list)
+    rho = jnp.asarray(density_matrix)
+    out = None
+    for k in ms:
+        k = jnp.asarray(k)
+        term = k @ rho @ jnp.conj(k.T)
+        out = term if out is None else out + term
+    return out
+
+
+def evol_superop(density_matrix: Tensor, superop: Tensor) -> Tensor:
+    """Apply a superoperator (kraus_to_super convention) to ρ (reference :907).
+
+    Our ``kraus_to_super`` uses row-major vec with S = Σ K ⊗ conj(K), so
+    vec(ρ') = S vec(ρ) directly.
+    """
+    rho = jnp.asarray(density_matrix)
+    d = rho.shape[0]
+    vec = jnp.reshape(rho, (-1, 1))
+    out = jnp.asarray(superop) @ vec
+    return jnp.reshape(out, (d, d))
+
+
+def check_rep_transformation(
+    kraus: Sequence[Any], density_matrix: Tensor, verbose: bool = False
+) -> None:
+    """Round-trip consistency asserts across kraus/choi/super (reference :942)."""
+    choi = kraus_to_choi(kraus)
+    kraus2 = choi_to_kraus(choi)
+    choi2 = kraus_to_choi(kraus2)
+    if verbose:  # pragma: no cover
+        print("kraus:", kraus)
+        print("kraus_new:", kraus2)
+    superop = kraus_to_super(kraus)
+    superop2 = choi_to_super(choi)
+    np.testing.assert_allclose(np.asarray(superop), np.asarray(superop2), atol=1e-5)
+    kraus_identity_check(kraus2)
+    np.testing.assert_allclose(np.asarray(choi), np.asarray(choi2), atol=1e-5)
+    dm1 = np.asarray(evol_kraus(density_matrix, kraus))
+    dm2 = np.asarray(evol_kraus(density_matrix, kraus2))
+    np.testing.assert_allclose(dm1, dm2, atol=1e-5)
+    dm3 = np.asarray(evol_superop(density_matrix, superop))
+    np.testing.assert_allclose(dm1, dm3, atol=1e-5)
 
 
 #: channel factory registry for circuit-method metaprogramming

@@ -1173,3 +1173,162 @@ def expectation_from_counts(count: Dict[str, int], z: Optional[Sequence[int]] = 
             idx = int(bstr, 2)
             acc += float(np.asarray(diagonal_op)[idx]) * c
     return acc / total
+
+
+# ======================================================================
+# Pauli-string helpers, U(1) sector projectors, extra QI metrics
+# (reference quantum.py:1475-1520, 2041-2130, 2564-2840, 2537)
+# ======================================================================
+
+
+def ps2xyz(ps: Sequence[int]) -> Dict[str, List[int]]:
+    """Pauli-string int list -> xyz dict (reference ``quantum.py:1475``).
+
+    ``ps2xyz([1, 2, 2, 0]) == {"x": [0], "y": [1, 2], "z": []}``.
+    """
+    xyz: Dict[str, List[int]] = {"x": [], "y": [], "z": []}
+    for i, j in enumerate(ps):
+        if j == 1:
+            xyz["x"].append(i)
+        elif j == 2:
+            xyz["y"].append(i)
+        elif j == 3:
+            xyz["z"].append(i)
+    return xyz
+
+
+def xyz2ps(xyz: Dict[str, List[int]], n: Optional[int] = None) -> List[int]:
+    """xyz dict -> Pauli-string int list (reference ``quantum.py:1497``)."""
+    if n is None:
+        n = max(xyz.get("x", []) + xyz.get("y", []) + xyz.get("z", [])) + 1
+    ps = [0] * n
+    for code, key in ((1, "x"), (2, "y"), (3, "z")):
+        for i in xyz.get(key, []):
+            ps[i] = code
+    return ps
+
+
+def ps2coo_core(l: Sequence[int]) -> Tuple[Tensor, Tensor]:
+    """(indices[nnz,2], values[nnz]) of one Pauli string, bit arithmetic.
+
+    Reference ``ps2coo_core quantum.py:2537``; numpy output (complex data
+    stays host-side until it meets a tracer — see CLAUDE.md complex rule).
+    """
+    cols, vals = _pauli_string_coo_numpy(list(l))
+    rows = np.arange(cols.shape[0], dtype=np.int64)
+    return np.stack([rows, cols], axis=1), vals
+
+
+def u1_inds(n: int, m: int) -> Tensor:
+    """All n-bit integers with exactly m set bits, ascending (Gosper's hack).
+
+    Reference ``quantum.py:2041``.
+    """
+    num = math.comb(n, m)
+    inds = np.zeros([num], dtype=np.int64)
+    if m == 0:
+        return inds
+    comb = (1 << m) - 1
+    for i in range(num):
+        inds[i] = comb
+        u = comb & -comb
+        v = u + comb
+        comb = v + (((v ^ comb) // u) >> 2)
+    return inds
+
+
+def u1_mask(n: int, m: int) -> Tensor:
+    """0/1 mask of length 2**n selecting the m-down-spin sector (ref :2076)."""
+    mask = np.zeros([2**n], dtype=np.float64)
+    mask[u1_inds(n, m)] = 1.0
+    return jnp.asarray(mask)
+
+
+def u1_project(s: Tensor, n: int, m: int) -> Tensor:
+    """Project a 2**n state onto the C(n,m) sector basis (ref :2097)."""
+    inds = u1_inds(n, m).astype(np.int32)
+    return jnp.take(jnp.reshape(jnp.asarray(s), (-1,)), inds)
+
+
+def u1_enlarge(s: Tensor, n: int, m: int) -> Tensor:
+    """Embed a C(n,m)-sector state back into the full 2**n space (ref :2113)."""
+    s = jnp.reshape(jnp.asarray(s), (-1,))
+    out = jnp.zeros([2**n], dtype=s.dtype)
+    return out.at[u1_inds(n, m).astype(np.int32)].set(s)
+
+
+def op2tensor(fn: Callable[..., Any], op_argnums: Union[int, Sequence[int]] = 0) -> Callable[..., Any]:
+    """Decorator evaluating QuOperator args to dense matrices (ref :2564)."""
+    if isinstance(op_argnums, int):
+        op_argnums = (op_argnums,)
+
+    def wrapper(*args: Any, **kws: Any) -> Any:
+        nargs = list(args)
+        for i in op_argnums:
+            if i < len(nargs) and isinstance(nargs[i], QuOperator):
+                nargs[i] = nargs[i].eval_matrix()
+        return fn(*nargs, **kws)
+
+    wrapper.__name__ = getattr(fn, "__name__", "wrapped")
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
+def extract_tensors_from_qop(qop: QuOperator) -> Tensor:
+    """Dense matrix of a QuOperator (IR-level stand-in for node extraction)."""
+    return qop.eval_matrix()
+
+
+def onehot_d_tensor(i: Any, d: int = 2) -> Tensor:
+    """One-hot vector of length d (reference helper)."""
+    return jax.nn.one_hot(jnp.asarray(i), d, dtype=jnp.dtype(config.dtypestr()))
+
+
+def trace_product(*o: Any) -> Tensor:
+    """tr(prod_i O_i) for tensors / QuOperators (reference ``quantum.py:2673``)."""
+    mats = [x.eval_matrix() if isinstance(x, QuOperator) else jnp.asarray(x) for x in o]
+    prod = reduce(jnp.matmul, mats)
+    return jnp.trace(prod)
+
+
+def anti_flatness(rho: Any) -> Tensor:
+    """tr(rho^3) - tr(rho^2)^2, differentiable (reference ``quantum.py:2644``)."""
+    if isinstance(rho, QuOperator):
+        rho = rho.eval_matrix()
+    rho = jnp.asarray(rho)
+    rho2 = rho @ rho
+    purity = jnp.real(jnp.trace(rho2))
+    third = jnp.real(jnp.sum(rho2 * jnp.transpose(rho)))
+    return third - purity * purity
+
+
+def entanglement_anti_flatness(state: Tensor, cut: Union[int, Sequence[int]]) -> Tensor:
+    """Anti-flatness of the reduced state after tracing ``cut`` (ref :2752)."""
+    return anti_flatness(reduced_density_matrix(state, cut))
+
+
+def reduced_wavefunction(
+    state: Tensor,
+    cut: Sequence[int],
+    measure: Optional[Sequence[int]] = None,
+    d: int = 2,
+) -> Tensor:
+    """Project qubits ``cut`` onto computational results ``measure``.
+
+    Returns the (unnormalized) wavefunction on the remaining sites; reference
+    ``quantum.py:2793``.  Implemented as successive rank-3 slices so no
+    rank-n tensor is materialized (TPU tiling).
+    """
+    s = jnp.reshape(jnp.asarray(state), (-1,))
+    size = s.shape[0]
+    n = int(round(math.log(size, d)))
+    if measure is None:
+        measure = [0 for _ in cut]
+    pairs = sorted(zip(list(cut), list(measure)), key=lambda x: -x[0])
+    nn = n
+    for q, m in pairs:
+        a = d**q
+        b = d ** (nn - 1 - q)
+        s = jnp.reshape(jnp.take(jnp.reshape(s, (a, d, b)), m, axis=1), (-1,))
+        nn -= 1
+    return s

@@ -114,3 +114,8 @@ def plot_histogram(count: ct, ax: Any = None, **kws: Any) -> Any:  # pragma: no 
     ax.set_xlabel("bitstring")
     ax.set_ylabel("count")
     return ax
+
+
+def reverse_count(count: ct) -> ct:
+    """Reverse the bit-string keys (endianness flip), reference ``counts.py:15``."""
+    return {k[::-1]: v for k, v in count.items()}

@@ -232,3 +232,67 @@ def entropy_shadow(
     if alpha == 1:
         return -jnp.sum(lam * jnp.log(lam))
     return jnp.log(jnp.sum(lam**alpha)) / (1 - alpha)
+
+
+def slice_sub(entirety: Tensor, sub: Sequence[int]) -> Tensor:
+    """Slice the per-qubit axis (axis 2) down to ``sub`` (reference ``shadows.py:553``)."""
+    entirety = jnp.asarray(entirety)
+    if entirety.ndim < 3:
+        entirety = entirety[:, None, :]
+    return jnp.take(entirety, np.asarray(list(sub), dtype=np.int32), axis=2)
+
+
+def _lss_of(snapshots: Tensor, pauli_strings: Optional[Tensor], sub: Optional[Sequence[int]]) -> Tensor:
+    snapshots = jnp.asarray(snapshots)
+    if pauli_strings is not None:
+        if snapshots.ndim != 3:
+            raise ValueError(
+                f"snapshots should be 3-d if pauli_strings is not None, got {snapshots.ndim}-d instead."
+            )
+        lss = local_snapshot_states(snapshots, pauli_strings)
+        if sub is not None:
+            lss = slice_sub(lss, sub)
+        return lss
+    if sub is not None:
+        return slice_sub(snapshots, sub)
+    return snapshots
+
+
+def global_shadow_state1(
+    snapshots: Tensor,
+    pauli_strings: Optional[Tensor] = None,
+    sub: Optional[Sequence[int]] = None,
+) -> Tensor:
+    """Global shadow state via one big einsum (reference ``shadows.py:447``)."""
+    lss = _lss_of(snapshots, pauli_strings, sub)
+    ns, repeat, nq = lss.shape[:3]
+    abc = "cdefghijklmnopqrstuvwxyz"
+    operands = []
+    terms = []
+    for q in range(nq):
+        operands.append(lss[:, :, q])
+        terms.append(f"ab{abc[2 * q]}{abc[2 * q + 1]}")
+    out = "ab" + abc[0 : 2 * nq : 2] + abc[1 : 2 * nq : 2]
+    g = jnp.einsum(",".join(terms) + "->" + out, *operands)
+    g = jnp.reshape(g, (ns, repeat, 2**nq, 2**nq))
+    return jnp.mean(g, axis=(0, 1))
+
+
+def global_shadow_state2(
+    snapshots: Tensor,
+    pauli_strings: Optional[Tensor] = None,
+    sub: Optional[Sequence[int]] = None,
+) -> Tensor:
+    """Global shadow state via vmapped kron chains (reference ``shadows.py:496``)."""
+    lss = _lss_of(snapshots, pauli_strings, sub)
+    ns, repeat, nq = lss.shape[:3]
+
+    def kron_chain(mats: Tensor) -> Tensor:
+        out = mats[0]
+        for q in range(1, nq):
+            out = jnp.kron(out, mats[q])
+        return out
+
+    flat = jnp.reshape(lss, (ns * repeat, nq, 2, 2))
+    states = jax.vmap(kron_chain)(flat)
+    return jnp.mean(states, axis=0)

@@ -101,3 +101,19 @@ def grid_coord(l1: int, l2: int):
     """Row-major (row, col) <-> flat index helpers for an l1 x l2 grid."""
     coords = [(i, j) for i in range(l1) for j in range(l2)]
     return coords
+
+
+def Grid2D_entangling(c: Any, coord: Any, unitary: Any, params: Any, **kws: Any) -> Any:
+    """exp1 entangler on every row then column edge of a 2D grid.
+
+    Reference ``templates/blocks.py:71``; ``coord`` is a
+    :class:`~tensorcircuit_ng_tpu.templates.graphs.Grid2DCoord`.
+    """
+    i = 0
+    for a, b in coord.all_rows():
+        c.exp1(a, b, unitary=unitary, theta=params[i], **kws)
+        i += 1
+    for a, b in coord.all_cols():
+        c.exp1(a, b, unitary=unitary, theta=params[i], **kws)
+        i += 1
+    return c

@@ -76,3 +76,22 @@ def Ising_to_QUBO(
         else:
             raise ValueError("only 1- and 2-local Z strings map to QUBO")
     return Q, const
+
+
+def get_ps(qo: Any, n: int) -> Tuple[Any, Any]:
+    """Pauli-string array + weights from an openfermion ``QubitOperator``.
+
+    Reference ``templates/conversions.py:14``; works with any object exposing
+    a ``.terms`` dict of ``{((qubit, "X"|"Y"|"Z"), ...): weight}``.
+    """
+    import numpy as np
+
+    value = {"X": 1, "Y": 2, "Z": 3}
+    res, wts = [], []
+    for key, w in qo.terms.items():
+        bit = np.zeros(n, dtype=int)
+        for q, pauli in key:
+            bit[q] = value[pauli]
+        res.append(tuple(bit))
+        wts.append(w)
+    return np.array(res), np.array(wts)

@@ -101,3 +101,31 @@ def append(f: Callable[..., Any], *post: Callable[..., Any]) -> Callable[..., An
         return out
 
     return wrapper
+
+
+def is_sequence(x: Any) -> bool:
+    """True for list/tuple (reference ``utils.py`` helper)."""
+    return isinstance(x, (list, tuple))
+
+
+def is_number(x: Any) -> bool:
+    """True for python/numpy scalar numbers (reference ``utils.py`` helper)."""
+    import numbers
+
+    import numpy as _np
+
+    return isinstance(x, (numbers.Number, _np.number))
+
+
+def is_m1mac() -> bool:
+    """True on Apple-silicon macOS (reference ``utils.py`` helper)."""
+    import platform
+
+    return platform.system() == "Darwin" and platform.processor() == "arm"
+
+
+def gpu_memory_share(flag: bool = True) -> None:
+    """Set ``TF_FORCE_GPU_ALLOW_GROWTH`` (reference ``utils.py:13``; no-op on TPU)."""
+    import os
+
+    os.environ["TF_FORCE_GPU_ALLOW_GROWTH"] = "true" if flag else "false"

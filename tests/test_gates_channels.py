@@ -218,3 +218,54 @@ def test_large_shallow_ghz_expectation_n500():
     np.testing.assert_allclose(np.real(np.asarray(v)), 1.0, atol=1e-5)
     v2 = c.expectation_ps(z=[n - 2, n - 1])
     np.testing.assert_allclose(np.real(np.asarray(v2)), 1.0, atol=1e-5)
+
+
+# ---------------- round-1 parity batch: channel rep helpers ----------------
+
+
+def test_reshuffle_roundtrip():
+    from tensorcircuit_ng_tpu.ops import channels as ch
+
+    k = ch.phasedampingchannel(0.3)
+    s = ch.kraus_to_super(k)
+    # reshuffling twice with the same involutive order is identity
+    r = ch.reshuffle(ch.reshuffle(s, (1, 0, 3, 2)), (1, 0, 3, 2))
+    np.testing.assert_allclose(np.asarray(r), np.asarray(s), atol=1e-6)
+
+
+def test_evol_kraus_vs_superop():
+    from tensorcircuit_ng_tpu.ops import channels as ch
+
+    rho = np.array([[0.5, 0.5], [0.5, 0.5]], dtype=np.complex64)
+    for k in (
+        ch.phasedampingchannel(0.2),
+        ch.amplitudedampingchannel(0.3, 0.9),
+        ch.depolarizingchannel(0.1, 0.05, 0.02),
+        ch.resetchannel(),
+    ):
+        dm1 = np.asarray(ch.evol_kraus(rho, k))
+        dm2 = np.asarray(ch.evol_superop(rho, ch.kraus_to_super(k)))
+        np.testing.assert_allclose(dm1, dm2, atol=1e-5)
+        assert abs(np.trace(dm1) - 1.0) < 1e-5
+
+
+def test_check_rep_transformation():
+    from tensorcircuit_ng_tpu.ops import channels as ch
+
+    rho = np.array([[0.7, 0.2], [0.2, 0.3]], dtype=np.complex64)
+    ch.check_rep_transformation(ch.phasedampingchannel(0.2), rho)
+    ch.check_rep_transformation(ch.thermalrelaxationchannel(300, 400, 100, "ByKraus", 0.1), rho)
+
+
+def test_kraus_gate_matrix_conversion():
+    from tensorcircuit_ng_tpu.ops import channels as ch
+
+    k = ch.resetchannel()
+    ms = ch.krausgate_to_krausmatrix(k)
+    assert all(m.shape == (2, 2) for m in ms)
+    gs = ch.krausmatrix_to_krausgate(ms)
+    ms2 = ch.krausgate_to_krausmatrix(gs)
+    for a, b in zip(ms, ms2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    assert ch.is_hermitian_matrix(np.eye(2))
+    assert not ch.is_hermitian_matrix(np.array([[0.0, 1.0], [0.0, 0.0]]))

@@ -260,3 +260,73 @@ def test_numpycoo_sparse_ops():
     )
     sp = m.to_scipy()
     np.testing.assert_allclose(sp.todense(), dense, atol=1e-6)
+
+
+# ---------------- round-1 parity batch: helper functions ----------------
+
+
+def test_ps2xyz_roundtrip():
+    assert qu.ps2xyz([1, 2, 2, 0]) == {"x": [0], "y": [1, 2], "z": []}
+    assert qu.xyz2ps({"x": [0], "y": [1, 2], "z": []}, 4) == [1, 2, 2, 0]
+    assert qu.xyz2ps(qu.ps2xyz([0, 3, 1]), 3) == [0, 3, 1]
+
+
+def test_u1_sector_tools():
+    inds = np.asarray(qu.u1_inds(5, 1))
+    assert inds.tolist() == [1, 2, 4, 8, 16]
+    assert float(np.asarray(qu.u1_mask(4, 2)).sum()) == 6
+    s = np.random.default_rng(0).normal(size=16)
+    p = qu.u1_project(s, 4, 2)
+    e = np.asarray(qu.u1_enlarge(p, 4, 2))
+    np.testing.assert_allclose(e[np.asarray(qu.u1_inds(4, 2))], s[np.asarray(qu.u1_inds(4, 2))], atol=1e-6)
+    assert abs(e.sum() - s[np.asarray(qu.u1_inds(4, 2))].sum()) < 1e-6
+
+
+def test_trace_product_and_anti_flatness():
+    o = np.ones([2, 2])
+    h = np.eye(2)
+    assert abs(qu.trace_product(o, h) - 2.0) < 1e-6
+    qop = qu.QuOperator.from_tensor(o)
+    assert abs(qu.trace_product(qop, h) - 2.0) < 1e-6
+    # maximally mixed and pure states are flat: anti-flatness 0
+    assert abs(float(qu.anti_flatness(np.eye(4) / 4))) < 1e-6
+    psi = np.zeros(4); psi[0] = 1
+    assert abs(float(qu.anti_flatness(np.outer(psi, psi)))) < 1e-6
+    # non-flat spectrum
+    rho = np.diag([0.9, 0.1])
+    lam = np.array([0.9, 0.1])
+    expected = (lam**3).sum() - (lam**2).sum() ** 2
+    np.testing.assert_allclose(float(qu.anti_flatness(rho)), expected, atol=1e-6)
+    v = float(qu.entanglement_anti_flatness(np.ones(8) / np.sqrt(8.0), [0]))
+    assert abs(v) < 1e-6
+
+
+def test_reduced_wavefunction():
+    import tensorcircuit_ng_tpu as tc
+
+    c = tc.Circuit(3)
+    c.h(0); c.cx(0, 1); c.x(2)
+    full = np.asarray(c.state())
+    rw = np.asarray(qu.reduced_wavefunction(full, [2], [1]))
+    np.testing.assert_allclose(rw, full.reshape(4, 2)[:, 1], atol=1e-6)
+    rw0 = np.asarray(qu.reduced_wavefunction(full, [0], [0]))
+    np.testing.assert_allclose(rw0, full.reshape(2, 4)[0], atol=1e-6)
+
+
+def test_ps2coo_core_vs_dense():
+    for l in ([1, 3], [2, 0, 1], [3, 3]):
+        idx, vals = qu.ps2coo_core(l)
+        size = 2 ** len(l)
+        dense = np.zeros([size, size], dtype=np.complex128)
+        dense[idx[:, 0], idx[:, 1]] = vals
+        np.testing.assert_allclose(dense, np.asarray(qu.PauliString2Dense(l)), atol=1e-6)
+
+
+def test_op2tensor_decorator():
+    @qu.op2tensor
+    def tr(x):
+        return np.trace(x)
+
+    qop = qu.QuOperator.from_tensor(np.eye(2) * 2)
+    assert abs(tr(qop) - 4.0) < 1e-6
+    assert abs(tr(np.eye(3)) - 3.0) < 1e-6

@@ -71,3 +71,31 @@ def test_entropy_shadow():
     # subsystem qubit 0 is maximally mixed: purity 0.5 -> renyi2 = ln 2
     s2 = float(shadows.renyi_entropy_2(snaps, strings, sub=[0]))
     np.testing.assert_allclose(s2, np.log(2), atol=0.3)
+
+
+def test_global_shadow_state_variants_agree():
+    n, ns, repeat = 3, 400, 4
+    c = tc.Circuit(n)
+    c.h(0); c.cx(0, 1); c.rx(2, theta=0.7)
+    psi = c.state()
+    rng = np.random.default_rng(7)
+    ps = rng.integers(0, 3, size=(ns, n)).astype(np.int32)
+    status = rng.random((ns, repeat))
+    snaps = shadows.shadow_snapshots(psi, ps, status)
+    g0 = np.asarray(shadows.global_shadow_state(snaps, ps))
+    g1 = np.asarray(shadows.global_shadow_state1(snaps, ps))
+    g2 = np.asarray(shadows.global_shadow_state2(snaps, ps))
+    np.testing.assert_allclose(g0, g1, atol=1e-5)
+    np.testing.assert_allclose(g0, g2, atol=1e-5)
+    # subsystem slicing matches reduced density matrix statistically
+    s1 = np.asarray(shadows.global_shadow_state1(snaps, ps, sub=[0, 1]))
+    s2 = np.asarray(shadows.global_shadow_state2(snaps, ps, sub=[0, 1]))
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+    rho = np.asarray(tc.quantum.reduced_density_matrix(psi, [2]))
+    assert np.abs(s1 - rho).max() < 0.25
+
+
+def test_slice_sub_shape():
+    x = np.zeros([5, 2, 4, 2, 2])
+    y = shadows.slice_sub(x, [1, 3])
+    assert y.shape == (5, 2, 2, 2, 2)

@@ -106,3 +106,17 @@ def test_cost_analysis_and_params_ckpt(tmp_path):
     experimental.save_params(path, params)
     restored = experimental.load_params(path)
     np.testing.assert_allclose(np.asarray(restored["w"]), np.ones(3))
+
+
+def test_utils_predicates_and_counts_reverse():
+    from tensorcircuit_ng_tpu.utils import is_sequence, is_number, gpu_memory_share
+    from tensorcircuit_ng_tpu.results.counts import reverse_count
+    from tensorcircuit_ng_tpu import asciiart
+
+    assert is_sequence([1]) and is_sequence((1,)) and not is_sequence("ab")
+    assert is_number(1) and is_number(np.float32(2.0)) and not is_number([1])
+    gpu_memory_share(True)
+    assert reverse_count({"01": 10, "10": 20}) == {"10": 10, "01": 20}
+    asciiart.set_ascii(conf={"greet": "hello"})
+    assert asciiart.get_message("greet") == "hello"
+    assert isinstance(str(asciiart.lucky(seed=1)), str)

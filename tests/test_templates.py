@@ -139,3 +139,25 @@ def test_hea_ansatz_runs():
     c = ansatz.hea_ansatz(np.zeros((3, 2, 4)), 4, 2)
     psi = np.asarray(c.state())
     assert abs(psi[0]) > 0.99
+
+
+def test_grid2d_entangling_and_get_ps():
+    from tensorcircuit_ng_tpu.templates.graphs import Grid2DCoord
+    from tensorcircuit_ng_tpu.templates.blocks import Grid2D_entangling
+    from tensorcircuit_ng_tpu.templates.conversions import get_ps
+
+    coord = Grid2DCoord(2, 2)
+    c = tc.Circuit(4)
+    zz = np.kron(np.diag([1.0, -1.0]), np.diag([1.0, -1.0]))
+    nedges = len(coord.all_rows()) + len(coord.all_cols())
+    Grid2D_entangling(c, coord, zz, jnp.ones(nedges) * 0.3)
+    s = np.asarray(c.state())
+    # diagonal generator on |0000>: pure phase, amplitude stays on |0000>
+    assert abs(abs(s[0]) - 1.0) < 1e-6
+    assert abs(s[0] - np.exp(-1j * 0.3 * nedges)) < 1e-5
+
+    class FakeQO:
+        terms = {((0, "X"), (2, "Z")): 0.5, ((1, "Y"),): -1.0}
+
+    ps, w = get_ps(FakeQO(), 3)
+    assert ps.tolist() == [[1, 0, 3], [0, 2, 0]] and w.tolist() == [0.5, -1.0]

@@ -30,7 +30,42 @@ from .abstractcircuit import AbstractCircuit
 
 Tensor = Any
 
-__all__ = ["MPSCircuit"]
+__all__ = ["MPSCircuit", "split_tensor"]
+
+
+def split_tensor(
+    tensor: Tensor,
+    center_left: bool = True,
+    split: Optional[Dict[str, Any]] = None,
+) -> Tuple[Tensor, Tensor]:
+    """Split a matrix by truncated SVD (if split rules given) or QR/RQ.
+
+    Reference ``mpscircuit.py:35``; the orthogonality center lands on the
+    left or right factor per ``center_left``.
+    """
+    split = split or {}
+    use_svd = any(
+        split.get(k) not in (None, 0, 0.0, False)
+        for k in ("max_singular_values", "max_truncation_err")
+    )
+    tensor = jnp.asarray(tensor)
+    if use_svd:
+        msv = split.get("max_singular_values")
+        if msv is None:
+            msv = min(tensor.shape)
+        u, s, vh, _ = _linalg.truncated_svd(
+            tensor,
+            max_singular_values=msv,
+            max_truncation_err=split.get("max_truncation_err", 0.0) or 0.0,
+            relative=split.get("relative", False),
+        )
+        if center_left:
+            return u * s.astype(u.dtype)[None, :], vh
+        return u, s.astype(vh.dtype)[:, None] * vh
+    if center_left:
+        r, q = _linalg.adaware_rq(tensor)
+        return r, q
+    return _linalg.adaware_qr(tensor)
 
 
 def _truncate_to(m, cap, rules):
@@ -385,7 +420,7 @@ class MPSCircuit(AbstractCircuit):
             w = jnp.asarray(w).astype(self._tensors[q].dtype)
             a = self._tensors[q]
             # w: (l, o, i, r); a: (bl, i, br) -> (l*bl, o, r*br)
-            new = jnp.einsum("loir,bic->lbocr", w, a)
+            new = jnp.einsum("loir,bic->lborc", w, a)
             l, b, o, r, c2 = new.shape
             self._tensors[q] = jnp.reshape(new, (l * b, o, r * c2))
         self._center = index[0]
@@ -660,3 +695,193 @@ class MPSCircuit(AbstractCircuit):
         return qu.QuVector.from_tensor(
             jnp.reshape(self.wavefunction(), (self._d,) * self._nqubits)
         )
+
+    # ------------------------------------------------------------------
+    # reference-parity methods (mpscircuit.py:209-1160)
+    # ------------------------------------------------------------------
+
+    def apply_single_gate(self, gate: Union[Gate, Tensor], index: int) -> None:
+        """Apply a one-site gate without QIR recording (reference helper)."""
+        g = gate.tensor if isinstance(gate, Gate) else gate
+        self._apply_single(g, int(index) % self._nqubits)
+
+    def get_tensors(self) -> List[Tensor]:
+        """Site tensors (l, p, r) list (reference ``mpscircuit.py:209``)."""
+        return list(self._tensors)
+
+    def get_center_position(self) -> Optional[int]:
+        """Current orthogonality center (reference ``mpscircuit.py:218``)."""
+        return self._center
+
+    def get_norm(self) -> Tensor:
+        """Norm of the state (reference ``mpscircuit.py:883``)."""
+        return self.norm()
+
+    def conj(self) -> "MPSCircuit":
+        """Conjugated copy (reference ``mpscircuit.py:872``)."""
+        c = self.copy()
+        c._tensors = [jnp.conj(t) for t in c._tensors]
+        return c
+
+    def copy_without_tensor(self) -> "MPSCircuit":
+        """Copy of the circuit shell (rules, QIR) without state tensors (ref :836)."""
+        c = MPSCircuit(**self._copy_params())
+        c._qir = [dict(i) for i in self._qir]
+        return c
+
+    def is_valid(self) -> bool:
+        """Shape-consistency check of the MPS chain (reference ``mpscircuit.py:746``)."""
+        if len(self._tensors) != self._nqubits:
+            return False
+        for t in self._tensors:
+            if len(t.shape) != 3:
+                return False
+        for i in range(self._nqubits - 1):
+            if self._tensors[i].shape[-1] != self._tensors[i + 1].shape[0]:
+                return False
+        return True
+
+    def mid_measurement(self, index: int, keep: int = 0) -> None:
+        """Z-basis post-selection; output unnormalized (reference ``mpscircuit.py:726``)."""
+        proj = np.zeros((self._d, self._d))
+        proj[keep, keep] = 1.0
+        self.apply_single_gate(jnp.asarray(proj, dtype=self._tensors[index].dtype), index)
+
+    def slice(self, begin: int, end: int) -> "MPSCircuit":
+        """Sub-MPS over qubits [begin, end] inclusive (reference ``mpscircuit.py:941``)."""
+        nq = end - begin + 1
+        tensors = [self._tensors[i] for i in range(begin, end + 1)]
+        center = None
+        if begin <= self._center <= end:
+            center = self._center - begin
+        return MPSCircuit(
+            nq,
+            tensors=tensors,
+            dim=self._d,
+            split=dict(self.split),
+            center_position=center,
+        )
+
+    @classmethod
+    def reduce_tensor_dimension(
+        cls,
+        tensor_left: Tensor,
+        tensor_right: Tensor,
+        center_left: bool = True,
+        split: Optional[Dict[str, Any]] = None,
+    ) -> Tuple[Tensor, Tensor]:
+        """Truncate the shared bond of two site tensors by SVD (reference :481)."""
+        ni, di = tensor_left.shape[0], tensor_left.shape[1]
+        dk, nk = tensor_right.shape[1], tensor_right.shape[2]
+        theta = jnp.einsum("iaj,jbk->iabk", tensor_left, tensor_right)
+        theta = jnp.reshape(theta, (ni * di, dk * nk))
+        left, right = split_tensor(theta, center_left=center_left, split=split)
+        return jnp.reshape(left, (ni, di, -1)), jnp.reshape(right, (-1, dk, nk))
+
+    def reduce_dimension(
+        self,
+        index_left: int,
+        center_left: bool = True,
+        split: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        """Truncate the bond between sites index_left, index_left+1 (reference :504)."""
+        if split is None:
+            split = self.split
+        if self._center not in (index_left, index_left + 1):
+            self.position(index_left)
+        tl, tr = self._tensors[index_left], self._tensors[index_left + 1]
+        ntl, ntr = self.reduce_tensor_dimension(tl, tr, center_left=center_left, split=split)
+        self._tensors[index_left] = ntl
+        self._tensors[index_left + 1] = ntr
+        self._center = index_left if center_left else index_left + 1
+
+    def gate_to_MPO(self, gate: Union[Gate, Tensor], *index: int) -> Tuple[List[Tensor], int]:
+        """Dense gate on (possibly gapped) ordered sites -> MPO tensors.
+
+        Returns (tensors, index_left); gap sites get identity MPO tensors
+        (reference ``mpscircuit.py:386-453``).  Tensor layout (l, out, in, r)
+        matching :meth:`apply_mpo`.
+        """
+        if not index:
+            raise ValueError("`index` must contain at least one site.")
+        if not all(index[i] < index[i + 1] for i in range(len(index) - 1)):
+            raise ValueError("`index` must be strictly increasing.")
+        g = gate.tensor if isinstance(gate, Gate) else gate
+        k = len(index)
+        core = self.gate_to_mpo(g, k)  # contiguous factorization
+        index_left = int(index[0])
+        rel = [int(q) - index_left for q in index]
+        tensors: List[Tensor] = []
+        prev = None
+        d = self._d
+        for pos, w in zip(rel, core):
+            if prev is not None:
+                for _gap in range(prev + 1, pos):
+                    bond = tensors[-1].shape[-1]
+                    eye = jnp.reshape(
+                        jnp.eye(bond * d, dtype=tensors[-1].dtype),
+                        (bond, d, bond, d),
+                    )
+                    # (l, out, r, in) -> (l, out, in, r)
+                    tensors.append(jnp.transpose(eye, (0, 1, 3, 2)))
+            tensors.append(w)
+            prev = pos
+        return tensors, index_left
+
+    @classmethod
+    def MPO_to_gate(cls, tensors: Sequence[Tensor]) -> Gate:
+        """Contract MPO tensors (l, out, in, r) back into a dense gate (ref :454)."""
+        out = None
+        for w in tensors:
+            w = jnp.asarray(w)
+            if out is None:
+                out = w
+            else:
+                # out: (1, o..., i..., b); w: (b, o, i, r)
+                out = jnp.einsum("...b,boir->...oir", out, w)
+        # axes now (1, o1, i1, o2, i2, ..., 1): separate outs and ins
+        k = (out.ndim - 2) // 2
+        out = out[0, ..., 0]
+        perm = list(range(0, 2 * k, 2)) + list(range(1, 2 * k, 2))
+        return Gate(jnp.transpose(out, perm))
+
+    def apply_MPO(
+        self,
+        tensors: Sequence[Tensor],
+        index_left: int,
+        center_left: bool = True,
+        split: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        """Apply an MPO starting at ``index_left`` (reference ``mpscircuit.py:537``)."""
+        self.apply_mpo(tensors, *range(index_left, index_left + len(tensors)))
+
+    def reduced_density_matrix(
+        self,
+        subsystem_to_keep: Sequence[int],
+    ) -> Tensor:
+        """ρ_A over kept qubits, index order as given (reference ``mpscircuit.py:1117``).
+
+        NOTE (reference warning preserved): this argument names sites to
+        KEEP, opposite to ``quantum.reduced_density_matrix``.
+        """
+        keep = list(subsystem_to_keep)
+        # transfer contraction: env over bond pairs, opening physical legs
+        # only at kept sites. env: (bond_ket, bond_bra, open...) flattened.
+        env = jnp.ones((1, 1), dtype=self._tensors[0].dtype)
+        open_dims: List[int] = []
+        for q in range(self._nqubits):
+            t = self._tensors[q]
+            if q in keep:
+                # env_{ab, o...} t_{a p c} conj(t)_{b p' d} -> env'_{cd, o..., p, p'}
+                env = jnp.einsum("ab...,apc,bqd->cd...pq", env, t, jnp.conj(t))
+                open_dims.append(t.shape[1])
+            else:
+                env = jnp.einsum("ab...,apc,bpd->cd...", env, t, jnp.conj(t))
+        rho = jnp.reshape(env, tuple(d for d in open_dims for _ in (0, 1)))
+        # axes: (p1, p1', p2, p2', ...) in chain order; reorder to keep order
+        order_chain = sorted(keep)
+        pos = {q: i for i, q in enumerate(order_chain)}
+        perm = [2 * pos[q] for q in keep] + [2 * pos[q] + 1 for q in keep]
+        rho = jnp.transpose(rho, perm)
+        dim = int(np.prod(open_dims))
+        return jnp.reshape(rho, (dim, dim))

@@ -211,3 +211,89 @@ def test_mps_compress():
     psi_after = np.asarray(m.wavefunction())
     overlap = abs(np.vdot(psi_before, psi_after)) / (np.linalg.norm(psi_before) * np.linalg.norm(psi_after))
     assert overlap > 0.5
+
+
+# ---------------- round-1 parity batch: reference MPS API ----------------
+
+
+def _build5(c):
+    n = 5
+    for i in range(n):
+        c.h(i)
+    for i in range(n - 1):
+        c.cx(i, i + 1)
+    for i in range(n):
+        c.rz(i, theta=0.3 * i + 0.1)
+    c.cx(0, 4)
+    return c
+
+
+def test_mps_parity_methods():
+    from tensorcircuit_ng_tpu.models.mpscircuit import MPSCircuit, split_tensor
+    from tensorcircuit_ng_tpu import quantum as qu
+
+    n = 5
+    mps = _build5(MPSCircuit(n))
+    dense = _build5(tc.Circuit(n))
+    psi_m = np.asarray(mps.wavefunction())
+    psi_d = np.asarray(dense.state())
+    assert mps.is_valid()
+    assert mps.get_center_position() == mps._center
+    np.testing.assert_allclose(float(mps.get_norm()), 1.0, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mps.conj().wavefunction()), psi_m.conj(), atol=1e-6
+    )
+    shell = mps.copy_without_tensor()
+    assert shell._nqubits == n and len(shell._qir) == len(mps._qir)
+    # mid_measurement: unnormalized post-selection
+    mm = mps.copy()
+    mm.mid_measurement(2, keep=1)
+    want = psi_d.reshape(4, 2, 4).copy()
+    want[:, 0, :] = 0
+    np.testing.assert_allclose(np.asarray(mm.wavefunction()), want.reshape(-1), atol=1e-6)
+    # slice keeps a valid sub-chain
+    sl = mps.slice(1, 3)
+    assert sl._nqubits == 3 and sl.is_valid()
+    # reduced_density_matrix (keep-convention, order-sensitive)
+    rho = np.asarray(mps.reduced_density_matrix([1, 3]))
+    rho_want = np.asarray(qu.reduced_density_matrix(psi_d, [0, 2, 4]))
+    np.testing.assert_allclose(rho, rho_want, atol=1e-6)
+    rho2 = np.asarray(mps.reduced_density_matrix([3, 1]))
+    np.testing.assert_allclose(
+        rho2, rho_want.reshape(2, 2, 2, 2).transpose(1, 0, 3, 2).reshape(4, 4), atol=1e-6
+    )
+    # split_tensor: QR and SVD paths reconstruct
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(6, 4))
+    for kw in ({}, {"split": {"max_singular_values": 4}}, {"split": {"max_truncation_err": 1e-12}}):
+        for cl in (True, False):
+            l, r = split_tensor(a, center_left=cl, **kw)
+            np.testing.assert_allclose(np.asarray(l @ r), a, atol=1e-5, rtol=1e-4)
+
+
+def test_mps_mpo_roundtrip_and_apply():
+    from tensorcircuit_ng_tpu.models.mpscircuit import MPSCircuit
+
+    n = 5
+    rng = np.random.default_rng(0)
+    qm, _ = np.linalg.qr(rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4)))
+    mps = _build5(MPSCircuit(n))
+    # gapped MPO factorization and exact inversion
+    mpo, il = mps.gate_to_MPO(qm.reshape(2, 2, 2, 2), 1, 3)
+    assert il == 1 and len(mpo) == 3
+    back = np.asarray(MPSCircuit.MPO_to_gate(mpo).tensor).reshape(8, 8)
+    gi = np.einsum("acbd,ef->aecbfd", qm.reshape(2, 2, 2, 2), np.eye(2)).reshape(8, 8)
+    np.testing.assert_allclose(back, gi, atol=1e-6)
+    # apply_MPO == dense application (regression for the lborc bond-order bug)
+    m2 = mps.copy()
+    m2.apply_MPO(mpo, 1)
+    d2 = _build5(tc.Circuit(n))
+    d2.any(1, 3, unitary=qm)
+    np.testing.assert_allclose(
+        np.asarray(m2.wavefunction()), np.asarray(d2.state()), atol=1e-6
+    )
+    # reduce_dimension at tiny truncation leaves the state intact
+    m3 = mps.copy()
+    m3.position(2)
+    m3.reduce_dimension(2, split={"max_truncation_err": 1e-12})
+    np.testing.assert_allclose(np.asarray(m3.wavefunction()), np.asarray(mps.wavefunction()), atol=1e-6)

@@ -154,3 +154,13 @@ def gf2_rank(m: Tensor) -> int:
     from ..core.tableau import _gf2_rank
 
     return _gf2_rank(np.asarray(m).astype(np.uint8))
+
+
+def evaluate(compiled: Any, params: Any) -> Any:
+    """Evaluate a compiled scalar graph on a parameter batch.
+
+    Reference ``zx/evaluator.py evaluate``: params rows are (f-bits…,
+    outcome bits…, 1); returns the probability/amplitude per row.  Our
+    compiled graphs are dense-engine closures (see ``zx/scalar_graph.py``).
+    """
+    return compiled.eval(params)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 import tensorcircuit_ng_tpu as tc
@@ -141,3 +142,174 @@ def test_identity_removal_xor_hadamard():
     assert remove_identities(g) == 1
     m = np.asarray(g.to_matrix())
     np.testing.assert_allclose(m, np.eye(2), atol=1e-6)
+
+
+# ============ round-1 parity batch: noise model / stabilizer-T ============
+
+
+def test_xor_convolve_vs_bruteforce():
+    from tensorcircuit_ng_tpu.zx import noise_model as nm
+
+    rng = np.random.default_rng(0)
+    for k in (1, 2, 3):
+        a = rng.random(2**k); a /= a.sum()
+        b = rng.random(2**k); b /= b.sum()
+        brute = np.zeros(2**k)
+        for i in range(2**k):
+            for j in range(2**k):
+                brute[i ^ j] += a[i] * b[j]
+        np.testing.assert_allclose(nm.xor_convolve(a, b), brute, atol=1e-12)
+
+
+def test_channel_simplification_and_sampler():
+    from tensorcircuit_ng_tpu.zx import noise_model as nm
+
+    # two channels feeding the same f-column merge into one effective channel
+    transform = np.array([[1, 1]])
+    s = nm.ChannelSampler([nm.error_probs(0.1), nm.error_probs(0.2)], transform, seed=42)
+    assert len(s.channels) == 1 and s.num_f_params == 1
+    p_eff = 0.1 * 0.8 + 0.9 * 0.2
+    np.testing.assert_allclose(s.channels[0].probs, [1 - p_eff, p_eff], atol=1e-12)
+    samp = s.sample(100000)
+    assert abs(samp.mean() - p_eff) < 5e-3
+    out, _ = s.sample_jax(100000, jax.random.key(0))
+    assert abs(np.asarray(out, dtype=np.float64).mean() - p_eff) < 5e-3
+    # null column marginalized away
+    s2 = nm.ChannelSampler([nm.error_probs(0.3), nm.error_probs(0.9)], np.array([[1, 0]]), seed=1)
+    assert len(s2.channels) == 1
+    # subset absorption
+    big = nm.Channel(nm.pauli_channel_1_probs(0.05, 0.02, 0.03), (0, 1))
+    small = nm.Channel(nm.error_probs(0.1), (0,))
+    merged = nm.absorb_subset_channels(nm.normalize_channels([big, small]))
+    assert len(merged) == 1
+    want = nm.xor_convolve(
+        nm.pauli_channel_1_probs(0.05, 0.02, 0.03),
+        nm.expand_channel(nm.Channel(nm.error_probs(0.1), (0,)), (0, 1)).probs,
+    )
+    np.testing.assert_allclose(merged[0].probs, want, atol=1e-12)
+
+
+def test_find_basis_gf2():
+    from tensorcircuit_ng_tpu.zx.utils import find_basis
+
+    vecs = np.array(
+        [[1, 0, 1], [0, 1, 1], [1, 1, 0], [0, 0, 0], [1, 0, 1]], dtype=np.uint8
+    )
+    basis, transform = find_basis(vecs)
+    assert basis.shape[0] == 2
+    np.testing.assert_array_equal((transform @ basis) % 2, vecs)
+
+
+def test_connected_components_zxgraph():
+    from tensorcircuit_ng_tpu.zx import circuit_to_zx, connected_components
+
+    c = tc.Circuit(4)
+    c.h(0); c.cx(0, 1)
+    c.h(2); c.cx(2, 3)
+    g = circuit_to_zx(c)
+    comps = connected_components(g)
+    assert len(comps) == 2
+    sizes = sorted(len(comp.graph.spiders) for comp in comps)
+    assert sizes[0] > 0 and sum(sizes) == len(g.spiders)
+
+
+def test_find_stab_decompositions():
+    from tensorcircuit_ng_tpu.zx.scalar_graph import find_stab, find_stab_u3
+
+    t_mat = np.diag([1.0, np.exp(0.25j * np.pi)])
+    terms = find_stab(1)
+    acc = sum(c * ops[0] for c, ops in terms)
+    np.testing.assert_allclose(acc, t_mat, atol=1e-12)
+    # u3 decomposition reconstructs the unitary
+    theta, phi, lam = 0.7, 0.3, -0.4
+    terms3 = find_stab_u3(theta, phi, lam)
+    acc3 = sum(c * m for c, m in terms3)
+    rz = lambda a: np.diag([np.exp(-0.5j * a), np.exp(0.5j * a)])
+    ry = lambda a: np.array(
+        [[np.cos(a / 2), -np.sin(a / 2)], [np.sin(a / 2), np.cos(a / 2)]]
+    )
+    np.testing.assert_allclose(acc3, rz(phi) @ ry(theta) @ rz(lam), atol=1e-10)
+
+
+def test_stabilizer_t_bell_and_tgate():
+    from tensorcircuit_ng_tpu.zx import StabilizerTCircuit
+
+    c = StabilizerTCircuit(2, seed=7)
+    c.h(0); c.cx(0, 1)
+    c.measure_instruction(0); c.measure_instruction(1)
+    s = np.asarray(c.sample_measurements(3000))
+    assert (s[:, 0] == s[:, 1]).all()
+    assert abs(s[:, 0].mean() - 0.5) < 0.05
+    # non-Clifford: T-gate interference statistics
+    c2 = StabilizerTCircuit(1, seed=3)
+    c2.h(0); c2.t(0); c2.h(0)
+    c2.measure_instruction(0)
+    p1 = np.asarray(c2.sample_measurements(20000)).mean()
+    exact = abs((1 - np.exp(1j * np.pi / 4)) / 2) ** 2
+    assert abs(p1 - exact) < 0.015
+    # outcome_probability is exact per noise realization
+    p = np.asarray(c2.outcome_probability(np.array([1.0]), shots=3))
+    np.testing.assert_allclose(p, exact, atol=1e-5)
+    # amplitude of the unitary part
+    c3 = StabilizerTCircuit(2)
+    c3.h(0); c3.cx(0, 1)
+    assert abs(complex(np.asarray(c3.amplitude("11"))) - 1 / np.sqrt(2)) < 1e-6
+
+
+def test_stabilizer_t_noise_and_detectors():
+    from tensorcircuit_ng_tpu.zx import StabilizerTCircuit
+
+    c = StabilizerTCircuit(3, seed=11)
+    c.x_error(1, p=0.2)
+    c.cx(0, 2)
+    c.measure_instruction(0); c.measure_instruction(1); c.measure_instruction(2)
+    c.detector_instruction(-2)
+    c.detector_instruction(-1, -3)
+    det = np.asarray(c.sample_detectors(20000))
+    assert abs(det[:, 0].mean() - 0.2) < 0.02
+    assert det[:, 1].mean() < 0.01
+    # noisy expectation decays by the depolarizing factor
+    c6 = StabilizerTCircuit(1, seed=9)
+    c6.h(0)
+    c6.depolarizing(0, 0.1, 0.1, 0.1)
+    e2 = float(np.asarray(c6.expectation_ps(x=[0], shots=8000)))
+    assert abs(e2 - 0.6) < 0.05
+
+
+def test_stabilizer_t_from_stim_str():
+    from tensorcircuit_ng_tpu.zx import StabilizerTCircuit
+
+    stim_text = """
+R 0 1 2
+X_ERROR(0.1) 0
+CX 0 1
+M 1
+DETECTOR rec[-1]
+M 0 2
+"""
+    c = StabilizerTCircuit.from_stim_str(stim_text)
+    det = np.asarray(c.sample_detectors(20000, seed=1))
+    assert abs(det[:, 0].mean() - 0.1) < 0.02
+
+
+def test_stabilizer_t_from_circuit_and_vs_dense():
+    from tensorcircuit_ng_tpu.zx import StabilizerTCircuit
+
+    base = tc.Circuit(3)
+    base.h(0); base.cx(0, 1); base.rz(2, theta=0.5); base.cx(1, 2); base.t(0)
+    st = StabilizerTCircuit.from_circuit(base)
+    for bits in ("000", "110", "111"):
+        a1 = complex(np.asarray(st.amplitude(bits)))
+        a2 = complex(np.asarray(base.amplitude(bits)))
+        assert abs(a1 - a2) < 1e-5
+
+
+def test_build_amplitude_graph_scalar():
+    from tensorcircuit_ng_tpu.zx import build_amplitude_graph
+
+    c = tc.Circuit(2)
+    c.h(0); c.cx(0, 1); c.t(0)
+    g = build_amplitude_graph(c, "11")
+    val = complex(np.asarray(g.scalar()))
+    want = complex(np.asarray(c.amplitude("11")))
+    assert abs(val - want) < 1e-5

@@ -126,6 +126,64 @@ class AnalogCircuit:
         c = Circuit(self._nqubits, inputs=self.state())
         return c.amplitude(l)
 
+    # ------------------------------------------------------------------
+    # reference-parity methods (analogcircuit.py:40-496)
+    # ------------------------------------------------------------------
+
+    def current_digital_circuit(self) -> Circuit:
+        """The digital segment gates are currently appended to."""
+        return self.digital_circuits[-1]
+
+    def set_solver_options(self, **solver_options: Any) -> None:
+        """Default ODE solver options applied to subsequent analog blocks."""
+        self._solver_defaults = dict(solver_options)
+        for blk in self.analog_blocks:
+            merged = dict(solver_options)
+            merged.update(blk.solver_options)
+            blk.solver_options = merged
+        self._state_cache = None
+
+    def append(self, other: Any) -> "AnalogCircuit":
+        """Append another circuit's gates to the current digital segment."""
+        self.digital_circuits[-1].append_from_qir(other.to_qir())
+        self._state_cache = None
+        return self
+
+    def effective_circuit(self) -> Circuit:
+        """A plain dense ``Circuit`` preparing the same output state.
+
+        Analog blocks are folded into the input state (reference ``:249``
+        region exposes the merged view for inspection/export).
+        """
+        return Circuit(self._nqubits, inputs=self.state())
+
+    def inverse(self) -> "AnalogCircuit":
+        """Inverse hybrid circuit: reversed segments, negated-time blocks."""
+        inv = AnalogCircuit(self._nqubits)
+        segs = [c.inverse() for c in self.digital_circuits[::-1]]
+        blocks = self.analog_blocks[::-1]
+        inv.digital_circuits = [segs[0]]
+        for blk, seg in zip(blocks, segs[1:]):
+            def neg_h(t, _hf=blk.hamiltonian_func, _t0=blk.t0, _t1=blk.t1):
+                # reverse-time evolution of H(t): evolve under -H(t1 - t)
+                return -_hf(_t1 - t + _t0 - _t0)
+
+            inv.analog_blocks.append(
+                AnalogBlock(neg_h, blk.t1 - blk.t0, blk.index, blk.solver_options)
+            )
+            inv.digital_circuits.append(seg)
+        return inv
+
+    def probability(self) -> Tensor:
+        c = Circuit(self._nqubits, inputs=self.state())
+        return c.probability()
+
+    def measure_jit(self, *index: int, **kws: Any) -> Any:
+        c = Circuit(self._nqubits, inputs=self.state())
+        return c.measure_jit(*index, **kws)
+
+    measure = measure_jit
+
     def __getattr__(self, name: str) -> Any:
         """Delegate gate calls to the current digital segment (reference ``:249``)."""
         if name.startswith("_"):

@@ -273,6 +273,159 @@ class Circuit(DetectorMixin, BaseCircuit):
         dmc.append_from_qir(self.to_qir())
         return dmc
 
+    # ------------------------------------------------------------------
+    # reference-parity methods (circuit.py:291-830)
+    # ------------------------------------------------------------------
+
+    def unitary_kraus2(
+        self,
+        kraus: Sequence[Any],
+        *index: int,
+        prob: Optional[Sequence[float]] = None,
+        status: Optional[Tensor] = None,
+        name: Optional[str] = None,
+    ) -> Tensor:
+        """``unitary_kraus`` variant selecting the branch via ``lax.switch``.
+
+        Reference ``circuit.py:349-404``; documented there as vmap-unsafe —
+        prefer :meth:`unitary_kraus` (the onehot-sum path).
+        """
+        mats = self._kraus_mats(kraus, index)
+        dim = mats[0].shape[0]
+        if prob is None:
+            probs, new_mats = [], []
+            for m in mats:
+                p_i = jnp.real(jnp.trace(jnp.conj(m.T) @ m)) / dim
+                probs.append(p_i)
+                new_mats.append(m / jnp.sqrt(p_i.astype(m.dtype) + 1e-30))
+            p = jnp.stack(probs)
+            mats = new_mats
+        else:
+            p = jnp.asarray(prob).astype(jnp.dtype(config.rdtypestr()))
+        p = p / jnp.sum(p)
+        if status is None:
+            status = K.implicit_randu([])
+        r = jnp.asarray(status).astype(p.dtype)
+        cdf = jnp.cumsum(p)
+        idx = jnp.clip(
+            jnp.searchsorted(cdf, r + 1e-12, side="left"), 0, len(mats) - 1
+        ).astype(jnp.int32)
+        stack = jnp.stack([jnp.asarray(m) for m in mats])
+        chosen = jax.lax.switch(idx, [lambda m=m: m for m in mats])
+        del stack
+        self.any(*index, unitary=chosen, name=name or "unitary_kraus2")  # type: ignore
+        return idx
+
+    def depolarizing_reference(
+        self,
+        index: int,
+        *,
+        px: float,
+        py: float,
+        pz: float,
+        status: Optional[Tensor] = None,
+    ) -> Tensor:
+        """Monte-Carlo depolarizing via the explicit sign trick.
+
+        Returns the branch lookup int [0: x, 1: y, 2: z, 3: I] (reference
+        ``circuit.py:291-348``); jit-safe.
+        """
+        if status is None:
+            status = K.implicit_randu([])
+        r = jnp.asarray(status).astype(jnp.dtype(config.rdtypestr()))
+        step = (
+            jnp.sign(r - px) + jnp.sign(r - px - py) + jnp.sign(r - px - py - pz)
+        )
+        which = jnp.asarray(step / 2 + 1.5, dtype=jnp.int32)
+        dt = jnp.dtype(config.dtypestr())
+        paulis = [
+            np.array([[0, 1], [1, 0]]),
+            np.array([[0, -1j], [1j, 0]]),
+            np.diag([1.0, -1.0]).astype(complex),
+            np.eye(2, dtype=complex),
+        ]
+        onehot = jax.nn.one_hot(which, 4, dtype=dt)
+        op = sum(onehot[i] * jnp.asarray(paulis[i], dtype=dt) for i in range(4))
+        self.any(index, unitary=op, name="depolarizing_reference")  # type: ignore
+        return which
+
+    def measure_reference(self, *index: int, with_prob: bool = False) -> Tuple[str, float]:
+        """Non-jittable reference measurement: base-d string + probability.
+
+        Reference ``circuit.py:771-830``; python RNG, for cross-checking
+        :meth:`measure_jit`.
+        """
+        alphabet = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        d = self._d
+        psi = np.asarray(jax.device_get(self.state()))
+        n = self._nqubits
+        probs_full = np.abs(psi.reshape((d,) * n)) ** 2
+        sample = ""
+        p_tot = 1.0
+        fixed: Dict[int, int] = {}
+        for j in index:
+            # marginalize: sum over all axes except j and fixed ones
+            sl = [slice(None)] * n
+            for q, v in fixed.items():
+                sl[q] = v
+            sub = probs_full[tuple(sl)]
+            axes = tuple(
+                k for k, q in enumerate(sorted(set(range(n)) - set(fixed)))
+                if q != j
+            )
+            pj = sub.sum(axis=axes)
+            pj = pj / pj.sum()
+            outcome = int(np.random.choice(d, p=pj))
+            sample += alphabet[outcome]
+            p_tot *= float(pj[outcome])
+            fixed[j] = outcome
+        if with_prob:
+            return sample, p_tot
+        return sample, -1.0
+
+    def is_valid(self) -> bool:
+        """Sanity check of the circuit state (reference ``circuit.py:685``)."""
+        try:
+            psi = np.asarray(jax.device_get(self.state()))
+            assert psi.size == self._d**self._nqubits
+            assert np.isfinite(psi).all()
+            return True
+        except Exception:
+            return False
+
+    def get_quoperator(self) -> Any:
+        """Circuit unitary as a lazy QuOperator (reference ``circuit.py:723``)."""
+        from .. import quantum as qu
+
+        m = self.matrix()
+        dims = (self._d,) * self._nqubits
+        return qu.QuOperator.from_tensor(
+            jnp.reshape(m, dims + dims)
+        )
+
+    quoperator = get_quoperator
+    get_circuit_as_quoperator = get_quoperator
+
+    def replace_mps_inputs(self, mps_inputs: Any) -> None:
+        """Replace the input state with (densified) MPS tensors.
+
+        Reference ``circuit.py:133-195``; the dense engine stores flat
+        states, so the MPS is contracted once (2D growth, TPU-safe).
+        """
+        self.replace_inputs(_mps_to_dense(mps_inputs))
+
+    @staticmethod
+    def apply_general_kraus_delayed(
+        kraus: Sequence[Any], name: Optional[str] = None
+    ) -> Callable[..., Any]:
+        """Return an unbound method applying a fixed Kraus set (reference
+        ``circuit.py:626-654``; used for channel-method registration)."""
+
+        def apply(self: "Circuit", *index: int, status: Optional[Tensor] = None, **kws: Any) -> Tensor:
+            return self.general_kraus(kraus, *index, status=status, name=name)
+
+        return apply
+
 
 Circuit._meta_apply_channels()
 

@@ -140,6 +140,42 @@ class DMCircuit(BaseCircuit):
         rho = self.densitymatrix()
         return jnp.real(jnp.trace(rho @ rho))
 
+    @staticmethod
+    def check_density_matrix(dm: Tensor) -> None:
+        """Raise unless trace(dm) ≈ 1 (reference ``densitymatrix.py:370``)."""
+        tr = complex(np.asarray(jax.device_get(jnp.trace(jnp.asarray(dm)))))
+        if not np.allclose(tr, 1.0, atol=1e-5):
+            raise ValueError(
+                f"input is not a valid density matrix: trace={tr} (expected 1.0)"
+            )
+
+    @staticmethod
+    def check_kraus(kraus: Sequence[Any]) -> bool:
+        """Completeness check Σ K†K = I (reference ``densitymatrix.py:195``)."""
+        from ..ops import channels as channels_mod
+
+        channels_mod.kraus_identity_check(kraus)
+        return True
+
+    def get_dm_as_quoperator(self) -> Any:
+        """Output ρ as a QuOperator (reference ``densitymatrix.py:320``)."""
+        from .. import quantum as qu
+
+        rho = self.densitymatrix()
+        dims = (self._d,) * self._nqubits
+        return qu.QuOperator.from_tensor(jnp.reshape(rho, dims + dims))
+
+    @staticmethod
+    def apply_general_kraus_delayed(
+        kraus: Sequence[Any], name: Optional[str] = None
+    ) -> Any:
+        """Unbound method applying a fixed Kraus set exactly (reference :246)."""
+
+        def apply(self: "DMCircuit", *index: int, **kws: Any) -> None:
+            self.apply_general_kraus(kraus, *index, name=name)
+
+        return apply
+
     def to_circuit(self) -> Any:
         """Pure-state circuit replaying the unitary part (reference ``:377``)."""
         from .circuit import Circuit

@@ -21,7 +21,7 @@ from .. import config
 
 Tensor = Any
 
-__all__ = ["PauliPropagationEngine", "pauli_propagation"]
+__all__ = ["PauliPropagationEngine", "SparsePauliPropagationEngine", "pauli_propagation"]
 
 _P = [
     np.eye(2, dtype=complex),
@@ -153,3 +153,130 @@ def pauli_propagation(
     eng = PauliPropagationEngine(circuit.nqubits, k)
     coeffs = eng.propagate(circuit.to_qir(), ps)
     return eng.expectation_zero_state(coeffs)
+
+
+# -- reference-parity helpers on the engine (pauliprop.py:30-540) --
+
+
+def _engine_string_to_code(self: "PauliPropagationEngine", ps: Sequence[int]) -> int:
+    """Index of a Pauli string in the truncated basis (SINK if weight > k)."""
+    key = tuple((i, int(v)) for i, v in enumerate(ps) if v)
+    return self.index.get(key, self.SINK)
+
+
+def _engine_get_initial_state(self: "PauliPropagationEngine", ps: Sequence[int]) -> Tensor:
+    """Coefficient vector for observable ``ps`` (reference name)."""
+    return self.observable_vector(ps)
+
+
+def _engine_get_ptm_1q(self: "PauliPropagationEngine", u: Any) -> Tensor:
+    """4x4 Pauli-transfer matrix of a 1q unitary (reference name)."""
+    return jnp.asarray(_ptm(np.asarray(u).reshape(2, 2), 1))
+
+
+def _engine_get_ptm_2q(self: "PauliPropagationEngine", u: Any) -> Tensor:
+    """16x16 Pauli-transfer matrix of a 2q unitary (reference name)."""
+    return jnp.asarray(_ptm(np.asarray(u).reshape(4, 4), 2))
+
+
+def _engine_expectation(self: "PauliPropagationEngine", circuit: Any, ps: Sequence[int]) -> Tensor:
+    """⟨0|C† P C|0⟩ through this engine (reference ``expectation``)."""
+    coeffs = self.propagate(circuit.to_qir(), ps)
+    return self.expectation_zero_state(coeffs)
+
+
+def _engine_compute_expectation_scan(
+    self: "PauliPropagationEngine", qirs: Sequence[Sequence[Dict[str, Any]]], ps: Sequence[int]
+) -> Tensor:
+    """Expectations after each successive layer (reference scan variant).
+
+    ``qirs`` is a list of QIR segments (layers); returns the ⟨0|P(t)|0⟩
+    trajectory as the observable propagates through them (backwards order).
+    """
+    coeffs = self.observable_vector(ps)
+    out = [self.expectation_zero_state(coeffs)]
+    for seg in reversed(list(qirs)):
+        for item in reversed(list(seg)):
+            g = item["gate"]
+            tensor = g.tensor if hasattr(g, "tensor") else g
+            coeffs = self.apply_gate(coeffs, np.asarray(tensor), item["index"])
+        out.append(self.expectation_zero_state(coeffs))
+    return jnp.stack(out)
+
+
+PauliPropagationEngine.string_to_code = _engine_string_to_code
+PauliPropagationEngine.get_initial_state = _engine_get_initial_state
+PauliPropagationEngine.get_ptm_1q = _engine_get_ptm_1q
+PauliPropagationEngine.get_ptm_2q = _engine_get_ptm_2q
+PauliPropagationEngine.expectation = _engine_expectation
+PauliPropagationEngine.compute_expectation_scan = _engine_compute_expectation_scan
+
+
+class SparsePauliPropagationEngine:
+    """Dict-of-coefficients Pauli propagation with coefficient truncation.
+
+    Reference ``pauliprop.py`` sparse engine: instead of the dense
+    C(n,≤k)·3^k basis vector, only nonzero strings are tracked (host-side
+    dict), with optional magnitude truncation ``atol`` and locality cap
+    ``k``.  Suited to large n with few contributing strings; the dense
+    engine above is the jit/TPU path.
+    """
+
+    def __init__(self, n: int, k: Optional[int] = None, atol: float = 1e-12):
+        self.n = n
+        self.k = k if k is not None else n
+        self.atol = atol
+
+    def observable_dict(self, ps: Sequence[int]) -> Dict[Tuple[Tuple[int, int], ...], complex]:
+        key = tuple((i, int(v)) for i, v in enumerate(ps) if v)
+        return {key: 1.0}
+
+    def apply_gate(
+        self,
+        coeffs: Dict[Tuple[Tuple[int, int], ...], complex],
+        u: Any,
+        wires: Sequence[int],
+    ) -> Dict[Tuple[Tuple[int, int], ...], complex]:
+        wires = tuple(int(w) for w in wires)
+        m = len(wires)
+        r = _ptm(np.asarray(u).reshape(2**m, 2**m), m)  # [out, in]
+        wire_set = set(wires)
+        new: Dict[Tuple[Tuple[int, int], ...], complex] = {}
+        for key, c in coeffs.items():
+            on = {s: v for s, v in key if s in wire_set}
+            rest = tuple((s, v) for s, v in key if s not in wire_set)
+            code = 0
+            for w in wires:
+                code = code * 4 + on.get(w, 0)
+            col = r[:, code]
+            for new_code in np.flatnonzero(np.abs(col) > self.atol):
+                digits = []
+                cc = int(new_code)
+                for _ in range(m):
+                    digits.append(cc % 4)
+                    cc //= 4
+                digits.reverse()
+                terms = list(rest)
+                for w, dgt in zip(wires, digits):
+                    if dgt:
+                        terms.append((w, dgt))
+                nkey = tuple(sorted(terms))
+                if len(nkey) > self.k:
+                    continue  # locality truncation
+                val = new.get(nkey, 0.0) + c * col[new_code]
+                new[nkey] = val
+        return {kk: vv for kk, vv in new.items() if abs(vv) > self.atol}
+
+    def propagate(self, qir: Sequence[Dict[str, Any]], ps: Sequence[int]) -> Dict[Any, complex]:
+        coeffs = self.observable_dict(ps)
+        for item in reversed(list(qir)):
+            g = item["gate"]
+            tensor = g.tensor if hasattr(g, "tensor") else g
+            coeffs = self.apply_gate(coeffs, np.asarray(tensor), item["index"])
+        return coeffs
+
+    def expectation_zero_state(self, coeffs: Dict[Any, complex]) -> complex:
+        return sum(c for key, c in coeffs.items() if all(v == 3 for _, v in key))
+
+    def expectation(self, circuit: Any, ps: Sequence[int]) -> complex:
+        return self.expectation_zero_state(self.propagate(circuit.to_qir(), ps))

@@ -90,6 +90,28 @@ class QuditCircuit(BaseCircuit):
         diag = jnp.exp(-1j * theta_t * jnp.asarray(np.diagonal(gen), dtype=theta_t.dtype))
         self.any(*index, unitary=jnp.diag(diag), name="rzz")
 
+    @property
+    def nqudits(self) -> int:
+        """Number of qudits (reference ``quditcircuit.py`` naming)."""
+        return self._nqubits
+
+    def rxx(self, *index: int, theta: Any = 0, j1: int = 0, k1: int = 1, j2: int = 0, k2: int = 1) -> None:
+        """Two-qudit XX-type rotation on the (j,k) two-level subspaces.
+
+        Reference ``quditcircuit.py rxx``: exp(-i θ σx^{(j1,k1)} ⊗ σx^{(j2,k2)}).
+        """
+        import numpy as _np
+        import jax.numpy as _jnp
+        import jax.scipy.linalg as _jsl
+
+        d = self._d
+        sx1 = _np.zeros((d, d)); sx1[j1, k1] = sx1[k1, j1] = 1.0
+        sx2 = _np.zeros((d, d)); sx2[j2, k2] = sx2[k2, j2] = 1.0
+        gen = _np.kron(sx1, sx2)
+        theta_t = _jnp.asarray(theta).astype(_jnp.dtype(config.dtypestr()))
+        u = _jsl.expm(-1j * theta_t * _jnp.asarray(gen, dtype=theta_t.dtype if _jnp.iscomplexobj(theta_t) else None))
+        self.any(*index, unitary=u, name="rxx")
+
     # expectation of qudit operators uses `expectation` from BaseCircuit with
     # matrices; Pauli-string sugar is qubit-specific and not defined for d>2.
     def expectation_ps(self, *args: Any, **kws: Any) -> Tensor:

@@ -18,6 +18,9 @@ from ..core.tableau import Tableau
 from ..core.native_tableau import make_tableau, native_tableau_available, NativeTableau
 from .abstractcircuit import AbstractCircuit
 
+#: gate-word name -> Tableau method (x/y/z are *_gate on the tableau)
+_TABLEAU_OPS = {"x": "x_gate", "y": "y_gate", "z": "z_gate", "cx": "cnot"}
+
 Tensor = Any
 
 __all__ = ["StabilizerCircuit"]
@@ -313,6 +316,77 @@ class StabilizerCircuit(AbstractCircuit):
 
     def current_tableau(self) -> Tableau:
         return self._tab
+
+    def current_simulator(self) -> Tableau:
+        """The live tableau engine (reference ``stabilizercircuit.py:382``:
+        stim.TableauSimulator; here our CHP tableau plays that role)."""
+        return self._tab
+
+    def current_circuit(self) -> str:
+        """stim-format program text of the recorded gates (reference :388
+        returns a stim.Circuit; the text loads into stim directly)."""
+        from ..translation import tc2stim
+
+        return tc2stim(self)
+
+    def current_inverse_tableau(self) -> Tableau:
+        """Tableau reached by replaying the inverse circuit on |0…0⟩.
+
+        Reference ``stabilizercircuit.py:400`` returns the inverse *map*
+        tableau from stim; our tableau tracks states, so the closest
+        equivalent is the state of the inverted program (documented
+        deviation).
+        """
+        inv = self.inverse()
+        return inv.get_tableau()
+
+    def cond_measure_many(self, *index: int) -> Any:
+        """Measure several qubits in Z basis, collapsing in place (ref :211)."""
+        outs = [self.cond_measurement(q) for q in index]
+        return np.asarray(outs, dtype=np.int32)
+
+    def random_gate(self, *index: int, recorded: bool = False) -> None:
+        """Apply a random Clifford on ``index`` (not recorded in QIR).
+
+        Reference ``stabilizercircuit.py:125`` uses ``stim.Tableau.random``
+        (uniform over the Clifford group); here the gate is a long random
+        word in {H, S, CX} on the chosen qubits — full-support but not
+        exactly Haar-on-Clifford (documented deviation).
+        """
+        rng = np.random.default_rng()
+        m = len(index)
+        ops: List[Tuple[str, Tuple[int, ...]]] = []
+        for _ in range(20 * m + 12):
+            choice = rng.integers(0, 3 if m > 1 else 2)
+            if choice == 0:
+                ops.append(("h", (int(rng.integers(m)),)))
+            elif choice == 1:
+                ops.append(("s", (int(rng.integers(m)),)))
+            else:
+                a, b = rng.choice(m, size=2, replace=False)
+                ops.append(("cnot", (int(a), int(b))))
+        self.tableau_gate(*index, tableau=ops, recorded=recorded)
+
+    def tableau_gate(self, *index: int, tableau: Any, recorded: bool = False) -> None:
+        """Apply a Clifford given as a gate word to ``index`` (not in QIR).
+
+        ``tableau`` is a sequence of ``(name, local_indices)`` pairs over the
+        local qubits 0..len(index)-1 (reference :141 takes a stim.Tableau;
+        the gate-word form is the portable equivalent without stim).
+        """
+        for name, local in tableau:
+            target = tuple(index[i] for i in local)
+            getattr(self._tab, _TABLEAU_OPS.get(name, name))(*target)
+        if recorded:
+            for name, local in tableau:
+                self._qir.append(
+                    {
+                        "name": name,
+                        "index": tuple(index[i] for i in local),
+                        "gatef": None,
+                        "untracked": True,
+                    }
+                )
 
     # ------------------------------------------------------------------
     # QEC program instructions (stim-style): lazy noise + measurement +

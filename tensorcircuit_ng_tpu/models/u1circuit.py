@@ -261,6 +261,94 @@ class U1Circuit(AbstractCircuit):
         c._qir = [dict(i) for i in self._qir]
         return c
 
+    # ------------------------------------------------------------------
+    # reference-parity readout (u1circuit.py:502-1100)
+    # ------------------------------------------------------------------
+
+    def expectation_z(self, i: int) -> Tensor:
+        """⟨Z_i⟩ from bit masks, no dense embedding (reference ``:502``)."""
+        p = jnp.real(jnp.conj(self._state) * self._state)
+        zv = 1.0 - 2.0 * jnp.asarray(self._bit(i), dtype=p.dtype)
+        return jnp.sum(p * zv)
+
+    def expectation_pss(self, ps_list: Sequence[Any], coefficients: Any) -> Tensor:
+        """Σ_j c_j ⟨P_j⟩ over the sector state (reference ``u1circuit.py:1036``)."""
+        coefficients = jnp.asarray(coefficients)
+        acc = None
+        for j, ps in enumerate(ps_list):
+            if isinstance(ps, dict):
+                x, y, z = ps.get("x"), ps.get("y"), ps.get("z")
+            else:
+                x = [q for q, v in enumerate(ps) if v == 1]
+                y = [q for q, v in enumerate(ps) if v == 2]
+                z = [q for q, v in enumerate(ps) if v == 3]
+            term = coefficients[j] * self.expectation_ps(x=x, y=y, z=z).astype(
+                coefficients.dtype
+            )
+            acc = term if acc is None else acc + term
+        return acc
+
+    def probability_full(self) -> Tensor:
+        """Probability vector over the full 2^n basis (reference ``:675``)."""
+        dense = self.to_dense()
+        return jnp.real(jnp.conj(dense) * dense)
+
+    def measure(
+        self,
+        *index: int,
+        with_prob: bool = False,
+        status: Optional[Tensor] = None,
+    ) -> Tuple[Tensor, Any]:
+        """Sample the register once, return the bits at ``index`` (ref :763)."""
+        from ..backend import backend as K
+        from .. import quantum as qu
+
+        p = self.probability()
+        p = p / jnp.sum(p)
+        idx = K.probability_sample(1, p, status=status)
+        full_idx = jnp.asarray(self.basis)[idx]
+        bits = qu.sample_int2bin(full_idx, self._nqubits)[0]
+        sel = bits[jnp.asarray([int(q) for q in index])]
+        if with_prob:
+            return sel, p[idx[0]]
+        return sel, -1.0
+
+    measure_jit = measure
+
+    def reduced_density_matrix(
+        self,
+        subsystem_to_keep: Optional[Sequence[int]] = None,
+        subsystem_to_traceout: Optional[Sequence[int]] = None,
+        return_blocks: bool = False,
+    ) -> Any:
+        """ρ_A over kept qubits; optionally the charge-sector blocks.
+
+        Reference ``u1circuit.py:873``: a number-conserving state's ρ_A is
+        block-diagonal in the subsystem charge k_A; ``return_blocks`` returns
+        the list of (k_A-sector) blocks instead of the embedded matrix.
+        """
+        from .. import quantum as qu
+
+        n = self._nqubits
+        if subsystem_to_keep is None and subsystem_to_traceout is None:
+            raise ValueError("specify one of subsystem_to_keep / subsystem_to_traceout")
+        if subsystem_to_keep is not None:
+            keep = list(subsystem_to_keep)
+            traceout = [q for q in range(n) if q not in set(keep)]
+        else:
+            traceout = list(subsystem_to_traceout)
+            keep = [q for q in range(n) if q not in set(traceout)]
+        rho = qu.reduced_density_matrix(self.to_dense(), traceout)
+        if not return_blocks:
+            return rho
+        # split into charge sectors of the kept register
+        m = len(keep)
+        blocks = []
+        for ka in range(m + 1):
+            inds = qu.u1_inds(m, ka).astype(np.int32)
+            blocks.append(rho[np.ix_(inds, inds)])
+        return blocks
+
     def sample(
         self,
         batch: Optional[int] = None,

@@ -101,6 +101,18 @@ class NoiseConf:
         return out
 
 
+    def channel_count(self, c: Any) -> int:
+        """Total stochastic channels a noisy run of ``c`` contains (ref :127)."""
+        count = 0
+        for item in c.to_qir():
+            for ks in self.channels_for(item):
+                nsite = int(round(np.log2(np.asarray(
+                    ks[0].matrix() if hasattr(ks[0], "matrix") else ks[0]
+                ).shape[-1])))
+                count += 1 if nsite == len(item["index"]) else len(item["index"])
+        return count
+
+
 def channel_count(c: Any, noise_conf: Optional[NoiseConf] = None) -> int:
     """Number of stochastic channels a noisy run of ``c`` will contain."""
     if noise_conf is None:
@@ -114,6 +126,41 @@ def channel_count(c: Any, noise_conf: Optional[NoiseConf] = None) -> int:
             # one status scalar per site the channel acts on
             cnt += 1
     return cnt
+
+
+def apply_qir_with_noise(
+    c: Any,
+    qir: List[Dict[str, Any]],
+    noise_conf: NoiseConf,
+    status: Optional[Tensor] = None,
+) -> Any:
+    """Replay ``qir`` onto circuit ``c`` inserting configured channels.
+
+    Reference ``noisemodel.py:144``; ``status`` drives Monte-Carlo branch
+    selection for pure-state circuits (exact application on DMCircuit).
+    """
+    from .models.circuit import Circuit
+
+    is_mc = isinstance(c, Circuit) and not getattr(c, "is_dm", False)
+    k = 0
+    for item in qir:
+        c._apply_qir_item(item)
+        for ks in noise_conf.channels_for(item):
+            index = item["index"]
+            first = ks[0].matrix() if hasattr(ks[0], "matrix") else np.asarray(ks[0])
+            nsite = int(round(np.log2(np.asarray(first).shape[-1])))
+            targets = [index] if nsite == len(index) else [(q,) for q in index]
+            for tgt in targets:
+                if is_mc:
+                    st = status[k] if status is not None else None
+                    if getattr(ks, "is_unitary", False):
+                        c.unitary_kraus(ks, *tgt, status=st)
+                    else:
+                        c.general_kraus(ks, *tgt, status=st)
+                    k += 1
+                else:
+                    c.apply_general_kraus(ks, *tgt)
+    return c
 
 
 def circuit_with_noise(

@@ -13,7 +13,15 @@ from typing import Any
 
 from .graph import ZXGraph
 
-__all__ = ["remove_identities", "color_change", "remove_self_loops", "simplify"]
+__all__ = [
+    "remove_identities",
+    "color_change",
+    "remove_self_loops",
+    "simplify",
+    "full_reduce",
+    "teleport_reduce",
+    "t_count",
+]
 
 _EPS = 1e-12
 
@@ -96,3 +104,47 @@ def simplify(g: ZXGraph, graph_like: bool = True) -> int:
         if not did:
             break
     return before - g.num_spiders()
+
+
+def full_reduce(g: ZXGraph, param_safe: bool = True) -> None:
+    """Full exact simplification to fixpoint (reference delegates to pyzx).
+
+    Our rewrite set: color-change to graph-like form, spider fusion,
+    identity and self-loop removal, iterated to fixpoint in place.
+    ``param_safe`` keeps parameterized spiders (``g.phase_vars``) unfused.
+    """
+    protected = set(getattr(g, "phase_vars", {}) or {})
+    if protected and param_safe:
+        # temporarily mark parameterized spiders as boundaries so no rewrite
+        # touches them, then restore their kinds
+        saved = {sid: g.spiders[sid].kind for sid in protected if sid in g.spiders}
+        for sid in saved:
+            g.spiders[sid].kind = "B"
+        simplify(g, graph_like=False)
+        for sid, kind in saved.items():
+            if sid in g.spiders:
+                g.spiders[sid].kind = kind
+    else:
+        simplify(g, graph_like=True)
+
+
+def teleport_reduce(g: ZXGraph) -> ZXGraph:
+    """Phase-teleporting reduction (reference: pyzx.teleport_reduce).
+
+    Exact-rewrite subset: simplification that preserves the circuit-like
+    structure (no color change), returning the same graph object.
+    """
+    simplify(g, graph_like=False)
+    return g
+
+
+def t_count(g: ZXGraph) -> int:
+    """Number of T-like spiders (phase an odd multiple of π/4), ref parity."""
+    count = 0
+    for s in g.spiders.values():
+        if s.kind == "B":
+            continue
+        frac = (s.phase / (math.pi / 4)) % 8
+        if abs(frac - round(frac)) < 1e-9 and int(round(frac)) % 2 == 1:
+            count += 1
+    return count

@@ -81,3 +81,490 @@ def DQAS_search(
             print(f"step {step}: mean loss {baseline:.6f}")
     best_ops = [int(np.argmax(np.asarray(alpha)[s])) for s in range(nslots)]
     return best_ops, params, history
+
+
+# ======================================================================
+# reference-parity DQAS infrastructure (applications/dqas.py:38-972)
+# ======================================================================
+
+import inspect as _inspect
+import sys as _sys
+from typing import Iterator
+
+_op_pool: Sequence[Any] = []
+
+
+def set_op_pool(l: Sequence[Any]) -> None:
+    """Set the global operator pool (reference ``dqas.py:38``)."""
+    global _op_pool
+    _op_pool = l
+
+
+def get_op_pool() -> Sequence[Any]:
+    """Get the global operator pool (reference ``dqas.py:44``)."""
+    return _op_pool
+
+
+def get_var(name: str) -> Any:
+    """Grab a local variable from the calling DQAS frame (reference :52)."""
+    return _inspect.stack()[2][0].f_locals[name]
+
+
+def verbose_output(max_prob: bool = True, weight: bool = True) -> None:
+    """Print per-layer max probability and active weights (reference :64)."""
+    if max_prob:
+        prob = get_var("prob")
+        print("max probability for each layer:")
+        print(np.max(np.asarray(prob), axis=1))
+    if weight:
+        nnp = get_var("nnp")
+        stp = get_var("stp")
+        print("associating weights:", np.asarray(get_weights(nnp, stp)))
+
+
+def preset_byprob(prob: Any) -> List[int]:
+    """Sample one op index per layer from the categorical rows (ref :86)."""
+    prob = np.asarray(prob)
+    return [int(np.random.choice(prob.shape[1], p=prob[i] / prob[i].sum())) for i in range(prob.shape[0])]
+
+
+def get_preset(stp: Any) -> Any:
+    """argmax op per layer (reference :96)."""
+    return jnp.argmax(jnp.asarray(stp), axis=1)
+
+
+def get_weights(nnp: Any, stp: Any = None, preset: Optional[Sequence[int]] = None) -> Any:
+    """Per-layer weights selected by preset/argmax(stp) (reference :100)."""
+    nnp = jnp.asarray(nnp)
+    if preset is None:
+        preset = get_preset(stp)
+    preset = jnp.asarray(preset, dtype=jnp.int32)
+    return nnp[jnp.arange(nnp.shape[0]), preset]
+
+
+def get_weights_v2(nnp: Any, preset: Sequence[int]) -> Any:
+    """Multi-param-per-op variant (reference :118)."""
+    nnp = np.asarray(nnp)
+    if nnp.ndim == 3:
+        l = nnp.shape[-1]
+        w = np.empty((nnp.shape[0], l), dtype=nnp.dtype)
+        for i, j in enumerate(preset):
+            w[i, :] = nnp[i, j, :]
+        if l == 1:
+            w = w.reshape([nnp.shape[0]])
+        return jnp.asarray(w)
+    return get_weights(nnp, preset=list(preset))
+
+
+def parallel_kernel(
+    prob: Any,
+    gdata: Any,
+    nnp: Any,
+    kernel_func: Callable[[Any, Any, Sequence[int]], Tuple[Any, Any]],
+) -> Tuple[Any, Any, Any]:
+    """One batched-sample evaluation: (loss, gnnp, ∇lnP) (reference :133)."""
+    np.random.seed()  # per-worker reseed (reference note)
+    prob = np.asarray(prob)
+    p = prob.shape[0]
+    preset = preset_byprob(prob)
+    loss, gnnp = kernel_func(gdata, nnp, preset)
+    gs = -prob.copy()
+    for i, j in enumerate(preset):
+        gs[i, j] += 1.0
+    return loss, gnnp, jnp.asarray(gs, dtype=jnp.float32)
+
+
+def void_generator() -> Iterator[Any]:
+    while True:
+        yield None
+
+
+def single_generator(g: Any) -> Iterator[Any]:
+    while True:
+        yield g
+
+
+def history_loss() -> Any:
+    """Current baseline loss inside a DQAS loop (reference :175)."""
+    return np.asarray(get_var("avcost1"))
+
+
+def repr_op(element: Any) -> str:
+    """Readable operator name (reference :179)."""
+    if isinstance(element, str):
+        return element
+    if isinstance(element, (list, tuple)):
+        return str(tuple(repr_op(e) for e in element))
+    doc = getattr(element, "__doc__", None)
+    if doc:
+        return str(doc).splitlines()[0]
+    return repr(element)
+
+
+DQAS_search_simple = DQAS_search  # keep the compact API under its own name
+
+
+def _dqas_search_reference(
+    kernel_func: Callable[[Any, Any, Sequence[int]], Tuple[Any, Any]],
+    *,
+    g: Optional[Iterator[Any]] = None,
+    op_pool: Optional[Sequence[Any]] = None,
+    p: Optional[int] = None,
+    p_nnp: Optional[int] = None,
+    p_stp: Optional[int] = None,
+    batch: int = 300,
+    prethermal: int = 0,
+    epochs: int = 100,
+    parallel_num: int = 0,
+    verbose: bool = False,
+    verbose_func: Optional[Callable[[], None]] = None,
+    history_func: Optional[Callable[[], Any]] = None,
+    prob_clip: Optional[float] = None,
+    baseline_func: Optional[Callable[[Sequence[float]], float]] = None,
+    pertubation_func: Optional[Callable[[], Any]] = None,
+    nnp_initial_value: Optional[Any] = None,
+    stp_initial_value: Optional[Any] = None,
+    network_opt: Any = None,
+    structure_opt: Any = None,
+    prethermal_opt: Any = None,
+    prethermal_preset: Optional[Sequence[int]] = None,
+    stp_regularization: Optional[Callable[[Any, Any], Any]] = None,
+    nnp_regularization: Optional[Callable[[Any, Any], Any]] = None,
+) -> Tuple[Any, Any, Sequence[Any]]:
+    """Reference-signature DQAS entrypoint (``dqas.py:190``), JAX-native.
+
+    ``kernel_func(gdata, nnp, preset) -> (loss, grad_nnp)``; the structure
+    distribution updates by REINFORCE with the batch-mean baseline;
+    ``parallel_num`` is accepted for parity — batching replaces
+    multiprocessing on TPU (the reference itself notes vmap supersedes it).
+    """
+    import optax
+
+    if op_pool is None:
+        op_pool = get_op_pool()
+    c = len(op_pool)
+    set_op_pool(op_pool)
+    if g is None:
+        g = void_generator()
+    if network_opt is None:
+        network_opt = optax.adam(0.1)
+    if structure_opt is None:
+        structure_opt = optax.adam(0.1, b1=0.8, b2=0.99)
+    if prethermal_opt is None:
+        prethermal_opt = optax.adam(0.1)
+    if nnp_initial_value is None:
+        if p_nnp is None:
+            p_nnp = p
+        if p_nnp is None:
+            raise ValueError("Please give the shape information on nnp")
+        nnp_initial_value = np.random.uniform(size=[p_nnp, c])
+    if stp_initial_value is None:
+        if p_stp is None:
+            p_stp = p
+        if p_stp is None:
+            raise ValueError("Please give the shape information on stp")
+        stp_initial_value = np.zeros([p_stp, c])
+    if p is None:
+        p = stp_initial_value.shape[0]
+    if baseline_func is None:
+        baseline_func = np.mean
+    nnp = jnp.asarray(nnp_initial_value, dtype=jnp.float32)
+    stp = jnp.asarray(stp_initial_value, dtype=jnp.float32)
+    net_state = network_opt.init(nnp)
+    struct_state = structure_opt.init(stp)
+    pre_state = prethermal_opt.init(nnp)
+    history: List[Any] = []
+    avcost1 = 0.0
+
+    prob = jax.nn.softmax(stp, axis=-1)
+    for _, gdata in zip(range(prethermal), g):
+        preset = prethermal_preset or preset_byprob(prob)
+        _, gnnp = kernel_func(gdata, nnp, preset)
+        updates, pre_state = prethermal_opt.update(jnp.asarray(gnnp), pre_state, nnp)
+        nnp = optax.apply_updates(nnp, updates)
+
+    for epoch in range(epochs):
+        prob = jax.nn.softmax(stp, axis=-1)
+        if prob_clip is not None:
+            prob = jnp.clip(prob, (1 - prob_clip) / c, prob_clip)
+            prob = prob / jnp.sum(prob, axis=1, keepdims=True)
+        deri_stp, deri_nnp, costl = [], [], []
+        stp_pen = (
+            stp_regularization(stp, nnp) if stp_regularization is not None else 0.0
+        )
+        nnp_pen = (
+            nnp_regularization(stp, nnp) if nnp_regularization is not None else 0.0
+        )
+        for _, gdata in zip(range(batch), g):
+            loss, gnnp, gs = parallel_kernel(
+                prob,
+                gdata,
+                nnp + pertubation_func() if pertubation_func is not None else nnp,
+                kernel_func,
+            )
+            lossf = float(np.real(np.asarray(jax.device_get(loss))))
+            deri_stp.append((lossf - float(np.asarray(avcost1))) * np.asarray(gs))
+            deri_nnp.append(np.asarray(jax.device_get(gnnp)))
+            costl.append(lossf)
+        avcost1 = baseline_func(costl)
+        batched_gs = jnp.asarray(np.mean(deri_stp, axis=0), dtype=jnp.float32) + stp_pen
+        batched_gnnp = jnp.asarray(np.mean(deri_nnp, axis=0), dtype=jnp.float32) + nnp_pen
+        updates, net_state = network_opt.update(batched_gnnp, net_state, nnp)
+        nnp = optax.apply_updates(nnp, updates)
+        updates, struct_state = structure_opt.update(batched_gs, struct_state, stp)
+        stp = optax.apply_updates(stp, updates)
+        if verbose:  # pragma: no cover
+            print(f"epoch {epoch}: mean loss {np.mean(costl):.6f} baseline {avcost1:.6f}")
+            if verbose_func is not None:
+                verbose_func()
+        if history_func is not None:
+            history.append(history_func())
+        else:
+            history.append(float(np.mean(costl)))
+    return stp, nnp, history
+
+
+_DQAS_search_simple_impl = DQAS_search_simple
+
+
+def _dqas_dispatch(*args: Any, **kws: Any) -> Any:
+    """``DQAS_search``: reference kernel_func API, or the compact
+    (op_pool, nslots, loss_fn) form kept for backward compatibility."""
+    if "loss_fn" in kws or "nslots" in kws or (len(args) >= 3 and not callable(args[0])):
+        return _DQAS_search_simple_impl(*args, **kws)
+    return _dqas_search_reference(*args, **kws)
+
+
+DQAS_search = _dqas_dispatch  # type: ignore[assignment]
+
+
+def qaoa_simple_train(
+    preset: Sequence[int],
+    graph: Any,
+    vag_func: Optional[Any] = None,
+    epochs: int = 60,
+    batch: int = 1,
+    nnp_shape: Optional[Sequence[int]] = None,
+    nnp_initial_value: Optional[Any] = None,
+    opt: Any = None,
+    verbose: bool = False,
+) -> Tuple[Any, float]:
+    """Train circuit weights for a FIXED preset (reference ``dqas.py:454``)."""
+    import optax
+
+    from . import vags as _vags
+
+    if vag_func is None:
+        vag_func = _vags.qaoa_vag_energy
+    if hasattr(graph, "edges"):
+        gen = single_generator(graph)
+    elif isinstance(graph, (list, tuple)):
+        def _cyc() -> Iterator[Any]:
+            while True:
+                for gg in graph:
+                    yield gg
+
+        gen = _cyc()
+    else:
+        gen = graph
+    c = len(get_op_pool())
+    if nnp_initial_value is None:
+        shape = list(nnp_shape) if nnp_shape is not None else [len(preset), c]
+        nnp_initial_value = np.random.uniform(size=shape)
+    nnp = jnp.asarray(nnp_initial_value, dtype=jnp.float32)
+    if opt is None:
+        opt = optax.adam(0.05)
+    state = opt.init(nnp)
+    loss = 0.0
+    for _epoch in range(epochs):
+        grad = jnp.zeros_like(nnp)
+        lsum = 0.0
+        for _ in range(batch):
+            gdata = next(gen)
+            loss, gnnp = vag_func(gdata, nnp, preset)
+            grad = grad + jnp.asarray(gnnp) / batch
+            lsum += float(np.real(np.asarray(jax.device_get(loss)))) / batch
+        updates, state = opt.update(grad, state, nnp)
+        nnp = optax.apply_updates(nnp, updates)
+        if verbose and _epoch % 10 == 0:  # pragma: no cover
+            print(f"epoch {_epoch}: loss {lsum:.6f}")
+    return nnp, lsum
+
+
+def parallel_qaoa_train(
+    preset: Sequence[int],
+    g: Any,
+    vag_func: Any = None,
+    opt: Any = None,
+    epochs: int = 60,
+    tries: int = 16,
+    batch: int = 1,
+    cores: int = 0,
+    loc: float = 0.0,
+    scale: float = 0.2,
+    verbose: bool = False,
+) -> Sequence[Any]:
+    """Multi-restart training for a fixed preset (reference ``dqas.py:528``).
+
+    The reference farms tries over multiprocessing; here restarts run
+    sequentially (or could be vmapped by the caller) — TPU-friendly.
+    """
+    c = len(get_op_pool())
+    results = []
+    for t in range(tries):
+        init = np.random.normal(loc=loc, scale=scale, size=[len(preset), c])
+        nnp, loss = qaoa_simple_train(
+            preset, g, vag_func=vag_func, epochs=epochs, batch=batch,
+            nnp_initial_value=init, opt=opt, verbose=False,
+        )
+        results.append((nnp, loss))
+        if verbose:  # pragma: no cover
+            print(f"try {t}: loss {loss:.6f}")
+    return results
+
+
+def evaluate_everyone(
+    vag_func: Any,
+    gdata: Iterator[Any],
+    nnp: Any,
+    presets: Sequence[Sequence[int]],
+    batch: int = 1,
+) -> Sequence[Tuple[Any, float]]:
+    """Mean loss of each candidate preset (reference ``dqas.py:598``)."""
+    losses = []
+    nnp = jnp.asarray(nnp, dtype=jnp.float32)
+    for preset in presets:
+        loss = 0.0
+        for _, g in zip(range(batch), gdata):
+            loss += float(np.real(np.asarray(jax.device_get(vag_func(g, nnp, preset)[0]))))
+        losses.append((preset, loss / batch))
+    return losses
+
+
+# -- probabilistic-model (VAN/MADE) based DQAS (reference dqas.py:621-972) --
+
+
+def van_sample(prob_model: Any, batch_size: int, key: Optional[Any] = None) -> Tuple[Any, List[Any]]:
+    """Sample architectures + per-sample ∇lnP pytrees from a MADE model.
+
+    Reference ``dqas.py:621`` (TF GradientTape); here ``prob_model`` is a
+    dict ``{"model": flax MADE, "params": pytree}``; returns (samples,
+    [grad pytree per sample]).
+    """
+    model, params = prob_model["model"], prob_model["params"]
+    if key is None:
+        key = jax.random.key(np.random.randint(0, 2**31 - 1))
+    samples = model.apply(params, key, batch_size, method=model.sample)
+
+    def lnp_one(p: Any, x: Any) -> Any:
+        return model.apply(p, x[None, :], method=model.log_prob)[0]
+
+    glnprob_list = [jax.grad(lnp_one)(params, samples[i]) for i in range(batch_size)]
+    return samples, glnprob_list
+
+
+def van_regularization(prob_model: Any, nnp: Any = None, lbd_w: float = 0.01, lbd_b: float = 0.01) -> Any:
+    """L2 regularization over the VAN's kernels/biases (reference :636)."""
+    params = prob_model["params"] if isinstance(prob_model, dict) else prob_model
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    reg = 0.0
+    for path, leaf in leaves:
+        name = str(path[-1]) if path else ""
+        lbd = lbd_b if "bias" in name else lbd_w
+        reg = reg + lbd * jnp.sum(jnp.asarray(leaf) ** 2)
+    return reg
+
+
+def micro_sample(
+    prob_model: Any,
+    batch_size: int,
+    repetitions: Optional[List[int]] = None,
+    key: Optional[Any] = None,
+) -> Tuple[Any, List[Any]]:
+    """van_sample with layer-repetition expansion (reference ``dqas.py:642``)."""
+    samples, glnprob_list = van_sample(prob_model, batch_size, key=key)
+    samples = np.asarray(jax.device_get(samples)).astype(np.int32)
+    if not repetitions:
+        return jnp.asarray(samples), glnprob_list
+    ns = np.empty(shape=[batch_size, len(repetitions)], dtype=np.int32)
+    for i, j in enumerate(repetitions):
+        ns[:, i] = samples[:, j]
+    return jnp.asarray(ns), glnprob_list
+
+
+def DQAS_search_pmb(
+    kernel_func: Callable[[Any, Any, Sequence[int]], Tuple[Any, Any]],
+    prob_model: Any,
+    *,
+    sample_func: Optional[Callable[..., Any]] = None,
+    g: Optional[Iterator[Any]] = None,
+    op_pool: Optional[Sequence[Any]] = None,
+    p_nnp: Optional[int] = None,
+    batch: int = 16,
+    epochs: int = 20,
+    verbose: bool = False,
+    nnp_initial_value: Optional[Any] = None,
+    network_opt: Any = None,
+    structure_opt: Any = None,
+    loss_func: Optional[Callable[[Any], Any]] = None,
+    loss_derivative_func: Optional[Callable[[Any], Any]] = None,
+    validate_period: int = 0,
+) -> Tuple[Any, Any, Sequence[Any]]:
+    """Probabilistic-model-based DQAS (reference ``dqas.py:666``).
+
+    The architecture distribution is an autoregressive model (MADE); its
+    parameters update by REINFORCE over sampled presets; circuit weights by
+    the kernel gradients.
+    """
+    import optax
+
+    if op_pool is None:
+        op_pool = get_op_pool()
+    c = len(op_pool)
+    set_op_pool(op_pool)
+    if g is None:
+        g = void_generator()
+    if sample_func is None:
+        sample_func = van_sample
+    if network_opt is None:
+        network_opt = optax.adam(0.1)
+    if structure_opt is None:
+        structure_opt = optax.adam(0.01)
+    model, mparams = prob_model["model"], prob_model["params"]
+    if nnp_initial_value is None:
+        if p_nnp is None:
+            p_nnp = model.n
+        nnp_initial_value = np.random.uniform(size=[p_nnp, c])
+    nnp = jnp.asarray(nnp_initial_value, dtype=jnp.float32)
+    net_state = network_opt.init(nnp)
+    struct_state = structure_opt.init(mparams)
+    history: List[Any] = []
+    for epoch in range(epochs):
+        samples, glnprob_list = sample_func(prob_model, batch)
+        samples_np = np.asarray(jax.device_get(samples)).astype(np.int32)
+        losses, gnnps = [], []
+        for b in range(batch):
+            gdata = next(g)
+            # binary MADE bits -> op index (c == 2) or modulo for small pools
+            preset = [int(x) % c for x in samples_np[b]]
+            loss, gnnp = kernel_func(gdata, nnp, preset)
+            losses.append(float(np.real(np.asarray(jax.device_get(loss)))))
+            gnnps.append(np.asarray(jax.device_get(gnnp)))
+        baseline = float(np.mean(losses))
+        # REINFORCE over the model parameters
+        gstruct = jax.tree_util.tree_map(jnp.zeros_like, mparams)
+        for b in range(batch):
+            adv = (losses[b] - baseline) / batch
+            gstruct = jax.tree_util.tree_map(
+                lambda acc, gl: acc + adv * gl, gstruct, glnprob_list[b]
+            )
+        updates, struct_state = structure_opt.update(gstruct, struct_state, mparams)
+        mparams = optax.apply_updates(mparams, updates)
+        prob_model["params"] = mparams
+        gnnp_mean = jnp.asarray(np.mean(gnnps, axis=0), dtype=jnp.float32)
+        updates, net_state = network_opt.update(gnnp_mean, net_state, nnp)
+        nnp = optax.apply_updates(nnp, updates)
+        history.append(baseline)
+        if verbose:  # pragma: no cover
+            print(f"epoch {epoch}: mean loss {baseline:.6f}")
+    return prob_model, nnp, history

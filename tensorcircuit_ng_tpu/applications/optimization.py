@@ -100,3 +100,135 @@ def QUBO_QAOA(
     best_bits = format(best_idx, f"0{n}b")
     e_best = float(np.asarray(energies)[best_idx])
     return params, e_best, best_bits
+
+
+# ======================================================================
+# reference-parity QUBO/CVaR API (applications/optimization.py:22-364)
+# ======================================================================
+
+import jax
+from functools import partial as _partial
+
+
+def Ising_loss(c: Any, pauli_terms: Any, weights: Sequence[float]) -> Any:
+    """Σ_k w_k ⟨Z...Z⟩ over 1- and 2-local Ising terms (reference :22)."""
+    loss = 0.0
+    for k, term in enumerate(pauli_terms):
+        ones = [l for l, v in enumerate(term) if v == 1]
+        if len(ones) == 1:
+            loss += weights[k] * c.expectation_ps(z=[ones[0]])
+        else:
+            loss += weights[k] * c.expectation_ps(z=ones[:2])
+    return jnp.real(loss)
+
+
+def QAOA_loss(
+    nlayers: int,
+    pauli_terms: Any,
+    weights: Sequence[float],
+    params: Any,
+    full_coupling: bool = False,
+    mixer: str = "X",
+) -> Any:
+    """Ising loss of the QAOA ansatz state (reference :57)."""
+    from ..templates.ansatz import QAOA_ansatz_for_Ising
+
+    c = QAOA_ansatz_for_Ising(
+        params, nlayers, pauli_terms, weights, mixer=mixer, full_coupling=full_coupling
+    )
+    return Ising_loss(c, pauli_terms, weights)
+
+
+def cvar_value(r: Any, p: Any, percent: float) -> Any:
+    """CVaR of outcomes ``r`` with probabilities ``p`` (reference :163).
+
+    Differentiable jnp implementation (sort + cumsum + mask).
+    """
+    r = jnp.asarray(r, dtype=jnp.float32)
+    p = jnp.asarray(p, dtype=jnp.float32)
+    order = jnp.argsort(r)
+    r_s = r[order]
+    p_s = p[order]
+    cum = jnp.cumsum(p_s)
+    mask = (cum < percent).astype(jnp.float32)
+    head = jnp.sum(mask * p_s * r_s)
+    last_idx = jnp.argmax((cum >= percent).astype(jnp.int32))
+    prev_cum = jnp.where(last_idx > 0, cum[last_idx - 1], 0.0)
+    tail = (percent - prev_cum) * r_s[last_idx]
+    return (head + tail) / percent
+
+
+def _qubo_values(Q: Any) -> Any:
+    """Cost x^T Q x of every binary assignment, shape [2^n] (helper)."""
+    Q = np.asarray(Q, dtype=np.float32)
+    n = Q.shape[0]
+    states = ((np.arange(2**n)[:, None] >> np.arange(n - 1, -1, -1)) & 1).astype(
+        np.float32
+    )
+    return jnp.asarray(np.einsum("si,ij,sj->s", states, Q, states))
+
+
+def cvar_from_circuit(circuit: Any, nsamples: int, Q: Any, alpha: float) -> Any:
+    """CVaR from sampled measurement outcomes (reference :197)."""
+    from .. import quantum as qu
+    from ..backend import backend as K
+
+    p = jnp.real(circuit.probability())
+    p = p / jnp.sum(p)
+    idx = K.probability_sample(nsamples, p)
+    values = _qubo_values(Q)
+    counts = jnp.zeros(p.shape[0]).at[idx].add(1.0)
+    probs = counts / nsamples
+    return cvar_value(values, probs, alpha)
+
+
+def cvar_from_expectation(circuit: Any, Q: Any, alpha: float) -> Any:
+    """CVaR from the exact outcome distribution (reference :244)."""
+    p = jnp.real(circuit.probability())
+    p = p / jnp.sum(p)
+    return cvar_value(_qubo_values(Q), p, alpha)
+
+
+def _cvar_loss_ref(
+    nlayers: int,
+    Q: Any,
+    nsamples: int,
+    alpha: float,
+    expectation_based: bool,
+    params: Any,
+) -> Any:
+    from ..templates.ansatz import QAOA_ansatz_for_Ising
+    from ..templates.conversions import QUBO_to_Ising
+
+    pauli_terms, weights, _ = QUBO_to_Ising(Q)
+    c = QAOA_ansatz_for_Ising(params, nlayers, pauli_terms, weights)
+    if expectation_based:
+        return cvar_from_expectation(c, Q, alpha)
+    return cvar_from_circuit(c, nsamples, Q, alpha)
+
+
+def QUBO_QAOA_cvar(
+    Q: Any,
+    nlayers: int,
+    alpha: float,
+    nsamples: int = 1000,
+    callback: Optional[Callable[..., None]] = None,
+    expectation_based: bool = False,
+    maxiter: int = 1000,
+    init_params: Optional[Any] = None,
+) -> Any:
+    """COBYLA optimization of the CVaR objective (reference :316)."""
+    import scipy.optimize as sopt
+
+    loss = _partial(_cvar_loss_ref, nlayers, Q, nsamples, alpha, expectation_based)
+
+    def f_np(x: Any) -> float:
+        return float(np.asarray(jax.device_get(loss(jnp.asarray(x, dtype=jnp.float32)))))
+
+    if init_params is None:
+        init_params = np.random.normal(scale=0.5, size=[2 * nlayers])
+    r = sopt.minimize(
+        f_np, np.asarray(init_params), method="COBYLA", callback=callback,
+        options={"maxiter": maxiter},
+    )
+    return r.x

@@ -221,3 +221,168 @@ def test_vqnhe_improves_on_plain_vqe():
     v2 = VQNHE(n, ham, model_type="rbm", ansatz="hn", units=6)
     best2, _, _ = v2.training(maxiter=60)
     assert best2 >= e_exact - 1e-4
+
+
+# ---------------- round-1 parity batch: applications surface ----------------
+
+
+def test_vags_qaoa_pipeline():
+    import networkx as nx
+    from tensorcircuit_ng_tpu.applications import dqas as dq, vags, layers as L
+
+    np.random.seed(0)
+    g = nx.Graph()
+    for a, b in [(0, 1), (1, 2), (0, 2)]:
+        g.add_edge(a, b, weight=1.0)
+    dq.set_op_pool([L.Hlayer, L.zzlayer, L.rxlayer])
+    preset = [0, 1, 2]
+    nnp = jnp.asarray(np.random.uniform(size=[3, 3]), dtype=jnp.float32)
+    loss, gmat = vags.qaoa_vag(g, nnp, preset)
+    assert np.asarray(gmat).shape == (3, 3)
+    theta, hist_e, _, _ = vags.qaoa_train(preset, g, epochs=15, verbose=False)
+    assert float(np.real(np.asarray(hist_e[-1]))) <= float(np.real(np.asarray(hist_e[0]))) + 1e-6
+    # maxcut measurement equals ave_func-based energy sign convention
+    c = tc.Circuit(3)
+    for i in range(3):
+        c.h(i)
+    v = float(np.real(np.asarray(vags.maxcut_measurements_tc(c, g))))
+    assert abs(v + 1.5) < 1e-5  # each edge contributes (0 - 1)/2
+
+
+def test_dqas_reference_search():
+    from tensorcircuit_ng_tpu.applications import dqas as dq
+
+    np.random.seed(1)
+
+    def kernel(gdata, nnp, preset):
+        def lossf(theta):
+            c = tc.Circuit(1)
+            for i, j in enumerate(preset):
+                if j == 0:
+                    c.rx(0, theta=theta[i, 0])
+            return 1.0 - jnp.real(c.probability()[1])
+
+        return jax.value_and_grad(lossf)(nnp)
+
+    stp, nnp, hist = dq.DQAS_search(kernel, op_pool=[0, 1], p=1, batch=8, epochs=12)
+    prob = np.asarray(jax.nn.softmax(stp, axis=-1))
+    assert prob[0, 0] > 0.5
+    assert dq.repr_op("rx") == "rx"
+    assert len(dq.preset_byprob(prob)) == 1
+    w = dq.get_weights(nnp, stp)
+    assert w.shape == (1,)
+
+
+def test_graphdata_parity():
+    from tensorcircuit_ng_tpu.applications import graphdata as gd
+
+    np.random.seed(0)
+    g = gd.get_graph("3C")
+    val, assign = gd.maxcut_solution_bruteforce(g)
+    assert val == 2.0
+    assert len(gd.reduce_edges(g, 1)) == 3
+    assert len(gd.reduced_ansatz(g, 2).edges) == 2
+    sp = gd.split_ansatz(g, 2)
+    assert len(sp[0].edges) + len(sp[1].edges) == 3
+    assert len(gd.graph1D(6).edges) == 6
+    assert len(gd.even1D(6).edges) == 3 and len(gd.odd1D(6).edges) == 3
+    assert len(gd.Grid2D(2, 3, pbc=False).edges) == 7
+    assert len(gd.Triangle2D(3, 3).edges) == 27
+    gq = gd.dress_graph_with_cirq_qubit(gd.graph1D(4))
+    from tensorcircuit_ng_tpu.applications.layers import generate_qubits
+
+    assert len(generate_qubits(gq)) == 4
+
+
+def test_optimization_cvar():
+    from tensorcircuit_ng_tpu.applications import optimization as opt
+    from tensorcircuit_ng_tpu.templates.conversions import QUBO_to_Ising
+    from tensorcircuit_ng_tpu.templates.ansatz import QAOA_ansatz_for_Ising
+
+    np.random.seed(0)
+    Q = np.array([[-1.0, 0.5], [0.5, -1.0]])
+    terms, w, off = QUBO_to_Ising(Q)
+    params = jnp.asarray(np.random.normal(size=4), dtype=jnp.float32)
+    assert abs(float(opt.QAOA_loss(2, terms, w, params)) - float(opt.Ising_loss(QAOA_ansatz_for_Ising(params, 2, terms, w), terms, w))) < 1e-6
+    r, p = [1.0, 2.0, 3.0], [0.2, 0.3, 0.5]
+    assert abs(float(opt.cvar_value(r, p, 1.0)) - 2.3) < 1e-5
+    assert abs(float(opt.cvar_value(r, p, 0.2)) - 1.0) < 1e-5
+    c = QAOA_ansatz_for_Ising(params, 2, terms, w)
+    ce = float(opt.cvar_from_expectation(c, Q, 0.3))
+    cc = float(opt.cvar_from_circuit(c, 4000, Q, 0.3))
+    assert abs(ce - cc) < 0.3
+    xs = opt.QUBO_QAOA_cvar(Q, 1, 0.5, expectation_based=True, maxiter=30)
+    assert xs.shape == (2,)
+
+
+def test_van_pixelcnn_nmf():
+    flax = pytest.importorskip("flax")
+    from tensorcircuit_ng_tpu.applications.van import PixelCNN, NMF
+
+    key = jax.random.key(0)
+    pc = PixelCNN(spin_channel=2, depth=2, filters=8)
+    x = jnp.zeros((3, 4, 4), dtype=jnp.int32)
+    params = pc.init(key, jax.nn.one_hot(x, 2, dtype=jnp.float32))
+    assert pc.apply(params, x, method=pc.log_prob).shape == (3,)
+    # autoregressive property: later pixels cannot influence earlier logits
+    x1 = x.at[:, 3, 3].set(1)
+    l0 = pc.apply(params, jax.nn.one_hot(x, 2, dtype=jnp.float32))
+    l1 = pc.apply(params, jax.nn.one_hot(x1, 2, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(l0[:, 2, 2]), np.asarray(l1[:, 2, 2]), atol=1e-6)
+    nmf = NMF(spin_channel=2, dimensions=(4,))
+    p2 = nmf.init(key, jnp.zeros((1, 4), dtype=jnp.int32))
+    import itertools
+
+    total = sum(
+        float(jnp.exp(nmf.apply(p2, jnp.asarray([cfg], dtype=jnp.int32), method=nmf.log_prob))[0])
+        for cfg in itertools.product([0, 1], repeat=4)
+    )
+    assert abs(total - 1.0) < 1e-5
+
+
+def test_vqnhe_reference_surface():
+    from tensorcircuit_ng_tpu.applications import vqes
+    import tempfile, os
+
+    v = vqes.VQNHE(3, [[1.0, 3, 3, 0], [-0.5, 1, 0, 0]], nlayers=1, units=8)
+    e_h, e_p = v.evaluation()
+    assert np.isfinite(e_h) and np.isfinite(e_p)
+    lin = vqes.Linear(4, 3)
+    p = lin.init(np.random.default_rng(0))
+    y = lin(p, np.ones([2, 3]))
+    assert y.shape == (2, 4) and np.iscomplexobj(np.asarray(y))
+    sch = vqes.JointSchedule(10, 1e-3, 1e-2)
+    assert abs(float(sch(5)) - 1e-3) < 1e-9 and abs(float(sch(20)) - 1e-2) < 1e-9
+    fn = tempfile.mktemp()
+    v.save(fn)
+    v2 = vqes.VQNHE(3, [[1.0, 3, 3, 0]], nlayers=1, units=8)
+    v2.recover(fn)
+    os.remove(fn)
+    np.testing.assert_allclose(
+        np.asarray(v2.circuit_params), np.asarray(v.circuit_params), atol=1e-7
+    )
+
+
+def test_layers_reference_generators():
+    import networkx as nx
+    from tensorcircuit_ng_tpu.applications import layers as L
+
+    g = nx.complete_graph(3)
+    c = tc.Circuit(2)
+    L.zzgate(c, 0, 1, 0.6)
+    c2 = tc.Circuit(2)
+    c2.rzz(0, 1, theta=0.3)
+    s1, s2 = np.asarray(c.state()), np.asarray(c2.state())
+    phase = s1[0] / s2[0]
+    np.testing.assert_allclose(s1, phase * s2, atol=1e-6)
+    c3 = tc.Circuit(3)
+    L.zzlayer(c3, 0.4, g)
+    L.anyrylayer(c3, np.ones(3) * 0.1)
+    L.Hlayer(c3)
+    L.rx_ry_block(c3, np.asarray([0.1, 0.2]), g)
+    L.anyswaplayer(c3, np.ones(3) * 0.05, g)
+    assert abs(np.linalg.norm(np.asarray(c3.state())) - 1) < 1e-5
+    dm = tc.DMCircuit(2)
+    L.zzlayer_bitflip(dm, 0.3, nx.complete_graph(2), 0.01, 0.01, 0.01)
+    L.bitfliplayer(dm, nx.complete_graph(2), 0.02, 0.0, 0.0)
+    assert abs(float(np.real(np.trace(np.asarray(dm.densitymatrix())))) - 1) < 1e-5

@@ -233,3 +233,40 @@ try:
     __all__ += ["MaskedLinear", "MaskedConv2D", "ResidualBlock", "PixelCNN", "NMF"]
 except ImportError:  # pragma: no cover
     MaskedLinear = MaskedConv2D = ResidualBlock = PixelCNN = NMF = None  # type: ignore
+
+
+# -- TF-era method aliases on the flax modules (reference surface) --
+
+def _l2_regularization(params: Any, lbd_w: float = 0.01, lbd_b: float = 0.01) -> Any:
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    reg = 0.0
+    for path, leaf in leaves:
+        name = str(path[-1]) if path else ""
+        lbd = lbd_b if "bias" in name else lbd_w
+        reg = reg + lbd * jnp.sum(jnp.asarray(leaf) ** 2)
+    return reg
+
+
+if MADE is not None:
+    def _made_call(self, x):
+        return self.__call__(x)
+
+    def _made_model(self):
+        """Self-reference for TF-era ``.model`` access (reference parity)."""
+        return self
+
+    def _made_regularization(self, params: Any = None, lbd_w: float = 0.01, lbd_b: float = 0.01) -> Any:
+        """L2 penalty over kernels/biases (reference ``regularization``)."""
+        if params is None:
+            raise ValueError("flax modules are functional: pass params explicitly")
+        return _l2_regularization(params, lbd_w, lbd_b)
+
+    MADE.call = _made_call
+    MADE.model = property(_made_model)
+    MADE.regularization = _made_regularization
+    MaskedDense.call = lambda self, x: self.__call__(x)
+    MaskedDense.regularization = _made_regularization
+    MaskedLinear = MaskedDense
+    for _cls in (MaskedConv2D, ResidualBlock, PixelCNN, NMF):
+        _cls.call = lambda self, x: self.__call__(x)
+    MaskedConv2D.build = lambda self, shape=None: None  # keras-era no-op

@@ -375,3 +375,6 @@ VQNHE.plain_evaluation = _vqnhe_plain_evaluation
 VQNHE.save = _vqnhe_save
 VQNHE.load = _vqnhe_load
 VQNHE.recover = _vqnhe_recover
+
+
+Linear.call = Linear.__call__  # TF-era alias

@@ -151,3 +151,20 @@ def list_tasks(**filters: Any) -> List[Task]:
 def remove_task(task: Union[str, Task]) -> None:
     t = get_task(task)
     _tasks.pop(t.id_, None)
+
+
+def b64encode_s(s: str) -> str:
+    """str -> base64 str (token storage codec, reference ``apis.py``)."""
+    return base64.b64encode(s.encode("utf-8")).decode("utf-8")
+
+
+def b64decode_s(s: str) -> str:
+    """base64 str -> str (reference ``apis.py``)."""
+    return base64.b64decode(s.encode("utf-8")).decode("utf-8")
+
+
+def list_properties(device: Union[str, Device, None] = None) -> Dict[str, Any]:
+    """Properties of a device (reference ``apis.list_properties``)."""
+    if device is None:
+        device = get_device()
+    return get_device_properties(device)

@@ -41,3 +41,15 @@ def submit_task(
     if not isinstance(circuit, (list, tuple)):
         return tasks[0]
     return tasks
+
+
+def get_task_details(task: Any, **kws: Any) -> Dict[str, Any]:
+    """Details of a locally-run task (reference provider contract)."""
+    return task.details() if hasattr(task, "details") else {"id": str(task)}
+
+
+def list_tasks(**filters: Any) -> List[Any]:
+    """Local provider keeps tasks in the apis registry (reference contract)."""
+    from . import apis
+
+    return list(apis._tasks.values())

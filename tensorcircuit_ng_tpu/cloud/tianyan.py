@@ -74,3 +74,28 @@ def submit_task(device: Device, circuit: Any = None, shots: int = 8192, **kws: A
         "tianyan submission requires network access (not available here); "
         "use qir2qcis for offline translation or the 'local' provider"
     )
+
+
+def list_properties(device: Device, **kws: Any) -> Dict[str, Any]:
+    """Alias of :func:`get_device_properties` (reference provider surface)."""
+    return get_device_properties(device)
+
+
+def resubmit_task(task: Any, **kws: Any) -> Any:
+    raise NotImplementedError(
+        "tianyan QCIS tasks cannot be resubmitted server-side; submit anew"
+    )
+
+
+def remove_task(task: Any, **kws: Any) -> None:
+    raise NotImplementedError("tianyan task removal requires the web console")
+
+
+def list_tasks(**filters: Any) -> List[Any]:
+    from . import apis
+
+    return [t for t in apis._tasks.values() if getattr(t.device, "provider", None) and t.device.provider.name == "tianyan"]
+
+
+def get_task_details(task: Any, **kws: Any) -> Dict[str, Any]:
+    return task.details() if hasattr(task, "details") else {"id": str(task)}

@@ -96,3 +96,42 @@ def batch_expectation_ps(
     if ws is not None:
         return float(np.sum(vals * np.asarray(ws)))
     return vals
+
+
+def sample_expectation_ps(
+    c: Any,
+    device: Union[str, Device, None] = None,
+    shots: int = 8192,
+    x: Optional[Sequence[int]] = None,
+    y: Optional[Sequence[int]] = None,
+    z: Optional[Sequence[int]] = None,
+    with_rem: bool = False,
+    **kws: Any,
+) -> float:
+    """Shot-based single Pauli-string expectation, local or device.
+
+    Reference ``cloud/wrapper.py sample_expectation_ps``; builds the
+    basis-rotated circuit and reduces the counts.
+    """
+    n = c._nqubits
+    ps = [0] * n
+    for q in x or ():
+        ps[q] = 1
+    for q in y or ():
+        ps[q] = 2
+    for q in z or ():
+        ps[q] = 3
+    if device is None:
+        return float(np.real(np.asarray(c.sample_expectation_ps(x=x, y=y, z=z, shots=shots))))
+    out = batch_expectation_ps(c, [ps], device=device, shots=shots, with_rem=with_rem)
+    return float(np.asarray(out)[0])
+
+
+def reduce_and_evaluate(counts: Sequence[Dict[str, int]], weights: Sequence[float]) -> float:
+    """Σ_i w_i ⟨Z-parity⟩_i from per-term counts (reference helper)."""
+    from ..results import counts as counts_mod
+
+    acc = 0.0
+    for cnt, w in zip(counts, weights):
+        acc += w * counts_mod.expectation(cnt, z=None)
+    return acc

@@ -68,3 +68,54 @@ def default_compile(
 ) -> Tuple[Any, Dict[str, Any]]:
     """One-call compile entry (reference ``default_compile``)."""
     return DefaultCompiler(compiled_options)(circuit, info)
+
+
+def qiskit_compile(
+    circuit: Any,
+    info: Optional[Dict[str, Any]] = None,
+    output: str = "tc",
+    compiled_options: Optional[Dict[str, Any]] = None,
+) -> Any:
+    """qiskit.transpile-backed compilation (reference ``qiskit_compiler.py:124``).
+
+    Requires qiskit; tracks the positional-logical mapping through transpile.
+    """
+    from qiskit.compiler import transpile  # type: ignore
+
+    from ..translation import get_qiskit_qasm
+
+    if hasattr(circuit, "to_qiskit"):
+        qc = circuit.to_qiskit()
+    else:
+        qc = circuit
+    options = compiled_options or {"optimization_level": 2}
+    compiled = transpile(qc, **options)
+    info = dict(info or {})
+    try:
+        layout = compiled.layout.final_index_layout()
+        info["logical_physical_mapping"] = {i: p for i, p in enumerate(layout)}
+    except Exception:
+        pass
+    if output == "qiskit":
+        return compiled, info
+    if output == "qasm":
+        return get_qiskit_qasm(compiled), info
+    from ..models.circuit import Circuit
+
+    return Circuit.from_openqasm(get_qiskit_qasm(compiled)), info
+
+
+def _compiler_add_options(self: Compiler, compiled_options: Optional[Any] = None) -> None:
+    """Reset per-stage options (reference ``composed_compiler.py:25``)."""
+    if compiled_options is None:
+        self.compiled_options = [{} for _ in self.compile_funcs]
+    elif isinstance(compiled_options, dict):
+        self.compiled_options = [dict(compiled_options) for _ in self.compile_funcs]
+    else:
+        assert len(compiled_options) == len(self.compile_funcs), (
+            "`compiled_options` must have the same list length as `compile_funcs`"
+        )
+        self.compiled_options = [dict(c or {}) for c in compiled_options]
+
+
+Compiler.add_options = _compiler_add_options

@@ -148,3 +148,85 @@ def simple_compile(
     if output == "qir":
         return qir
     return new_c, info or {}
+
+
+# ======================================================================
+# reference-parity pass names (compiler/simple_compiler.py:17-316)
+# ======================================================================
+
+
+def _qir_or_circuit(circuit: Any) -> Any:
+    if isinstance(circuit, list):
+        return list(circuit), "qir"
+    return list(circuit.to_qir()), "circuit"
+
+
+def _rebuild(circuit: Any, qir: List[Dict[str, Any]], output: str) -> Any:
+    if output == "qir":
+        return qir
+    c = type(circuit)(**circuit._copy_params())
+    c.append_from_qir(qir)
+    return c
+
+
+def replace_r(circuit: Any, **kws: Any) -> Any:
+    """Rewrite rx/ry into h/sd-conjugated rz (reference ``:17``).
+
+    rx(θ) = h rz(θ) h; ry(θ) = sd h rz(θ) h s — hardware-native Z rotations.
+    """
+    from ..ops import gates as gates_mod
+
+    qir, output = _qir_or_circuit(circuit)
+    out: List[Dict[str, Any]] = []
+
+    def emit(name: str, q: Any, theta: Optional[float] = None) -> None:
+        gatef = gates_mod.GATES[name]
+        g = gatef(theta=theta) if theta is not None else gatef()
+        item = {
+            "gatef": gatef,
+            "gate": g,
+            "index": q,
+            "name": name,
+            "split": None,
+            "mpo": False,
+        }
+        if theta is not None:
+            item["parameters"] = {"theta": theta}
+        out.append(item)
+
+    for item in qir:
+        name = (item.get("name") or "").lower()
+        if name in ("rx", "ry") and "parameters" in item:
+            theta = float(np.real(np.asarray(item["parameters"].get("theta", 0))))
+            q = item["index"]
+            if name == "rx":
+                emit("h", q)
+                emit("rz", q, theta)
+                emit("h", q)
+            else:
+                emit("sd", q)
+                emit("h", q)
+                emit("rz", q, theta)
+                emit("h", q)
+                emit("s", q)
+        else:
+            out.append(item)
+    return _rebuild(circuit, out, output)
+
+
+def replace_u(circuit: Any, **kws: Any) -> Any:
+    """u(θ,φ,λ) -> rz ry rz rewrite (reference ``:73``), circuit/qir in-out."""
+    qir, output = _qir_or_circuit(circuit)
+    return _rebuild(circuit, replace_u_pass(qir), output)
+
+
+def prune(circuit: Any, rtol: float = 1e-3, atol: float = 1e-3, **kws: Any) -> Any:
+    """Drop identity-like gates (reference ``:108``), circuit/qir in-out."""
+    qir, output = _qir_or_circuit(circuit)
+    return _rebuild(circuit, prune_pass(qir, atol=atol), output)
+
+
+def merge(circuit: Any, rules: Optional[Dict[Any, str]] = None, **kws: Any) -> Any:
+    """Merge adjacent rotation gates (reference ``:241``), circuit/qir in-out."""
+    qir, output = _qir_or_circuit(circuit)
+    return _rebuild(circuit, merge_pass(qir), output)

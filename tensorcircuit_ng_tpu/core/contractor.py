@@ -316,3 +316,199 @@ def sliced_contract_ir(
     init = jnp.zeros(out_shape, dtype=dtype)
     acc, _ = jax.lax.scan(body, init, (slice_ids, slice_weights))
     return acc
+
+
+# ======================================================================
+# reference-parity contraction API (cons.py:29-1314)
+# ======================================================================
+
+_SYMBOLS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def get_symbol(i: int) -> str:
+    """Deterministic einsum symbol for index i (reference ``cons.get_symbol``)."""
+    if i < len(_SYMBOLS):
+        return _SYMBOLS[i]
+    return chr(192 + i - len(_SYMBOLS))
+
+
+def sorted_edges(ir: EinsumIR) -> List[int]:
+    """Deterministic index ordering of an IR (reference ``sorted_edges``:
+    stable-id edge sort; our indices are already integers)."""
+    seen: List[int] = []
+    for inds in ir.inputs:
+        for ix in inds:
+            if ix not in seen:
+                seen.append(ix)
+    return seen
+
+
+def set_tensornetwork_backend(backend: Optional[str] = None, set_global: bool = True) -> Any:
+    """Reference compatibility: the engine is jax-only here (``cons.py:84``)."""
+    if backend not in (None, "jax"):
+        raise ValueError("this framework executes contractions on jax only")
+    return "jax"
+
+
+class NodesReturn(Exception):
+    """Raised by the "before" pseudo-contractor to hand back the uncontracted
+    network (reference ``cons.py:964``); carries the IR."""
+
+    def __init__(self, nodes: Any):
+        self.nodes = nodes
+        super().__init__("uncontracted network captured")
+
+
+def plain_contractor(ir: EinsumIR, output: Optional[Sequence[int]] = None) -> Any:
+    """Pairwise left-to-right contraction, no path search (reference :429)."""
+    return contract_ir(ir, optimizer=None)
+
+
+def experimental_contractor(
+    ir: EinsumIR, output: Optional[Sequence[int]] = None, local_steps: int = 2
+) -> Any:
+    """Greedy path with single-gate prefusion (reference ``cons.py:377``).
+
+    Our IR lowering already fuses single-qubit chains (statevec layer), so
+    this reduces to the greedy planned contraction.
+    """
+    return contract_ir(ir, optimizer="greedy")
+
+
+def custom(
+    ir: EinsumIR,
+    optimizer: Any = None,
+    output: Optional[Sequence[int]] = None,
+    **kws: Any,
+) -> Any:
+    """Contract with a user-supplied opt_einsum path optimizer (ref :1007)."""
+    return contract_ir(ir, optimizer=optimizer)
+
+
+def custom_stateful(
+    ir: EinsumIR,
+    optimizer_class: Any = None,
+    output: Optional[Sequence[int]] = None,
+    **opt_kws: Any,
+) -> Any:
+    """Contract with a stateful optimizer CLASS instantiated per call (ref :1053)."""
+    opt = optimizer_class(**opt_kws) if optimizer_class is not None else None
+    return contract_ir(ir, optimizer=opt)
+
+
+import opt_einsum as _oe
+
+
+class OMEOptimizer(_oe.paths.PathOptimizer):
+    """Simulated-annealing tree optimizer slot (reference ``cons.py:653``:
+    the Rust omeco TreeSA; here the native C++ TreeSA plays that role)."""
+
+    def __init__(self, **options: Any):
+        from .native import TreeSAOptimizer, treesa_available
+
+        # accept the reference's option names (sc_target/betas/ntrials map
+        # loosely onto iteration count / weighting)
+        n_iters = int(options.pop("niters", options.pop("steps", options.pop("n_iters", 2000))))
+        size_weight = float(options.pop("size_weight", 0.6))
+        seed = int(options.pop("seed", 42))
+        if treesa_available():
+            self._opt = TreeSAOptimizer(n_iters=n_iters, size_weight=size_weight, seed=seed)
+        else:  # pragma: no cover
+            self._opt = "greedy"
+
+    def __call__(self, inputs: Any, output: Any, size_dict: Any, *args: Any, **kws: Any) -> Any:
+        if callable(self._opt):
+            return self._opt(inputs, output, size_dict, *args, **kws)
+        import opt_einsum
+
+        return opt_einsum.paths.greedy(inputs, output, size_dict)
+
+
+def contraction_info_decorator(f: Any) -> Any:
+    """Wrap an IR-producing function to print cost info per call (ref :1084)."""
+    import functools
+
+    @functools.wraps(f)
+    def wrapper(*args: Any, **kws: Any) -> Any:
+        out = f(*args, **kws)
+        try:
+            info = contraction_info(out if isinstance(out, EinsumIR) else args[0])
+            print(
+                "------ contraction cost summary ------\n"
+                f"log10[FLOPs]: {info.get('log10_flops', 0):.3f}  "
+                f"log2[SIZE]: {info.get('log2_size', 0):.1f}  "
+                f"log2[WRITE]: {info.get('log2_write', 0):.1f}"
+            )
+        except Exception:  # pragma: no cover
+            pass
+        return out
+
+    return wrapper
+
+
+_CAPTURE = {"on": False, "store": None}
+
+
+def function_nodes_capture(f: Any) -> Any:
+    """Decorator: calls raise :class:`NodesReturn` with the built IR instead
+    of contracting (reference ``function_nodes_capture``)."""
+    import functools
+
+    @functools.wraps(f)
+    def wrapper(*args: Any, **kws: Any) -> Any:
+        with runtime_nodes_capture() as store:
+            out = f(*args, **kws)
+        if store["ir"] is not None:
+            raise NodesReturn(store["ir"])
+        return out
+
+    return wrapper
+
+
+class runtime_nodes_capture:
+    """Context manager capturing the last IR built inside (reference name)."""
+
+    def __enter__(self) -> Dict[str, Any]:
+        self._store = {"ir": None}
+        _CAPTURE["on"] = True
+        _CAPTURE["store"] = self._store
+        return self._store
+
+    def __exit__(self, *exc: Any) -> None:
+        _CAPTURE["on"] = False
+        _CAPTURE["store"] = None
+
+
+def _maybe_capture(ir: EinsumIR) -> None:
+    if _CAPTURE["on"] and _CAPTURE["store"] is not None:
+        _CAPTURE["store"]["ir"] = ir
+
+
+def split_rules(
+    max_singular_values: Optional[int] = None,
+    max_truncation_err: Optional[float] = None,
+    relative: bool = False,
+) -> Dict[str, Any]:
+    """Canonical split-rule dict for gate SVD splitting (reference :1269+)."""
+    return {
+        "max_singular_values": max_singular_values,
+        "max_truncation_err": max_truncation_err,
+        "relative": relative,
+    }
+
+
+__all__ += [
+    "get_symbol",
+    "sorted_edges",
+    "set_tensornetwork_backend",
+    "NodesReturn",
+    "plain_contractor",
+    "experimental_contractor",
+    "custom",
+    "custom_stateful",
+    "OMEOptimizer",
+    "contraction_info_decorator",
+    "function_nodes_capture",
+    "runtime_nodes_capture",
+    "split_rules",
+]

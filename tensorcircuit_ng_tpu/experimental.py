@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 import pickle
+import os
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
 
@@ -370,3 +371,50 @@ def evol_global(*args: Any, **kws: Any) -> Any:
     from . import timeevol
 
     return timeevol.evol_global(*args, **kws)
+
+
+def broadcast_py_object_jax(obj: Any, root: int = 0) -> Any:
+    """gRPC/collective broadcast path (reference ``broadcast_py_object_jax``)."""
+    return broadcast_py_object(obj, root=root)
+
+
+def broadcast_py_object_fs(
+    obj: Any, root: int = 0, path: Optional[str] = None, timeout: float = 60.0
+) -> Any:
+    """Shared-filesystem broadcast fallback (reference ``experimental.py:651``).
+
+    Process ``root`` pickles to ``path``; others poll until the file lands.
+    """
+    import time
+
+    if path is None:
+        path = os.path.join(os.environ.get("TMPDIR", "/tmp"), "tc_tpu_broadcast.pkl")
+    if jax.process_count() == 1:
+        return obj
+    if jax.process_index() == root:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(obj, f)
+        os.replace(tmp, path)
+        return obj
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        time.sleep(0.2)
+    raise TimeoutError(f"broadcast file {path} did not appear within {timeout}s")
+
+
+def dynamics_rhs(f: Callable[[Tensor], Tensor], params: Tensor) -> Tensor:
+    """RHS vector of the quantum-dynamics linear system: Re⟨∂_j ψ | ψ̇⟩-style
+    projector; here the practical form Re(J† ψ)-free variant: returns
+    ∂⟨ψ|H|ψ⟩ gradients are problem-specific, so the reference exposes the
+    Jacobian-vector plumbing — given state function f, returns J†ψ.
+
+    Reference ``experimental.py dynamics_rhs``.
+    """
+    psi = f(params)
+    jac = jax.jacfwd(f)(params)
+    jac = jnp.reshape(jnp.asarray(jac), (psi.shape[0], -1))
+    return jnp.real(jnp.conj(jac.T) @ psi)

@@ -51,3 +51,29 @@ def tensorflow_interface(fun: Callable[..., Any], ydtype: Any = None, jit: bool 
 
 
 tf_interface = tensorflow_interface
+
+
+def tf_dtype(dtype: Any) -> Any:
+    """str/np dtype -> tf.DType (reference ``interfaces/tensorflow.py``)."""
+    import tensorflow as tf
+
+    if isinstance(dtype, tf.DType):
+        return dtype
+    return tf.as_dtype(str(np.dtype(dtype)) if not isinstance(dtype, str) else dtype)
+
+
+def tf_wrapper(fun: Callable[..., Any]) -> Callable[..., Any]:
+    """Stage a jax-backend function for TF eager consumption (reference name):
+    TF tensors in, TF tensors out, numpy transport."""
+    from .tensortrans import general_args_to_numpy, numpy_args_to_backend
+
+    def wrapped(*args: Any, **kws: Any) -> Any:
+        import tensorflow as tf
+
+        np_args = general_args_to_numpy(args)
+        out = fun(*np_args, **kws)
+        return jax.tree_util.tree_map(
+            lambda x: tf.convert_to_tensor(np.asarray(x)), general_args_to_numpy(out)
+        )
+
+    return wrapped

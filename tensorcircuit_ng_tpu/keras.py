@@ -112,3 +112,27 @@ def KerasHardwareLayer(f: Callable[..., Any], weights_shape: Any, **kws: Any) ->
 
     grad_f = parameter_shift_grad(f)
     return KerasLayer(f, weights_shape, **kws)
+
+
+def output_asis_loss(y_true: Any, y_pred: Any) -> Any:
+    """Loss that IS the model output (reference ``keras.py:179``); framework
+    agnostic — works for keras and jax training loops alike."""
+    return y_pred
+
+
+def HardwareLayer(f: Callable[..., Any], weights_shape: Any, **kws: Any) -> Any:
+    """QPU-backed layer (reference ``keras.py:143``): gradients by
+    parameter-shift/finite-difference since the callable is not AD-able.
+
+    Alias of :func:`KerasHardwareLayer` at the reference's class name.
+    """
+    return KerasHardwareLayer(f, weights_shape, **kws)
+
+
+if QuantumLayer is not None:
+    def _ql_build(self, input_shape: Any = None) -> None:
+        """keras-era no-op: flax parameters build at ``init`` (ref parity)."""
+
+    QuantumLayer.build = _ql_build
+    QuantumLayer.call = QuantumLayer.__call__
+    __all__ += ["HardwareLayer", "output_asis_loss"]

@@ -280,3 +280,31 @@ class SparsePauliPropagationEngine:
 
     def expectation(self, circuit: Any, ps: Sequence[int]) -> complex:
         return self.expectation_zero_state(self.propagate(circuit.to_qir(), ps))
+
+
+def _sparse_string_to_code(self: "SparsePauliPropagationEngine", ps: Sequence[int]) -> Tuple[Tuple[int, int], ...]:
+    """Canonical dict key of a Pauli string (sparse engine; reference name)."""
+    return tuple((i, int(v)) for i, v in enumerate(ps) if v)
+
+
+def _sparse_get_initial_state(self: "SparsePauliPropagationEngine", ps: Sequence[int]) -> Dict[Any, complex]:
+    return self.observable_dict(ps)
+
+
+def _sparse_compute_expectation_scan(
+    self: "SparsePauliPropagationEngine", qirs: Sequence[Sequence[Dict[str, Any]]], ps: Sequence[int]
+) -> List[complex]:
+    coeffs = self.observable_dict(ps)
+    out = [self.expectation_zero_state(coeffs)]
+    for seg in reversed(list(qirs)):
+        for item in reversed(list(seg)):
+            g = item["gate"]
+            tensor = g.tensor if hasattr(g, "tensor") else g
+            coeffs = self.apply_gate(coeffs, np.asarray(tensor), item["index"])
+        out.append(self.expectation_zero_state(coeffs))
+    return out
+
+
+SparsePauliPropagationEngine.string_to_code = _sparse_string_to_code
+SparsePauliPropagationEngine.get_initial_state = _sparse_get_initial_state
+SparsePauliPropagationEngine.compute_expectation_scan = _sparse_compute_expectation_scan

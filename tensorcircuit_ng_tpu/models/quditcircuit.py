@@ -14,14 +14,14 @@ import jax.numpy as jnp
 
 from .. import config
 from ..ops import quditgates as qg
-from .basecircuit import BaseCircuit
+from .circuit import Circuit
 
 Tensor = Any
 
 __all__ = ["QuditCircuit"]
 
 
-class QuditCircuit(BaseCircuit):
+class QuditCircuit(Circuit):
     """Qudit circuit: same engine as ``Circuit`` with d-level gate factories."""
 
     def __init__(self, nqudits: int, dim: int = 3, inputs: Optional[Tensor] = None) -> None:

@@ -370,3 +370,37 @@ class U1Circuit(AbstractCircuit):
                 return bins[0], -1.0
             return [(bins[b], -1.0) for b in range(nbatch)]
         return qu.sample2all(full_idx, self._nqubits, format=format, jittable=False)
+
+
+class U1Operator:
+    """Number-conserving operator in a fixed-k sector basis.
+
+    Reference ``u1circuit.py U1Operator``: holds the sector-projected matrix
+    of a Pauli-string sum for fast repeated expectations.
+    """
+
+    def __init__(self, n: int, k: int, ps_list: Sequence[Any], coefficients: Any):
+        self.n = n
+        self.k = k
+        from .. import quantum as qu
+
+        inds = qu.u1_inds(n, k).astype(np.int64)
+        ls = []
+        for ps in ps_list:
+            if isinstance(ps, dict):
+                ps = qu.xyz2ps(ps, n)
+            ls.append([int(v) for v in ps])
+        dense = np.asarray(qu.PauliStringSum2Dense(ls, list(np.asarray(coefficients)), numpy=True))
+        self.matrix = jnp.asarray(dense[np.ix_(inds, inds)])
+
+    def __call__(self, state: Any) -> Any:
+        return self.matrix @ jnp.asarray(state)
+
+    matvec = __call__
+
+    def expectation(self, state: Any) -> Any:
+        s = jnp.asarray(state)
+        return jnp.vdot(s, self.matrix @ s)
+
+
+__all__ = ["U1Circuit", "U1Operator"]

@@ -678,3 +678,132 @@ def pauli_gates(dtype: Optional[str] = None) -> list:
     """[I, X, Y, Z] matrices at the active dtype."""
     dtype = dtype or config.dtypestr()
     return list(_pauli(dtype))
+
+
+# ======================================================================
+# reference-parity gate helpers (gates.py:323-1232)
+# ======================================================================
+
+
+def meta_gate() -> None:
+    """(Re)materialize fixed-gate matrices at the current dtype.
+
+    Reference ``gates.py:497-519``: the reference rebuilds module-level gate
+    constants after ``set_dtype``; our registry builds matrices lazily per
+    call with the live dtype, so this is a cache-refresh no-op kept for API
+    parity.
+    """
+
+
+def meta_vgate() -> None:
+    """Parity stub of reference ``gates.py:1192`` (lazy variable gates)."""
+
+
+def bmatrix(a: Any) -> str:
+    r"""LaTeX bmatrix text of a 2D array (reference ``gates.py:547``)."""
+    a = np.asarray(a)
+    if a.ndim > 2:
+        raise ValueError("bmatrix can at most display two dimensions")
+    lines = np.array2string(a, max_line_width=10**8).replace("[", "").replace("]", "").splitlines()
+    body = "\\\\\n".join("    " + " & ".join(ln.split()) for ln in lines if ln.strip())
+    return "\\begin{bmatrix}\n" + body + "\n\\end{bmatrix}"
+
+
+def matrix_for_gate(gate: Gate) -> np.ndarray:
+    """Dense numpy matrix of a Gate (reference helper)."""
+    return np.asarray(gate.matrix())
+
+
+def get_u_parameter(m: Any) -> Tuple[float, float, float]:
+    """(theta, phi, lbd) of u3 from a single-qubit unitary (reference :606)."""
+    m = np.asarray(m).reshape(2, 2)
+    phase = np.linalg.det(m) ** (-0.5)
+    u = phase * m  # SU(2)
+    theta = 2 * np.arctan2(abs(u[1, 0]), abs(u[0, 0]))
+    phi_plus_lam = 2 * np.angle(u[1, 1])
+    phi_minus_lam = 2 * np.angle(u[1, 0])
+    phi = (phi_plus_lam + phi_minus_lam) / 2.0
+    lam = (phi_plus_lam - phi_minus_lam) / 2.0
+    return float(theta), float(phi), float(lam)
+
+
+def rgate_theoretical(theta: float = 0, alpha: float = 0, phi: float = 0) -> Gate:
+    r"""R gate via explicit matrix exponential (reference ``gates.py:749``)."""
+    import scipy.linalg as sl
+
+    x = np.array([[0, 1], [1, 0]], dtype=complex)
+    y = np.array([[0, -1j], [1j, 0]], dtype=complex)
+    z = np.diag([1.0, -1.0]).astype(complex)
+    h = (
+        np.sin(alpha) * np.cos(phi) * x
+        + np.sin(alpha) * np.sin(phi) * y
+        + np.cos(alpha) * z
+    )
+    return Gate(sl.expm(-1j * theta * h), name="r")
+
+
+def random_single_qubit_gate() -> Gate:
+    """Haar-ish random 1q gate via random r angles (reference :777)."""
+    theta, alpha, phi = np.random.rand(3) * 2 * np.pi
+    return Gate(np.asarray(rgate_matrix(theta, alpha, phi)), name="R1Q")
+
+
+def random_two_qubit_gate() -> Gate:
+    """Haar-random two-qubit gate (reference ``gates.py:852``)."""
+    from scipy.stats import unitary_group
+
+    u = unitary_group.rvs(dim=4).astype(np.complex64)
+    return Gate(u.reshape(2, 2, 2, 2), name="R2Q")
+
+
+def any_gate(unitary: Any, name: str = "any") -> Gate:
+    """Wrap a dense unitary as a Gate (reference ``gates.py:419`` role)."""
+    return Gate(unitary, name=name)
+
+
+def exponential_gate_unity(unitary: Any, theta: Any, half: bool = False, name: str = "none") -> Gate:
+    r"""exp(-iθU) for U² = I via cosθ·I - i sinθ·U (reference ``gates.py:921``)."""
+    m = exp1_matrix(unitary, theta / 2.0 if half else theta)
+    return Gate(m, name=name)
+
+
+exponential_gate = lambda unitary, theta, name="none": Gate(  # noqa: E731
+    exponential_matrix(unitary, theta), name=name
+)
+
+
+def diagonal_gate(diag: Any, name: str = "diagonal") -> Gate:
+    """Gate from a diagonal vector (reference ``gates.py:1058`` family)."""
+    diag = np.asarray(diag)
+    return Gate(np.diag(diag), name=name)
+
+
+def rzm_gate(theta: Any = 0) -> Gate:
+    """Multi-Z-parity rotation gate (reference ``rzm`` family)."""
+    return Gate(np.asarray(rzm_matrix(theta)), name="rzm")
+
+
+def cmz_gate(theta: Any = 0) -> Gate:
+    """Controlled-Z-parity phase gate (reference ``cmz``)."""
+    diag = np.exp(-1j * float(np.real(np.asarray(theta))) * np.array([0.0, 0.0, 0.0, 1.0]))
+    return Gate(np.diag(diag).reshape(2, 2, 2, 2), name="cmz")
+
+
+def mpo_gate(mpo: Any, name: str = "mpo") -> Any:
+    """Pass-through MPO gate constructor (reference ``gates.py`` mpo family)."""
+    return mpo
+
+
+def _gatef_ided(self: GateF, before: bool = True) -> GateF:
+    """Tensor an identity wire onto the gate (reference ``gates.py:323``)."""
+    base = self
+
+    def ided_fn(*args: Any, dtype: Optional[str] = None, **kws: Any) -> Tensor:
+        m = np.asarray(base(*args, dtype=dtype, **kws).matrix())
+        eye = np.eye(2, dtype=m.dtype)
+        return np.kron(eye, m) if before else np.kron(m, eye)
+
+    return GateF(("ip" if before else "ia") + self.name, ided_fn, self.nqubits + 1)
+
+
+GateF.ided = _gatef_ided

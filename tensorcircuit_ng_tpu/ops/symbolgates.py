@@ -118,3 +118,164 @@ def sym_u(theta: Any, phi: Any, lbd: Any) -> Any:
             [sp.exp(sp.I * phi) * s, sp.exp(sp.I * (phi + lbd)) * c],
         ]
     )
+
+
+# ======================================================================
+# reference-parity symbolic gates (symbolgates.py:22-361)
+# ======================================================================
+
+import numpy as np
+
+
+def sym_wroot() -> Any:
+    """sqrt-of-W gate (reference ``sym_wroot``)."""
+    sp = _sp()
+    v = sp.Rational(1, 1) / sp.sqrt(2)
+    return sp.Matrix(
+        [
+            [v, -v * (1 + sp.I) / sp.sqrt(2)],
+            [v * (1 - sp.I) / sp.sqrt(2), v],
+        ]
+    )
+
+
+def sym_cy() -> Any:
+    sp = _sp()
+    return sp.Matrix(
+        [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, -sp.I], [0, 0, sp.I, 0]]
+    )
+
+
+def _sym_ocontrolled(u: Any) -> Any:
+    """Open-controlled (control on |0⟩) embedding [[U, 0], [0, I]]."""
+    sp = _sp()
+    m = sp.zeros(4, 4)
+    m[0:2, 0:2] = u
+    m[2, 2] = 1
+    m[3, 3] = 1
+    return m
+
+
+def _sym_controlled(u: Any) -> Any:
+    sp = _sp()
+    m = sp.eye(4)
+    m[2:4, 2:4] = u
+    return m
+
+
+def sym_ox() -> Any:
+    return _sym_ocontrolled(sym_x())
+
+
+def sym_oy() -> Any:
+    return _sym_ocontrolled(sym_y())
+
+
+def sym_oz() -> Any:
+    return _sym_ocontrolled(sym_z())
+
+
+def sym_orx(theta: Any = 0) -> Any:
+    return _sym_ocontrolled(sym_rx(theta))
+
+
+def sym_ory(theta: Any = 0) -> Any:
+    return _sym_ocontrolled(sym_ry(theta))
+
+
+def sym_orz(theta: Any = 0) -> Any:
+    return _sym_ocontrolled(sym_rz(theta))
+
+
+def sym_toffoli() -> Any:
+    sp = _sp()
+    m = sp.eye(8)
+    m[6, 6] = 0
+    m[7, 7] = 0
+    m[6, 7] = 1
+    m[7, 6] = 1
+    return m
+
+
+def sym_fredkin() -> Any:
+    sp = _sp()
+    m = sp.eye(8)
+    m[5, 5] = 0
+    m[6, 6] = 0
+    m[5, 6] = 1
+    m[6, 5] = 1
+    return m
+
+
+def sym_r(theta: Any = 0, alpha: Any = 0, phi: Any = 0) -> Any:
+    """General rotation exp(-iθ n̂·σ) with axis angles (α, φ)."""
+    sp = _sp()
+    nx = sp.sin(alpha) * sp.cos(phi)
+    ny = sp.sin(alpha) * sp.sin(phi)
+    nz = sp.cos(alpha)
+    x, y, z = sym_x(), sym_y(), sym_z()
+    h = nx * x + ny * y + nz * z
+    return sp.cos(theta) * sp.eye(2) - sp.I * sp.sin(theta) * h
+
+
+def sym_rxx(theta: Any = 0) -> Any:
+    sp = _sp()
+    xkx = sp.Matrix(np.kron(np.array([[0, 1], [1, 0]]), np.array([[0, 1], [1, 0]])).tolist())
+    return sp.cos(theta / 2) * sp.eye(4) - sp.I * sp.sin(theta / 2) * xkx
+
+
+def sym_ryy(theta: Any = 0) -> Any:
+    sp = _sp()
+    y = np.array([[0, -1j], [1j, 0]])
+    yky = np.real(np.kron(y, y)).astype(int)
+    return sp.cos(theta / 2) * sp.eye(4) - sp.I * sp.sin(theta / 2) * sp.Matrix(yky.tolist())
+
+
+def sym_iswap(theta: Any = 1) -> Any:
+    sp = _sp()
+    c = sp.cos(sp.pi * theta / 2)
+    s = sp.sin(sp.pi * theta / 2)
+    return sp.Matrix(
+        [[1, 0, 0, 0], [0, c, sp.I * s, 0], [0, sp.I * s, c, 0], [0, 0, 0, 1]]
+    )
+
+
+def sym_cphase(theta: Any = 0) -> Any:
+    sp = _sp()
+    return sp.diag(1, 1, 1, sp.exp(sp.I * theta))
+
+
+def sym_crx(theta: Any = 0) -> Any:
+    return _sym_controlled(sym_rx(theta))
+
+
+def sym_cry(theta: Any = 0) -> Any:
+    return _sym_controlled(sym_ry(theta))
+
+
+def sym_crz(theta: Any = 0) -> Any:
+    return _sym_controlled(sym_rz(theta))
+
+
+def sym_cu(theta: Any = 0, phi: Any = 0, lbd: Any = 0) -> Any:
+    return _sym_controlled(sym_u(theta, phi, lbd))
+
+
+def sym_cr(theta: Any = 0, alpha: Any = 0, phi: Any = 0) -> Any:
+    return _sym_controlled(sym_r(theta, alpha, phi))
+
+
+def sym_any(unitary: Any) -> Any:
+    """Wrap an arbitrary (numeric or sympy) matrix as a symbolic gate."""
+    sp = _sp()
+    if hasattr(unitary, "tolist"):
+        unitary = unitary.tolist()
+    return sp.Matrix(unitary)
+
+
+__all__ += [
+    "sym_wroot", "sym_cy", "sym_ox", "sym_oy", "sym_oz", "sym_toffoli",
+    "sym_fredkin", "sym_r", "sym_rxx", "sym_ryy", "sym_iswap", "sym_cphase",
+    "sym_crx", "sym_cry", "sym_crz", "sym_cu", "sym_cr", "sym_orx",
+    "sym_ory", "sym_orz", "sym_any",
+]

@@ -537,17 +537,41 @@ def heisenberg_hamiltonian(
 xyz_hamiltonian = heisenberg_hamiltonian
 
 
-def aslinearoperator(h: Any) -> Callable[[Tensor], Tensor]:
-    """Normalize dense/sparse/callable H into an MVP callable."""
-    if callable(h) and not hasattr(h, "shape"):
-        return h
-    if K.is_sparse(h):
-        return lambda v: h @ v
-    hm = jnp.asarray(h)
-    return lambda v: hm @ v
+class LinearOperator:
+    """Matrix-free operator: ``op(v)`` / ``op.matvec(v)`` / ``op @ v``.
+
+    Reference ``quantum.py`` LinearOperator role; wraps a dense matrix,
+    sparse matrix, or MVP callable uniformly.
+    """
+
+    def __init__(self, h: Any, shape: Optional[Tuple[int, int]] = None):
+        if isinstance(h, LinearOperator):
+            self._mvp = h._mvp
+            self.shape = h.shape
+        elif callable(h) and not hasattr(h, "shape"):
+            self._mvp = h
+            self.shape = shape
+        elif K.is_sparse(h):
+            self._mvp = lambda v: h @ v
+            self.shape = tuple(h.shape)
+        else:
+            hm = jnp.asarray(h)
+            self._mvp = lambda v: hm @ v
+            self.shape = tuple(hm.shape)
+
+    def matvec(self, v: Tensor) -> Tensor:
+        return self._mvp(v)
+
+    def __call__(self, v: Tensor) -> Tensor:
+        return self._mvp(v)
+
+    def __matmul__(self, v: Tensor) -> Tensor:
+        return self._mvp(v)
 
 
-LinearOperator = aslinearoperator
+def aslinearoperator(h: Any) -> "LinearOperator":
+    """Normalize dense/sparse/callable H into a LinearOperator (callable)."""
+    return LinearOperator(h)
 
 
 # ======================================================================
@@ -1332,3 +1356,126 @@ def reduced_wavefunction(
         s = jnp.reshape(jnp.take(jnp.reshape(s, (a, d, b)), m, axis=1), (-1,))
         nn -= 1
     return s
+
+
+# ======================================================================
+# reference-parity QuOperator/LinearOperator surface (quantum.py:455-1473)
+# ======================================================================
+
+
+def _qop_in_space(self: QuOperator) -> Tuple[int, ...]:
+    """Input-leg dimensions (reference ``QuOperator.in_space``)."""
+    return tuple(self.in_dims)
+
+
+def _qop_out_space(self: QuOperator) -> Tuple[int, ...]:
+    """Output-leg dimensions (reference ``QuOperator.out_space``)."""
+    return tuple(self.out_dims)
+
+
+def _qop_nodes(self: QuOperator) -> List[Any]:
+    """Constituent "nodes" — dense design holds a single tensor (ref parity)."""
+    return [self._t]
+
+
+def _qop_check_network(self: QuOperator) -> None:
+    """Consistency check of the operator data (reference ``check_network``)."""
+    size = int(np.prod(self.out_dims + self.in_dims, dtype=np.int64)) or 1
+    assert int(np.prod(self._t.shape, dtype=np.int64)) == size
+
+
+def _qop_contract(self: QuOperator, final_edge_order: Optional[Sequence[int]] = None) -> QuOperator:
+    """Contract the network in place (dense design: identity; ref name)."""
+    return self
+
+
+def _qop_copy(self: QuOperator) -> QuOperator:
+    return _qu_like(self._t, self.out_dims, self.in_dims)
+
+
+QuOperator.in_space = property(_qop_in_space)
+QuOperator.out_space = property(_qop_out_space)
+QuOperator.nodes = property(_qop_nodes)
+QuOperator.check_network = _qop_check_network
+QuOperator.contract = _qop_contract
+if not hasattr(QuOperator, "copy"):
+    QuOperator.copy = _qop_copy
+
+
+def _quv_space(self: QuOperator) -> Tuple[int, ...]:
+    """Subsystem dimensions of the ket/bra (reference ``space``)."""
+    return tuple(self.out_dims or self.in_dims)
+
+
+def _quv_subsystem_edges(self: QuOperator) -> List[int]:
+    """Per-subsystem leg handles; dense design exposes dim list (ref name)."""
+    return list(self.out_dims or self.in_dims)
+
+
+def _quv_reduced_density(self: "QuVector", subsystems_to_trace_out: Sequence[int]) -> QuOperator:
+    """ρ_A as a QuOperator (reference ``QuVector.reduced_density``)."""
+    return self.projector().partial_trace(list(subsystems_to_trace_out))
+
+
+QuVector.space = property(_quv_space)
+QuVector.subsystem_edges = property(_quv_subsystem_edges)
+QuVector.reduced_density = _quv_reduced_density
+QuAdjointVector.space = property(_quv_space)
+QuAdjointVector.subsystem_edges = property(_quv_subsystem_edges)
+
+
+def _quadj_reduced_density(self: "QuAdjointVector", subsystems_to_trace_out: Sequence[int]) -> QuOperator:
+    ket = QuVector(jnp.conj(self._t), self.in_dims)
+    return ket.projector().partial_trace(list(subsystems_to_trace_out))
+
+
+def _quadj_from_tensor(cls: Any, tensor: Tensor, subsystem_axes: Optional[Sequence[int]] = None) -> "QuAdjointVector":
+    t = jnp.asarray(tensor)
+    if subsystem_axes is not None:
+        t = jnp.transpose(t, subsystem_axes)
+    return cls(t, tuple(t.shape))
+
+
+QuAdjointVector.reduced_density = _quadj_reduced_density
+QuAdjointVector.from_tensor = classmethod(_quadj_from_tensor)
+
+
+def _quscalar_from_tensor(cls: Any, tensor: Tensor, *args: Any) -> "QuScalar":
+    return cls(jnp.reshape(jnp.asarray(tensor), ()))
+
+
+QuScalar.from_tensor = classmethod(_quscalar_from_tensor)
+
+
+def get_all_nodes(qops: Sequence[QuOperator]) -> List[Any]:
+    """All constituent tensors of several QuOperators (reference ``:get_all_nodes``)."""
+    out: List[Any] = []
+    for q in qops:
+        out.extend(q.nodes)
+    return out
+
+
+def reachable(qop: QuOperator) -> List[Any]:
+    """Tensors reachable from an operator (dense design: its own; ref name)."""
+    return list(qop.nodes)
+
+
+def check_spaces(qops: Sequence[QuOperator]) -> None:
+    """Assert composability: each op's in_space matches the next's out_space."""
+    for a, b in zip(qops[:-1], qops[1:]):
+        if tuple(a.in_dims) != tuple(b.out_dims):
+            raise ValueError(
+                f"incompatible spaces: {a.in_dims} (in) vs {b.out_dims} (out)"
+            )
+
+
+def eliminate_identities(qop: QuOperator) -> QuOperator:
+    """Strip size-1 legs (the dense analog of identity-node elimination)."""
+    out_dims = tuple(d for d in qop.out_dims if d != 1)
+    in_dims = tuple(d for d in qop.in_dims if d != 1)
+    return _qu_like(qop._t, out_dims, in_dims)
+
+
+def PauliStringSum2COO_tf(*args: Any, **kws: Any) -> Any:
+    """Reference TF-path alias; routes to the numpy/JAX COO builder."""
+    return PauliStringSum2COO(*args, **kws)

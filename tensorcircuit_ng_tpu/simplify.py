@@ -75,3 +75,43 @@ def light_cone_qir(
 
 
 light_cone_cancel = light_cone_qir
+
+
+# ======================================================================
+# reference-parity shape-level helpers (simplify.py:54-86)
+# ======================================================================
+
+
+def infer_new_shape(
+    shape_a: Sequence[int], shape_b: Sequence[int], shared: Sequence[int]
+) -> Tuple[int, ...]:
+    """Output shape of contracting two tensors over ``shared`` axis pairs.
+
+    Reference ``infer_new_shape``: shape-only contraction bookkeeping used by
+    the rank simplifier; ``shared`` lists (axis_in_a, axis_in_b) pairs.
+    """
+    a_axes = {a for a, _ in shared}
+    b_axes = {b for _, b in shared}
+    out = [d for i, d in enumerate(shape_a) if i not in a_axes]
+    out += [d for i, d in enumerate(shape_b) if i not in b_axes]
+    return tuple(out)
+
+
+def pseudo_contract_between(
+    inputs_a: Sequence[int],
+    inputs_b: Sequence[int],
+    size_dict: Dict[int, int],
+) -> Tuple[Tuple[int, ...], int]:
+    """Dry-run contraction of two IR operands: (output indices, write size).
+
+    Reference ``pseudo_contract_between simplify.py:54``: contraction cost
+    probing without touching tensor data.
+    """
+    shared = set(inputs_a) & set(inputs_b)
+    out = tuple(i for i in inputs_a if i not in shared) + tuple(
+        i for i in inputs_b if i not in shared
+    )
+    size = 1
+    for i in out:
+        size *= size_dict[i]
+    return out, size

@@ -264,8 +264,10 @@ def ode_evol_global(
         elif K.is_sparse(h):
             hy = h @ y
         else:
-            hy = jnp.asarray(h) @ y
-        return -1j * hy
+            # cast to the state dtype: a complex128 numpy constant would
+            # upcast the ODE carry and break lax.while_loop type matching
+            hy = jnp.asarray(h).astype(y.dtype) @ y
+        return (-1j * hy).astype(y.dtype)
 
     ys = _odeint(rhs, psi0, ts, *args, ode_backend=ode_backend, **solver_kws)
     ys = ys[1:]
@@ -302,7 +304,7 @@ def ode_evol_local(
 
     def rhs(y, t, *a):
         hloc = jnp.asarray(hamiltonian(t, *a))
-        return -1j * statevec.apply_unitary(y, hloc.astype(y.dtype), list(index))
+        return (-1j * statevec.apply_unitary(y, hloc.astype(y.dtype), list(index))).astype(y.dtype)
 
     ys = _odeint(rhs, psi0, ts, *args, ode_backend=ode_backend, **solver_kws)
     ys = ys[1:]
@@ -479,3 +481,85 @@ def estimate_M(spectral_bounds: Tuple[float, float], t: float, eps: float = 1e-1
 
 
 estimate_k = estimate_M
+
+
+# ======================================================================
+# reference-parity time-evolution helpers (timeevol.py:186-480)
+# ======================================================================
+
+import math as _math
+
+#: Al-Mohy–Higham θ_m table (double precision truncation targets)
+_EXPM_MULTIPLY_THETA = {
+    5: 2.4e-1, 10: 1.1, 15: 2.2, 20: 3.6, 25: 4.9, 30: 6.3,
+    35: 7.7, 40: 9.1, 45: 10.6, 50: 12.0, 55: 13.4,
+}
+
+
+def lanczos_iteration(
+    hamiltonian: Any, initial_vector: Any, subspace_dimension: int
+) -> Tuple[Tensor, Tensor]:
+    """Krylov basis + projected tridiagonal H, plain (non-scan) form.
+
+    Reference ``timeevol.py:186``; the scan-jittable variant is
+    :func:`lanczos_iteration_scan`.
+    """
+    return lanczos_iteration_scan(_mvp_of(hamiltonian), initial_vector, subspace_dimension)
+
+
+def estimate_expm_multiply_parameters(t_max: float, norm_bound: float) -> Tuple[int, int]:
+    """Static (Taylor degree m, scaling s) for ``expm_multiply_evol``.
+
+    Reference ``timeevol.py:358`` (Al-Mohy–Higham truncation bounds; computed
+    host-side so the compiled kernel stays shape-static).
+    """
+    t_max = float(t_max)
+    norm_bound = float(norm_bound)
+    if not _math.isfinite(t_max) or t_max < 0:
+        raise ValueError("t_max must be a finite non-negative number.")
+    if not _math.isfinite(norm_bound) or norm_bound < 0:
+        raise ValueError("norm_bound must be a finite non-negative number.")
+    scaled = t_max * norm_bound
+    if scaled == 0:
+        return 0, 1
+    candidates = []
+    for m, theta in _EXPM_MULTIPLY_THETA.items():
+        s = max(1, int(_math.ceil(scaled / theta)))
+        candidates.append((m * s, m, s))
+    _, m, s = min(candidates)
+    return m, s
+
+
+def expm_multiply_evol(
+    hamiltonian: Any,
+    initial_state: Any,
+    times: Any,
+    m: Optional[int] = None,
+    s: Optional[int] = None,
+    norm_bound: Optional[float] = None,
+) -> Tensor:
+    """e^{-iHt}|ψ⟩ over a time grid via scaled Taylor (reference name).
+
+    When (m, s) are omitted they are estimated from ``norm_bound`` (or a
+    crude dense bound) and max |t|.
+    """
+    times_np = np.asarray(jax.device_get(jnp.real(jnp.asarray(times))))
+    if m is None or s is None:
+        if norm_bound is None:
+            try:
+                h_np = np.asarray(jax.device_get(hamiltonian))
+                norm_bound = float(np.linalg.norm(h_np, 1))
+            except Exception:
+                norm_bound = 10.0
+        m, s = estimate_expm_multiply_parameters(float(np.abs(times_np).max()), norm_bound)
+    outs = [
+        expm_multiply(hamiltonian, initial_state, float(t), m=max(m, 1), s=s)
+        for t in np.atleast_1d(times_np)
+    ]
+    return outs[0] if np.ndim(times_np) == 0 else jnp.stack(outs)
+
+
+def estimate_k(t: float, spectral_radius: float, safety: float = 1.2) -> int:
+    """Chebyshev order estimate k ≳ e·|t|·R/2 (reference ``estimate_k``)."""
+    k = int(_math.ceil(safety * (_math.e * abs(t) * spectral_radius / 2.0 + 10)))
+    return k

@@ -5,97 +5,90 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import numpy as np
+import torch
 
 __all__ = ["QuantumNet", "TorchLayer", "TorchHardwareLayer", "HardwareNet"]
 
 
-def _make_net(use_interface: Callable[..., Any]):
-    import torch
+class QuantumNet(torch.nn.Module):  # type: ignore[misc]
+    """torch module around a jax-backed ``f(*weights, *inputs) -> output``.
 
-    class _QuantumNet(torch.nn.Module):  # type: ignore
-        """torch module around ``f(weights, inputs) -> output`` (jax-backed)."""
+    Reference ``torchnn.py:16``: gradients flow through the torch interface
+    (jax VJP under ``torch.autograd.Function``).
+    """
 
-        def __init__(
-            self,
-            f: Callable[..., Any],
-            weights_shape: Union[Tuple[int, ...], Sequence[Tuple[int, ...]]],
-            initializer: Optional[Callable[..., Any]] = None,
-            use_jit: bool = False,
-            enable_dlpack: bool = False,
-        ):
-            super().__init__()
-            if weights_shape and isinstance(weights_shape[0], int):
-                weights_shape = [tuple(weights_shape)]
-            self.f = use_interface(f, jit=use_jit)
-            self.ws = torch.nn.ParameterList()
-            for s in weights_shape:
-                if initializer is not None:
-                    w0 = torch.tensor(np.asarray(initializer(s)), dtype=torch.float32)
-                else:
-                    w0 = 0.1 * torch.randn(*s)
-                self.ws.append(torch.nn.Parameter(w0))
+    def __init__(
+        self,
+        f: Callable[..., Any],
+        weights_shape: Union[Tuple[int, ...], Sequence[Tuple[int, ...]]],
+        initializer: Optional[Callable[..., Any]] = None,
+        use_jit: bool = False,
+        enable_dlpack: bool = False,
+        use_interface: Optional[Callable[..., Any]] = None,
+    ):
+        super().__init__()
+        if use_interface is None:
+            from .interfaces.torch import torch_interface as use_interface  # type: ignore
 
-        def forward(self, *inputs: Any) -> Any:
-            return self.f(*self.ws, *inputs)
+        if weights_shape and isinstance(weights_shape[0], int):
+            weights_shape = [tuple(weights_shape)]
+        self.f = use_interface(f, jit=use_jit)
+        self.ws = torch.nn.ParameterList()
+        for s in weights_shape:
+            if initializer is not None:
+                w0 = torch.tensor(np.asarray(initializer(s)), dtype=torch.float32)
+            else:
+                w0 = 0.1 * torch.randn(*s)
+            self.ws.append(torch.nn.Parameter(w0))
 
-    return _QuantumNet
-
-
-def QuantumNet(
-    f: Callable[..., Any],
-    weights_shape: Any,
-    initializer: Optional[Any] = None,
-    use_jit: bool = False,
-    **kws: Any,
-) -> Any:
-    from .interfaces.torch import torch_interface
-
-    net_cls = _make_net(torch_interface)
-    return net_cls(f, weights_shape, initializer=initializer, use_jit=use_jit)
+    def forward(self, *inputs: Any) -> Any:
+        return self.f(*self.ws, *inputs)
 
 
 TorchLayer = QuantumNet
 
 
-def HardwareNet(f: Callable[..., Any], weights_shape: Any, **kws: Any) -> Any:
-    """Hardware variant: parameter-shift gradients through the torch bridge."""
-    from .experimental import parameter_shift_grad
-    from .interfaces.torch import torch_interface
-    import torch
-    import jax.numpy as jnp
+class HardwareNet(torch.nn.Module):  # type: ignore[misc]
+    """Hardware variant: parameter-shift gradients through the torch bridge.
 
-    grad_f = parameter_shift_grad(f)
+    Reference ``torchnn.py HardwareNet``: the wrapped callable is assumed
+    non-AD-able (QPU execution), so the backward pass uses parameter-shift.
+    """
 
-    class _Fun(torch.autograd.Function):  # type: ignore
-        @staticmethod
-        def forward(ctx: Any, *ws: Any):
-            np_ws = [np.asarray(w.detach()) for w in ws]
-            ctx.np_ws = np_ws
-            y = f(*[jnp.asarray(w) for w in np_ws])
-            return torch.tensor(np.asarray(y))
+    def __init__(self, f: Callable[..., Any], weights_shape: Any, **kws: Any):
+        super().__init__()
+        from .experimental import parameter_shift_grad
 
-        @staticmethod
-        def backward(ctx: Any, dy: Any):
-            g = grad_f(*[jnp.asarray(w) for w in ctx.np_ws])
-            scale = float(np.asarray(dy))
-            if not isinstance(g, tuple):
-                g = (g,)
-            return tuple(torch.tensor(scale * np.asarray(gi)) for gi in g)
+        import jax.numpy as jnp
 
-    class _Net(torch.nn.Module):  # type: ignore
-        def __init__(self) -> None:
-            super().__init__()
-            shapes = weights_shape
-            if shapes and isinstance(shapes[0], int):
-                shapes = [tuple(shapes)]
-            self.ws = torch.nn.ParameterList(
-                [torch.nn.Parameter(0.1 * torch.randn(*s)) for s in shapes]
-            )
+        grad_f = parameter_shift_grad(f)
 
-        def forward(self) -> Any:
-            return _Fun.apply(*self.ws)
+        class _Fun(torch.autograd.Function):  # type: ignore
+            @staticmethod
+            def forward(ctx: Any, *ws: Any):
+                np_ws = [np.asarray(w.detach()) for w in ws]
+                ctx.np_ws = np_ws
+                y = f(*[jnp.asarray(w) for w in np_ws])
+                return torch.tensor(np.asarray(y))
 
-    return _Net()
+            @staticmethod
+            def backward(ctx: Any, dy: Any):
+                g = grad_f(*[jnp.asarray(w) for w in ctx.np_ws])
+                scale = float(np.asarray(dy))
+                if not isinstance(g, tuple):
+                    g = (g,)
+                return tuple(torch.tensor(scale * np.asarray(gi)) for gi in g)
+
+        self._fun = _Fun
+        shapes = weights_shape
+        if shapes and isinstance(shapes[0], int):
+            shapes = [tuple(shapes)]
+        self.ws = torch.nn.ParameterList(
+            [torch.nn.Parameter(0.1 * torch.randn(*s)) for s in shapes]
+        )
+
+    def forward(self) -> Any:
+        return self._fun.apply(*self.ws)
 
 
 TorchHardwareLayer = HardwareNet

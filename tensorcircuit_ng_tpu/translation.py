@@ -483,3 +483,115 @@ def stim2tc(program: Any, circuit_class: Optional[Any] = None) -> Any:
         for g in range(0, len(ints), arity):
             getattr(c, name)(*ints[g : g + arity])
     return c
+
+
+# ======================================================================
+# reference-parity translation surface (translation.py:53-900)
+# ======================================================================
+
+
+def tensor_to_json(t: Any) -> Dict[str, Any]:
+    """Tensor -> JSON-safe dict (public alias; reference ``:602-630``)."""
+    return _tensor_to_json(t)
+
+
+def json_to_tensor(d: Dict[str, Any]) -> np.ndarray:
+    """JSON dict -> numpy tensor (public alias)."""
+    return _tensor_from_json(d)
+
+
+def get_qiskit_qasm(qc: Any) -> str:
+    """OpenQASM2 text of a qiskit circuit across qiskit versions (ref :53)."""
+    try:
+        return qc.qasm()
+    except AttributeError:
+        from qiskit.qasm2 import dumps  # type: ignore
+
+        return dumps(qc)
+
+
+def ctrl_str2ctrl_state(ctrl_str: str, nctrl: int) -> List[int]:
+    """Control-state string -> per-control bit list, LSB-first (ref :429)."""
+    v = int(ctrl_str)
+    return [0x1 & (v >> i) for i in range(nctrl)]
+
+
+def eqasm2tc(
+    eqasm: str, nqubits: Optional[int] = None, headers: Tuple[int, int] = (6, 1)
+) -> Any:
+    """qexe/eqasm instruction text -> Circuit (reference ``translation.py:722``).
+
+    Handles ``bs``-prefixed gate lines: RZ_k (angle 2π/2^k), ±Z/2, named
+    single/two-qubit gates; measurement lines are skipped.
+    """
+    from .models.circuit import Circuit
+
+    lines = eqasm.split("\n")
+    if nqubits is None:
+        nqubits = len(lines[2].split(","))
+    body = lines[headers[0] : -headers[1]] if headers[1] else lines[headers[0] :]
+    c = Circuit(nqubits)
+    for inst in body:
+        if not inst.strip().startswith("bs"):
+            continue
+        parts = inst.split(" ")
+        op = parts[2]
+        if op.startswith("RZ"):
+            k = int(op[3:])
+            c.rz(int(parts[3][1:]), theta=2 * np.pi / 2**k)
+        elif op == "Z/2":
+            c.rz(int(parts[3][1:]), theta=-np.pi / 2)
+        elif op == "-Z/2":
+            c.rz(int(parts[3][1:]), theta=np.pi / 2)
+        else:
+            name = op.lower()
+            if len(parts) == 4:
+                idx = (int(parts[3][1:]),)
+            elif len(parts) == 5:
+                idx = (int(parts[3][2:-1]), int(parts[4][1:-1]))
+            else:
+                raise ValueError(f"Unknown format for eqasm: {parts!r}")
+            getattr(c, name)(*idx)
+    return c
+
+
+def qiskit_from_qasm_str_ordered_measure(qasm_str: str) -> Any:
+    """qiskit.from_qasm_str preserving measure order (reference ``:770``).
+
+    Requires qiskit; measure lines are re-applied in file order after the
+    unitary part loads.
+    """
+    from qiskit import QuantumCircuit  # type: ignore
+
+    measure_sequence = []
+    other_lines = []
+    for line in qasm_str.split("\n"):
+        if line.strip().startswith("measure"):
+            q = int(line.split(" ")[1].split("[")[1].rstrip("];"))
+            cbit = int(line.split("->")[1].strip().rstrip(";").split("[")[1].rstrip("]"))
+            measure_sequence.append((q, cbit))
+        else:
+            other_lines.append(line)
+    qc = QuantumCircuit.from_qasm_str("\n".join(other_lines))
+    for q, cbit in measure_sequence:
+        qc.measure(q, cbit)
+    return qc
+
+
+def cirq2tc(qc: Any, circuit_class: Optional[Any] = None) -> Any:
+    """cirq.Circuit -> Circuit (reference ``translation.py:1009``); needs cirq."""
+    import cirq  # type: ignore
+
+    from .models.circuit import Circuit
+
+    if circuit_class is None:
+        circuit_class = Circuit
+    qubits = sorted(qc.all_qubits())
+    qmap = {q: i for i, q in enumerate(qubits)}
+    c = circuit_class(len(qubits))
+    for moment in qc:
+        for op in moment.operations:
+            u = cirq.unitary(op)
+            idx = [qmap[q] for q in op.qubits]
+            c.any(*idx, unitary=u, name=str(op.gate).lower())
+    return c

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 import subprocess
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 __all__ = ["qir2tex", "circuit_to_tex", "render_pdf", "draw"]
 
@@ -139,3 +139,19 @@ def draw(c: Any) -> str:
             else:
                 lines[q] += "─" * width
     return "\n".join(lines)
+
+
+def gate_name_trans(gate_name: str) -> Tuple[int, str]:
+    """(#controls, reduced name) from a c-prefixed gate name (reference :13).
+
+    ``gate_name_trans("ccnot") == (2, "not")``.
+    """
+    ctrl = 0
+    while gate_name.startswith("c"):
+        # avoid eating names that genuinely start with c (cnot -> c + not)
+        rest = gate_name[1:]
+        if rest in ("phase",) and ctrl == 0 and gate_name == "cphase":
+            pass
+        gate_name = rest
+        ctrl += 1
+    return ctrl, gate_name

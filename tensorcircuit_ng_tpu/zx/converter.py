@@ -637,3 +637,29 @@ def prepare_graph(
         detectors=detectors,
         observables=observables,
     )
+
+
+# -- module-level lane helpers (reference converter exposes these free) --
+
+GraphRepresentation = SamplingGraph  # reference class alias
+
+
+def last_row(sg: SamplingGraph, q: int) -> int:
+    """Frontier spider of wire q (reference free function)."""
+    return sg.last_row(q)
+
+
+def last_edge(sg: SamplingGraph, q: int) -> Optional[tuple]:
+    return sg.last_edge(q)
+
+
+def add_dummy(sg: SamplingGraph, q: int) -> int:
+    return sg.add_dummy(q)
+
+
+def add_lane(sg: SamplingGraph) -> int:
+    return sg.add_lane()
+
+
+def ensure_lane(sg: SamplingGraph, q: int) -> int:
+    return sg.ensure_lane(q)

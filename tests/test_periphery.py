@@ -368,3 +368,248 @@ def test_save_params_both_orders(tmp_path):
     np.testing.assert_allclose(np.asarray(ex.load_params(str(tmp_path / "c1"))["a"]), 1.0)
     ex.save_params(str(tmp_path / "c2"), ps)
     np.testing.assert_allclose(np.asarray(ex.load_params(str(tmp_path / "c2"))["b"]), 2.0)
+
+
+# ---------------- round-1 parity batch: periphery surface ----------------
+
+
+def test_translation_parity():
+    from tensorcircuit_ng_tpu import translation as tr
+
+    t = np.random.rand(2, 2) + 1j * np.random.rand(2, 2)
+    np.testing.assert_allclose(tr.json_to_tensor(tr.tensor_to_json(t)), t)
+    assert tr.ctrl_str2ctrl_state("5", 3) == [1, 0, 1]
+    eqasm = "\n".join(
+        ["h", "h", "q0,q1", "h", "h", "h", "bs 0 H q0", "bs 0 RZ_2 q0", "bs 0 CZ (q0, q1)", "end"]
+    )
+    c = tr.eqasm2tc(eqasm, nqubits=2)
+    assert [i["name"] for i in c.to_qir()] == ["h", "rz", "cz"]
+
+
+def test_abstractcircuit_json_draw_qsim(tmp_path):
+    c = tc.Circuit(3)
+    c.h(0); c.cx(0, 1); c.rz(2, theta=0.3)
+    s = c.to_json()
+    c2 = tc.Circuit.from_json(s)
+    np.testing.assert_allclose(np.asarray(c2.state()), np.asarray(c.state()), atol=1e-6)
+    f = str(tmp_path / "c.json")
+    c.to_json(file=f)
+    c3 = tc.Circuit.from_json_file(f)
+    np.testing.assert_allclose(np.asarray(c3.state()), np.asarray(c.state()), atol=1e-6)
+    assert "h" in str(c.draw())
+    assert "\\" in c.vis_tex()
+    assert tc.Circuit.standardize_gate("CX") == "cnot"
+    qs = str(tmp_path / "c.qsim")
+    open(qs, "w").write("2\n0 h 0\n1 cz 0 1\n2 rx 1 0.5\n")
+    c4 = tc.Circuit.from_qsim_file(qs)
+    assert [i["name"] for i in c4.to_qir()] == ["h", "cz", "rx"]
+    c.pauli_instruction(0, p=[0.1, 0, 0])
+    c.mr_instruction(1)
+    c.depolarizing_instruction(2, p=0.05)
+    assert len([e for e in c._extra_qir if e["name"] in ("pauli", "mr", "depolarizing")]) == 3
+
+
+def test_compiler_pass_parity():
+    from tensorcircuit_ng_tpu.compiler import simple_compiler as sc
+
+    c = tc.Circuit(2)
+    c.rx(0, theta=0.4); c.ry(1, theta=0.7); c.u(0, theta=0.3, phi=0.2, lbd=0.1); c.cx(0, 1)
+    psi0 = np.asarray(c.state())
+    for passf in (sc.replace_r, sc.replace_u, sc.prune, sc.merge):
+        psi2 = np.asarray(passf(c).state())
+        ph = psi2[np.argmax(np.abs(psi0))] / psi0[np.argmax(np.abs(psi0))]
+        np.testing.assert_allclose(psi2, ph * psi0, atol=1e-5)
+        assert isinstance(passf(c.to_qir()), list)
+    names = [i["name"] for i in sc.replace_r(c).to_qir()]
+    assert "rx" not in names and "ry" not in names
+
+
+def test_interfaces_tensortrans_parity():
+    import torch
+    from tensorcircuit_ng_tpu.interfaces import tensortrans as tt
+    from tensorcircuit_ng_tpu.interfaces.jax import create_jax_function
+
+    t = torch.ones(3)
+    assert tt.which_backend(t, return_backend=False) == "torch"
+    jv = tt.tensor_to_backend_jittable(t)
+    assert "jax" in type(jv).__module__
+    back = tt.general_args_to_backend({"a": t}, target_backend="jax", enable_dlpack=False)
+    assert "jax" in type(back["a"]).__module__
+    from tensorcircuit_ng_tpu.ops.gates import Gate
+
+    trg = tt.args_to_tensor(lambda x: jnp.trace(x), argnums=[0], gate_to_tensor=True)
+    assert abs(float(jnp.real(trg(Gate(np.eye(2))))) - 2) < 1e-6
+    fn = create_jax_function(lambda x: jnp.sum(x**2), jit=True)
+    assert abs(float(fn(jnp.ones(3))) - 3) < 1e-6
+
+
+def test_gates_helpers_parity():
+    from tensorcircuit_ng_tpu.ops import gates as G
+
+    th, ph, lb = 0.7, 0.4, -0.3
+    m = np.asarray(G.u_matrix(th, ph, lb))
+    t2, p2, l2 = G.get_u_parameter(m)
+    m2 = np.asarray(G.u_matrix(t2, p2, l2))
+    phase = m2[0, 0] / m[0, 0]
+    np.testing.assert_allclose(m2, phase * m, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(G.rgate_matrix(0.3, 0.4, 0.5)),
+        np.asarray(G.rgate_theoretical(0.3, 0.4, 0.5).matrix()),
+        atol=1e-6,
+    )
+    g2 = G.random_two_qubit_gate()
+    u = np.asarray(g2.matrix())
+    np.testing.assert_allclose(u @ u.conj().T, np.eye(4), atol=1e-5)
+    hi = np.asarray(G.GATES["h"].ided()().matrix())
+    np.testing.assert_allclose(hi, np.kron(np.eye(2), np.asarray(G.GATES["h"]().matrix())), atol=1e-6)
+    assert "bmatrix" in G.bmatrix(np.eye(2))
+
+
+def test_cloud_parity():
+    from tensorcircuit_ng_tpu.cloud import apis, utils, wrapper
+    from tensorcircuit_ng_tpu.cloud.abstraction import TaskUnfinished, TCException
+
+    assert apis.b64decode_s(apis.b64encode_s("secret")) == "secret"
+    p = apis.set_provider("local")
+    d = apis.set_device("default")
+    c = tc.Circuit(2); c.h(0); c.cx(0, 1)
+    t = apis.submit_task(device=d, circuit=c, shots=500)
+    res = t.results()
+    assert sum(res.values()) == 500 and set(res) <= {"00", "11"}
+    t.add_details(logical_physical_mapping={0: 0})
+    assert t.get_logical_physical_mapping() == {0: 0}
+    with pytest.raises(TCException):
+        raise TaskUnfinished("abc", "pending")
+    v = wrapper.sample_expectation_ps(c, z=[0, 1], shots=2000)
+    assert abs(v - 1.0) < 0.1
+    calls = {"n": 0}
+
+    @utils.reconnect(tries=3, sleep=0.0)
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise ConnectionError("down")
+        return 7
+
+    assert flaky() == 7
+
+
+def test_readout_mitigation_parity():
+    from tensorcircuit_ng_tpu.results.readout_mitigation import ReadoutMit
+
+    np.random.seed(0)
+    conf = {
+        0: np.array([[0.97, 0.05], [0.03, 0.95]]),
+        1: np.array([[0.98, 0.1], [0.02, 0.9]]),
+    }
+
+    def execute(circuits, shots):
+        out = []
+        for c in circuits:
+            p = np.abs(np.asarray(c.state())) ** 2
+            a = np.kron(conf[0], conf[1])
+            p2 = a @ p
+            cnt = np.random.multinomial(shots, p2 / p2.sum())
+            out.append({format(i, "02b"): int(v) for i, v in enumerate(cnt) if v})
+        return out
+
+    mit = ReadoutMit(execute)
+    mit.cals_from_system([0, 1], shots=60000)
+    assert len(mit.local_miti_readout_circ()) == 2
+    assert len(mit.global_miti_readout_circ()) == 4
+    np.testing.assert_allclose(mit.get_matrix(), np.kron(conf[0], conf[1]), atol=0.02)
+    c = tc.Circuit(2); c.h(0); c.cx(0, 1)
+    raw = execute([c], 60000)[0]
+    q = mit.apply_readout_mitigation(raw)
+    assert abs(q.get("00", 0) / 60000 - 0.5) < 0.03
+    cnts2, phys = mit.mapping_preprocess({"01": 7}, [0, 1], {0: 1, 1: 0}, {0: 0, 1: 1})
+    assert cnts2 == {"10": 7}
+
+
+def test_symbolgates_and_symbolcircuit_parity():
+    import sympy as sp
+    from tensorcircuit_ng_tpu.ops import symbolgates as sg
+    from tensorcircuit_ng_tpu.ops import gates as G
+
+    th = 0.37
+    for s_, g in (
+        (sg.sym_rxx(th), G.rxx_matrix(th)),
+        (sg.sym_cphase(th), G.cphase_matrix(th)),
+        (sg.sym_iswap(0.5), G.iswap_matrix(0.5)),
+        (sg.sym_r(0.3, 0.4, 0.5), G.rgate_matrix(0.3, 0.4, 0.5)),
+    ):
+        sn = np.asarray(sp.Matrix(s_).evalf(), dtype=complex)
+        np.testing.assert_allclose(sn, np.asarray(g).reshape(sn.shape), atol=1e-6)
+    theta = sp.Symbol("theta")
+    c = tc.SymbolCircuit(2)
+    c.h(0); c.rx(1, theta=theta)
+    cb = c.bind({theta: 0.5})
+    c2 = tc.Circuit(2); c2.h(0); c2.rx(1, theta=0.5)
+    np.testing.assert_allclose(np.asarray(cb.state()), np.asarray(c2.state()), atol=1e-6)
+    with pytest.raises(ValueError):
+        c.measure(0)
+
+
+def test_timeevol_vis_misc_parity():
+    from tensorcircuit_ng_tpu import timeevol as te
+    from tensorcircuit_ng_tpu.vis import gate_name_trans
+    import scipy.linalg as sl
+
+    assert gate_name_trans("ccnot") == (2, "not")
+    h = np.diag([0.0, 1.0, 2.0, 3.0]).astype(np.complex64)
+    psi0 = np.ones(4, dtype=np.complex64) / 2
+    out = np.asarray(te.expm_multiply_evol(jnp.asarray(h), jnp.asarray(psi0), [0.5, 1.0]))
+    want = np.stack([sl.expm(-1j * t * h) @ psi0 for t in (0.5, 1.0)])
+    np.testing.assert_allclose(out, want, atol=1e-5)
+    m, s = te.estimate_expm_multiply_parameters(1.0, 5.0)
+    assert m > 0 and s >= 1
+
+
+def test_torchnn_class_and_basecircuit_standins():
+    import torch
+    from tensorcircuit_ng_tpu.torchnn import QuantumNet
+
+    net = QuantumNet(lambda w: jnp.real(jnp.sum(w**2)), [2, 3])
+    y = net()
+    y.backward()
+    assert net.ws[0].grad is not None
+    c = tc.Circuit(2)
+    c.h(0); c.cx(0, 1)
+    assert abs(float(np.asarray(c.outcome_probability("11"))) - 0.5) < 1e-6
+    assert "digraph" in c.to_graphviz()
+    from tensorcircuit_ng_tpu.templates.lattice import SquareLattice, CustomizeLattice
+
+    sq = SquareLattice([2, 2], pbc=False)
+    assert len(sq.sites) == 4 and len(sq.get_all_pairs()) == 4
+    cl = CustomizeLattice.from_lattice(sq)
+    cl.add_sites(["x"], [[9.0, 9.0]])
+    cl.remove_sites(["x"])
+    assert cl.num_sites == 4
+
+
+def test_quop_linop_contractor_parity():
+    from tensorcircuit_ng_tpu import quantum as qu
+    from tensorcircuit_ng_tpu.core import contractor as ct
+    from tensorcircuit_ng_tpu.core.einsum_ir import EinsumIR
+    from tensorcircuit_ng_tpu.models.mps_base import FiniteMPS
+
+    h = np.diag([1.0, 2.0, 3.0, 4.0])
+    op = qu.LinearOperator(h)
+    v = np.ones(4)
+    np.testing.assert_allclose(op.matvec(v), h @ v)
+    qv = qu.QuVector.from_tensor(np.ones((2, 2)) / 2.0)
+    assert qv.space == (2, 2)
+    rho = qv.reduced_density([1])
+    assert abs(float(np.real(np.trace(np.asarray(rho.eval_matrix())))) - 1) < 1e-6
+    a = np.random.rand(2, 3); b = np.random.rand(3, 4); cc = np.random.rand(4, 2)
+    ir = EinsumIR(inputs=[(0, 1), (1, 2), (2, 3)], output=(0, 3), size_dict={0: 2, 1: 3, 2: 4, 3: 2}, tensors=[a, b, cc])
+    want = a @ b @ cc
+    np.testing.assert_allclose(np.asarray(ct.plain_contractor(ir)), want, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ct.contract_ir(ir, optimizer=ct.OMEOptimizer(steps=30))), want, atol=1e-6)
+    # FiniteMPS two-site update
+    mc = tc.MPSCircuit(3)
+    mc.h(0); mc.cx(0, 1)
+    fm = FiniteMPS(mc.tensors, center_position=0)
+    fm.apply_two_site_gate(np.diag([1.0, 1.0, 1.0, -1.0]), 1, 2, max_singular_values=4)
+    fm.position(2)
+    assert fm.check_canonical() < 1e-5

@@ -9,8 +9,10 @@ numbers.  vs_baseline = speedup over BENCH_BASELINE.json: the earliest
 engine variant that compiles on this toolchain at all (the
 reference-architecture per-gate engine OOMs the TPU compile helper even for
 a single AD step — examples/measure_unfused_baseline.py).  The current path
-uses ``rzz_product`` (one phase pass per layer), ``rx_layer`` (Pallas row
-kernel + lane-kron MXU matmul), and block-sandwich energy sums.
+uses ``zzrx_layer`` (the fused Pallas kernel: in-kernel zz product phase +
+theta-native rx butterflies, ONE HBM round trip per layer fwd and bwd, with
+dθ for both parameter sets produced inside the backward kernel) plus the
+lane-kron MXU matmul and block-sandwich energy sums.
 """
 
 import json
@@ -36,8 +38,7 @@ def main() -> None:
         c = tc.Circuit(n)
         c.h_layer()
         for l in range(nlayers):
-            c.rzz_product(pairs, params[l, 0, : n - 1])
-            c.rx_layer(params[l, 1])
+            c.zzrx_layer(pairs, params[l, 0, : n - 1], params[l, 1])
         return jnp.real(c.expectation_zz_sum(pairs)) - c.expectation_x_sum()
 
     vg = jax.value_and_grad(energy)

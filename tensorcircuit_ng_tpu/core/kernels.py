@@ -198,3 +198,47 @@ def block_kron_layer(state: Tensor, gates: Tensor, block: int = _LANE_QUBITS) ->
 
 # kept for tests / internal reuse
 _fused_fwd_impl = fused_single_qubit_layer_pallas
+
+
+def fused_zzrx_layer(state: Tensor, pairs: Any, zz_thetas: Tensor, rx_thetas: Tensor) -> Tensor:
+    """exp(-i/2 Σ θ_k Z_a Z_b) then rx(φ_q) on every qubit — fused TFIM layer.
+
+    The zz phase (over ALL qubits, computed from global-index bit arithmetic
+    in-kernel) and the row-qubit rx butterflies share ONE Pallas kernel pass
+    with theta-native dθ for both parameter sets; outer row qubits and the 7
+    lane qubits keep einsum/matmul paths (they commute with the kernel rx
+    and run after the in-kernel zz stage).
+    """
+    from . import statevec
+    from ..ops.gates import rx_matrix
+
+    rx_thetas = jnp.reshape(jnp.asarray(rx_thetas), (-1,))
+    zz_thetas = jnp.reshape(jnp.asarray(zz_thetas), (-1,))
+    n = rx_thetas.shape[0]
+    nq = int(round(math.log2(state.shape[0])))
+    assert nq == n, "one rx angle per qubit required"
+    pairs = tuple((int(a), int(b)) for a, b in pairs)
+    nlane = min(_LANE_QUBITS, n)
+    nrow = n - nlane
+    nkernel = min(nrow, kernels_rowlayer.MAX_KERNEL_QUBITS_ZZRX)
+    nouter = nrow - nkernel
+    psi = jnp.reshape(state, (max(2**nrow, 1), 2**nlane))
+    if nkernel > 0:
+        psi = kernels_rowlayer.zzrx_row_layer(
+            pairs, n, psi, zz_thetas, rx_thetas[nouter:nrow]
+        )
+    else:
+        psi = kernels_rowlayer._zz_phase_dense(psi, pairs, n, zz_thetas)
+    psi = jnp.reshape(psi, (-1,))
+    for q in range(nouter):
+        psi = statevec.apply_unitary(psi, rx_matrix(rx_thetas[q]), [q])
+    psi = jnp.reshape(psi, (max(2**nrow, 1), 2**nlane))
+    lane_gates = jax.vmap(lambda t: rx_matrix(t).astype(psi.dtype))(rx_thetas[nrow:])
+    m = lane_gates[0]
+    for j in range(1, nlane):
+        m = jnp.kron(m, lane_gates[j])
+    psi = psi @ m.T
+    return jnp.reshape(psi, (-1,))
+
+
+__all__ += ["fused_zzrx_layer"]

@@ -800,3 +800,305 @@ def _row_const_bwd(gates, ct):
 
 
 row_layer_const.defvjp(_row_const_fwd, _row_const_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused zz-phase + rx rotation layer: exp(-i/2 Σ θ_k Z_a Z_b) then rx(φ_q)
+# on the kernel row qubits — ONE HBM round trip forward, one backward, with
+# theta-native dθ for BOTH the zz and rx parameters (the round-1 "next
+# lever": the standalone rotx kernel was faster in isolation but lost its
+# gain to XLA copies around the separate zz pass; fusing removes the seam).
+# ---------------------------------------------------------------------------
+
+MAX_KERNEL_QUBITS_ZZRX = 10
+
+
+def _zz_expo(zzth_ref, pairs, n, rb, lanes, j):
+    """(rb, lanes) f32 field Σ_k θ_k z_a z_b from iota bit arithmetic."""
+    rows_l = jax.lax.broadcasted_iota(jnp.int32, (rb, lanes), 0)
+    lane_l = jax.lax.broadcasted_iota(jnp.int32, (rb, lanes), 1)
+    idx = (j * rb + rows_l) * lanes + lane_l
+    expo = jnp.zeros((rb, lanes), jnp.float32)
+    for k, (a, b) in enumerate(pairs):
+        xor = ((idx >> (n - 1 - a)) ^ (idx >> (n - 1 - b))) & 1
+        sgn = 1.0 - 2.0 * xor.astype(jnp.float32)
+        expo = expo + zzth_ref[k] * sgn
+    return expo
+
+
+def _zzrx_fwd_kernel(pairs, n, nrow):
+    from jax.experimental import pallas as pl
+
+    def kernel(zzth_ref, cs_ref, sr_ref, si_ref, or_ref, oi_ref):
+        j = pl.program_id(0)
+        cr = sr_ref[:]
+        ci = si_ref[:]
+        rb, lanes = cr.shape
+        expo = _zz_expo(zzth_ref, pairs, n, rb, lanes, j)
+        pc = jnp.cos(0.5 * expo)
+        ps = -jnp.sin(0.5 * expo)  # phase = e^{-i expo / 2}
+        cr, ci = pc * cr - ps * ci, pc * ci + ps * cr
+        rows = jax.lax.broadcasted_iota(jnp.int32, cr.shape, 0)
+        for q in range(nrow):
+            s = rb >> (q + 1)
+            c = cs_ref[q, 0]
+            sn = cs_ref[q, 1]
+            m = (c, 0.0, 0.0, -sn, 0.0, -sn, c, 0.0)
+            cr, ci = _butterfly(cr, ci, rows, s, m)
+        or_ref[:] = cr
+        oi_ref[:] = ci
+
+    return kernel
+
+
+def _zzrx_bwd_kernel(pairs, n, nrow):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    npairs = len(pairs)
+
+    def kernel(
+        zzth_ref, cs_ref, yr_ref, yi_ref, ctr_ref, cti_ref,
+        dsr_ref, dsi_ref, dzz_ref, dth_ref,
+        s_r, s_i,
+    ):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            for kk in range(npairs):
+                dzz_ref[kk] = 0.0
+            for qq in range(nrow):
+                dth_ref[qq] = 0.0
+
+        s_r[:] = yr_ref[:]
+        s_i[:] = yi_ref[:]
+        dsr_ref[:] = ctr_ref[:]
+        dsi_ref[:] = cti_ref[:]
+        rb, lanes = s_r.shape
+        rows = jax.lax.broadcasted_iota(jnp.int32, s_r.shape, 0)
+        for q in range(nrow - 1, -1, -1):
+            s = rb >> (q + 1)
+            c = cs_ref[q, 0]
+            sn = cs_ref[q, 1]
+            bit = (rows // s) % 2
+            is_lo = bit == 0
+            mdag = (c, 0.0, 0.0, sn, 0.0, sn, c, 0.0)
+            nsr, nsi = _butterfly(s_r[:], s_i[:], rows, s, mdag)
+            s_r[:] = nsr
+            s_i[:] = nsi
+            cr = dsr_ref[:]
+            ci = dsi_ref[:]
+            pct_r = jnp.where(
+                is_lo, pltpu.roll(cr, rb - s, 0), pltpu.roll(cr, s, 0)
+            )
+            pct_i = jnp.where(
+                is_lo, pltpu.roll(ci, rb - s, 0), pltpu.roll(ci, s, 0)
+            )
+            re_s1 = jnp.sum(cr * nsr - ci * nsi)
+            im_s2 = jnp.sum(pct_r * nsi + pct_i * nsr)
+            dth_ref[q] += -0.5 * sn * re_s1 + 0.5 * c * im_s2
+            dsr_ref[:] = c * cr + sn * pct_i
+            dsi_ref[:] = c * ci - sn * pct_r
+        # phase stage: s = z = P x (still un-walked), ds = ct_z
+        zr = s_r[:]
+        zi = s_i[:]
+        cr = dsr_ref[:]
+        ci = dsi_ref[:]
+        # dθ_k = Σ (s_k / 2)(ct_r z_i + ct_i z_r)   [non-conjugating VJP
+        # convention of this module: ct walks by the TRANSPOSE map]
+        h = cr * zi + ci * zr
+        h_total = jnp.sum(h)
+        rows_l = jax.lax.broadcasted_iota(jnp.int32, (rb, lanes), 0)
+        lane_l = jax.lax.broadcasted_iota(jnp.int32, (rb, lanes), 1)
+        idx = (j * rb + rows_l) * lanes + lane_l
+        for k, (a, b) in enumerate(pairs):
+            xor = (((idx >> (n - 1 - a)) ^ (idx >> (n - 1 - b))) & 1).astype(
+                jnp.float32
+            )
+            dzz_ref[k] += 0.5 * (h_total - 2.0 * jnp.sum(h * xor))
+        expo = _zz_expo(zzth_ref, pairs, n, rb, lanes, j)
+        pc = jnp.cos(0.5 * expo)
+        ps = -jnp.sin(0.5 * expo)
+        # transpose walk of a diagonal map: multiply by the phase itself
+        dsr_ref[:] = pc * cr - ps * ci
+        dsi_ref[:] = pc * ci + ps * cr
+
+    return kernel
+
+
+def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nrow = th.shape[0]
+    npairs = zzth.shape[0]
+    r, lanes = sr.shape
+    rb = 2**nrow
+    grid = (r // rb,)
+    cs = jnp.stack([jnp.cos(th / 2), jnp.sin(th / 2)], axis=1)
+    return pl.pallas_call(
+        _zzrx_fwd_kernel(pairs, n, nrow),
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct(sr.shape, sr.dtype),
+            jax.ShapeDtypeStruct(si.shape, si.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec((npairs,), lambda j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nrow, 2), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ),
+        input_output_aliases={2: 0, 3: 1},
+        interpret=_INTERPRET,
+    )(zzth, cs, sr, si)
+
+
+def _pallas_zzrx_bwd(pairs, n, zzth, th, yr, yi, ctr, cti):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nrow = th.shape[0]
+    npairs = zzth.shape[0]
+    r, lanes = yr.shape
+    rb = 2**nrow
+    grid = (r // rb,)
+    cs = jnp.stack([jnp.cos(th / 2), jnp.sin(th / 2)], axis=1)
+    return pl.pallas_call(
+        _zzrx_bwd_kernel(pairs, n, nrow),
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct(yr.shape, yr.dtype),
+            jax.ShapeDtypeStruct(yi.shape, yi.dtype),
+            jax.ShapeDtypeStruct((npairs,), jnp.float32),
+            jax.ShapeDtypeStruct((nrow,), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((npairs,), lambda j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nrow, 2), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((npairs,), lambda j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nrow,), lambda j: (0,), memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rb, lanes), jnp.float32),
+            pltpu.VMEM((rb, lanes), jnp.float32),
+        ],
+        input_output_aliases={4: 0, 5: 1},
+        interpret=_INTERPRET,
+    )(zzth, cs, yr, yi, ctr, cti)
+
+
+def _zz_phase_dense(state2d, pairs, n, zz_thetas):
+    """Reference zz phase on the (R, lanes) layout (CPU path)."""
+    r, lanes = state2d.shape
+    idx = jnp.arange(r * lanes, dtype=jnp.int32).reshape(r, lanes)
+    expo = jnp.zeros((r, lanes), jnp.float32)
+    for k, (a, b) in enumerate(pairs):
+        xor = ((idx >> (n - 1 - a)) ^ (idx >> (n - 1 - b))) & 1
+        expo = expo + zz_thetas[k].astype(jnp.float32) * (
+            1.0 - 2.0 * xor.astype(jnp.float32)
+        )
+    return state2d * jnp.exp(-0.5j * expo).astype(state2d.dtype)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def zzrx_row_layer(pairs: Any, n: int, state2d: Tensor, zz_thetas: Tensor, rx_thetas: Tensor) -> Tensor:
+    """exp(-i/2 Σ θ_k Z_a Z_b) then rx(φ_q) on the kernel row qubits.
+
+    ``pairs`` is a static tuple of (a, b) qubit pairs over ALL n qubits;
+    rx acts on the lowest ``len(rx_thetas)`` row bits of the 2D layout.
+    dθ for both parameter sets is produced inside the backward kernel.
+    """
+    return _zzrx_fwd_impl(pairs, n, state2d, zz_thetas, rx_thetas)
+
+
+def _zzrx_fwd_impl(pairs, n, state2d, zz_thetas, rx_thetas):
+    if not (_on_tpu() or _INTERPRET):
+        z = _zz_phase_dense(state2d, pairs, n, jnp.asarray(zz_thetas))
+        return _row_layer_reference(z, _rx_gates(jnp.asarray(rx_thetas)))
+    sr = jnp.real(state2d).astype(jnp.float32)
+    si = jnp.imag(state2d).astype(jnp.float32)
+    zzth = jnp.asarray(zz_thetas).astype(jnp.float32)
+    th = jnp.asarray(rx_thetas).astype(jnp.float32)
+    orr, oii = _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si)
+    return (orr + 1j * oii).astype(state2d.dtype)
+
+
+def _zzrx_fwd(pairs, n, state2d, zz_thetas, rx_thetas):
+    y = _zzrx_fwd_impl(pairs, n, state2d, zz_thetas, rx_thetas)
+    return y, (y, zz_thetas, rx_thetas)
+
+
+def _zzrx_bwd(pairs, n, res, ct):
+    y, zz_thetas, rx_thetas = res
+    if not (_on_tpu() or _INTERPRET):
+        # reference chain: un-apply rx (generic bwd), then phase-stage VJP
+        gates = _rx_gates(jnp.asarray(rx_thetas))
+        ds, dg = _row_bwd_reference(y, gates, ct)
+        c = jnp.cos(jnp.asarray(rx_thetas) / 2)
+        s = jnp.sin(jnp.asarray(rx_thetas) / 2)
+        dth = jnp.real(
+            -0.5 * s * (dg[:, 0, 0] + dg[:, 1, 1])
+            + (-0.5j * c) * (dg[:, 0, 1] + dg[:, 1, 0])
+        ).astype(jnp.asarray(rx_thetas).dtype)
+        # z = P x: un-apply the rx gates from y
+        z = y
+        nrow = gates.shape[0]
+        r, lanes = y.shape
+        for q in range(nrow - 1, -1, -1):
+            st = (2**nrow) >> (q + 1)
+            v = jnp.reshape(z, (r // (2 * st), 2, st, lanes))
+            z = jnp.reshape(
+                jnp.einsum("ab,xbsl->xasl", jnp.conj(gates[q].T).astype(v.dtype), v),
+                (r, lanes),
+            )
+        idx = jnp.arange(r * lanes, dtype=jnp.int32).reshape(r, lanes)
+        h = jnp.real(ds) * jnp.imag(z) + jnp.imag(ds) * jnp.real(z)
+        dzz = []
+        for k, (a, b) in enumerate(pairs):
+            xor = (((idx >> (n - 1 - a)) ^ (idx >> (n - 1 - b))) & 1).astype(
+                jnp.float32
+            )
+            dzz.append(0.5 * (jnp.sum(h) - 2.0 * jnp.sum(h * xor)))
+        dzz = jnp.stack(dzz).astype(jnp.asarray(zz_thetas).dtype)
+        expo = jnp.zeros((r, lanes), jnp.float32)
+        for k, (a, b) in enumerate(pairs):
+            xor = ((idx >> (n - 1 - a)) ^ (idx >> (n - 1 - b))) & 1
+            expo = expo + jnp.asarray(zz_thetas)[k].astype(jnp.float32) * (
+                1.0 - 2.0 * xor.astype(jnp.float32)
+            )
+        phase = jnp.exp(-0.5j * expo).astype(ds.dtype)
+        return ds * phase, dzz, dth
+    zzth = jnp.asarray(zz_thetas).astype(jnp.float32)
+    th = jnp.asarray(rx_thetas).astype(jnp.float32)
+    yr = jnp.real(y).astype(jnp.float32)
+    yi = jnp.imag(y).astype(jnp.float32)
+    ctr = jnp.real(ct).astype(jnp.float32)
+    cti = jnp.imag(ct).astype(jnp.float32)
+    dsr, dsi, dzz, dth = _pallas_zzrx_bwd(pairs, n, zzth, th, yr, yi, ctr, cti)
+    return (
+        (dsr + 1j * dsi).astype(y.dtype),
+        dzz.astype(jnp.asarray(zz_thetas).dtype),
+        dth.astype(jnp.asarray(rx_thetas).dtype),
+    )
+
+
+zzrx_row_layer.defvjp(_zzrx_fwd, _zzrx_bwd)
+
+__all__ += ["zzrx_row_layer"]

@@ -112,6 +112,12 @@ class BaseCircuit(AbstractCircuit):
             )
         if item.get("zz_product"):
             return statevec.apply_zz_product_phase(psi, item["pairs"], item["thetas"])
+        if item.get("zzrx_layer"):
+            from ..core import kernels
+
+            return kernels.fused_zzrx_layer(
+                psi, item["pairs"], item["zz_thetas"], item["rx_thetas"]
+            )
         if item.get("multicz"):
             return statevec.apply_multicz(psi, item["index"])
         k = len(item["index"])
@@ -196,6 +202,38 @@ class BaseCircuit(AbstractCircuit):
                             "split": None,
                             "mpo": False,
                             "diagonal": True,
+                        }
+                    )
+            elif item.get("zzrx_layer"):
+                from ..ops import gates as gates_mod
+                from ..ops.gates import rx_matrix
+
+                zz_thetas = item["zz_thetas"]
+                for k, (a, b) in enumerate(item["pairs"]):
+                    g = gates_mod.GATES["rzz"](theta=zz_thetas[k])
+                    out.append(
+                        {
+                            "gatef": gates_mod.GATES["rzz"],
+                            "gate": g,
+                            "index": (int(a), int(b)),
+                            "name": "rzz",
+                            "parameters": {"theta": zz_thetas[k]},
+                            "split": None,
+                            "mpo": False,
+                            "diagonal": True,
+                        }
+                    )
+                for q in range(self._nqubits):
+                    out.append(
+                        {
+                            "gatef": None,
+                            "gate": Gate(rx_matrix(item["rx_thetas"][q]), name="rx"),
+                            "index": (q,),
+                            "name": "rx",
+                            "parameters": {"theta": item["rx_thetas"][q]},
+                            "split": None,
+                            "mpo": False,
+                            "diagonal": False,
                         }
                     )
             else:
@@ -304,6 +342,29 @@ class BaseCircuit(AbstractCircuit):
                 "thetas": jnp.reshape(jnp.asarray(thetas), (-1,)),
                 "index": tuple(sorted({q for p_ in pairs for q in p_})),
                 "name": "rzz_product",
+                "split": None,
+                "mpo": False,
+            }
+        )
+        self._state_cache = None
+
+    def zzrx_layer(
+        self, pairs: Sequence[Tuple[int, int]], zz_thetas: Tensor, rx_thetas: Tensor
+    ) -> None:
+        """Fused TFIM layer: exp(-i/2 Σ θ_k Z_a Z_b) then rx on every qubit.
+
+        One Pallas kernel pass for the zz phase + row rx with theta-native
+        gradients (see ``core.kernels.fused_zzrx_layer``); equals
+        ``rzz_product(pairs, zz_thetas)`` followed by ``rx_layer(rx_thetas)``.
+        """
+        self._qir.append(
+            {
+                "zzrx_layer": True,
+                "pairs": [(int(a), int(b)) for a, b in pairs],
+                "zz_thetas": jnp.reshape(jnp.asarray(zz_thetas), (-1,)),
+                "rx_thetas": jnp.reshape(jnp.asarray(rx_thetas), (-1,)),
+                "index": tuple(range(self._nqubits)),
+                "name": "zzrx_layer",
                 "split": None,
                 "mpo": False,
             }

@@ -208,3 +208,107 @@ def test_fused_rx_layer_both_paths(interpret_mode):
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
     finally:
         kernels.USE_ROTX = old
+
+
+# ---------------- fused zz+rx layer kernel ----------------
+
+
+def test_zzrx_kernel_reference_and_interpret():
+    from tensorcircuit_ng_tpu.core import kernels_rowlayer as kr
+    from tensorcircuit_ng_tpu.core import kernels
+    from tensorcircuit_ng_tpu.core import statevec as sv
+    from tensorcircuit_ng_tpu.ops.gates import rx_matrix
+
+    n = 10
+    nrow_all = n - 7
+    nrow_k = 3
+    pairs = tuple((i, i + 1) for i in range(n - 1))
+    rng = np.random.default_rng(0)
+    psi = rng.normal(size=(2**n,)) + 1j * rng.normal(size=(2**n,))
+    psi = (psi / np.linalg.norm(psi)).astype(np.complex64)
+    state2d = jnp.asarray(psi.reshape(2**nrow_all, 128))
+    zzth = jnp.asarray(rng.normal(size=len(pairs)), dtype=jnp.float32)
+    rxth = jnp.asarray(rng.normal(size=nrow_k), dtype=jnp.float32)
+    w = jnp.asarray(
+        (rng.normal(size=(2**n,)) + 1j * rng.normal(size=(2**n,)))
+        .astype(np.complex64)
+        .reshape(2**nrow_all, 128)
+    )
+
+    def via_kernel(s2d, zt, rt):
+        return jnp.real(jnp.vdot(w, kr.zzrx_row_layer(pairs, n, s2d, zt, rt)))
+
+    def via_plain(s2d, zt, rt):
+        s = jnp.reshape(s2d, (-1,))
+        s = sv.apply_zz_product_phase(s, pairs, zt)
+        for q in range(nrow_k):
+            s = sv.apply_unitary(s, rx_matrix(rt[q]).astype(s.dtype), [q])
+        return jnp.real(jnp.vdot(jnp.reshape(w, (-1,)), s))
+
+    v2, g2 = jax.value_and_grad(via_plain, argnums=(0, 1, 2))(state2d, zzth, rxth)
+    for interp in (False, True):
+        kernels.set_interpret_mode(interp)
+        try:
+            v1, g1 = jax.value_and_grad(via_kernel, argnums=(0, 1, 2))(state2d, zzth, rxth)
+        finally:
+            kernels.set_interpret_mode(False)
+        assert abs(float(v1 - v2)) < 1e-4
+        for a, b in zip(g1, g2):
+            assert float(jnp.abs(jnp.reshape(a, (-1,)) - jnp.reshape(b, (-1,))).max()) < 1e-3
+
+
+def test_zzrx_layer_circuit_equivalence():
+    # multi-block + outer-qubit configuration via a shrunken kernel budget
+    from tensorcircuit_ng_tpu.core import kernels_rowlayer as kr
+    from tensorcircuit_ng_tpu.core import kernels
+
+    old = kr.MAX_KERNEL_QUBITS_ZZRX
+    kr.MAX_KERNEL_QUBITS_ZZRX = 4
+    kernels.set_interpret_mode(True)
+    try:
+        n = 13
+        pairs = [(i, i + 1) for i in range(n - 1)]
+        rng = np.random.default_rng(1)
+        zz = jnp.asarray(rng.normal(size=n - 1), dtype=jnp.float32)
+        rx = jnp.asarray(rng.normal(size=n), dtype=jnp.float32)
+
+        def e_fused(zz, rx):
+            c = tc.Circuit(n)
+            c.h_layer()
+            c.zzrx_layer(pairs, zz, rx)
+            return jnp.real(c.expectation_zz_sum(pairs)) - c.expectation_x_sum()
+
+        def e_plain(zz, rx):
+            c = tc.Circuit(n)
+            c.h_layer()
+            c.rzz_product(pairs, zz)
+            c.rx_layer(rx)
+            return jnp.real(c.expectation_zz_sum(pairs)) - c.expectation_x_sum()
+
+        v1, g1 = jax.value_and_grad(e_fused, argnums=(0, 1))(zz, rx)
+        v2, g2 = jax.value_and_grad(e_plain, argnums=(0, 1))(zz, rx)
+        assert abs(float(v1 - v2)) < 1e-4
+        for a, b in zip(g1, g2):
+            assert float(jnp.abs(a - b).max()) < 1e-3
+    finally:
+        kr.MAX_KERNEL_QUBITS_ZZRX = old
+        kernels.set_interpret_mode(False)
+
+
+def test_zzrx_layer_qir_consumers():
+    n = 4
+    c = tc.Circuit(n)
+    c.h_layer()
+    c.zzrx_layer([(0, 1), (2, 3)], jnp.asarray([0.3, 0.4]), jnp.asarray([0.1, 0.2, 0.3, 0.4]))
+    c2 = tc.Circuit(n)
+    c2.h_layer()
+    c2.rzz_product([(0, 1), (2, 3)], jnp.asarray([0.3, 0.4]))
+    c2.rx_layer(jnp.asarray([0.1, 0.2, 0.3, 0.4]))
+    np.testing.assert_allclose(np.asarray(c.matrix()), np.asarray(c2.matrix()), atol=1e-5)
+    inv = c.inverse()
+    composed = tc.Circuit(n)
+    composed.append_from_qir(c.to_qir() if False else c._expanded_qir())
+    composed.append_from_qir(inv._expanded_qir() if hasattr(inv, "_expanded_qir") else inv.to_qir())
+    np.testing.assert_allclose(
+        np.asarray(composed.state())[0], 1.0 + 0j, atol=1e-5
+    )

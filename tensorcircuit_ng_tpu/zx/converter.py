@@ -615,9 +615,19 @@ def prepare_graph(
             raw_records += 1
         elif kind == "detector":
             recs = [r if r >= 0 else visible_count + r for r in item["records"]]
+            if any(r < 0 or r >= visible_count for r in recs):
+                raise ValueError(
+                    f"detector references record(s) {item['records']} but only "
+                    f"{visible_count} measurement record(s) exist at this point"
+                )
             detectors.append(recs)
         elif kind == "observable":
             recs = [r if r >= 0 else visible_count + r for r in item["records"]]
+            if any(r < 0 or r >= visible_count for r in recs):
+                raise ValueError(
+                    f"observable references record(s) {item['records']} but only "
+                    f"{visible_count} measurement record(s) exist at this point"
+                )
             observables_map.setdefault(int(item.get("idx", 0)), []).extend(recs)
         elif kind in ("tick", "coords"):
             continue

@@ -312,3 +312,53 @@ def test_zzrx_layer_qir_consumers():
     np.testing.assert_allclose(
         np.asarray(composed.state())[0], 1.0 + 0j, atol=1e-5
     )
+
+
+def test_gram_svd_matches_adaware():
+    from tensorcircuit_ng_tpu.core import linalg as L
+
+    rng = np.random.default_rng(0)
+    for shape in ((64, 64), (32, 48), (48, 32)):
+        a = jnp.asarray(
+            (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(np.complex64)
+        )
+        u, s, vh = L.gram_svd(a)
+        np.testing.assert_allclose(
+            np.asarray(u @ jnp.diag(s.astype(a.dtype)) @ vh), np.asarray(a), atol=1e-4
+        )
+        # singular values agree with the exact SVD
+        _, s_ref, _ = L.adaware_svd(a)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=1e-3)
+
+        def loss(a, svd):
+            u, s, vh = svd(a)
+            return jnp.real(jnp.sum(s[:16] ** 2)) + 0.1 * jnp.real(
+                jnp.sum(jnp.abs(u[:, :16]) ** 2)
+            )
+
+        g1 = jax.grad(lambda x: loss(x, L.gram_svd))(a)
+        g2 = jax.grad(lambda x: loss(x, L.adaware_svd))(a)
+        assert float(jnp.abs(g1 - g2).max()) < 1e-2
+
+
+def test_tebd_gram_svd_flag_consistency():
+    from tensorcircuit_ng_tpu.core import linalg as L
+    from tensorcircuit_ng_tpu.models.mpscircuit import MPSCircuit
+
+    def run():
+        m = MPSCircuit(12, split={"max_singular_values": 16})
+        for i in range(0, 12, 2):
+            m.x(i)
+        for parity in (0, 1):
+            for i in range(parity, 11, 2):
+                m.rzz(i, i + 1, theta=0.2)
+                m.rxx(i, i + 1, theta=0.15)
+        return float(np.real(np.asarray(m.expectation_ps(z=[5, 6]))))
+
+    v_std = run()
+    L.USE_GRAM_SVD = True
+    try:
+        v_gram = run()
+    finally:
+        L.USE_GRAM_SVD = False
+    assert abs(v_std - v_gram) < 1e-3, (v_std, v_gram)

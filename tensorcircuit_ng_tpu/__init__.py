@@ -57,6 +57,8 @@ def __getattr__(name):  # lazy heavy/optional submodules
 
     lazy = {
         "MPSCircuit": (".models.mpscircuit", "MPSCircuit"),
+        "ParallelTEBD": (".models.tebd", "ParallelTEBD"),
+        "FiniteMPS": (".models.mps_base", "FiniteMPS"),
         "QuditCircuit": (".models.quditcircuit", "QuditCircuit"),
         "U1Circuit": (".models.u1circuit", "U1Circuit"),
         "StabilizerCircuit": (".models.stabilizercircuit", "StabilizerCircuit"),

@@ -263,3 +263,17 @@ def rdtypestr() -> str:
 
 def npdtype() -> Any:
     return current().npdtype
+
+
+def __getattr__(name: str) -> Any:
+    """Forward contractor helpers so ``tc.cons.plain_contractor`` etc. work.
+
+    The reference exposes path-finding/contraction utilities on ``cons``
+    (reference ``cons.py``: get_symbol, plain_contractor, custom, ...); ours
+    live in :mod:`..core.contractor` — forward attribute lookups there.
+    """
+    from .core import contractor as _contractor
+
+    if hasattr(_contractor, name):
+        return getattr(_contractor, name)
+    raise AttributeError(f"module 'tensorcircuit_ng_tpu.config' has no attribute {name!r}")

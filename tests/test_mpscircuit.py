@@ -297,3 +297,72 @@ def test_mps_mpo_roundtrip_and_apply():
     m3.position(2)
     m3.reduce_dimension(2, split={"max_truncation_err": 1e-12})
     np.testing.assert_allclose(np.asarray(m3.wavefunction()), np.asarray(mps.wavefunction()), atol=1e-6)
+
+
+# ---------------- parallel Vidal TEBD engine ----------------
+
+
+def test_parallel_tebd_exact_regime():
+    import scipy.linalg as sl
+    from tensorcircuit_ng_tpu.models.tebd import ParallelTEBD
+
+    n, chi = 6, 16  # chi = 2^{n/2}: exact
+    X = np.array([[0, 1], [1, 0]])
+    Z = np.diag([1.0, -1.0])
+    hb = 0.8 * np.kron(X, X) + 1.0 * np.kron(Z, Z)
+    gm = sl.expm(-1j * 0.05 * hb)
+    gate = jnp.asarray(gm.astype(np.complex64))
+
+    def embed(gg, i):
+        return np.kron(np.kron(np.eye(2**i), gg), np.eye(2 ** (n - i - 2)))
+
+    eng = ParallelTEBD(n, chi, initial="neel")
+    psi = np.zeros(2**n, dtype=complex)
+    idx = 0
+    for i in range(0, n, 2):
+        idx |= 1 << (n - 1 - i)
+    psi[idx] = 1.0
+    for _ in range(5):
+        eng.trotter_step(gate)
+        for i in range(0, n - 1, 2):
+            psi = embed(gm, i) @ psi
+        for i in range(1, n - 1, 2):
+            psi = embed(gm, i) @ psi
+    psi /= np.linalg.norm(psi)
+    wf = np.array(np.asarray(eng.wavefunction()))
+    wf /= np.linalg.norm(wf)
+    assert abs(np.vdot(psi, wf)) > 0.9999
+    zmid = float(np.real(np.asarray(eng.expectation_single(Z, n // 2))))
+    z_dense = float(np.real(psi.conj() @ embed(np.kron(Z, np.eye(2)), n // 2) @ psi))
+    assert abs(zmid - z_dense) < 1e-3
+    zz = float(np.real(np.asarray(eng.expectation_two_site(np.kron(Z, Z), 2))))
+    zz_d = float(np.real(psi.conj() @ embed(np.kron(Z, Z), 2) @ psi))
+    assert abs(zz - zz_d) < 1e-3
+    assert float(np.asarray(eng.entanglement_entropy(n // 2))) > 0
+
+
+def test_parallel_tebd_matches_sequential_mps():
+    import scipy.linalg as sl
+    from tensorcircuit_ng_tpu.models.tebd import ParallelTEBD
+    from tensorcircuit_ng_tpu.models.mpscircuit import MPSCircuit
+
+    X = np.array([[0, 1], [1, 0]])
+    Z = np.diag([1.0, -1.0])
+    hb = 0.8 * np.kron(X, X) + 1.0 * np.kron(Z, Z)
+    gm = sl.expm(-1j * 0.05 * hb)
+    gate = jnp.asarray(gm.astype(np.complex64))
+    n2, chi2 = 10, 8
+    eng = ParallelTEBD(n2, chi2, initial="neel")
+    for _ in range(4):
+        eng.trotter_step(gate)
+    m = MPSCircuit(n2, split={"max_singular_values": chi2})
+    for i in range(0, n2, 2):
+        m.x(i)
+    for _ in range(4):
+        for i in range(0, n2 - 1, 2):
+            m.any(i, i + 1, unitary=gm)
+        for i in range(1, n2 - 1, 2):
+            m.any(i, i + 1, unitary=gm)
+    z1 = float(np.real(np.asarray(eng.expectation_single(Z, 5))))
+    z2 = float(np.real(np.asarray(m.expectation_ps(z=[5]))))
+    assert abs(z1 - z2) < 0.05

@@ -120,13 +120,25 @@ def output_asis_loss(y_true: Any, y_pred: Any) -> Any:
     return y_pred
 
 
-def HardwareLayer(f: Callable[..., Any], weights_shape: Any, **kws: Any) -> Any:
-    """QPU-backed layer (reference ``keras.py:143``): gradients by
-    parameter-shift/finite-difference since the callable is not AD-able.
+if QuantumLayer is not None:
 
-    Alias of :func:`KerasHardwareLayer` at the reference's class name.
-    """
-    return KerasHardwareLayer(f, weights_shape, **kws)
+    class HardwareLayer(QuantumLayer):  # type: ignore[misc,valid-type]
+        """QPU-backed layer (reference ``keras.py:143``).
+
+        Same forward as :class:`QuantumLayer`; intended for callables whose
+        gradient comes from parameter shift rather than AD — wrap ``f`` with
+        :func:`tensorcircuit_ng_tpu.experimental.parameter_shift_grad` for
+        training. ``call`` aliases ``__call__`` (keras parity).
+        """
+
+        def call(self, *inputs: Any) -> Any:
+            return self(*inputs)
+
+else:  # pragma: no cover - flax is vendored in this image
+
+    def HardwareLayer(f: Callable[..., Any], weights_shape: Any, **kws: Any) -> Any:  # type: ignore[misc]
+        """QPU-backed layer; tf fallback via :func:`KerasHardwareLayer`."""
+        return KerasHardwareLayer(f, weights_shape, **kws)
 
 
 if QuantumLayer is not None:

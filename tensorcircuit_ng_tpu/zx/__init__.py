@@ -12,7 +12,14 @@ circuit class with exact conditional outcome sampling
 """
 
 from .graph import ZXGraph, Spider
-from .converter import circuit_to_zx, build_amplitude_graph, prepare_graph, SamplingGraph
+from .graph_s import GraphS, VertexType, EdgeType, Scalar
+from .converter import (
+    circuit_to_zx,
+    build_amplitude_graph,
+    prepare_graph,
+    SamplingGraph,
+    GraphRepresentation,
+)
 from .evaluator import ExactScalarArray, gf2_matmul, gf2_rank, evaluate
 from .simplifier import simplify, remove_identities, color_change
 from .noise_model import Channel, ChannelSampler

@@ -649,9 +649,142 @@ def prepare_graph(
     )
 
 
-# -- module-level lane helpers (reference converter exposes these free) --
+# ======================================================================
+# GraphRepresentation: mutable pyzx-style graph + measurement bookkeeping
+# (reference zx/converter.py:57-320 wraps pyzx Multigraph; ours wraps the
+# standalone GraphS from graph_s.py)
+# ======================================================================
 
-GraphRepresentation = SamplingGraph  # reference class alias
+from .graph_s import EdgeType, GraphS, VertexType  # noqa: E402
+
+
+@dataclass
+class GraphRepresentation:
+    """Mutable ZX graph plus record/detector/observable bookkeeping.
+
+    Thin stateful wrapper over :class:`GraphS`; graph mutators forward to
+    the wrapped graph, while ``rec``/``detectors``/``observables_dict``/
+    ``channel_probs`` track the sampling metadata the compiled pipeline
+    consumes (reference ``zx/converter.py`` GraphRepresentation role).
+    """
+
+    graph: GraphS = field(default_factory=GraphS)
+    rec: List[int] = field(default_factory=list)
+    silent_rec: List[int] = field(default_factory=list)
+    detectors: List[int] = field(default_factory=list)
+    observables_dict: Dict[int, int] = field(default_factory=dict)
+    first_vertex: Dict[int, int] = field(default_factory=dict)
+    last_vertex: Dict[int, int] = field(default_factory=dict)
+    channel_probs: List[Any] = field(default_factory=list)
+    correlated_error_probs: List[float] = field(default_factory=list)
+    num_error_bits: int = 0
+    num_correlated_error_bits: int = 0
+
+    @property
+    def observables(self) -> List[int]:
+        """Observable vertices in observable-index order."""
+        return [self.observables_dict[i] for i in sorted(self.observables_dict)]
+
+    # -- graph mutators with added behavior --------------------------------
+
+    def add_vertex(
+        self, t: Any = VertexType.Z, qubit: int = -1, row: float = -1, phase: Any = 0
+    ) -> int:
+        v = self.graph.add_vertex(t, qubit, row)
+        self.graph.set_phase(v, phase)
+        return v
+
+    def remove_isolated_vertices(self) -> None:
+        self.graph.remove_vertices(
+            [v for v in list(self.graph.vertices()) if self.graph.vertex_degree(v) == 0]
+        )
+
+    def add_edge_table(self, etab: Dict[Any, List[int]]) -> None:
+        for (v1, v2), ets in etab.items():
+            for et in ets:
+                if et != 0:
+                    self.graph.add_edge((v1, v2), et)
+
+    def copy(self) -> "GraphRepresentation":
+        new_b = GraphRepresentation(
+            graph=self.graph.copy(),
+            rec=list(self.rec),
+            silent_rec=list(self.silent_rec),
+            detectors=list(self.detectors),
+            observables_dict=dict(self.observables_dict),
+            first_vertex=dict(self.first_vertex),
+            last_vertex=dict(self.last_vertex),
+            channel_probs=list(self.channel_probs),
+            correlated_error_probs=list(self.correlated_error_probs),
+        )
+        new_b.num_error_bits = self.num_error_bits
+        new_b.num_correlated_error_bits = self.num_correlated_error_bits
+        return new_b
+
+    # -- pure forwards ------------------------------------------------------
+    # generated thin forwards: everything below delegates verbatim to GraphS
+
+    def __getattr__(self, name: str) -> Any:
+        # dataclass fields resolve normally; anything else forwards to the
+        # wrapped graph (add_edge, neighbors, phase, set_phase, to_tensor, ...)
+        graph = object.__getattribute__(self, "graph")
+        try:
+            return getattr(graph, name)
+        except AttributeError:
+            raise AttributeError(
+                f"GraphRepresentation has no attribute {name!r} "
+                "(not a bookkeeping field, and the wrapped GraphS lacks it)"
+            ) from None
+
+    @property
+    def scalar(self) -> Any:
+        return self.graph.scalar
+
+    @scalar.setter
+    def scalar(self, v: Any) -> None:
+        self.graph.scalar = v
+
+    @property
+    def track_phases(self) -> bool:
+        return self.graph.track_phases
+
+    @track_phases.setter
+    def track_phases(self, v: bool) -> None:
+        self.graph.track_phases = v
+
+    @property
+    def merge_vdata(self) -> Any:
+        return self.graph.merge_vdata
+
+    @merge_vdata.setter
+    def merge_vdata(self, v: Any) -> None:
+        self.graph.merge_vdata = v
+
+
+def _graphs_forward(name: str) -> Any:
+    def fwd(self: "GraphRepresentation", *args: Any, **kws: Any) -> Any:
+        return getattr(self.graph, name)(*args, **kws)
+
+    fwd.__name__ = name
+    fwd.__qualname__ = f"GraphRepresentation.{name}"
+    fwd.__doc__ = f"Forward of GraphS.{name} (see zx/graph_s.py)."
+    return fwd
+
+
+for _name in (
+    "add_edge add_edges remove_edge remove_edges remove_vertex remove_vertices "
+    "vertex_set edge_set num_vertices num_edges incident_edges qubit set_qubit "
+    "row rows set_row is_ground set_ground vertex_degree get_params edges edge "
+    "edge_st edge_type set_edge_type set_inputs set_outputs inputs outputs "
+    "phase phases set_phase add_to_phase update_phase_index fuse_phases "
+    "neighbors to_tensor types qubits vdata vdata_keys set_vdata type set_type "
+    "get_auto_simplify set_auto_simplify is_multigraph vertices"
+).split():
+    setattr(GraphRepresentation, _name, _graphs_forward(_name))
+del _name
+
+
+# -- module-level lane helpers (reference converter exposes these free) --
 
 
 def last_row(sg: SamplingGraph, q: int) -> int:

@@ -366,3 +366,45 @@ def test_parallel_tebd_matches_sequential_mps():
     z1 = float(np.real(np.asarray(eng.expectation_single(Z, 5))))
     z2 = float(np.real(np.asarray(m.expectation_ps(z=[5]))))
     assert abs(z1 - z2) < 0.05
+
+
+def test_finite_mps_measurements():
+    import tensorcircuit_ng_tpu as tc
+
+    c = tc.Circuit(5)
+    m = tc.MPSCircuit(5)
+    for cc in (c, m):
+        for i in range(5):
+            cc.ry(i, theta=0.3 * (i + 1))
+        for i in range(4):
+            cc.cnot(i, i + 1)
+    fm = tc.FiniteMPS(m._tensors, center_position=m._center, canonicalize=False)
+    Z = np.diag([1.0, -1.0])
+    X = np.array([[0, 1], [1, 0.0]])
+
+    vz, vx = fm.measure_local_operator([Z, X], [1, 3])
+    np.testing.assert_allclose(
+        np.real(np.asarray(vz)), np.real(np.asarray(c.expectation_ps(z=[1]))), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.real(np.asarray(vx)), np.real(np.asarray(c.expectation_ps(x=[3]))), atol=1e-5
+    )
+
+    c00, csame, c44 = fm.measure_two_body_correlator(Z, Z, 2, [0, 2, 4])
+    np.testing.assert_allclose(
+        np.real(np.asarray(c00)), np.real(np.asarray(c.expectation_ps(z=[0, 2]))), atol=1e-5
+    )
+    np.testing.assert_allclose(np.real(np.asarray(csame)), 1.0, atol=1e-5)  # Z@Z = I
+    np.testing.assert_allclose(
+        np.real(np.asarray(c44)), np.real(np.asarray(c.expectation_ps(z=[2, 4]))), atol=1e-5
+    )
+
+    fc = fm.conj()
+    np.testing.assert_allclose(
+        np.asarray(fc.tensors[2]), np.conj(np.asarray(fm.tensors[2])), atol=1e-12
+    )
+    f2 = fm.copy()
+    assert len(f2) == 5 and f2.center_position == fm.center_position
+
+    with pytest.raises(ValueError):
+        fm.measure_local_operator([Z], [1, 2])

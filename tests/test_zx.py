@@ -313,3 +313,132 @@ def test_build_amplitude_graph_scalar():
     val = complex(np.asarray(g.scalar()))
     want = complex(np.asarray(c.amplitude("11")))
     assert abs(val - want) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# GraphS / GraphRepresentation (pyzx-style mutable graph, zx/graph_s.py)
+# ---------------------------------------------------------------------------
+
+
+def test_graphs_tensor_semantics():
+    import math
+    from tensorcircuit_ng_tpu.zx.graph_s import GraphS, VertexType, EdgeType
+
+    # T gate: Z spider phase pi/4
+    g = GraphS()
+    i = g.add_vertex(VertexType.BOUNDARY)
+    v = g.add_vertex(VertexType.Z, phase=0.25)
+    o = g.add_vertex(VertexType.BOUNDARY)
+    g.add_edge((i, v))
+    g.add_edge((v, o))
+    g.set_inputs([i])
+    g.set_outputs([o])
+    np.testing.assert_allclose(
+        g.to_tensor(), np.diag([1, np.exp(1j * math.pi * 0.25)]), atol=1e-12
+    )
+
+    # CNOT = sqrt(2) * (Z spider - X spider)
+    g3 = GraphS()
+    ic, it_ = g3.add_vertex(0), g3.add_vertex(0)
+    zc, xt = g3.add_vertex(VertexType.Z), g3.add_vertex(VertexType.X)
+    oc, ot = g3.add_vertex(0), g3.add_vertex(0)
+    for e in [(ic, zc), (it_, xt), (zc, xt), (zc, oc), (xt, ot)]:
+        g3.add_edge(e)
+    g3.set_inputs([ic, it_])
+    g3.set_outputs([oc, ot])
+    g3.scalar.add_power(1)
+    cnot = np.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0]])
+    np.testing.assert_allclose(g3.to_tensor().reshape(4, 4), cnot, atol=1e-12)
+
+    # hadamard edge realizes H
+    g4 = GraphS()
+    i, a, b, o = (g4.add_vertex(t) for t in (0, 1, 1, 0))
+    g4.add_edge((i, a))
+    g4.add_edge((a, b), EdgeType.HADAMARD)
+    g4.add_edge((b, o))
+    g4.set_inputs([i])
+    g4.set_outputs([o])
+    H = np.array([[1, 1], [1, -1]]) / np.sqrt(2)
+    np.testing.assert_allclose(g4.to_tensor(), H, atol=1e-12)
+
+
+def test_graphs_edge_parity_rules():
+    from tensorcircuit_ng_tpu.zx.graph_s import GraphS, EdgeType
+
+    # Hopf: parallel hadamard edges between same-colour spiders cancel (1/2)
+    g = GraphS()
+    i, a, b, o = (g.add_vertex(t) for t in (0, 1, 1, 0))
+    g.add_edge((i, a))
+    g.add_edge((b, o))
+    g.add_edge((a, b), EdgeType.HADAMARD)
+    g.add_edge((a, b), EdgeType.HADAMARD)
+    g.set_inputs([i])
+    g.set_outputs([o])
+    assert g.edge_type((a, b)) == 0
+    np.testing.assert_allclose(g.to_tensor(), 0.5 * np.ones((2, 2)), atol=1e-12)
+
+    # parallel simple edges between different colours cancel with 1/2
+    g2 = GraphS()
+    a, b = g2.add_vertex(1), g2.add_vertex(2)
+    g2.add_edge((a, b))
+    g2.add_edge((a, b))
+    assert g2.edge_type((a, b)) == 0 and g2.scalar.power2 == -2
+
+    # same-colour simple edges are idempotent; mixed pair stored as 3
+    g3 = GraphS()
+    a, b = g3.add_vertex(1), g3.add_vertex(1)
+    g3.add_edge((a, b))
+    g3.add_edge((a, b))
+    assert g3.edge_type((a, b)) == EdgeType.SIMPLE
+    g3.add_edge((a, b), EdgeType.HADAMARD)
+    assert g3.edge_type((a, b)) == EdgeType.BOTH
+
+    # hadamard self-loop = pi phase + 1/sqrt(2)
+    g4 = GraphS()
+    i, a, o = (g4.add_vertex(t) for t in (0, 1, 0))
+    g4.add_edge((i, a))
+    g4.add_edge((a, o))
+    g4.add_edge((a, a), EdgeType.HADAMARD)
+    g4.set_inputs([i])
+    g4.set_outputs([o])
+    np.testing.assert_allclose(
+        g4.to_tensor(), np.diag([1, -1]) / np.sqrt(2), atol=1e-12
+    )
+
+
+def test_graph_representation_wrapper():
+    from tensorcircuit_ng_tpu.zx import GraphRepresentation, VertexType
+
+    br = GraphRepresentation()
+    v1 = br.add_vertex(VertexType.Z, qubit=0, row=1, phase=0.5)
+    v2 = br.add_vertex(VertexType.Z, qubit=0, row=2)
+    br.add_edge((v1, v2))
+    br.rec.append(v1)
+    br.observables_dict[0] = v2
+    assert br.num_vertices() == 2
+    assert br.phase(v1) == 0.5
+    assert br.observables == [v2]
+    assert list(br.neighbors(v1)) == [v2]
+    assert br.vertex_degree(v1) == 1
+    br.set_vdata(v1, "tag", "m0")
+    assert br.vdata(v1, "tag") == "m0"
+    br.add_to_phase(v1, 0.25, params={"e0"})
+    assert br.get_params(v1) == {"e0"}
+
+    assert br.phase(v1) == 0.75  # 0.5 + 0.25
+    b2 = br.copy()
+    b2.set_phase(v1, 1.5)
+    assert br.phase(v1) == 0.75 and b2.phase(v1) == 1.5
+    assert b2.rec == [v1] and b2.rec is not br.rec
+
+    # add_edge_table applies nonzero entries
+    v3 = br.add_vertex(VertexType.X)
+    br.add_edge_table({(v2, v3): [1, 2]})  # EdgeType codes, 0 entries skipped
+    assert br.graph.connected(v2, v3)
+
+    br.remove_edge((v1, v2))
+    br.remove_isolated_vertices()
+    assert v1 not in br.vertex_set()
+
+    with pytest.raises(AttributeError):
+        br.not_a_method

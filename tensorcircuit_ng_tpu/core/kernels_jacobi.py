@@ -1,0 +1,257 @@
+"""Pallas one-sided Jacobi SVD: the whole sweep loop inside ONE kernel.
+
+XLA's TPU eigh/svd custom calls are latency-bound for TEBD-sized batches
+(measured: batched complex eigh 30x128x128 = 58.5 ms and 930 s compile;
+direct svd 68 ms; an XLA-level Jacobi scan 69 ms because its ~1000 tiny ops
+pay per-op dispatch).  Here the full Hestenes iteration lives in VMEM:
+
+- **transposed layout**: each matrix is stored as (n, m) so a *column* of A
+  is a sublane ROW — the n/2 simultaneous plane rotations are elementwise
+  ops at full lane occupancy, and the Brent–Luk re-pairing between rounds
+  is three sublane rolls + index selects (no gathers, no matmuls).
+- **Brent–Luk tournament**: slot 0 fixed, slots cycle top->bottom; all
+  n(n-1)/2 column pairs meet exactly once per (n-1)-round sweep (verified
+  by enumeration).
+- one ``fori_loop`` runs sweeps*(n-1) rounds with zero HBM traffic; the
+  batch dimension is the grid.
+
+The wrapper pads rows to a lane multiple and columns to a sublane-pair
+multiple (zero columns are fixed points of the iteration: their pair
+rotations hit the |a_pq| skip guard), sorts the spectrum descending, and
+returns (u, s, vh) like ``jnp.linalg.svd(full_matrices=False)`` for m >= n.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+Tensor = Any
+
+__all__ = ["jacobi_svd_pallas", "jacobi_svd"]
+
+_INTERPRET = False
+
+
+def _jacobi_kernel(
+    xr_ref,
+    xi_ref,
+    oxr_ref,
+    oxi_ref,
+    ovr_ref=None,
+    ovi_ref=None,
+    *,
+    n: int,
+    m: int,
+    sweeps: int,
+    with_v: bool = True,
+):
+    from jax.experimental.pallas import tpu as pltpu
+
+    h = n // 2
+    f32 = jnp.float32
+    # transposed storage: row j holds column j; top slots 0..h-1, bottom h..n-1
+    xtr = xr_ref[0, :h, :]
+    xbr = xr_ref[0, h:, :]
+    xti = xi_ref[0, :h, :]
+    xbi = xi_ref[0, h:, :]
+    rows_m = jax.lax.broadcasted_iota(jnp.int32, (h, m), 0)
+    rows_n = jax.lax.broadcasted_iota(jnp.int32, (h, n), 0)
+    cols_n = jax.lax.broadcasted_iota(jnp.int32, (h, n), 1)
+    # V starts as the identity (transposed = identity): top rows j -> e_j,
+    # bottom rows j -> e_{h+j}
+    if with_v:
+        vtr = jnp.where(cols_n == rows_n, 1.0, 0.0).astype(f32)
+        vbr = jnp.where(cols_n == rows_n + h, 1.0, 0.0).astype(f32)
+        vti = jnp.zeros((h, n), f32)
+        vbi = jnp.zeros((h, n), f32)
+    else:  # fast path: V recovered afterwards as S^-1 U^H A
+        vtr = vbr = vti = vbi = jnp.zeros((8, 128), f32)  # dummy carry
+    tiny = f32(1e-30)
+
+    def body(_, carry):
+        xtr, xti, xbr, xbi, vtr, vti, vbr, vbi = carry
+        app = jnp.sum(xtr * xtr + xti * xti, axis=1, keepdims=True)
+        aqq = jnp.sum(xbr * xbr + xbi * xbi, axis=1, keepdims=True)
+        # a_pq = <p, q> (conjugate on p)
+        pr = jnp.sum(xtr * xbr + xti * xbi, axis=1, keepdims=True)
+        pi = jnp.sum(xtr * xbi - xti * xbr, axis=1, keepdims=True)
+        mod = jnp.sqrt(pr * pr + pi * pi)
+        inv_mod = 1.0 / (mod + tiny)
+        cph = pr * inv_mod  # cos(phi), sin(phi) of the pair phase
+        sph = pi * inv_mod
+        tau = (aqq - app) * 0.5 * inv_mod
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        c = jax.lax.rsqrt(1.0 + t * t)
+        s = c * t
+        skip = mod <= 1e-12 * jnp.sqrt(app * aqq) + tiny
+        c = jnp.where(skip, 1.0, c)
+        s = jnp.where(skip, 0.0, s)
+
+        def rot(tr, ti, br, bi):
+            # p' = c p - s e^{-i phi} q ;  q' = s e^{i phi} p + c q
+            eqr = cph * br + sph * bi  # Re(e^{-i phi} q)
+            eqi = cph * bi - sph * br
+            epr = cph * tr - sph * ti  # Re(e^{+i phi} p)
+            epi = cph * ti + sph * tr
+            return c * tr - s * eqr, c * ti - s * eqi, s * epr + c * br, s * epi + c * bi
+
+        xtr, xti, xbr, xbi = rot(xtr, xti, xbr, xbi)
+        if with_v:
+            vtr, vti, vbr, vbi = rot(vtr, vti, vbr, vbi)
+
+        def shuffle(top, bot):
+            # Brent-Luk: new_top = [top0, bot0, top1..top_{h-2}],
+            #            new_bot = [bot1..bot_{h-1}, top_{h-1}]
+            rows = rows_m if top.shape[1] == m else rows_n
+            nt = jnp.where(
+                rows == 1,
+                pltpu.roll(bot, 1, 0),
+                jnp.where(rows == 0, top, pltpu.roll(top, 1, 0)),
+            )
+            nb = jnp.where(rows == h - 1, top, pltpu.roll(bot, h - 1, 0))
+            return nt, nb
+
+        xtr, xbr = shuffle(xtr, xbr)
+        xti, xbi = shuffle(xti, xbi)
+        if with_v:
+            vtr, vbr = shuffle(vtr, vbr)
+            vti, vbi = shuffle(vti, vbi)
+        return xtr, xti, xbr, xbi, vtr, vti, vbr, vbi
+
+    carry = (xtr, xti, xbr, xbi, vtr, vti, vbr, vbi)
+    carry = jax.lax.fori_loop(0, sweeps * (n - 1), body, carry)
+    xtr, xti, xbr, xbi, vtr, vti, vbr, vbi = carry
+    oxr_ref[0, :h, :] = xtr
+    oxr_ref[0, h:, :] = xbr
+    oxi_ref[0, :h, :] = xti
+    oxi_ref[0, h:, :] = xbi
+    if with_v:
+        ovr_ref[0, :h, :] = vtr
+        ovr_ref[0, h:, :] = vbr
+        ovi_ref[0, :h, :] = vti
+        ovi_ref[0, h:, :] = vbi
+
+
+def _run_kernel(
+    xr: Tensor, xi: Tensor, sweeps: int, with_v: bool
+) -> Tuple[Tensor, ...]:
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, m = xr.shape
+    spec_nm = pl.BlockSpec((1, n, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_nn = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_specs = [spec_nm, spec_nm] + ([spec_nn, spec_nn] if with_v else [])
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n, m), jnp.float32),
+        jax.ShapeDtypeStruct((b, n, m), jnp.float32),
+    ] + (
+        [
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+        ]
+        if with_v
+        else []
+    )
+    f = pl.pallas_call(
+        partial(_jacobi_kernel, n=n, m=m, sweeps=sweeps, with_v=with_v),
+        grid=(b,),
+        in_specs=[spec_nm, spec_nm],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_INTERPRET,
+    )
+    out = f(xr, xi)
+    return tuple(out) if isinstance(out, (tuple, list)) else (out,)
+
+
+def jacobi_svd_pallas(
+    a: Tensor, sweeps: int = 10, accumulate_v: bool = False
+) -> Tuple[Tensor, Tensor, Tensor]:
+    """Full SVD of batched (..., m, n) complex matrices, m >= n, s descending.
+
+    In-kernel one-sided Jacobi (see module docstring); returns (u, s, vh)
+    with static shapes (..., m, n), (..., n), (..., n, n).
+
+    ``accumulate_v=False`` (~25% faster at equal sweeps) recovers
+    ``vh = S^-1 U^H A`` by one MXU matmul afterwards.  CAVEAT: that
+    recovery amplifies U's residual non-orthogonality by s_max/s_i, so for
+    truncation-grade vh it needs ~16 sweeps where the in-kernel V
+    (``True``) needs only ~10 — measured on a chi=12 TEBD quench the
+    10-sweep fast path drops fidelity to 0.93 while 10-sweep ``True``
+    holds 0.999995.  Prefer ``True`` unless only u/s are consumed.
+    """
+    a = jnp.asarray(a)
+    batch = a.shape[:-2]
+    m, n = a.shape[-2], a.shape[-1]
+    if m < n:
+        raise ValueError("jacobi_svd_pallas requires m >= n (pass a.T instead)")
+    # pad columns so h = n/2 is a sublane multiple, rows to a lane multiple
+    n_pad = -(-max(n, 16) // 16) * 16
+    m_pad = -(-max(m, 128) // 128) * 128
+    ar = jnp.real(a).astype(jnp.float32)
+    ai = jnp.imag(a).astype(jnp.float32)
+    # transposed layout: (B, n, m) rows are columns of a
+    ar = jnp.swapaxes(ar, -1, -2).reshape((-1, n, m))
+    ai = jnp.swapaxes(ai, -1, -2).reshape((-1, n, m))
+    ar = jnp.pad(ar, ((0, 0), (0, n_pad - n), (0, m_pad - m)))
+    ai = jnp.pad(ai, ((0, 0), (0, n_pad - n), (0, m_pad - m)))
+    out = _run_kernel(ar, ai, sweeps, accumulate_v)
+    xr, xi = out[0], out[1]
+    s = jnp.sqrt(jnp.sum(xr * xr + xi * xi, axis=-1))  # (B, n_pad)
+    order = jnp.argsort(-s, axis=-1)[..., :n]
+    s_sorted = jnp.take_along_axis(s, order, axis=-1)
+    # apply the sort as a permutation MATMUL (MXU) — per-batch row gathers on
+    # (B, n, m) planes are slow on TPU
+    perm = (
+        order[..., :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, s.shape[-1]), 2)
+    ).astype(jnp.float32)  # (B, n, n_pad) one-hot rows
+    take = lambda z: perm @ z
+    inv_s = jnp.where(s_sorted > 1e-30, 1.0 / (s_sorted + 1e-30), 0.0)[..., None]
+    ur = take(xr)[..., :m] * inv_s
+    ui = take(xi)[..., :m] * inv_s
+    u = jnp.swapaxes(ur + 1j * ui, -1, -2).astype(a.dtype)
+    s_out = s_sorted.astype(jnp.real(jnp.zeros((), a.dtype)).dtype)
+    if accumulate_v:
+        vr, vi = out[2], out[3]
+        vhr = take(vr)[..., :n]  # rows of V^T sorted
+        vhi = take(vi)[..., :n]
+        vh = (vhr - 1j * vhi).astype(a.dtype)  # vh = conj(V^T)
+    else:
+        a_flat = a.reshape((-1, m, n))
+        vh = inv_s.astype(a.dtype) * (
+            jnp.conj(jnp.swapaxes(u, -1, -2)) @ a_flat
+        )  # S^-1 U^H A
+    return (
+        u.reshape(batch + (m, n)),
+        s_out.reshape(batch + (n,)),
+        vh.reshape(batch + (n, n)),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def jacobi_svd(
+    a: Tensor, sweeps: int = 10, accumulate_v: bool = False
+) -> Tuple[Tensor, Tensor, Tensor]:
+    """AD-aware :func:`jacobi_svd_pallas` (degenerate-safe SVD adjoint)."""
+    return jacobi_svd_pallas(a, sweeps, accumulate_v)
+
+
+def _kjacobi_fwd(a, sweeps, accumulate_v):
+    u, s, vh = jacobi_svd_pallas(a, sweeps, accumulate_v)
+    return (u, s, vh), (a, u, s, vh)
+
+
+def _kjacobi_bwd(sweeps, accumulate_v, res, g):
+    from . import linalg as _linalg
+
+    return _linalg._svd_bwd(res, g)
+
+
+jacobi_svd.defvjp(_kjacobi_fwd, _kjacobi_bwd)

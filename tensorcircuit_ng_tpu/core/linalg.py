@@ -10,6 +10,7 @@ TPU-first: static shapes only, pad-and-mask truncation.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -143,6 +144,96 @@ gram_svd.defvjp(_gram_svd_fwd, _svd_bwd)
 #: None = auto (gram on TPU — measured 39.8 -> 31.0 ms and 4x faster compile
 #: for the n=60 chi=64 trotter step; exact SVD elsewhere). True/False force.
 USE_GRAM_SVD = None
+
+
+# ------------------------------------------------------- one-sided Jacobi
+
+
+def _jacobi_svd_impl(a: jnp.ndarray, sweeps: int = 10) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched one-sided (Hestenes) Jacobi SVD in pure XLA-friendly ops.
+
+    XLA's TPU eigh/svd custom calls are latency-bound and extremely slow to
+    compile for the small-batched matrices of TEBD truncation (measured:
+    batched complex eigh 30x128x128 = 58 ms/iter, 930 s compile).  This
+    routine uses only reductions, elementwise math, and column slicing —
+    a round-robin tournament pairs columns so all n/2 rotations of a round
+    apply simultaneously, and the between-round re-pairing is a static
+    slice/concat (no gathers, no custom calls).
+
+    ``a``: (..., m, n); requires n even (callers pad odd n).  Returns the
+    full (u, s, vh) with s descending.
+    """
+    m, n = a.shape[-2], a.shape[-1]
+    if n % 2:
+        raise ValueError("jacobi_svd: trailing dimension must be even")
+    h = n // 2
+    rdtype = jnp.finfo(a.dtype).dtype if jnp.iscomplexobj(a) else a.dtype
+    rdtype = jnp.real(jnp.zeros((), a.dtype)).dtype
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape[:-2] + (n, n))
+    tiny = jnp.asarray(1e-30, rdtype)
+
+    def round_step(carry, _):
+        x, v = carry
+        # pair slot i with slot n-1-i: left half vs reversed right half
+        xl, xr = x[..., :h], x[..., h:][..., ::-1]
+        vl, vr = v[..., :h], v[..., h:][..., ::-1]
+        app = jnp.sum(jnp.abs(xl) ** 2, axis=-2)  # (..., h) real
+        aqq = jnp.sum(jnp.abs(xr) ** 2, axis=-2)
+        apq = jnp.sum(jnp.conj(xl) * xr, axis=-2)  # complex
+        mod = jnp.abs(apq)
+        phase = apq / (mod + tiny).astype(a.dtype)  # e^{i phi}
+        # real Jacobi angle on (p, q e^{-i phi})
+        tau = (aqq - app) / (2.0 * mod + tiny)
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = c * t
+        # skip negligible rotations (keeps padded zero columns fixed)
+        skip = mod <= 1e-12 * jnp.sqrt(app * aqq) + tiny
+        c = jnp.where(skip, 1.0, c)
+        s = jnp.where(skip, 0.0, s)
+        cc = c[..., None, :].astype(a.dtype)
+        ss = s[..., None, :].astype(a.dtype)
+        ph = phase[..., None, :]
+        #   p' = c p - s e^{-i phi} q ;  q' = s e^{i phi} p + c q
+        xl2 = cc * xl - ss * jnp.conj(ph) * xr
+        xr2 = ss * ph * xl + cc * xr
+        vl2 = cc * vl - ss * jnp.conj(ph) * vr
+        vr2 = ss * ph * vl + cc * vr
+        x = jnp.concatenate([xl2, xr2[..., ::-1]], axis=-1)
+        v = jnp.concatenate([vl2, vr2[..., ::-1]], axis=-1)
+        # round-robin advance: slot 0 fixed, slots 1..n-1 cycle by one
+        x = jnp.concatenate([x[..., :1], x[..., -1:], x[..., 1:-1]], axis=-1)
+        v = jnp.concatenate([v[..., :1], v[..., -1:], v[..., 1:-1]], axis=-1)
+        return (x, v), None
+
+    (x, v), _ = jax.lax.scan(
+        round_step, (a, eye), None, length=sweeps * (n - 1)
+    )
+    s = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=-2))
+    order = jnp.argsort(-s, axis=-1)
+    s = jnp.take_along_axis(s, order, axis=-1)
+    x = jnp.take_along_axis(x, order[..., None, :], axis=-1)
+    v = jnp.take_along_axis(v, order[..., None, :], axis=-1)
+    u = x * _safe_inverse(s + tiny)[..., None, :].astype(a.dtype)
+    return u, s, _H(v)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def jacobi_svd(a: jnp.ndarray, sweeps: int = 10) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One-sided Jacobi SVD (see :func:`_jacobi_svd_impl`); SVD-adjoint VJP."""
+    return _jacobi_svd_impl(a, sweeps)
+
+
+def _jacobi_svd_fwd(a, sweeps):
+    u, s, vh = _jacobi_svd_impl(a, sweeps)
+    return (u, s, vh), (a, u, s, vh)
+
+
+def _jacobi_svd_bwd(sweeps, res, g):
+    return _svd_bwd(res, g)
+
+
+jacobi_svd.defvjp(_jacobi_svd_fwd, _jacobi_svd_bwd)
 
 
 # ---------------------------------------------------------------- QR / RQ

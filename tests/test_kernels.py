@@ -362,3 +362,91 @@ def test_tebd_gram_svd_flag_consistency():
     finally:
         L.USE_GRAM_SVD = False
     assert abs(v_std - v_gram) < 1e-3, (v_std, v_gram)
+
+
+def test_jacobi_svd_correctness_and_grad():
+    from tensorcircuit_ng_tpu.core import linalg as L
+
+    rng = np.random.default_rng(7)
+    for shape, sweeps in [((16, 16), 10), ((3, 16, 16), 10), ((12, 8), 8)]:
+        a = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+            np.complex64
+        )
+        u, s, vh = (np.asarray(x) for x in L.jacobi_svd(jnp.asarray(a), sweeps))
+        np.testing.assert_allclose(
+            (u * s[..., None, :]) @ vh, a, atol=2e-5
+        )  # reconstruction
+        np.testing.assert_allclose(
+            s, np.linalg.svd(a, compute_uv=False), atol=2e-5
+        )  # values, descending
+        k = min(shape[-2], shape[-1])
+        uhu = np.einsum("...ki,...kj->...ij", u.conj(), u)[..., :k, :k]
+        np.testing.assert_allclose(uhu, np.broadcast_to(np.eye(k), uhu.shape), atol=2e-6)
+
+    # odd trailing dimension is rejected
+    with pytest.raises(ValueError):
+        L.jacobi_svd(jnp.ones((4, 5)), 4)
+
+    # gradient agrees with the LAPACK-path adjoint on a gauge-invariant loss
+    a = (rng.standard_normal((10, 10)) + 1j * rng.standard_normal((10, 10))).astype(
+        np.complex64
+    )
+
+    def mk(svd):
+        def loss(x):
+            u, s, vh = svd(x)
+            rec = (u[:, :4] * s[None, :4]) @ vh[:4, :]
+            w = jnp.arange(100, dtype=jnp.float32).reshape(10, 10)
+            return jnp.real(jnp.sum(s[:4]) + jnp.sum(w * jnp.abs(rec) ** 2))
+
+        return loss
+
+    ga = jax.grad(mk(L.adaware_svd))(jnp.asarray(a))
+    gj = jax.grad(mk(lambda x: L.jacobi_svd(x, 12)))(jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gj), atol=2e-5 * float(jnp.abs(ga).max()))
+
+
+def test_jacobi_svd_pallas_interpret():
+    from tensorcircuit_ng_tpu.core import kernels_jacobi as KJ
+
+    rng = np.random.default_rng(3)
+    old = KJ._INTERPRET
+    KJ._INTERPRET = True
+    try:
+        for shape in [(16, 16), (2, 32, 32), (24, 16)]:
+            a = (
+                rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+            ).astype(np.complex64)
+            for acc_v in (True, False):
+                u, s, vh = (
+                    np.asarray(x) for x in KJ.jacobi_svd_pallas(jnp.asarray(a), 10, acc_v)
+                )
+                np.testing.assert_allclose(
+                    (u * s[..., None, :]) @ vh, a, atol=5e-5
+                )
+                np.testing.assert_allclose(
+                    s, np.linalg.svd(a, compute_uv=False), atol=5e-5
+                )
+        with pytest.raises(ValueError):
+            KJ.jacobi_svd_pallas(jnp.ones((4, 8)), 4)  # m < n rejected
+
+        # AD wrapper gradient vs LAPACK adjoint (gauge-invariant loss)
+        a = (
+            rng.standard_normal((16, 16)) + 1j * rng.standard_normal((16, 16))
+        ).astype(np.complex64)
+        from tensorcircuit_ng_tpu.core import linalg as L
+
+        def mk(svd):
+            def loss(x):
+                u, s, vh = svd(x)
+                rec = (u[:, :6] * s[None, :6]) @ vh[:6, :]
+                w = jnp.arange(256, dtype=jnp.float32).reshape(16, 16)
+                return jnp.real(jnp.sum(s[:6]) + jnp.sum(w * jnp.abs(rec) ** 2))
+
+            return loss
+
+        ga = jax.grad(mk(L.adaware_svd))(jnp.asarray(a))
+        gk = jax.grad(mk(lambda x: KJ.jacobi_svd(x, 10, False)))(jnp.asarray(a))
+        assert float(jnp.abs(ga - gk).max()) < 1e-5 * float(jnp.abs(ga).max())
+    finally:
+        KJ._INTERPRET = old

@@ -408,3 +408,33 @@ def test_finite_mps_measurements():
 
     with pytest.raises(ValueError):
         fm.measure_local_operator([Z], [1, 2])
+
+
+def test_parallel_tebd_jacobi_mode_matches_gram():
+    import scipy.linalg as sl
+    import tensorcircuit_ng_tpu as tc
+    from tensorcircuit_ng_tpu.models import tebd as tebd_mod
+    from tensorcircuit_ng_tpu.core import kernels_jacobi as KJ
+
+    X = np.array([[0, 1], [1, 0.0]])
+    Z = np.diag([1.0, -1.0])
+    hb = np.kron(Z, Z) + 0.5 * np.kron(X, np.eye(2))
+    gate = sl.expm(-1j * 0.1 * hb).astype(np.complex64)
+
+    def evolve():
+        eng = tc.ParallelTEBD(6, 8, initial="neel")
+        for _ in range(4):
+            eng.trotter_step(gate)
+        return np.asarray(eng.wavefunction())
+
+    old_mode, old_interp = tebd_mod.SVD_MODE, KJ._INTERPRET
+    try:
+        tebd_mod.SVD_MODE = "gram"
+        psi_g = evolve()
+        tebd_mod.SVD_MODE = "jacobi"
+        KJ._INTERPRET = True
+        psi_j = evolve()
+    finally:
+        tebd_mod.SVD_MODE, KJ._INTERPRET = old_mode, old_interp
+    ov = abs(np.vdot(psi_g, psi_j)) / (np.linalg.norm(psi_g) * np.linalg.norm(psi_j))
+    assert ov > 1 - 1e-5, ov

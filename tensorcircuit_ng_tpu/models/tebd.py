@@ -41,10 +41,10 @@ JACOBI_SWEEPS = 10
 def _svd_batched(theta: Tensor) -> Tuple[Tensor, Tensor, Tensor]:
     mode = SVD_MODE
     if mode == "auto":
-        # gram until the in-process A/B settles: tunnel-to-tunnel timing
-        # variance makes cross-process comparisons unreliable (63 vs 828
-        # ms for the SAME accV program in consecutive runs)
-        mode = "gram"
+        # in-process TPU A/B (n=60 chi=64, steady ~27ms calibration):
+        # gram 58.5 ms/step vs jacobi accV 32.6 ms/step, same physics
+        # (S=0.88 vs CPU 0.84-0.88); fastV heats even at 16 sweeps there
+        mode = "jacobi" if jax.default_backend() == "tpu" else "gram"
     if mode == "jacobi":
         from ..core.kernels_jacobi import jacobi_svd
 

@@ -16,6 +16,8 @@ MODULES = [
     "tensorcircuit_ng_tpu.core.contractor",
     "tensorcircuit_ng_tpu.core.statevec",
     "tensorcircuit_ng_tpu.core.kernels",
+    "tensorcircuit_ng_tpu.core.kernels_jacobi",
+    "tensorcircuit_ng_tpu.core.linalg",
     "tensorcircuit_ng_tpu.ops.gates",
     "tensorcircuit_ng_tpu.ops.channels",
     "tensorcircuit_ng_tpu.ops.quditgates",
@@ -24,6 +26,7 @@ MODULES = [
     "tensorcircuit_ng_tpu.models.densitymatrix",
     "tensorcircuit_ng_tpu.models.mpscircuit",
     "tensorcircuit_ng_tpu.models.mps_base",
+    "tensorcircuit_ng_tpu.models.tebd",
     "tensorcircuit_ng_tpu.models.stabilizercircuit",
     "tensorcircuit_ng_tpu.models.quditcircuit",
     "tensorcircuit_ng_tpu.models.u1circuit",
@@ -32,6 +35,7 @@ MODULES = [
     "tensorcircuit_ng_tpu.models.symbolcircuit",
     "tensorcircuit_ng_tpu.models.pauliprop",
     "tensorcircuit_ng_tpu.zx",
+    "tensorcircuit_ng_tpu.zx.graph_s",
     "tensorcircuit_ng_tpu.zx.noise_model",
     "tensorcircuit_ng_tpu.zx.scalar_graph",
     "tensorcircuit_ng_tpu.zx.stabilizertcircuit",

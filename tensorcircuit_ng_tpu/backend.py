@@ -14,6 +14,7 @@ live in :mod:`tensorcircuit_ng_tpu.core.linalg`.
 from __future__ import annotations
 
 import functools
+import math
 import warnings
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
@@ -803,3 +804,190 @@ backend = JaxBackend()
 def get_backend(name: str = "jax") -> JaxBackend:
     # single concrete backend; "numpy" mode shares it (jax on cpu, eager)
     return backend
+
+
+# ---------------------------------------------------------------------------
+# reference-parity method batch (reference ``backends/abstract_backend.py`` /
+# ``backends/jax_backend.py``): elementwise/bit ops, structural helpers,
+# iterative eigensolver, Bessel special function
+# ---------------------------------------------------------------------------
+
+
+def _jb(name):
+    def deco(f):
+        setattr(JaxBackend, name, f)
+        return f
+
+    return deco
+
+
+@_jb("all")
+def _all(self, a, axis=None):
+    return jnp.all(a, axis=axis)
+
+
+@_jb("any")
+def _any(self, a, axis=None):
+    return jnp.any(a, axis=axis)
+
+
+@_jb("argsort")
+def _argsort(self, a, axis=-1):
+    return jnp.argsort(a, axis=axis)
+
+
+@_jb("sort")
+def _sort(self, a, axis=-1):
+    return jnp.sort(a, axis=axis)
+
+
+@_jb("lexsort")
+def _lexsort(self, keys, axis=-1):
+    return jnp.lexsort(keys, axis=axis)
+
+
+@_jb("top_k")
+def _top_k(self, a, k):
+    return jax.lax.top_k(a, k)
+
+
+@_jb("reverse")
+def _reverse(self, a):
+    return a[::-1]
+
+
+@_jb("expand_dims")
+def _expand_dims(self, a, axis):
+    return jnp.expand_dims(a, axis)
+
+
+@_jb("ones_like")
+def _ones_like(self, a):
+    return jnp.ones_like(a)
+
+
+@_jb("zeros_like")
+def _zeros_like(self, a):
+    return jnp.zeros_like(a)
+
+
+@_jb("repeat")
+def _repeat(self, a, repeats, axis=None):
+    return jnp.repeat(a, repeats, axis=axis)
+
+
+@_jb("meshgrid")
+def _meshgrid(self, *args, **kws):
+    return jnp.meshgrid(*args, **kws)
+
+
+@_jb("floor_divide")
+def _floor_divide(self, x, y):
+    return jnp.floor_divide(x, y)
+
+
+@_jb("bitwise_and")
+def _bitwise_and(self, x, y):
+    return jnp.bitwise_and(x, y)
+
+
+@_jb("bitwise_or")
+def _bitwise_or(self, x, y):
+    return jnp.bitwise_or(x, y)
+
+
+@_jb("bitwise_xor")
+def _bitwise_xor(self, x, y):
+    return jnp.bitwise_xor(x, y)
+
+
+@_jb("left_shift")
+def _left_shift(self, x, y):
+    return jnp.left_shift(x, y)
+
+
+@_jb("right_shift")
+def _right_shift(self, x, y):
+    return jnp.right_shift(x, y)
+
+
+@_jb("popc")
+def _popc(self, a):
+    return jax.lax.population_count(a)
+
+
+@_jb("i")
+def _i(self, dtype=None):
+    from . import config as _config
+
+    return jnp.asarray(1j, dtype=dtype or _config.dtypestr())
+
+
+@_jb("reshaped")
+def _reshaped(self, a, d):
+    if not isinstance(d, int) or d <= 0:
+        raise ValueError("d must be a positive integer.")
+    size = int(np.prod(a.shape)) if a.shape else 1
+    nleg = int(round(math.log(size, d))) if size > 1 else 0
+    if d**nleg != size:
+        raise ValueError(f"tensor size {size} is not a power of {d}")
+    return jnp.reshape(a, [d] * nleg)
+
+
+@_jb("matvec")
+def _matvec(self, A, x):
+    if hasattr(A, "matvec"):  # NumpyCOO / LinearOperator duck type
+        return A.matvec(x)
+    return jnp.tensordot(A, x, axes=[[1], [0]])
+
+
+@_jb("sqrtmh")
+def _sqrtmh(self, a, psd=False):
+    e, v = jnp.linalg.eigh(a)
+    if psd:
+        e = jnp.clip(e, 0.0, None)
+    e = jnp.sqrt(e).astype(v.dtype)
+    return (v * e[..., None, :]) @ jnp.conj(jnp.swapaxes(v, -1, -2))
+
+
+@_jb("jaxy_scan")
+def _jaxy_scan(self, f, init, xs):
+    if xs is None:
+        raise ValueError("Either xs or length must be provided.")
+    return jax.lax.scan(f, init, xs)
+
+
+@_jb("lobpcg_standard")
+def _lobpcg_standard(self, a, x0, m=100, tol=None):
+    from jax.experimental.sparse.linalg import lobpcg_standard as _lob
+
+    if callable(a) and not hasattr(a, "shape"):
+        op = a
+    else:
+        mat = a
+        op = lambda x: (
+            mat.matvec(x) if hasattr(mat, "matvec") else jnp.tensordot(mat, x, [[1], [0]])
+        )
+    # jax finds the LARGEST eigenvalues, matching the reference contract
+    theta, u, iters = _lob(op, x0, m=m, tol=tol)
+    return theta, u, iters
+
+
+@_jb("sparse_csr_from_coo")
+def _sparse_csr_from_coo(self, coo, strict=False):
+    try:
+        from jax.experimental import sparse as jsparse
+
+        return jsparse.BCSR.from_bcoo(coo)
+    except Exception:
+        if not strict:
+            return coo
+        raise
+
+
+@_jb("special_jv")
+def _special_jv(self, v, z, M):
+    """[J_0(z), ..., J_{v-1}(z)] via Miller downward recurrence (jit/AD-safe)."""
+    from .timeevol import _bessel_jn_miller
+
+    return _bessel_jn_miller(v - 1, z)[:v]

@@ -613,3 +613,56 @@ def test_quop_linop_contractor_parity():
     fm.apply_two_site_gate(np.diag([1.0, 1.0, 1.0, -1.0]), 1, 2, max_singular_values=4)
     fm.position(2)
     assert fm.check_canonical() < 1e-5
+
+
+def test_backend_parity_batch():
+    """Reference abstract_backend/jax_backend method surface (SURVEY 2.1)."""
+    import tensorcircuit_ng_tpu as tc
+
+    b = tc.backend
+    assert bool(b.all(jnp.array([True, True])))
+    assert not bool(b.any(jnp.array([False, False])))
+    assert list(np.asarray(b.reverse(jnp.arange(3)))) == [2, 1, 0]
+    assert list(np.asarray(b.sort(jnp.array([3, 1, 2])))) == [1, 2, 3]
+    assert list(np.asarray(b.argsort(jnp.array([3, 1, 2])))) == [1, 2, 0]
+    v, i = b.top_k(jnp.array([1.0, 5.0, 3.0]), 2)
+    assert list(np.asarray(i)) == [1, 2]
+    assert int(np.asarray(b.popc(jnp.array([7], dtype=jnp.uint32)))[0]) == 3
+    assert int(b.left_shift(jnp.array(1), jnp.array(3))) == 8
+    assert int(b.right_shift(jnp.array(8), jnp.array(2))) == 2
+    assert int(b.bitwise_xor(jnp.array(5), jnp.array(3))) == 6
+    assert complex(b.i("complex64")) == 1j
+    assert b.reshaped(jnp.zeros(27), 3).shape == (3, 3, 3)
+    with pytest.raises(ValueError):
+        b.reshaped(jnp.zeros(10), 3)
+    assert b.expand_dims(jnp.zeros((2, 3)), 1).shape == (2, 1, 3)
+    assert b.ones_like(jnp.zeros((2,))).sum() == 2
+    assert b.repeat(jnp.array([1, 2]), 2).shape == (4,)
+    xs, ys = b.meshgrid(jnp.arange(2), jnp.arange(3))
+    assert xs.shape == (3, 2)
+    assert int(b.floor_divide(jnp.array(7), jnp.array(2))) == 3
+
+    a = np.random.randn(6, 6).astype(np.float32)
+    h = (a + a.T) / 2 + 6 * np.eye(6, dtype=np.float32)
+    s = np.asarray(b.sqrtmh(jnp.asarray(h), psd=True))
+    np.testing.assert_allclose(s @ s, h, atol=1e-4)
+
+    carry, ys = b.jaxy_scan(lambda c, x: (c + x, c), jnp.array(0.0), jnp.arange(4.0))
+    assert float(carry) == 6.0
+
+    n, k = 40, 3
+    a = np.random.randn(n, n).astype(np.float32)
+    h = (a + a.T) / 2 + n * np.eye(n, dtype=np.float32)
+    theta, u, _ = b.lobpcg_standard(
+        jnp.asarray(h), jnp.asarray(np.random.randn(n, k), dtype=jnp.float32), m=100
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(theta)), np.sort(np.linalg.eigvalsh(h)[-k:]), rtol=1e-3
+    )
+
+    from scipy.special import jv as scipy_jv
+
+    out = np.asarray(b.special_jv(5, jnp.asarray(1.7, dtype=jnp.float32), 30))
+    np.testing.assert_allclose(out, [scipy_jv(q, 1.7) for q in range(5)], atol=1e-5)
+
+    assert float(b.matvec(jnp.eye(3), jnp.arange(3.0))[2]) == 2.0

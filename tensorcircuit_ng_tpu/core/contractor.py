@@ -36,6 +36,7 @@ __all__ = [
 ]
 
 _PATH_CACHE: Dict[Tuple, Any] = {}
+_INFO_PRINTED: set = set()
 
 
 def _optimizer_from_config(opts: Optional[dict] = None) -> Any:
@@ -47,6 +48,9 @@ def _optimizer_from_config(opts: Optional[dict] = None) -> Any:
     if opts:
         options.update(opts)
         method = options.pop("method", method)
+    # meta-options consumed by contract_ir, not by path optimizers
+    options.pop("contraction_info", None)
+    options.pop("debug_level", None)
     if method in ("auto", "plain"):
         return "auto" if method == "auto" else None
     if method == "custom":
@@ -164,10 +168,27 @@ def contract_ir(
     with the true result = value * exp(log_factor) — for huge-magnitude
     networks (reference ``cons.py:736-740``).
     """
+    from .. import config as _cfg
+
+    meta = dict(_cfg.current().contractor_options or {})
+    if int(meta.get("debug_level", 0)) >= 2:
+        dry_run = True  # reference cons.py:928-946 shape-only mode
     out_shape = tuple(ir.size_dict[i] for i in ir.output)
     if dry_run:
         t0 = ir.tensors[0]
         return jnp.zeros(out_shape, dtype=t0.dtype if hasattr(t0, "dtype") else np.asarray(t0).dtype)
+    if meta.get("contraction_info"):
+        sig = ir.signature()
+        if sig not in _INFO_PRINTED:
+            _INFO_PRINTED.add(sig)
+            info = contraction_info(ir, optimizer)
+            if info:
+                print(
+                    "------ contraction cost summary ------\n"
+                    f"log10[FLOPs]: {info['log10[FLOPs]']:.3f}  "
+                    f"log2[SIZE]: {info['log2[SIZE]']:.3f}  "
+                    f"ops: {len(ir.inputs)}"
+                )
     path, _ = find_path(ir, optimizer)
     steps = _steps_for(ir.inputs, ir.output, ir.size_dict, path)
     if not strip_exponent:

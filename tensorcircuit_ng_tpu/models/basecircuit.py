@@ -647,15 +647,46 @@ class BaseCircuit(AbstractCircuit):
                 self._expanded_qir(), self._nqubits, norm_ops, d=self._d, lightcone=True
             )
             return _ctr.contract_ir(ir)
+        from .. import config as _config
+
+        if int(dict(_config.current().contractor_options or {}).get("debug_level", 0)) >= 2:
+            self._maybe_print_cost_info()
+            return jnp.zeros((), dtype=jnp.complex64)  # shape-only dry run
         if enable_lightcone:
             psi = self._lightcone_state([w for _, ws in norm_ops for w in ws])
             reuse = False
         else:
             psi = self.state(reuse=reuse)
+        self._maybe_print_cost_info()
         phi = psi
         for o, wires in norm_ops:
             phi = statevec.apply_unitary(phi, o.astype(phi.dtype), wires, self._d)
         return jnp.vdot(psi, phi)
+
+    def _maybe_print_cost_info(self) -> None:
+        """Dense-engine analog of ``contraction_info=True`` (reference
+        ``cons.py:1084-1120`` prints per contraction; here per circuit shape)."""
+        from .. import config as _config
+        from ..core import contractor as _ctr
+        import math as _math
+
+        meta = dict(_config.current().contractor_options or {})
+        if not meta.get("contraction_info"):
+            return
+        key = ("dense", self._nqubits, self._d, len(self._qir))
+        if key in _ctr._INFO_PRINTED:
+            return
+        _ctr._INFO_PRINTED.add(key)
+        dim = self._d**self._nqubits
+        flops = 0
+        for item in self._qir:
+            k = len(item.get("index", ())) or 1
+            flops += 2 * dim * self._d**k
+        print(
+            "------ contraction cost summary ------\n"
+            f"log10[FLOPs]: {_math.log10(max(flops, 1)):.3f}  "
+            f"log2[SIZE]: {_math.log2(dim):.3f}  gates: {len(self._qir)}"
+        )
 
     def _lightcone_qir(self, obs_wires: Sequence[int]) -> List[Dict[str, Any]]:
         """Drop gates outside the observable's causal cone.

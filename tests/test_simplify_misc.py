@@ -120,3 +120,29 @@ def test_utils_predicates_and_counts_reverse():
     asciiart.set_ascii(conf={"greet": "hello"})
     assert asciiart.get_message("greet") == "hello"
     assert isinstance(str(asciiart.lucky(seed=1)), str)
+
+
+def test_contraction_info_and_debug_level():
+    import io, contextlib
+    import tensorcircuit_ng_tpu as tc
+
+    try:
+        tc.set_contractor("auto", contraction_info=True)
+        c = tc.Circuit(5)
+        for i in range(5):
+            c.h(i)
+        for i in range(4):
+            c.cnot(i, i + 1)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            c.expectation_ps(z=[2])
+            c.expectation_ps(z=[2])  # second call: same shape, printed once
+        out = buf.getvalue()
+        assert out.count("contraction cost summary") == 1
+        assert "log10[FLOPs]" in out and "log2[SIZE]" in out
+
+        tc.set_contractor("auto", debug_level=2)
+        v = c.expectation_ps(x=[0])  # dry run: no compute, zeros back
+        assert complex(np.asarray(v)) == 0j
+    finally:
+        tc.set_contractor("auto")

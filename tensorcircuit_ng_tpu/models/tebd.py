@@ -214,6 +214,63 @@ class ParallelTEBD:
     # readout
     # ------------------------------------------------------------------
 
+    def canonicalize(self) -> None:
+        """Restore the Vidal canonical form (QR left sweep + SVD right sweep).
+
+        Real-time (unitary) TEBD preserves canonicality automatically, but
+        imaginary-time / non-unitary gates leave the λ environments stale —
+        the "simple update" bias (measured: TFIM ground-state energy error
+        8e-2 regardless of χ without this).  Call periodically during
+        imaginary-time evolution; the state is unchanged (up to global
+        norm/phase), λ become true Schmidt spectra.
+        """
+        n, chi, d = self.n, self.chi, self.d
+        tensors = self.to_mps_tensors()
+        dt = jnp.asarray(tensors[0]).dtype
+        # left-to-right QR sweep -> left-canonical A_i
+        a_list = []
+        carry = jnp.eye(chi, dtype=dt)
+        for i in range(n):
+            t = jnp.einsum("ab,bdc->adc", carry, jnp.asarray(tensors[i]))
+            m = jnp.reshape(t, (chi * d, chi))
+            q, r = jnp.linalg.qr(m)
+            k = q.shape[-1]
+            if k < chi:  # pad rank (static shapes)
+                q = jnp.pad(q, ((0, 0), (0, chi - k)))
+                r = jnp.pad(r, ((0, chi - k), (0, 0)))
+            a_list.append(jnp.reshape(q, (chi, d, chi)))
+            carry = r
+        # right-to-left SVD sweep -> Schmidt λ and right-canonical B_i
+        lambdas = [None] * (n + 1)
+        lam_edge = np.zeros((chi,), dtype=np.float32)
+        lam_edge[0] = 1.0
+        lambdas[n] = jnp.asarray(lam_edge)
+        gammas = [None] * n
+        # seed with the final QR carry: it projects out the orthonormal
+        # completion columns QR invented for the rank-1 edge bond (discarding
+        # it leaves garbage Schmidt directions in the right sweep)
+        nrm0 = jnp.abs(carry[0, 0])
+        carry = carry / jnp.where(nrm0 > 1e-30, nrm0, 1.0).astype(dt)
+        for i in range(n - 1, -1, -1):
+            t = jnp.einsum("adc,ce->ade", a_list[i], carry)
+            m = jnp.reshape(t, (chi, d * chi))
+            u, s, vh = _linalg.gram_svd(m)
+            u = u[..., :, :chi]
+            s = s[..., :chi]
+            vh = vh[..., :chi, :]
+            nrm = jnp.linalg.norm(s)
+            s = s / jnp.where(nrm > 1e-30, nrm, 1.0)
+            b = jnp.reshape(vh, (chi, d, chi))
+            # Vidal: right-canonical B_i = Γ_i λ_{i+1}  =>  Γ_i = B_i λ_{i+1}^{-1}
+            inv_r = _safe_inv(jnp.real(lambdas[i + 1])).astype(dt)
+            gammas[i] = b * inv_r[None, None, :]
+            lambdas[i] = jnp.real(s).astype(jnp.float32)
+            carry = u * s.astype(dt)[None, :]
+        # bond 0 is the open left edge: slot 0 only
+        lambdas[0] = jnp.asarray(lam_edge)
+        self.gammas = jnp.stack(gammas)
+        self.lambdas = jnp.stack(lambdas)
+
     def theta_single(self, i: int) -> Tensor:
         """Canonical single-site tensor λ_{i-1} Γ_i λ_i (χ, d, χ)."""
         dt = self.gammas.dtype

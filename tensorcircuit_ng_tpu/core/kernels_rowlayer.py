@@ -36,6 +36,8 @@ MAX_KERNEL_QUBITS_LANE = 10
 MAX_KERNEL_QUBITS_ROTX = 10
 
 _INTERPRET = False
+_BWD_DZZ_FACTORED = False
+_BWD_SKIP_GRADS = False  # factored dzz blows Mosaic scoped vmem (23.95M); expo factoring alone is safe
 
 
 def _butterfly(cr, ci, rows, s, m):
@@ -576,9 +578,10 @@ def _rotx_bwd_kernel(nrow: int):
                 is_lo, pltpu.roll(ci, r_total - s, 0), pltpu.roll(ci, s, 0)
             )
             # d(theta) = -1/2 sin Re(sum ct.psi) + 1/2 cos Im(sum pct.psi)
-            re_s1 = jnp.sum(cr * nsr - ci * nsi)
-            im_s2 = jnp.sum(pct_r * nsi + pct_i * nsr)
-            dth_ref[q] += -0.5 * sn * re_s1 + 0.5 * c * im_s2
+            if not _BWD_SKIP_GRADS:  # timing-diagnostic flag, never in prod
+                re_s1 = jnp.sum(cr * nsr - ci * nsi)
+                im_s2 = jnp.sum(pct_r * nsi + pct_i * nsr)
+                dth_ref[q] += -0.5 * sn * re_s1 + 0.5 * c * im_s2
             # ct walk with rx^T = rx (symmetric): new_ct = c ct - i sn pct
             dsr_ref[:] = c * cr + sn * pct_i
             dsi_ref[:] = c * ci - sn * pct_r
@@ -813,17 +816,81 @@ row_layer_const.defvjp(_row_const_fwd, _row_const_bwd)
 MAX_KERNEL_QUBITS_ZZRX = 10
 
 
+def _zz_bit_sign(p, rb, lanes, j, row_i, lane_i):
+    """Sign vector (1-2·bit_p(idx)) factored by bit region of the layout
+    idx = (j·rb + row)·lanes + lane: lane bits live on a (1, lanes) vector,
+    row bits on (rb, 1), grid bits on the traced scalar j.  ``row_i`` /
+    ``lane_i`` are caller-created iotas (ONE each per kernel — fresh iotas
+    per pair blow the Mosaic scoped-vmem stack: (rb,1) pads to (rb,128))."""
+    nrow = int(math.log2(rb))
+    lane_bits = int(math.log2(lanes))
+    if p < lane_bits:
+        return "lane", 1.0 - 2.0 * ((lane_i >> p) & 1).astype(jnp.float32)
+    if p < lane_bits + nrow:
+        return "row", 1.0 - 2.0 * ((row_i >> (p - lane_bits)) & 1).astype(jnp.float32)
+    return "j", (1 - 2 * ((j >> (p - lane_bits - nrow)) & 1)).astype(jnp.float32)
+
+
 def _zz_expo(zzth_ref, pairs, n, rb, lanes, j):
-    """(rb, lanes) f32 field Σ_k θ_k z_a z_b from iota bit arithmetic."""
-    rows_l = jax.lax.broadcasted_iota(jnp.int32, (rb, lanes), 0)
-    lane_l = jax.lax.broadcasted_iota(jnp.int32, (rb, lanes), 1)
-    idx = (j * rb + rows_l) * lanes + lane_l
-    expo = jnp.zeros((rb, lanes), jnp.float32)
+    """(rb, lanes) f32 field Σ_k θ_k z_a z_b, factored by bit region.
+
+    z_a z_b = (1-2·bit_a)(1-2·bit_b), so row-row (and any j-bit) pairs
+    accumulate on an (rb, 1) vector, lane-lane pairs on (1, lanes), and only
+    row x lane straddles pay a full-block outer product — ~3 full-block ops
+    total instead of ~6 per pair (the dominant cost of the original
+    iota-per-pair version in the backward kernel).
+    """
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    exr = jnp.zeros((rb, 1), jnp.float32)
+    exl = jnp.zeros((1, lanes), jnp.float32)
+    full = None
     for k, (a, b) in enumerate(pairs):
-        xor = ((idx >> (n - 1 - a)) ^ (idx >> (n - 1 - b))) & 1
-        sgn = 1.0 - 2.0 * xor.astype(jnp.float32)
-        expo = expo + zzth_ref[k] * sgn
-    return expo
+        ra, sa = _zz_bit_sign(n - 1 - a, rb, lanes, j, row_i, lane_i)
+        rb_, sb = _zz_bit_sign(n - 1 - b, rb, lanes, j, row_i, lane_i)
+        th = zzth_ref[k]
+        regions = {ra, rb_}
+        if "lane" not in regions:  # row-row, row-j, j-j: all fold to (rb,1)
+            exr = exr + th * sa * sb
+        elif "row" not in regions:  # lane-lane, lane-j: fold to (1,lanes)
+            exl = exl + th * sa * sb
+        else:  # row x lane straddle: rank-1 outer product
+            sr = sa if ra == "row" else sb
+            sl = sb if ra == "row" else sa
+            t = (th * sr) * sl
+            full = t if full is None else full + t
+    out = exr + exl  # broadcasts to (rb, lanes)
+    if full is not None:
+        out = out + full
+    return jnp.broadcast_to(out, (rb, lanes))
+
+
+def _zz_pair_sums(h, pairs, n, rb, lanes, j):
+    """Per-pair Σ_idx h·z_a z_b via partial reductions (backward dzz).
+
+    Reduces h once over lanes and once over rows; every pair's sum is then
+    a small-vector dot except row x lane straddles (one masked lane-reduce
+    each) — replacing a full (rb, lanes) mask build + full reduction per
+    pair.
+    """
+    hl = jnp.sum(h, axis=1, keepdims=True)  # (rb, 1)
+    hc = jnp.sum(h, axis=0, keepdims=True)  # (1, lanes)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    out = []
+    for a, b in pairs:
+        ra, sa = _zz_bit_sign(n - 1 - a, rb, lanes, j, row_i, lane_i)
+        rb_, sb = _zz_bit_sign(n - 1 - b, rb, lanes, j, row_i, lane_i)
+        regions = {ra, rb_}
+        if "lane" not in regions:
+            out.append(jnp.sum(hl * (sa * sb)))
+        elif "row" not in regions:
+            out.append(jnp.sum(hc * (sa * sb)))
+        else:
+            sr = sa if ra == "row" else sb
+            sl = sb if ra == "row" else sa
+            out.append(jnp.sum(jnp.sum(h * sl, axis=1, keepdims=True) * sr))
+    return out
 
 
 def _zzrx_fwd_kernel(pairs, n, nrow):
@@ -895,9 +962,10 @@ def _zzrx_bwd_kernel(pairs, n, nrow):
             pct_i = jnp.where(
                 is_lo, pltpu.roll(ci, rb - s, 0), pltpu.roll(ci, s, 0)
             )
-            re_s1 = jnp.sum(cr * nsr - ci * nsi)
-            im_s2 = jnp.sum(pct_r * nsi + pct_i * nsr)
-            dth_ref[q] += -0.5 * sn * re_s1 + 0.5 * c * im_s2
+            if not _BWD_SKIP_GRADS:  # timing-diagnostic flag, never in prod
+                re_s1 = jnp.sum(cr * nsr - ci * nsi)
+                im_s2 = jnp.sum(pct_r * nsi + pct_i * nsr)
+                dth_ref[q] += -0.5 * sn * re_s1 + 0.5 * c * im_s2
             dsr_ref[:] = c * cr + sn * pct_i
             dsi_ref[:] = c * ci - sn * pct_r
         # phase stage: s = z = P x (still un-walked), ds = ct_z
@@ -907,16 +975,22 @@ def _zzrx_bwd_kernel(pairs, n, nrow):
         ci = dsi_ref[:]
         # dθ_k = Σ (s_k / 2)(ct_r z_i + ct_i z_r)   [non-conjugating VJP
         # convention of this module: ct walks by the TRANSPOSE map]
+        # Σ h·(1-2xor) = Σ h z_a z_b — factored partial sums (one lane and
+        # one sublane reduction shared by all pairs)
         h = cr * zi + ci * zr
-        h_total = jnp.sum(h)
-        rows_l = jax.lax.broadcasted_iota(jnp.int32, (rb, lanes), 0)
-        lane_l = jax.lax.broadcasted_iota(jnp.int32, (rb, lanes), 1)
-        idx = (j * rb + rows_l) * lanes + lane_l
-        for k, (a, b) in enumerate(pairs):
-            xor = (((idx >> (n - 1 - a)) ^ (idx >> (n - 1 - b))) & 1).astype(
-                jnp.float32
-            )
-            dzz_ref[k] += 0.5 * (h_total - 2.0 * jnp.sum(h * xor))
+        if _BWD_SKIP_GRADS:
+            pass
+        elif _BWD_DZZ_FACTORED:
+            for k, val in enumerate(_zz_pair_sums(h, pairs, n, rb, lanes, j)):
+                dzz_ref[k] += 0.5 * val
+        else:
+            h_total = jnp.sum(h)
+            rows_l = jax.lax.broadcasted_iota(jnp.int32, (rb, lanes), 0)
+            lane_l = jax.lax.broadcasted_iota(jnp.int32, (rb, lanes), 1)
+            idx = (j * rb + rows_l) * lanes + lane_l
+            for k, (a, b) in enumerate(pairs):
+                xor = (((idx >> (n - 1 - a)) ^ (idx >> (n - 1 - b))) & 1).astype(jnp.float32)
+                dzz_ref[k] += 0.5 * (h_total - 2.0 * jnp.sum(h * xor))
         expo = _zz_expo(zzth_ref, pairs, n, rb, lanes, j)
         pc = jnp.cos(0.5 * expo)
         ps = -jnp.sin(0.5 * expo)

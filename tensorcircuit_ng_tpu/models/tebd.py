@@ -204,7 +204,14 @@ class ParallelTEBD:
         self.lambdas = self.lambdas.at[li + 1].set(s_new)
 
     def trotter_step(self, even_gates: Tensor, odd_gates: Optional[Tensor] = None) -> None:
-        """Even layer then odd layer (2nd-order users call with half-steps)."""
+        """Even layer then odd layer (2nd-order users call with half-steps).
+
+        NOTE for imaginary time / open chains: a single uniform bond gate
+        undercounts single-site fields at the chain edges (sites 0 and n-1
+        sit on one bond only) — pass per-bond ``(nb, d^2, d^2)`` stacks with
+        boundary-corrected bond Hamiltonians, and call :meth:`canonicalize`
+        periodically during non-unitary evolution.
+        """
         self.apply_two_site_layer(even_gates, parity=0)
         self.apply_two_site_layer(
             even_gates if odd_gates is None else odd_gates, parity=1

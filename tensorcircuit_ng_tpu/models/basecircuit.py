@@ -250,6 +250,8 @@ class BaseCircuit(AbstractCircuit):
         Diagonal sign flip where all wires are 1 — one elementwise pass, no
         2^k matrix (reference expresses this as a cotengra hyperedge).
         """
+        if len(index) == 1 and hasattr(index[0], "__len__"):
+            index = tuple(index[0])  # accept multicz([0,1,2]) as well
         index = tuple(int(i) % self._nqubits for i in index)
         self._qir.append(
             {

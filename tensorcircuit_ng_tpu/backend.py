@@ -74,6 +74,10 @@ class NumpyCOO:
         out = jnp.zeros(out_shape, dtype=contrib.dtype)
         return out.at[rows].add(contrib)
 
+    def matvec(self, b: Tensor) -> Tensor:
+        """Sparse-dense product (LinearOperator-style alias of ``@``)."""
+        return self.__matmul__(b)
+
     def todense(self) -> Tensor:
         rows = self.indices[:, 0]
         cols = self.indices[:, 1]

@@ -453,7 +453,10 @@ class FGSSimulator:
         c = self.get_cmatrix()
         sub = c[jnp.ix_(jnp.asarray(idx), jnp.asarray(idx))]
         lam = jnp.real(jnp.linalg.eigvalsh(sub))
-        lam = jnp.clip(lam, 1e-12, 1 - 1e-12)
+        # clip bound must be representable at this dtype: f32 rounds
+        # 1 - 1e-12 back to 1.0, giving 0*log(0) = NaN for filled modes
+        eps = 10.0 * jnp.finfo(lam.dtype).eps
+        lam = jnp.clip(lam, eps, 1 - eps)
         return -0.5 * jnp.sum(lam * jnp.log(lam) + (1 - lam) * jnp.log(1 - lam))
 
     def renyi_entropy(self, region: Sequence[int], k: int = 2) -> Tensor:

@@ -276,3 +276,23 @@ def test_fgs_bogoliubov_and_diagonalization():
     c_now = np.asarray(gs.get_cmatrix())
     c_old = np.asarray(gs.get_cmatrix(False, False))
     np.testing.assert_allclose(c_now, c_old, atol=1e-8)
+
+
+def test_fgs_entropy_filled_modes_no_nan():
+    """f32 regression: clip bound below eps made 0*log(0)=NaN for fully
+    filled/empty modes (lambda exactly 1.0 at complex64)."""
+    import tensorcircuit_ng_tpu as tc
+
+    L = 8
+    sim = tc.FGSSimulator(L, filled=list(range(L // 2)))
+    ref = tc.FGSTestSimulator(L, filled=list(range(L // 2)))
+    for i in range(L - 1):
+        sim.evol_hp(i, i + 1, chi=0.3)
+        ref.evol_hp(i, i + 1, chi=0.3)
+    for i in range(0, L - 1, 2):
+        sim.evol_sp(i, i + 1, chi=0.2)
+        ref.evol_sp(i, i + 1, chi=0.2)
+    s = float(np.real(np.asarray(sim.entropy(list(range(L // 2))))))
+    s_ref = float(np.real(np.asarray(ref.entropy(list(range(L // 2))))))
+    assert np.isfinite(s)
+    np.testing.assert_allclose(s, s_ref, atol=1e-3)

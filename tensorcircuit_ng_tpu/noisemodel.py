@@ -233,6 +233,12 @@ def expectation_noisfy(
     if num == 0:
         return c.expectation(*ops, **kws)
     if status is None:
+        if nmc < 1:
+            raise ValueError(
+                "nmc must be >= 1 for Monte-Carlo noise on a Circuit "
+                "(an empty trajectory mean is NaN); for the exact channel "
+                "evolution run the same QIR on a DMCircuit instead"
+            )
         status = K.implicit_randu([nmc, num])
     elif status.shape[-1] != num:
         # JAX clamps out-of-bounds gathers silently, which would silently

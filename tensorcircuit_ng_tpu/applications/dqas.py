@@ -162,8 +162,13 @@ def parallel_kernel(
     nnp: Any,
     kernel_func: Callable[[Any, Any, Sequence[int]], Tuple[Any, Any]],
 ) -> Tuple[Any, Any, Any]:
-    """One batched-sample evaluation: (loss, gnnp, ∇lnP) (reference :133)."""
-    np.random.seed()  # per-worker reseed (reference note)
+    """One batched-sample evaluation: (loss, gnnp, ∇lnP) (reference :133).
+
+    The reference reseeds np.random here because it runs this in forked
+    multiprocessing workers; we run in-process (vmap supersedes pools on
+    TPU), so reseeding would clobber the caller's seed and make runs
+    non-deterministic — deliberately omitted.
+    """
     prob = np.asarray(prob)
     p = prob.shape[0]
     preset = preset_byprob(prob)

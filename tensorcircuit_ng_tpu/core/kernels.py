@@ -241,4 +241,45 @@ def fused_zzrx_layer(state: Tensor, pairs: Any, zz_thetas: Tensor, rx_thetas: Te
     return jnp.reshape(psi, (-1,))
 
 
-__all__ += ["fused_zzrx_layer"]
+def fused_zzrx_multilayer(
+    state: Tensor, pairs: Any, zz_thetas: Tensor, rx_thetas: Tensor
+) -> Tensor:
+    """L stacked zzrx layers in ONE Pallas kernel pass each way.
+
+    ``zz_thetas`` (L, npairs), ``rx_thetas`` (L, n).  The whole-block kernel
+    keeps the state (and, backward, the cotangent) resident in VMEM across
+    all L layers — see :mod:`tensorcircuit_ng_tpu.core.kernels_multilayer`.
+    Falls back to the per-layer path when the row count exceeds the kernel's
+    VMEM budget.
+    """
+    from . import kernels_multilayer as kml
+
+    zz_thetas = jnp.asarray(zz_thetas)
+    rx_thetas = jnp.asarray(rx_thetas)
+    L, n = rx_thetas.shape
+    nq = int(round(math.log2(state.shape[0])))
+    assert nq == n, "one rx angle per qubit per layer required"
+    pairs = tuple((int(a), int(b)) for a, b in pairs)
+    nlane = min(_LANE_QUBITS, n)
+    nrow = n - nlane
+    if nrow > kml.MAX_ML_ROW_QUBITS or nrow < 1 or len(pairs) > kml.MAX_ML_PAIRS:
+        psi = state
+        for l in range(L):
+            psi = fused_zzrx_layer(psi, pairs, zz_thetas[l], rx_thetas[l])
+        return psi
+    from ..ops.gates import rx_matrix
+
+    def lane_m(th_lane):
+        gs = jax.vmap(lambda t: rx_matrix(t).astype(state.dtype))(th_lane)
+        m = gs[0]
+        for j in range(1, nlane):
+            m = jnp.kron(m, gs[j])
+        return m.T  # right-multiplication convention
+
+    mlane = jax.vmap(lane_m)(rx_thetas[:, nrow:])
+    psi = jnp.reshape(state, (2**nrow, 2**nlane))
+    psi = kml.zzrx_multilayer(pairs, n, psi, zz_thetas, rx_thetas[:, :nrow], mlane)
+    return jnp.reshape(psi, (-1,))
+
+
+__all__ += ["fused_zzrx_layer", "fused_zzrx_multilayer"]

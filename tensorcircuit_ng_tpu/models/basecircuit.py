@@ -95,9 +95,45 @@ class BaseCircuit(AbstractCircuit):
 
     def _compute_state(self) -> Tensor:
         psi = self._initial_state()
-        for item in self._qir:
-            psi = self._apply_item(psi, item)
+        for group in self._grouped_qir():
+            if isinstance(group, list):  # consecutive zzrx layers, same pairs
+                from ..core import kernels
+
+                zz = jnp.stack([jnp.asarray(it["zz_thetas"]) for it in group])
+                rx = jnp.stack([jnp.asarray(it["rx_thetas"]) for it in group])
+                psi = kernels.fused_zzrx_multilayer(psi, group[0]["pairs"], zz, rx)
+            else:
+                psi = self._apply_item(psi, group)
         return psi
+
+    def _grouped_qir(self) -> List[Any]:
+        """QIR with runs of >=2 consecutive ``zzrx_layer`` items (identical
+        pairs) collected into lists — the multi-layer kernel applies a whole
+        run in one Pallas pass each way (kernels_multilayer)."""
+        out: List[Any] = []
+        run: List[Dict[str, Any]] = []
+
+        def flush():
+            nonlocal run
+            if len(run) >= 2:
+                out.append(run)
+            else:
+                out.extend(run)
+            run = []
+
+        for item in self._qir:
+            if item.get("zzrx_layer"):
+                key = tuple((int(a), int(b)) for a, b in item["pairs"])
+                if run and tuple(
+                    (int(a), int(b)) for a, b in run[0]["pairs"]
+                ) != key:
+                    flush()
+                run.append(item)
+            else:
+                flush()
+                out.append(item)
+        flush()
+        return out
 
     def _apply_item(self, psi: Tensor, item: Dict[str, Any]) -> Tensor:
         if item.get("rx_layer"):

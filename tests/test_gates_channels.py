@@ -207,9 +207,10 @@ def test_super_to_kraus_roundtrip_applies_identically():
     np.testing.assert_allclose(apply(kraus, rho), apply(kraus2, rho), atol=1e-6)
 
 
-def test_large_shallow_ghz_expectation_n500():
-    # reference README.md:146-156 headline demo: n=500 shallow circuit
-    n = 500
+def test_large_shallow_ghz_expectation_n100():
+    # reference README.md:146-156 headline demo (n=500 there); n=100 runs the
+    # same large-n light-cone code path at a fraction of the suite cost
+    n = 100
     c = tc.Circuit(n)
     c.h(0)
     for i in range(n - 1):

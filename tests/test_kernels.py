@@ -450,3 +450,65 @@ def test_jacobi_svd_pallas_interpret():
         assert float(jnp.abs(ga - gk).max()) < 1e-5 * float(jnp.abs(ga).max())
     finally:
         KJ._INTERPRET = old
+
+
+def test_zzrx_multilayer_reference_and_interpret():
+    """Whole-block multi-layer kernel == stacked per-layer path (values+grads)."""
+    from tensorcircuit_ng_tpu.core import kernels
+
+    n, L = 10, 3
+    pairs = tuple((i, i + 1) for i in range(n - 1))
+    rng = np.random.default_rng(7)
+    psi = rng.normal(size=(2**n,)) + 1j * rng.normal(size=(2**n,))
+    psi = jnp.asarray((psi / np.linalg.norm(psi)).astype(np.complex64))
+    zz = jnp.asarray(rng.normal(size=(L, n - 1)) * 0.3, jnp.float32)
+    rx = jnp.asarray(rng.normal(size=(L, n)) * 0.3, jnp.float32)
+    w = jnp.asarray(
+        (rng.normal(size=(2**n,)) + 1j * rng.normal(size=(2**n,))).astype(np.complex64)
+    )
+
+    def loss_ml(zz, rx):
+        y = kernels.fused_zzrx_multilayer(psi, pairs, zz, rx)
+        return jnp.real(jnp.vdot(w, y)) + jnp.imag(jnp.vdot(w, y * y))
+
+    def loss_ref(zz, rx):
+        y = psi
+        for l in range(L):
+            y = kernels.fused_zzrx_layer(y, pairs, zz[l], rx[l])
+        return jnp.real(jnp.vdot(w, y)) + jnp.imag(jnp.vdot(w, y * y))
+
+    v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1))(zz, rx)
+    for interp in (False, True):
+        kernels.set_interpret_mode(interp)
+        try:
+            v1, g1 = jax.value_and_grad(loss_ml, argnums=(0, 1))(zz, rx)
+        finally:
+            kernels.set_interpret_mode(False)
+        np.testing.assert_allclose(float(v1), float(v2), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=2e-3)
+
+
+def test_zzrx_multilayer_circuit_grouping():
+    """Consecutive zzrx_layer ops group into one multilayer op == rzz+rx."""
+    n, L = 9, 3
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    rng = np.random.default_rng(3)
+    zz = jnp.asarray(rng.normal(size=(L, n - 1)) * 0.4, jnp.float32)
+    rx = jnp.asarray(rng.normal(size=(L, n)) * 0.4, jnp.float32)
+    c = tc.Circuit(n)
+    c.h_layer()
+    for l in range(L):
+        c.zzrx_layer(pairs, zz[l], rx[l])
+    grouped = c._grouped_qir()
+    assert any(isinstance(g, list) and len(g) == L for g in grouped)
+    e1 = c.expectation_ps(z=[0, 1])
+    c2 = tc.Circuit(n)
+    c2.h_layer()
+    for l in range(L):
+        c2.rzz_product(pairs, zz[l])
+        c2.rx_layer(rx[l])
+    e2 = c2.expectation_ps(z=[0, 1])
+    np.testing.assert_allclose(
+        complex(np.asarray(e1)), complex(np.asarray(e2)), atol=1e-5
+    )

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 Tensor = Any
 
-__all__ = ["EinsumIR", "circuit_state_ir", "amplitude_ir", "expectation_ir"]
+__all__ = ["EinsumIR", "circuit_state_ir", "amplitude_ir", "expectation_ir", "superop_expectation_ir"]
 
 
 @dataclasses.dataclass
@@ -217,4 +217,83 @@ def expectation_ir(
     # close with <0| vectors
     for w in range(n):
         b.add_tensor(_zero_vec(d, dtype), (bra_front[w],))
+    return EinsumIR(b.inputs, (), b.size, b.tensors)
+
+
+def superop_expectation_ir(
+    qir: List[Dict[str, Any]],
+    n: int,
+    ops: Sequence[Tuple[Tensor, Sequence[int]]],
+    d: int = 2,
+    dtype: Any = None,
+    lightcone: bool = True,
+) -> EinsumIR:
+    """IR for tr(O_k ... O_1 rho) over the DOUBLED (superoperator) network.
+
+    The reference keeps Kraus channels lazily in the tn graph
+    (``densitymatrix.py:398-430`` with ``channels.py:542 kraus_to_super_gate``)
+    so wide shallow noisy expectations never materialize the d^2n density
+    matrix; this is that capability on the einsum IR.  Unitaries contribute
+    (U, conj U) on the ket/bra wire pair, channels ONE superoperator tensor
+    S[ok.., ob.., ik.., ib..] = sum_i K_i[ok, ik] conj(K_i)[ob, ib] bridging
+    both sides; trace-preservation means out-of-cone items cancel, so the
+    light-cone prune is identical to the pure case.
+    """
+    from .. import config
+
+    dtype = dtype or jnp.dtype(config.dtypestr())
+    if lightcone:
+        cone = set()
+        for _, wires in ops:
+            cone.update(int(w) for w in wires)
+        keep: List[Dict[str, Any]] = []
+        for item in reversed(qir):
+            if cone.intersection(item["index"]):
+                keep.append(item)
+                cone.update(item["index"])
+        qir = list(reversed(keep))
+    support = sorted(
+        {int(w) for item in qir for w in item["index"]}
+        | {int(w) for _, wires in ops for w in wires}
+    )
+    wmap = {w: i for i, w in enumerate(support)}
+    qir = [dict(item, index=tuple(wmap[int(w)] for w in item["index"])) for item in qir]
+    ops = [(op, tuple(wmap[int(w)] for w in wires)) for op, wires in ops]
+    m = max(len(support), 1)
+    # doubled register: wires [0, m) are ket legs, [m, 2m) bra legs
+    b = _IRBuilder(2 * m, d)
+    b.add_initial(_zero_vec(d, dtype))
+    for item in qir:
+        wires = list(item["index"])
+        k = len(wires)
+        if item.get("is_channel"):
+            mats = item["channel_kraus"]
+            dim = d**k
+            xp = np if all(isinstance(x, np.ndarray) for x in mats) else jnp
+            s = None
+            for kk in mats:
+                kk = kk.reshape(dim, dim)
+                term = xp.einsum("oi,pj->opij", kk, xp.conj(kk))
+                s = term if s is None else s + term
+            s = s.reshape((d,) * (4 * k))
+            b.add_gate(s, wires + [w + m for w in wires])
+        else:
+            t = item["gate"].tensor
+            if not hasattr(t, "ndim"):
+                t = np.asarray(t)
+            if t.ndim != 2 * k:
+                t = t.reshape((d,) * (2 * k))
+            b.add_gate(t, wires)
+            b.add_gate(t.conj(), [w + m for w in wires])
+    # observables chain on the ket side: tr(O_k ... O_1 rho)
+    for op, wires in ops:
+        k = len(wires)
+        t = op if hasattr(op, "ndim") else np.asarray(op)
+        if t.ndim != 2 * k:
+            t = t.reshape((d,) * (2 * k))
+        b.add_gate(t, list(wires))
+    # trace: delta connecting each ket frontier to its bra frontier
+    eye = np.eye(d, dtype=np.dtype(dtype))
+    for w in range(m):
+        b.add_tensor(eye, (b.front[w], b.front[w + m]))
     return EinsumIR(b.inputs, (), b.size, b.tensors)

@@ -328,5 +328,67 @@ class DMCircuit(BaseCircuit):
 
 DMCircuit._meta_apply_channels()
 
-DMCircuit2 = DMCircuit
+
+class DMCircuit2(DMCircuit):
+    """DMCircuit whose expectations contract the doubled network lazily.
+
+    Reference ``densitymatrix.py:398-430`` keeps Kraus superoperators in the
+    lazy tn graph so a noisy *expectation* on a wide shallow circuit is a
+    planned contraction, never a d^2n density matrix.  Here
+    :meth:`expectation_before` lowers the QIR to
+    ``einsum_ir.superop_expectation_ir`` (channels as superoperator tensors,
+    light-cone pruned), and :meth:`expectation` routes through it above
+    ``_DENSE_MAX_QUBITS_DM`` qubits — e.g. 24-qubit depth-4 noisy
+    expectations run in milliseconds where the dense path would need a
+    2^48-element rho.
+    """
+
+    #: above this qubit count expectation() bypasses the dense rho
+    _DENSE_MAX_QUBITS_DM = 14
+
+    def expectation_before(
+        self, *ops: Tuple[Any, Sequence[int]], enable_lightcone: bool = True
+    ) -> Any:
+        from ..core import einsum_ir as _eir
+
+        n = self._nqubits
+        norm_ops = []
+        for op in ops:
+            o, wires = op
+            if isinstance(o, Gate):
+                o = o.tensor
+            if not hasattr(wires, "__len__"):
+                wires = [wires]
+            norm_ops.append((statevec._as_nd(o), [int(w) % n for w in wires]))
+        return _eir.superop_expectation_ir(
+            self._expanded_qir(), n, norm_ops, d=self._d, lightcone=enable_lightcone
+        )
+
+    def expectation(
+        self,
+        *ops: Tuple[Any, Sequence[int]],
+        reuse: bool = True,
+        noise_conf: Optional[Any] = None,
+        nmc: int = 1000,
+        status: Optional[Tensor] = None,
+        enable_lightcone: bool = True,
+        **kws: Any,
+    ) -> Tensor:
+        if noise_conf is not None or self._nqubits <= self._DENSE_MAX_QUBITS_DM:
+            return DMCircuit.expectation(
+                self,
+                *ops,
+                reuse=reuse,
+                noise_conf=noise_conf,
+                nmc=nmc,
+                status=status,
+                **kws,
+            )
+        from ..core import contractor as _ctr
+
+        return _ctr.contract_ir(
+            self.expectation_before(*ops, enable_lightcone=enable_lightcone)
+        )
+
+
 DensityMatrixCircuit = DMCircuit

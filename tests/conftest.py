@@ -11,6 +11,12 @@ import jax
 # host CPU with 8 virtual devices for sharding tests.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite is compile-dominated on CPU, and
+# repeat runs (the common local loop) hit the cache instead of XLA
+jax.config.update("jax_compilation_cache_dir", "/tmp/tc_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

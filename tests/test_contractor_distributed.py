@@ -70,6 +70,7 @@ def deep_circuit(n, depth, seed=1):
     return c
 
 
+@pytest.mark.slow
 def test_sliced_contraction_matches_full():
     n = 8
     c = deep_circuit(n, 6)

@@ -49,6 +49,7 @@ def test_detector_fires_on_error():
     assert np.all(det == 1)
 
 
+@pytest.mark.slow
 def test_detector_probability_with_channel():
     px = 0.25
     c = tc.Circuit(2)
@@ -77,6 +78,7 @@ def test_reset_instruction():
     assert det.sum() == 0
 
 
+@pytest.mark.slow
 def test_exact_detector_probabilities_match_sampling():
     px = 0.2
     c = tc.Circuit(3)

@@ -193,3 +193,53 @@ def test_thermal_relaxation_t2_gt_t1():
     dm.thermalrelaxation(0, t1=200, t2=300, time=100, method="AUTO", excitedstatepopulation=0.0)
     x = np.real(np.asarray(dm.expectation_ps(x=[0])))
     np.testing.assert_allclose(x, np.exp(-100 / 300), atol=1e-5)
+
+
+def test_dmcircuit2_lazy_superop_expectation():
+    """DMCircuit2 contracts the doubled network lazily (channels as
+    superoperator tensors, light-cone pruned) — reference
+    densitymatrix.py:398-430 / channels.py:542 role."""
+    import time
+
+    def build(cls, n, theta=0.7):
+        c = cls(n)
+        for i in range(n):
+            c.rx(i, theta=theta)
+        for i in range(0, n - 1, 2):
+            c.cnot(i, i + 1)
+        for i in range(n):
+            c.depolarizing(i, px=0.02, py=0.01, pz=0.03)
+        for i in range(1, n - 1, 2):
+            c.cnot(i, i + 1)
+        for i in range(n):
+            c.phasedamping(i, gamma=0.05)
+        return c
+
+    from tensorcircuit_ng_tpu.core import contractor as ctr
+
+    # small n: lazy IR contraction == dense rho for 1- and 2-site observables
+    n = 6
+    cd = build(tc.DMCircuit, n)
+    cl = build(tc.DMCircuit2, n)
+    for ops in (
+        [(tc.gates.z(), [2]), (tc.gates.z(), [3])],
+        [(tc.gates.z(), [1])],
+    ):
+        e1 = complex(np.asarray(cd.expectation(*ops)))
+        e2 = complex(np.asarray(ctr.contract_ir(cl.expectation_before(*ops))))
+        assert abs(e1 - e2) < 1e-5
+
+    # wide shallow: 22 qubits, depth 4 with 44 channels — the dense path
+    # would need a 2^44-element rho; the lazy path is a light-cone
+    # contraction.  The cone of Z10 Z11 spans qubits 8..13, so a 10-qubit
+    # window (global 6..15, observable at window (4,5)) reproduces it
+    # exactly on the dense engine.
+    n = 22
+    c = build(tc.DMCircuit2, n)
+    t0 = time.time()
+    e = complex(np.asarray(c.expectation_ps(z=[10, 11])))
+    dt = time.time() - t0
+    cw = build(tc.DMCircuit, 10)
+    ew = complex(np.asarray(cw.expectation_ps(z=[4, 5])))
+    np.testing.assert_allclose(e, ew, atol=1e-5)
+    assert dt < 60.0

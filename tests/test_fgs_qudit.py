@@ -278,6 +278,7 @@ def test_fgs_bogoliubov_and_diagonalization():
     np.testing.assert_allclose(c_now, c_old, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_fgs_entropy_filled_modes_no_nan():
     """f32 regression: clip bound below eps made 0*log(0)=NaN for fully
     filled/empty modes (lambda exactly 1.0 at complex64)."""

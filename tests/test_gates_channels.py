@@ -207,6 +207,7 @@ def test_super_to_kraus_roundtrip_applies_identically():
     np.testing.assert_allclose(apply(kraus, rho), apply(kraus2, rho), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_large_shallow_ghz_expectation_n100():
     # reference README.md:146-156 headline demo (n=500 there); n=100 runs the
     # same large-n light-cone code path at a fraction of the suite cost

@@ -56,6 +56,7 @@ def test_fused_energy_matches_hamiltonian_matrix():
     np.testing.assert_allclose(e_fused, e_mat, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_windowed_lightcone_vqe_matches_dense():
     """examples/vqe_1000q.py core: per-term window simulation is exact."""
     import importlib.util

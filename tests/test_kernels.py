@@ -140,6 +140,7 @@ def test_fused_circuit_api_matches_plain():
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_row_layer_lane_matches_separate(interpret_mode):
     """Lane-fused kernel (optional path) == row kernel + explicit matmul."""
     import jax
@@ -266,7 +267,7 @@ def test_zzrx_layer_circuit_equivalence():
     kr.MAX_KERNEL_QUBITS_ZZRX = 4
     kernels.set_interpret_mode(True)
     try:
-        n = 13
+        n = 12  # nrow=5 > kernel budget 4 -> exercises the outer-qubit path
         pairs = [(i, i + 1) for i in range(n - 1)]
         rng = np.random.default_rng(1)
         zz = jnp.asarray(rng.normal(size=n - 1), dtype=jnp.float32)
@@ -314,6 +315,7 @@ def test_zzrx_layer_qir_consumers():
     )
 
 
+@pytest.mark.slow
 def test_gram_svd_matches_adaware():
     from tensorcircuit_ng_tpu.core import linalg as L
 
@@ -364,6 +366,7 @@ def test_tebd_gram_svd_flag_consistency():
     assert abs(v_std - v_gram) < 1e-3, (v_std, v_gram)
 
 
+@pytest.mark.slow
 def test_jacobi_svd_correctness_and_grad():
     from tensorcircuit_ng_tpu.core import linalg as L
 
@@ -406,6 +409,7 @@ def test_jacobi_svd_correctness_and_grad():
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gj), atol=2e-5 * float(jnp.abs(ga).max()))
 
 
+@pytest.mark.slow
 def test_jacobi_svd_pallas_interpret():
     from tensorcircuit_ng_tpu.core import kernels_jacobi as KJ
 

@@ -341,6 +341,7 @@ def test_parallel_tebd_exact_regime():
     assert float(np.asarray(eng.entanglement_entropy(n // 2))) > 0
 
 
+@pytest.mark.slow
 def test_parallel_tebd_matches_sequential_mps():
     import scipy.linalg as sl
     from tensorcircuit_ng_tpu.models.tebd import ParallelTEBD
@@ -410,6 +411,7 @@ def test_finite_mps_measurements():
         fm.measure_local_operator([Z], [1, 2])
 
 
+@pytest.mark.slow
 def test_parallel_tebd_jacobi_mode_matches_gram():
     import scipy.linalg as sl
     import tensorcircuit_ng_tpu as tc

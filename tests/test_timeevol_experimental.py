@@ -274,13 +274,13 @@ def test_traced_time_chebyshev_and_bessel():
     t0 = 0.7
     exact = evec @ np.diag(np.exp(-1j * ev * t0)) @ evec.conj().T @ psi0
     val = te.chebyshev_evol(
-        h.astype(np.complex64), jnp.asarray(psi0), jnp.asarray(t0), bounds, M=40
+        h.astype(np.complex64), jnp.asarray(psi0), jnp.asarray(t0), bounds, M=24
     )
     assert float(np.linalg.norm(np.asarray(val) - exact)) < 1e-4
 
     def fidelity(t):
         psi_t = te.chebyshev_evol(
-            h.astype(np.complex64), jnp.asarray(psi0), t, bounds, M=40
+            h.astype(np.complex64), jnp.asarray(psi0), t, bounds, M=24
         )
         return jnp.abs(jnp.vdot(jnp.asarray(psi0), psi_t)) ** 2
 

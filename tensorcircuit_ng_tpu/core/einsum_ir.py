@@ -112,7 +112,13 @@ def _basis_vec(val: int, d: int, dtype: Any) -> Tensor:
     return v
 
 
-def _build_forward(qir: List[Dict[str, Any]], n: int, d: int, dtype: Any) -> _IRBuilder:
+def _build_forward(
+    qir: List[Dict[str, Any]], n: int, d: int, dtype: Any, simplify: bool = True
+) -> _IRBuilder:
+    if simplify:
+        from ..simplify import fuse_single_qubit_qir
+
+        qir = fuse_single_qubit_qir(qir, d=d)
     b = _IRBuilder(n, d)
     b.add_initial(_zero_vec(d, dtype))
     for item in qir:
@@ -184,7 +190,10 @@ def expectation_ir(
     qir = [dict(item, index=tuple(wmap[int(w)] for w in item["index"])) for item in qir]
     ops = [(op, tuple(wmap[int(w)] for w in wires)) for op, wires in ops]
     n = max(len(support), 1)
-    b = _build_forward(qir, n, d, dtype)
+    from ..simplify import fuse_single_qubit_qir
+
+    qir = fuse_single_qubit_qir(qir, d=d)
+    b = _build_forward(qir, n, d, dtype, simplify=False)
     ket_front = list(b.front)
     # operator tensors bridge ket frontier to bra frontier
     bra_front = list(ket_front)
@@ -259,6 +268,9 @@ def superop_expectation_ir(
     wmap = {w: i for i, w in enumerate(support)}
     qir = [dict(item, index=tuple(wmap[int(w)] for w in item["index"])) for item in qir]
     ops = [(op, tuple(wmap[int(w)] for w in wires)) for op, wires in ops]
+    from ..simplify import fuse_single_qubit_qir
+
+    qir = fuse_single_qubit_qir(qir, d=d)
     m = max(len(support), 1)
     # doubled register: wires [0, m) are ket legs, [m, 2m) bra legs
     b = _IRBuilder(2 * m, d)

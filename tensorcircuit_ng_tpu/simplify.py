@@ -19,7 +19,134 @@ from .core import linalg as _linalg
 
 Tensor = Any
 
-__all__ = ["split_two_qubit_gate", "light_cone_qir", "light_cone_cancel"]
+__all__ = [
+    "split_two_qubit_gate",
+    "light_cone_qir",
+    "light_cone_cancel",
+    "fuse_single_qubit_qir",
+]
+
+
+def _xp_of(*ts: Any) -> Any:
+    return np if all(isinstance(t, np.ndarray) for t in ts) else jnp
+
+
+def fuse_single_qubit_qir(
+    qir: Sequence[Dict[str, Any]], d: int = 2, drop_identity: bool = True
+) -> List[Dict[str, Any]]:
+    """Merge single-qubit gate chains and absorb them into the next
+    multi-qubit gate (reference ``simplify.py:131-196`` rank simplification +
+    ``cons.py:298-374`` adjacent-gate merging, recast as a QIR lowering pass).
+
+    Plain unitary items only; channels / mpo / split items act as barriers.
+    Runs host-side on the QIR before the einsum IR is built, so deep unfused
+    circuits lower to ~one tensor per entangling gate — the operand count
+    (and with it path-search and XLA compile time) drops by the single-qubit
+    depth factor.  Identity-equal accumulated gates are dropped entirely
+    when concrete (``drop_identity``).
+    """
+    pending: Dict[int, Any] = {}  # wire -> accumulated (d, d) matrix
+    out: List[Dict[str, Any]] = []
+    # wire -> (position in ``out``, output-leg slot) of the last multi-qubit
+    # gate whose output on that wire is still on the frontier
+    last_gate: Dict[int, Tuple[int, int]] = {}
+
+    def flush(wire: int) -> None:
+        g = pending.pop(wire, None)
+        if g is None:
+            return
+        if (
+            drop_identity
+            and isinstance(g, np.ndarray)
+            and np.allclose(g, np.eye(d), atol=1e-12)
+        ):
+            return
+        from .ops.gates import Gate
+
+        if wire in last_gate:
+            # absorb into the previous multi-qubit gate's OUTPUT leg
+            pos, slot = last_gate[wire]
+            item = dict(out[pos])
+            t = item["gate"].tensor
+            if not hasattr(t, "ndim"):
+                t = np.asarray(t)
+            k = len(item["index"])
+            tt = t.reshape((d,) * (2 * k)) if t.ndim != 2 * k else t
+            xp = _xp_of(tt, g)
+            tt = xp.moveaxis(xp.tensordot(g, tt, axes=[[1], [slot]]), 0, slot)
+            item["gate"] = Gate(tt, name=(item.get("name") or "gate") + "*")
+            item["diagonal"] = False
+            item["gatef"] = None
+            item.pop("parameters", None)
+            out[pos] = item
+            return
+        out.append(
+            {
+                "gatef": None,
+                "gate": Gate(g, name="merged1q"),
+                "index": (wire,),
+                "name": "merged1q",
+                "split": None,
+                "mpo": False,
+                "diagonal": False,
+            }
+        )
+
+    for item in qir:
+        idx = tuple(int(w) for w in item.get("index", ()))
+        barrier = (
+            item.get("is_channel")
+            or item.get("mpo")
+            or item.get("split")
+            or "gate" not in item
+            or item.get("gate") is None
+        )
+        if barrier:
+            for w in idx:
+                flush(w)
+                last_gate.pop(w, None)
+            out.append(item)
+            continue
+        t = item["gate"].tensor
+        if not hasattr(t, "ndim"):
+            t = np.asarray(t)
+        k = len(idx)
+        if k == 1:
+            g = t.reshape(d, d)
+            prev = pending.get(idx[0])
+            # numpy @ numpy stays numpy (axon complex-constant rule);
+            # anything traced promotes naturally
+            pending[idx[0]] = g if prev is None else g @ prev
+            continue
+        # absorb pending single-qubit gates into this gate's input legs
+        absorbed = [pending.pop(w, None) for w in idx]
+        if any(a is not None for a in absorbed):
+            xp = _xp_of(t, *[a for a in absorbed if a is not None])
+            tt = t.reshape((d,) * (2 * k)) if t.ndim != 2 * k else t
+            if xp is jnp:
+                tt = jnp.asarray(tt)
+            for j, a in enumerate(absorbed):
+                if a is None:
+                    continue
+                # contract a into input leg k + j
+                tt = xp.moveaxis(
+                    xp.tensordot(tt, a, axes=[[k + j], [0]]), -1, k + j
+                )
+            item = dict(item)
+            from .ops.gates import Gate
+
+            item["gate"] = Gate(tt, name=(item.get("name") or "gate") + "*")
+            item["diagonal"] = False
+            item.pop("gatef", None)
+            item["gatef"] = None
+            item.pop("parameters", None)
+        pos = len(out)
+        out.append(item)
+        for j, w in enumerate(idx):
+            last_gate[w] = (pos, j)
+    for w in sorted(pending):
+        flush(w)
+    return out
 
 
 def split_two_qubit_gate(

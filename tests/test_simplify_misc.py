@@ -146,3 +146,44 @@ def test_contraction_info_and_debug_level():
         assert complex(np.asarray(v)) == 0j
     finally:
         tc.set_contractor("auto")
+
+
+def test_fuse_single_qubit_qir_pass():
+    """IR lowering pass: 1q chains merge and absorb into entanglers
+    (reference simplify.py:131-196 + cons.py:298-374 roles)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import tensorcircuit_ng_tpu as tc
+    from tensorcircuit_ng_tpu.simplify import fuse_single_qubit_qir
+    from tensorcircuit_ng_tpu.core import contractor as ctr
+
+    rng = np.random.default_rng(1)
+    n, depth = 6, 4
+    c = tc.Circuit(n)
+    for l in range(depth):
+        for i in range(n):
+            c.rx(i, theta=float(rng.normal() * 0.4))
+            c.rz(i, theta=float(rng.normal() * 0.4))
+        for i in range(l % 2, n - 1, 2):
+            c.cnot(i, i + 1)
+    qir = c._expanded_qir()
+    fused = fuse_single_qubit_qir(qir)
+    n_entanglers = sum(1 for it in qir if len(it["index"]) > 1)
+    # every surviving item is (absorbed) entangler or a trailing merged1q
+    assert len(fused) <= n_entanglers + n
+    assert len(fused) < len(qir) / 2
+    # gate-count reduction is visible in the planned network
+    ir = c.expectation_before((tc.gates.z(), [2]))
+    info = ctr.contraction_info(ir)
+    assert len(ir.inputs) < len(qir)  # far fewer operands than raw gates
+    # physics unchanged
+    e_ir = complex(np.asarray(ctr.contract_ir(ir)))
+    e_dense = complex(np.asarray(c.expectation_ps(z=[2])))
+    np.testing.assert_allclose(e_ir, e_dense, atol=1e-5)
+    # identity chains drop entirely when concrete
+    c2 = tc.Circuit(2)
+    c2.x(0)
+    c2.x(0)
+    c2.cnot(0, 1)
+    f2 = fuse_single_qubit_qir(c2._expanded_qir())
+    assert len(f2) == 1 and f2[0]["name"].startswith("cnot")

@@ -106,6 +106,12 @@ def _sign_matrices(pairs, n, nrow, lanes):
 
 
 def _ml_fwd_kernel(nrow, L):
+    """One LAYER per grid step; the state block has a constant index map, so
+    it stays resident in VMEM across the (sequential) TPU grid — the Mosaic
+    program is one layer's body, not L unrolled layers (the monolithic
+    variant compiled for tens of minutes and spilled hundreds of MB)."""
+    from jax.experimental import pallas as pl
+
     def kernel(
         cs_ref, zzth_ref, srow_ref, slane_ref, mr_ref, mi_ref,
         sr_ref, si_ref, or_ref, oi_ref,
@@ -113,44 +119,51 @@ def _ml_fwd_kernel(nrow, L):
         rb = or_ref.shape[0]
         rows = jax.lax.broadcasted_iota(jnp.int32, or_ref.shape, 0)
         f32 = jnp.float32
-        or_ref[:] = sr_ref[:]
-        oi_ref[:] = si_ref[:]
-        for l in range(L):
-            # zz phase: expo = (Srow * theta_l) @ Slane^T, one MXU dot
-            expo = jnp.dot(
-                srow_ref[:] * zzth_ref[l][None, :],
-                slane_ref[:].T,
-                preferred_element_type=f32,
-            )
-            pc = jnp.cos(0.5 * expo)
-            ps = -jnp.sin(0.5 * expo)  # phase = e^{-i expo / 2}
-            cr = or_ref[:]
-            ci = oi_ref[:]
-            or_ref[:] = pc * cr - ps * ci
-            oi_ref[:] = pc * ci + ps * cr
-            for q in range(nrow):
-                s = rb >> (q + 1)
-                c = cs_ref[l, q, 0]
-                sn = cs_ref[l, q, 1]
-                m = (c, 0.0, 0.0, -sn, 0.0, -sn, c, 0.0)
-                nsr, nsi = _butterfly(or_ref[:], oi_ref[:], rows, s, m)
-                or_ref[:] = nsr
-                oi_ref[:] = nsi
-            mr = mr_ref[l]
-            mi = mi_ref[l]
-            cr = or_ref[:]
-            ci = oi_ref[:]
-            or_ref[:] = jnp.dot(cr, mr, preferred_element_type=f32) - jnp.dot(
-                ci, mi, preferred_element_type=f32
-            )
-            oi_ref[:] = jnp.dot(cr, mi, preferred_element_type=f32) + jnp.dot(
-                ci, mr, preferred_element_type=f32
-            )
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            or_ref[:] = sr_ref[:]
+            oi_ref[:] = si_ref[:]
+
+        # zz phase: expo = (Srow * theta_l) @ Slane^T, one MXU dot
+        expo = jnp.dot(
+            srow_ref[:] * zzth_ref[0, 0][None, :],
+            slane_ref[:].T,
+            preferred_element_type=f32,
+        )
+        pc = jnp.cos(0.5 * expo)
+        ps = -jnp.sin(0.5 * expo)  # phase = e^{-i expo / 2}
+        cr = or_ref[:]
+        ci = oi_ref[:]
+        or_ref[:] = pc * cr - ps * ci
+        oi_ref[:] = pc * ci + ps * cr
+        for q in range(nrow):
+            s = rb >> (q + 1)
+            c = cs_ref[0, q, 0]
+            sn = cs_ref[0, q, 1]
+            m = (c, 0.0, 0.0, -sn, 0.0, -sn, c, 0.0)
+            nsr, nsi = _butterfly(or_ref[:], oi_ref[:], rows, s, m)
+            or_ref[:] = nsr
+            oi_ref[:] = nsi
+        mr = mr_ref[0]
+        mi = mi_ref[0]
+        cr = or_ref[:]
+        ci = oi_ref[:]
+        or_ref[:] = jnp.dot(cr, mr, preferred_element_type=f32) - jnp.dot(
+            ci, mi, preferred_element_type=f32
+        )
+        oi_ref[:] = jnp.dot(cr, mi, preferred_element_type=f32) + jnp.dot(
+            ci, mr, preferred_element_type=f32
+        )
 
     return kernel
 
 
 def _ml_bwd_kernel(nrow, L):
+    """One LAYER per grid step, walked in reverse (index maps map grid step
+    j to layer L-1-j); state/cotangent scratch persists across steps."""
+    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(
@@ -159,136 +172,139 @@ def _ml_bwd_kernel(nrow, L):
         dsr_ref, dsi_ref, dzz_ref, dth_ref, dmr_ref, dmi_ref,
         s_r, s_i,
     ):
-        for qq in range(nrow):
-            for l in range(L):
-                dth_ref[l, qq] = 0.0
+        j = pl.program_id(0)
 
-        s_r[:] = yr_ref[:]
-        s_i[:] = yi_ref[:]
-        dsr_ref[:] = ctr_ref[:]
-        dsi_ref[:] = cti_ref[:]
+        @pl.when(j == 0)
+        def _():
+            s_r[:] = yr_ref[:]
+            s_i[:] = yi_ref[:]
+            dsr_ref[:] = ctr_ref[:]
+            dsi_ref[:] = cti_ref[:]
+
         rb = s_r.shape[0]
         rows = jax.lax.broadcasted_iota(jnp.int32, s_r.shape, 0)
         f32 = jnp.float32
         dg_dim = (((1,), (1,)), ((), ()))  # a @ b^T
         dt_dim = (((0,), (0,)), ((), ()))  # a^T @ b
-        for l in range(L - 1, -1, -1):
-            # --- lane stage: y = psi @ M_l ---------------------------------
-            mr = mr_ref[l]
-            mi = mi_ref[l]
-            yr = s_r[:]
-            yi = s_i[:]
-            ctr0 = dsr_ref[:]
-            cti0 = dsi_ref[:]
-            # un-lane: psi = y @ conj(M)^T (M unitary)
-            s_r[:] = jax.lax.dot_general(
-                yr, mr, dg_dim, preferred_element_type=f32
-            ) + jax.lax.dot_general(yi, mi, dg_dim, preferred_element_type=f32)
-            s_i[:] = jax.lax.dot_general(
-                yi, mr, dg_dim, preferred_element_type=f32
-            ) - jax.lax.dot_general(yr, mi, dg_dim, preferred_element_type=f32)
-            # dM_l = psi^T @ ct (plain transpose, complex product)
-            dmr_ref[l] = jax.lax.dot_general(
-                s_r[:], ctr0, dt_dim, preferred_element_type=f32
-            ) - jax.lax.dot_general(s_i[:], cti0, dt_dim, preferred_element_type=f32)
-            dmi_ref[l] = jax.lax.dot_general(
-                s_r[:], cti0, dt_dim, preferred_element_type=f32
-            ) + jax.lax.dot_general(s_i[:], ctr0, dt_dim, preferred_element_type=f32)
-            # ct walk through the lane map: ct_pre = ct @ M^T
-            dsr_ref[:] = jax.lax.dot_general(
-                ctr0, mr, dg_dim, preferred_element_type=f32
-            ) - jax.lax.dot_general(cti0, mi, dg_dim, preferred_element_type=f32)
-            dsi_ref[:] = jax.lax.dot_general(
-                ctr0, mi, dg_dim, preferred_element_type=f32
-            ) + jax.lax.dot_general(cti0, mr, dg_dim, preferred_element_type=f32)
-            # --- rx stage: theta-native reverse butterflies ----------------
-            for q in range(nrow - 1, -1, -1):
-                s = rb >> (q + 1)
-                c = cs_ref[l, q, 0]
-                sn = cs_ref[l, q, 1]
-                bit = (rows // s) % 2
-                is_lo = bit == 0
-                mdag = (c, 0.0, 0.0, sn, 0.0, sn, c, 0.0)
-                nsr, nsi = _butterfly(s_r[:], s_i[:], rows, s, mdag)
-                s_r[:] = nsr
-                s_i[:] = nsi
-                cr = dsr_ref[:]
-                ci = dsi_ref[:]
-                pct_r = jnp.where(
-                    is_lo, pltpu.roll(cr, rb - s, 0), pltpu.roll(cr, s, 0)
-                )
-                pct_i = jnp.where(
-                    is_lo, pltpu.roll(ci, rb - s, 0), pltpu.roll(ci, s, 0)
-                )
-                re_s1 = jnp.sum(cr * nsr - ci * nsi)
-                im_s2 = jnp.sum(pct_r * nsi + pct_i * nsr)
-                dth_ref[l, q] += -0.5 * sn * re_s1 + 0.5 * c * im_s2
-                dsr_ref[:] = c * cr + sn * pct_i
-                dsi_ref[:] = c * ci - sn * pct_r
-            # --- zz phase stage: s currently holds z = P x -----------------
-            zr = s_r[:]
-            zi = s_i[:]
+        # --- lane stage: y = psi @ M_l -------------------------------------
+        mr = mr_ref[0]
+        mi = mi_ref[0]
+        yr = s_r[:]
+        yi = s_i[:]
+        ctr0 = dsr_ref[:]
+        cti0 = dsi_ref[:]
+        # un-lane: psi = y @ conj(M)^T (M unitary)
+        s_r[:] = jax.lax.dot_general(
+            yr, mr, dg_dim, preferred_element_type=f32
+        ) + jax.lax.dot_general(yi, mi, dg_dim, preferred_element_type=f32)
+        s_i[:] = jax.lax.dot_general(
+            yi, mr, dg_dim, preferred_element_type=f32
+        ) - jax.lax.dot_general(yr, mi, dg_dim, preferred_element_type=f32)
+        # dM_l = psi^T @ ct (plain transpose, complex product)
+        dmr_ref[0] = jax.lax.dot_general(
+            s_r[:], ctr0, dt_dim, preferred_element_type=f32
+        ) - jax.lax.dot_general(s_i[:], cti0, dt_dim, preferred_element_type=f32)
+        dmi_ref[0] = jax.lax.dot_general(
+            s_r[:], cti0, dt_dim, preferred_element_type=f32
+        ) + jax.lax.dot_general(s_i[:], ctr0, dt_dim, preferred_element_type=f32)
+        # ct walk through the lane map: ct_pre = ct @ M^T
+        dsr_ref[:] = jax.lax.dot_general(
+            ctr0, mr, dg_dim, preferred_element_type=f32
+        ) - jax.lax.dot_general(cti0, mi, dg_dim, preferred_element_type=f32)
+        dsi_ref[:] = jax.lax.dot_general(
+            ctr0, mi, dg_dim, preferred_element_type=f32
+        ) + jax.lax.dot_general(cti0, mr, dg_dim, preferred_element_type=f32)
+        # --- rx stage: theta-native reverse butterflies --------------------
+        for q in range(nrow - 1, -1, -1):
+            s = rb >> (q + 1)
+            c = cs_ref[0, q, 0]
+            sn = cs_ref[0, q, 1]
+            bit = (rows // s) % 2
+            is_lo = bit == 0
+            mdag = (c, 0.0, 0.0, sn, 0.0, sn, c, 0.0)
+            nsr, nsi = _butterfly(s_r[:], s_i[:], rows, s, mdag)
+            s_r[:] = nsr
+            s_i[:] = nsi
             cr = dsr_ref[:]
             ci = dsi_ref[:]
-            # dtheta_k = 1/2 sum_idx (ct_r z_i + ct_i z_r) z_a z_b, batched
-            # over pairs via the sign matrices (one MXU dot + one reduce)
-            h = cr * zi + ci * zr
-            t = jnp.dot(h, slane_ref[:], preferred_element_type=f32)
-            dzz_ref[l : l + 1, :] = 0.5 * jnp.sum(
-                srow_ref[:] * t, axis=0, keepdims=True
+            pct_r = jnp.where(
+                is_lo, pltpu.roll(cr, rb - s, 0), pltpu.roll(cr, s, 0)
             )
-            expo = jnp.dot(
-                srow_ref[:] * zzth_ref[l][None, :],
-                slane_ref[:].T,
-                preferred_element_type=f32,
+            pct_i = jnp.where(
+                is_lo, pltpu.roll(ci, rb - s, 0), pltpu.roll(ci, s, 0)
             )
-            pc = jnp.cos(0.5 * expo)
-            ps = -jnp.sin(0.5 * expo)
-            # transpose walk of a diagonal map: multiply by the phase itself
-            dsr_ref[:] = pc * cr - ps * ci
-            dsi_ref[:] = pc * ci + ps * cr
-            # un-apply the phase from the state: x = conj(phase) * z
-            s_r[:] = pc * zr + ps * zi
-            s_i[:] = pc * zi - ps * zr
+            re_s1 = jnp.sum(cr * nsr - ci * nsi)
+            im_s2 = jnp.sum(pct_r * nsi + pct_i * nsr)
+            dth_ref[0, 0, q] = -0.5 * sn * re_s1 + 0.5 * c * im_s2
+            dsr_ref[:] = c * cr + sn * pct_i
+            dsi_ref[:] = c * ci - sn * pct_r
+        # --- zz phase stage: s currently holds z = P x ---------------------
+        zr = s_r[:]
+        zi = s_i[:]
+        cr = dsr_ref[:]
+        ci = dsi_ref[:]
+        # dtheta_k = 1/2 sum_idx (ct_r z_i + ct_i z_r) z_a z_b, batched
+        # over pairs via the sign matrices (one MXU dot + one reduce)
+        h = cr * zi + ci * zr
+        t = jnp.dot(h, slane_ref[:], preferred_element_type=f32)
+        dzz_ref[0] = 0.5 * jnp.sum(srow_ref[:] * t, axis=0, keepdims=True)
+        expo = jnp.dot(
+            srow_ref[:] * zzth_ref[0, 0][None, :],
+            slane_ref[:].T,
+            preferred_element_type=f32,
+        )
+        pc = jnp.cos(0.5 * expo)
+        ps = -jnp.sin(0.5 * expo)
+        # transpose walk of a diagonal map: multiply by the phase itself
+        dsr_ref[:] = pc * cr - ps * ci
+        dsi_ref[:] = pc * ci + ps * cr
+        # un-apply the phase from the state: x = conj(phase) * z
+        s_r[:] = pc * zr + ps * zi
+        s_i[:] = pc * zi - ps * zr
 
     return kernel
 
 
-def _smem_spec(shape):
+def _smem_spec(shape, index_map):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    return pl.BlockSpec(shape, lambda: tuple(0 for _ in shape), memory_space=pltpu.SMEM)
+    return pl.BlockSpec(shape, index_map, memory_space=pltpu.SMEM)
 
 
-def _vmem_spec(shape):
+def _vmem_spec(shape, index_map):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    return pl.BlockSpec(shape, lambda: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
 
 def _pallas_ml_fwd(zzth, cs, srow, slane, mr, mi, sr, si):
     from jax.experimental import pallas as pl
 
     L, nrow = cs.shape[0], cs.shape[1]
+    lanes = sr.shape[1]
+    const2 = lambda j: (0, 0)
+    fwd_l = lambda j: (j, 0)
+    fwd_l3 = lambda j: (j, 0, 0)
     return pl.pallas_call(
         _ml_fwd_kernel(nrow, L),
+        grid=(L,),
         out_shape=(
             jax.ShapeDtypeStruct(sr.shape, sr.dtype),
             jax.ShapeDtypeStruct(si.shape, si.dtype),
         ),
         in_specs=[
-            _smem_spec(cs.shape),
-            _vmem_spec(zzth.shape),
-            _vmem_spec(srow.shape),
-            _vmem_spec(slane.shape),
-            _vmem_spec(mr.shape),
-            _vmem_spec(mi.shape),
-            _vmem_spec(sr.shape),
-            _vmem_spec(si.shape),
+            _smem_spec((1, nrow, 2), fwd_l3),
+            _vmem_spec((1, 1, MAX_ML_PAIRS), fwd_l3),
+            _vmem_spec(srow.shape, const2),
+            _vmem_spec(slane.shape, const2),
+            _vmem_spec((1, lanes, lanes), fwd_l3),
+            _vmem_spec((1, lanes, lanes), fwd_l3),
+            _vmem_spec(sr.shape, const2),
+            _vmem_spec(si.shape, const2),
         ],
-        out_specs=(_vmem_spec(sr.shape), _vmem_spec(si.shape)),
+        out_specs=(_vmem_spec(sr.shape, const2), _vmem_spec(si.shape, const2)),
         input_output_aliases={6: 0, 7: 1},
         compiler_params=_compiler_params(),
         interpret=krl._INTERPRET,
@@ -301,35 +317,39 @@ def _pallas_ml_bwd(zzth, cs, srow, slane, mr, mi, yr, yi, ctr, cti):
 
     L, nrow = cs.shape[0], cs.shape[1]
     r, lanes = yr.shape
+    const2 = lambda j: (0, 0)
+    rev_l = lambda j: (L - 1 - j, 0)
+    rev_l3 = lambda j: (L - 1 - j, 0, 0)
     return pl.pallas_call(
         _ml_bwd_kernel(nrow, L),
+        grid=(L,),
         out_shape=(
             jax.ShapeDtypeStruct(yr.shape, yr.dtype),
             jax.ShapeDtypeStruct(yi.shape, yi.dtype),
-            jax.ShapeDtypeStruct((L, MAX_ML_PAIRS), jnp.float32),
-            jax.ShapeDtypeStruct((L, nrow), jnp.float32),
+            jax.ShapeDtypeStruct((L, 1, MAX_ML_PAIRS), jnp.float32),
+            jax.ShapeDtypeStruct((L, 1, nrow), jnp.float32),
             jax.ShapeDtypeStruct(mr.shape, jnp.float32),
             jax.ShapeDtypeStruct(mi.shape, jnp.float32),
         ),
         in_specs=[
-            _smem_spec(cs.shape),
-            _vmem_spec(zzth.shape),
-            _vmem_spec(srow.shape),
-            _vmem_spec(slane.shape),
-            _vmem_spec(mr.shape),
-            _vmem_spec(mi.shape),
-            _vmem_spec(yr.shape),
-            _vmem_spec(yi.shape),
-            _vmem_spec(ctr.shape),
-            _vmem_spec(cti.shape),
+            _smem_spec((1, nrow, 2), rev_l3),
+            _vmem_spec((1, 1, MAX_ML_PAIRS), rev_l3),
+            _vmem_spec(srow.shape, const2),
+            _vmem_spec(slane.shape, const2),
+            _vmem_spec((1, lanes, lanes), rev_l3),
+            _vmem_spec((1, lanes, lanes), rev_l3),
+            _vmem_spec(yr.shape, const2),
+            _vmem_spec(yi.shape, const2),
+            _vmem_spec(ctr.shape, const2),
+            _vmem_spec(cti.shape, const2),
         ],
         out_specs=(
-            _vmem_spec(yr.shape),
-            _vmem_spec(yi.shape),
-            _vmem_spec((L, MAX_ML_PAIRS)),
-            _smem_spec((L, nrow)),
-            _vmem_spec(mr.shape),
-            _vmem_spec(mi.shape),
+            _vmem_spec(yr.shape, const2),
+            _vmem_spec(yi.shape, const2),
+            _vmem_spec((1, 1, MAX_ML_PAIRS), rev_l3),
+            _smem_spec((1, 1, nrow), rev_l3),
+            _vmem_spec((1, lanes, lanes), rev_l3),
+            _vmem_spec((1, lanes, lanes), rev_l3),
         ),
         scratch_shapes=[
             pltpu.VMEM((r, lanes), jnp.float32),
@@ -378,7 +398,7 @@ def _ml_prep(pairs, n, state2d, zz_thetas, rx_row_thetas, mlane):
     si = jnp.imag(state2d).astype(jnp.float32)
     zzth = jnp.asarray(zz_thetas).astype(jnp.float32)
     L, npairs = zzth.shape
-    zzth = jnp.pad(zzth, ((0, 0), (0, MAX_ML_PAIRS - npairs)))
+    zzth = jnp.pad(zzth, ((0, 0), (0, MAX_ML_PAIRS - npairs)))[:, None, :]
     th = jnp.asarray(rx_row_thetas).astype(jnp.float32)
     cs = jnp.stack([jnp.cos(th / 2), jnp.sin(th / 2)], axis=-1)
     nrow = th.shape[1]
@@ -453,8 +473,8 @@ def _ml_bwd(pairs, n, res, ct):
     dm = (dmr + 1j * dmi).astype(jnp.asarray(mlane).dtype)
     return (
         ds,
-        dzz[:, :npairs].astype(jnp.asarray(zz_thetas).dtype),
-        dth.astype(jnp.asarray(rx_row_thetas).dtype),
+        dzz[:, 0, :npairs].astype(jnp.asarray(zz_thetas).dtype),
+        dth[:, 0, :].astype(jnp.asarray(rx_row_thetas).dtype),
         dm,
     )
 

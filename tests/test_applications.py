@@ -264,9 +264,12 @@ def test_dqas_reference_search():
 
         return jax.value_and_grad(lossf)(nnp)
 
-    stp, nnp, hist = dq.DQAS_search(kernel, op_pool=[0, 1], p=1, batch=8, epochs=12)
+    # 40 epochs x batch 16: converges to prob00 ~ 0.99 for every seed tried
+    # (12 x 8 was underpowered and flaked at ~0.45-0.55)
+    stp, nnp, hist = dq.DQAS_search(kernel, op_pool=[0, 1], p=1, batch=16, epochs=40)
     prob = np.asarray(jax.nn.softmax(stp, axis=-1))
-    assert prob[0, 0] > 0.5
+    assert prob[0, 0] > 0.9
+    assert hist[-1] < 0.1  # the found architecture actually solves the task
     assert dq.repr_op("rx") == "rx"
     assert len(dq.preset_byprob(prob)) == 1
     w = dq.get_weights(nnp, stp)

@@ -1,0 +1,83 @@
+"""Contraction-path quality benchmark: treesa vs opt_einsum baselines.
+
+SURVEY §7 "hard part 1": path quality is the perf ceiling of the einsum-IR
+architecture (the reference leans on cotengra's hypergraph optimizer +
+slicing_reconf_opts, reference cons.py:1166-1190).  This benchmark contracts
+nothing — it scores planned paths on log10(FLOPs) and log2(peak intermediate
+size) for 40-60 qubit random brickwork circuits, and writes
+``benchmarks/path_quality_results.json`` for round-over-round tracking.
+
+Run: PYTHONPATH=. python benchmarks/path_quality.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import opt_einsum as oe
+
+import tensorcircuit_ng_tpu as tc
+from tensorcircuit_ng_tpu.core.native import TreeSAOptimizer, treesa_available
+
+
+def build_circuit(n, depth, seed):
+    rng = np.random.default_rng(seed)
+    th = rng.normal(size=(depth, n, 2)).astype(np.float32)
+    c = tc.Circuit(n)
+    for i in range(n):
+        c.h(i)
+    for l in range(depth):
+        for i in range(l % 2, n - 1, 2):
+            c.cnot(i, i + 1)
+        for i in range(n):
+            c.rz(i, theta=th[l, i, 0])
+            c.rx(i, theta=th[l, i, 1])
+    return c
+
+
+def score(ir, optimizer, name):
+    t0 = time.time()
+    path, info = oe.contract_path(
+        ir.to_subscripts(), *ir.shapes(), shapes=True, optimize=optimizer
+    )
+    dt = time.time() - t0
+    return {
+        "optimizer": name,
+        "log10_flops": round(float(np.log10(float(info.opt_cost))), 3),
+        "log2_size": round(float(np.log2(float(info.largest_intermediate))), 2),
+        "search_s": round(dt, 2),
+    }
+
+
+def main():
+    assert treesa_available(), "native treesa library unavailable"
+    cases = [(40, 16), (48, 20), (60, 24)]
+    results = []
+    for n, depth in cases:
+        c = build_circuit(n, depth, seed=n)
+        ir = c.amplitude_before("0" * n)
+        row = {"n": n, "depth": depth, "operands": len(ir.inputs)}
+        row["greedy"] = score(ir, "greedy", "greedy")
+        row["auto"] = score(ir, "auto", "auto")
+        row["treesa"] = score(
+            ir, TreeSAOptimizer(n_iters=3000, seed=7), "treesa"
+        )
+        results.append(row)
+        print(json.dumps(row))
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "path_quality_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -260,9 +260,11 @@ def fused_zzrx_multilayer(
     nq = int(round(math.log2(state.shape[0])))
     assert nq == n, "one rx angle per qubit per layer required"
     pairs = tuple((int(a), int(b)) for a, b in pairs)
-    nlane = min(_LANE_QUBITS, n)
-    nrow = n - nlane
-    if nrow > kml.MAX_ML_ROW_QUBITS or nrow < 1 or len(pairs) > kml.MAX_ML_PAIRS:
+    # lanes absorb whatever the kernel row budget cannot: n=20 -> 12 row
+    # qubits + 8 lane qubits (a 256x256 lane matmul is still trivial MXU work)
+    nrow = min(n - _LANE_QUBITS, kml.MAX_ML_ROW_QUBITS)
+    nlane = n - nrow
+    if nrow < 1 or nlane > 10 or len(pairs) > kml.MAX_ML_PAIRS:
         psi = state
         for l in range(L):
             psi = fused_zzrx_layer(psi, pairs, zz_thetas[l], rx_thetas[l])

@@ -60,9 +60,11 @@ Tensor = Any
 
 __all__ = ["zzrx_multilayer", "MAX_ML_ROW_QUBITS", "MAX_ML_PAIRS"]
 
-#: row-qubit budget for the whole-block kernel (2^13 rows x 128 lanes x f32
-#: x [state + cotangent + scratch + temps] fits comfortably in 128 MB VMEM)
-MAX_ML_ROW_QUBITS = 13
+#: row-qubit budget for the whole-block kernel.  Mosaic materializes a
+#: fresh buffer per unrolled butterfly (measured: no reuse), so the spill
+#: footprint is ~nrow x 3 x (2^nrow x lanes x 4B); at 12 row qubits that is
+#: ~72 MB, inside the 128 MB VMEM (13 was 137 MB and OOM'd the compile)
+MAX_ML_ROW_QUBITS = 12
 
 #: zz pairs are padded into one 128-wide sign-matrix column block
 MAX_ML_PAIRS = 128
@@ -138,6 +140,8 @@ def _ml_fwd_kernel(nrow, L):
         ci = oi_ref[:]
         or_ref[:] = pc * cr - ps * ci
         oi_ref[:] = pc * ci + ps * cr
+        # static unroll: rolls with static shifts are fast VPU shuffles
+        # (a fori_loop variant with dynamic shifts ran ~3x slower end to end)
         for q in range(nrow):
             s = rb >> (q + 1)
             c = cs_ref[0, q, 0]

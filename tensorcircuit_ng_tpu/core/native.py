@@ -58,8 +58,7 @@ def _load() -> Optional[ctypes.CDLL]:
     if path is None:
         return None
     lib = ctypes.CDLL(path)
-    lib.treesa_optimize.restype = ctypes.c_double
-    lib.treesa_optimize.argtypes = [
+    base_args = [
         ctypes.c_int,
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_int),
@@ -72,6 +71,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_double,
         ctypes.c_double,
         ctypes.c_uint64,
+    ]
+    lib.treesa_optimize.restype = ctypes.c_double
+    lib.treesa_optimize.argtypes = base_args + [ctypes.POINTER(ctypes.c_int)]
+    lib.treesa_optimize_seeded.restype = ctypes.c_double
+    lib.treesa_optimize_seeded.argtypes = base_args + [
+        ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
     _LIB = lib
@@ -91,8 +96,14 @@ def treesa_path(
     t1: float = 0.05,
     size_weight: float = 0.6,
     seed: int = 42,
+    init_path: Optional[List[Tuple[int, int]]] = None,
 ) -> List[Tuple[int, int]]:
-    """SA-optimized contraction path in linear (opt_einsum) format."""
+    """SA-optimized contraction path in linear (opt_einsum) format.
+
+    ``init_path`` (linear format) seeds the annealer — pass a known-good
+    plan (e.g. opt_einsum greedy) and SA starts there instead of from its
+    own internal greedy tree, so the result can only improve on the seed.
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError("native treesa library unavailable (no g++?)")
@@ -112,25 +123,38 @@ def treesa_path(
     out_a = (ctypes.c_int * max(len(out_inds), 1))(*out_inds)
     sz_a = (ctypes.c_double * len(log2_sizes))(*log2_sizes)
     path_a = (ctypes.c_int * (2 * (n - 1)))()
-    score = lib.treesa_optimize(
-        n,
-        len(ids),
-        flat_a,
-        off_a,
-        out_a,
-        len(out_inds),
-        sz_a,
-        int(n_iters),
-        float(t0),
-        float(t1),
-        float(size_weight),
-        int(seed),
-        path_a,
+    common = (
+        n, len(ids), flat_a, off_a, out_a, len(out_inds), sz_a,
+        int(n_iters), float(t0), float(t1), float(size_weight), int(seed),
     )
+    if init_path is not None:
+        ssa = _linear_to_ssa(init_path, n)
+        flat_ssa = [x for pair in ssa for x in pair]
+        init_a = (ctypes.c_int * len(flat_ssa))(*flat_ssa)
+        score = lib.treesa_optimize_seeded(*common, init_a, path_a)
+    else:
+        score = lib.treesa_optimize(*common, path_a)
     if score < 0:
         raise RuntimeError("treesa optimization failed")
     ssa = [(path_a[2 * k], path_a[2 * k + 1]) for k in range(n - 1)]
     return _ssa_to_linear(ssa, n)
+
+
+def _linear_to_ssa(path: List[Tuple[int, int]], n: int) -> List[Tuple[int, int]]:
+    """Convert an opt_einsum linear path to SSA-id pairs."""
+    ids = list(range(n))
+    out = []
+    next_ssa = n
+    for pair in path:
+        ia, ib = (pair if len(pair) == 2 else (pair[0], pair[0]))
+        if ia > ib:
+            ia, ib = ib, ia
+        out.append((ids[ia], ids[ib]))
+        ids.pop(ib)
+        ids.pop(ia)
+        ids.append(next_ssa)
+        next_ssa += 1
+    return out
 
 
 def _ssa_to_linear(ssa: List[Tuple[int, int]], n: int) -> List[Tuple[int, int]]:
@@ -164,10 +188,41 @@ class TreeSAOptimizer(_OEPathOptimizer):
     ``tc.set_contractor("custom", optimizer=TreeSAOptimizer())``.
     """
 
-    def __init__(self, n_iters: int = 2000, size_weight: float = 0.6, seed: int = 42):
+    def __init__(
+        self,
+        n_iters: int = 2000,
+        size_weight: float = 0.6,
+        seed: int = 42,
+        seed_from_greedy: bool = True,
+        restarts: int = 2,
+    ):
         self.n_iters = n_iters
         self.size_weight = size_weight
         self.seed = seed
+        self.seed_from_greedy = seed_from_greedy
+        self.restarts = max(1, restarts)
+
+    def _greedy_seed(self, inputs, output, size_dict):
+        try:
+            import opt_einsum as oe
+
+            return oe.paths.greedy(
+                [frozenset(i) for i in inputs], frozenset(output), size_dict
+            )
+        except Exception:  # pragma: no cover
+            return None
+
+    def _path_cost(self, path, inputs, output, size_dict):
+        import opt_einsum as oe
+
+        try:
+            shapes = [tuple(size_dict[i] for i in inp) for inp in inputs]
+            lhs = ",".join("".join(inp) for inp in inputs)
+            expr = lhs + "->" + "".join(output)
+            _, info = oe.contract_path(expr, *shapes, shapes=True, optimize=path)
+            return float(info.opt_cost)
+        except Exception:  # pragma: no cover
+            return float("inf")
 
     def __call__(self, inputs, output, size_dict, memory_limit=None):
         # opt_einsum passes inputs as list of frozensets/strs of symbols
@@ -175,11 +230,29 @@ class TreeSAOptimizer(_OEPathOptimizer):
         output = sorted(output)
         if len(inputs) == 1:
             return [(0,)]
-        return treesa_path(
-            inputs,
-            output,
-            size_dict,
-            n_iters=self.n_iters,
-            size_weight=self.size_weight,
-            seed=self.seed,
+        init = (
+            self._greedy_seed(inputs, output, size_dict)
+            if self.seed_from_greedy
+            else None
         )
+        candidates = []
+        if init is not None:
+            candidates.append(list(init))
+        for r in range(self.restarts):
+            candidates.append(
+                treesa_path(
+                    inputs,
+                    output,
+                    size_dict,
+                    n_iters=self.n_iters,
+                    t0=2.0 if init is not None else 10.0,
+                    size_weight=self.size_weight,
+                    seed=self.seed + 1000 * r,
+                    init_path=list(init) if init is not None else None,
+                )
+            )
+        best = min(
+            candidates, key=lambda p: self._path_cost(p, inputs, output, size_dict)
+        )
+        return best
+

@@ -257,6 +257,12 @@ int emit_ssa_path(const Tree& t, int node, std::vector<int>& order, int& next_ss
 
 extern "C" {
 
+double treesa_optimize_seeded(
+    int num_tensors, int num_indices, const int* flat_inds, const int* offsets,
+    const int* output_inds, int num_output, const double* log2_sizes,
+    int n_iters, double t0, double t1, double size_weight, uint64_t seed,
+    const int* init_ssa, int* out_path);
+
 // inputs: flat index-id lists with per-tensor offsets; sizes: per index log2
 // out_path: buffer of 2*(num_tensors-1) ints receiving SSA id pairs
 // returns: final score (lower is better); -1 on error
@@ -274,6 +280,27 @@ double treesa_optimize(
     double size_weight,
     uint64_t seed,
     int* out_path) {
+    return treesa_optimize_seeded(
+        num_tensors, num_indices, flat_inds, offsets, output_inds, num_output,
+        log2_sizes, n_iters, t0, t1, size_weight, seed, nullptr, out_path);
+}
+
+// like treesa_optimize but optionally seeded with an initial SSA tree
+double treesa_optimize_seeded(
+    int num_tensors,
+    int num_indices,
+    const int* flat_inds,
+    const int* offsets,
+    const int* output_inds,
+    int num_output,
+    const double* log2_sizes,
+    int n_iters,
+    double t0,
+    double t1,
+    double size_weight,
+    uint64_t seed,
+    const int* init_ssa,       // 2*(num_tensors-1) SSA pairs, or NULL
+    int* out_path) {
     if (num_tensors < 2) return -1.0;
     Network net;
     net.num_tensors = num_tensors;
@@ -288,7 +315,27 @@ double treesa_optimize(
     net.log2_size.assign(log2_sizes, log2_sizes + num_indices);
 
     std::mt19937 rng(seed ? seed : 42);
-    Tree best = greedy_tree(net, rng, false);
+    Tree best;
+    if (init_ssa != nullptr) {
+        // caller-provided seed tree (SSA pairs): SA starts from a known-good
+        // plan (e.g. opt_einsum greedy) and can only improve on it
+        int total = 2 * num_tensors - 1;
+        best.n = num_tensors;
+        best.left.assign(total, -1);
+        best.right.assign(total, -1);
+        best.parent.assign(total, -1);
+        for (int k = 0; k < num_tensors - 1; ++k) {
+            int a = init_ssa[2 * k], b = init_ssa[2 * k + 1];
+            int nn = num_tensors + k;
+            best.left[nn] = a;
+            best.right[nn] = b;
+            best.parent[a] = nn;
+            best.parent[b] = nn;
+        }
+        best.root = total - 1;
+    } else {
+        best = greedy_tree(net, rng, false);
+    }
     double best_score;
     {
         Eval e(net, best);

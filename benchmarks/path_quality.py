@@ -29,6 +29,38 @@ import tensorcircuit_ng_tpu as tc
 from tensorcircuit_ng_tpu.core.native import TreeSAOptimizer, treesa_available
 
 
+def build_grid_circuit(rows, cols, depth, seed):
+    """2D brickwork — the regime where greedy-class planners collapse."""
+    n = rows * cols
+    rng = np.random.default_rng(seed)
+    c = tc.Circuit(n)
+
+    def q(r, cc):
+        return r * cols + cc
+
+    for i in range(n):
+        c.h(i)
+    for l in range(depth):
+        if l % 2 == 0:
+            pairs = [
+                (q(r, a), q(r, a + 1))
+                for r in range(rows)
+                for a in range(l // 2 % 2, cols - 1, 2)
+            ]
+        else:
+            pairs = [
+                (q(a, cc), q(a + 1, cc))
+                for cc in range(cols)
+                for a in range((l // 2) % 2, rows - 1, 2)
+            ]
+        for a, b in pairs:
+            c.cnot(a, b)
+        for i in range(n):
+            c.rz(i, theta=float(rng.normal()))
+            c.rx(i, theta=float(rng.normal()))
+    return c
+
+
 def build_circuit(n, depth, seed):
     rng = np.random.default_rng(seed)
     th = rng.normal(size=(depth, n, 2)).astype(np.float32)
@@ -60,16 +92,33 @@ def score(ir, optimizer, name):
 
 def main():
     assert treesa_available(), "native treesa library unavailable"
-    cases = [(40, 16), (48, 20), (60, 24)]
+    cases = [
+        ("chain", (40, 16)),
+        ("chain", (48, 20)),
+        ("chain", (60, 24)),
+        ("grid", (6, 6, 12)),
+        ("grid", (8, 8, 16)),
+        ("grid", (10, 10, 16)),
+    ]
     results = []
-    for n, depth in cases:
-        c = build_circuit(n, depth, seed=n)
+    for kind, spec in cases:
+        if kind == "chain":
+            n, depth = spec
+            c = build_circuit(n, depth, seed=n)
+            row = {"kind": kind, "n": n, "depth": depth}
+        else:
+            rows_, cols_, depth = spec
+            n = rows_ * cols_
+            c = build_grid_circuit(rows_, cols_, depth, seed=n)
+            row = {"kind": kind, "n": n, "grid": f"{rows_}x{cols_}", "depth": depth}
         ir = c.amplitude_before("0" * n)
-        row = {"n": n, "depth": depth, "operands": len(ir.inputs)}
+        row["operands"] = len(ir.inputs)
         row["greedy"] = score(ir, "greedy", "greedy")
         row["auto"] = score(ir, "auto", "auto")
         row["treesa"] = score(
-            ir, TreeSAOptimizer(n_iters=3000, seed=7), "treesa"
+            ir,
+            TreeSAOptimizer(n_iters=600000, seed=7, restarts=3, size_weight=0.5),
+            "treesa",
         )
         results.append(row)
         print(json.dumps(row))

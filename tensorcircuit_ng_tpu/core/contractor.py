@@ -83,6 +83,28 @@ def find_path(ir: EinsumIR, optimizer: Any = None) -> Tuple[List[Tuple[int, int]
         path, info = oe.contract_path(
             subscripts, *shapes, shapes=True, optimize=optimizer
         )
+        if (
+            isinstance(optimizer, str)
+            and optimizer in ("auto", "greedy")
+            and info is not None
+            and float(info.opt_cost) > 1e10
+        ):
+            # hard network: greedy-class paths can be orders of magnitude off
+            # (measured 10^27.4 -> 10^24.8 on an 8x8 depth-16 grid circuit);
+            # escalate to the seeded annealer, keep whichever plan is better
+            from .native import TreeSAOptimizer, treesa_available
+
+            if treesa_available():
+                path2, info2 = oe.contract_path(
+                    subscripts,
+                    *shapes,
+                    shapes=True,
+                    optimize=TreeSAOptimizer(
+                        n_iters=400000, restarts=2, size_weight=0.5
+                    ),
+                )
+                if float(info2.opt_cost) < float(info.opt_cost):
+                    path, info = path2, info2
     _PATH_CACHE[key] = (path, info)
     return path, info
 

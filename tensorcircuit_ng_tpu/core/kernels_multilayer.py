@@ -70,7 +70,7 @@ MAX_ML_ROW_QUBITS = 12
 MAX_ML_PAIRS = 128
 
 #: scoped-VMEM ceiling handed to Mosaic (v5e: 128 MB total)
-VMEM_LIMIT_BYTES = 110 * 1024 * 1024
+VMEM_LIMIT_BYTES = 127 * 1024 * 1024
 
 
 def _compiler_params():

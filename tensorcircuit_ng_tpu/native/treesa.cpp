@@ -14,6 +14,9 @@
 #include <cmath>
 #include <vector>
 #include <random>
+#include <set>
+#include <memory>
+#include <algorithm>
 #include <algorithm>
 
 namespace {
@@ -218,6 +221,218 @@ Tree greedy_tree(const Network& net, std::mt19937& rng, bool randomize) {
     return t;
 }
 
+
+// ---------------------------------------------------------------------------
+// Incremental SA engine: O(num_indices) per move instead of a full-tree
+// re-evaluation.  Key facts: (1) the set of indices surviving at node v
+// depends only on v's per-index leaf counts (an index survives iff it is in
+// the output or appears in a leaf OUTSIDE v, i.e. total_cnt > cnt_v), and
+// (2) an associativity rotation at (p, c) changes only c's leaf multiset —
+// so exactly res[c], cost[c] and cost[p] need recomputing.  This affords
+// ~10^6 moves where the full re-eval managed ~10^3, and fixes the old cost
+// model (which charged the union of ALL leaf indices under a node instead
+// of the surviving indices actually contracted there).
+// ---------------------------------------------------------------------------
+
+struct Inc {
+    const Network& net;
+    Tree& t;
+    int n, total, nidx;
+    std::vector<uint16_t> cnt;        // per node: nidx counts (leaf multiset)
+    std::vector<uint16_t> total_cnt;  // per index, over all leaves
+    std::vector<Bits> res;            // surviving indices per node
+    std::vector<double> res_size;     // log2 size of res
+    std::vector<double> cost;         // per internal node: log2 contraction size
+    std::multiset<double> costs;      // cost[] of internal nodes (log2 space)
+    std::multiset<double> peaks;      // res_size of internal nodes
+    // tempered-flops accumulator sum 2^(gamma*cost): with gamma ~ 0.3 every
+    // node contributes to the acceptance signal (the true flops sum is
+    // dominated by the top node, leaving SA a gradient-free plateau);
+    // magnitudes stay ~2^30 so a plain double accumulator is safe
+    double gamma = 0.3;
+    double guide_sum = 0.0;
+
+    // undo record
+    int u_p = -1, u_c = -1, u_moved = -1, u_other = -1;
+    std::vector<uint16_t> u_cnt_c;
+    Bits u_res_c;
+    double u_res_size_c = 0, u_cost_c = 0, u_cost_p = 0;
+
+    Inc(const Network& net_, Tree& t_)
+        : net(net_), t(t_), n(t_.n), total(2 * t_.n - 1),
+          nidx(net_.num_indices) {
+        cnt.assign((size_t)total * nidx, 0);
+        total_cnt.assign(nidx, 0);
+        res.assign(total, Bits(net.tensor_inds[0].size(), 0));
+        res_size.assign(total, 0.0);
+        cost.assign(total, 0.0);
+        for (int v = 0; v < n; ++v)
+            for (int i = 0; i < nidx; ++i)
+                if (get_bit(net.tensor_inds[v], i)) {
+                    cnt[(size_t)v * nidx + i] = 1;
+                    total_cnt[i] += 1;
+                }
+        build(t.root);
+    }
+
+    void compute_res(int v) {
+        Bits& r = res[v];
+        std::fill(r.begin(), r.end(), 0);
+        const uint16_t* cv = &cnt[(size_t)v * nidx];
+        double sz = 0.0;
+        for (int i = 0; i < nidx; ++i) {
+            if (cv[i] == 0) continue;
+            if (get_bit(net.output_inds, i) || total_cnt[i] > cv[i]) {
+                set_bit(r, i);
+                sz += net.log2_size[i];
+            }
+        }
+        res_size[v] = sz;
+    }
+
+    double union_size(const Bits& a, const Bits& b) const {
+        double s = 0.0;
+        for (size_t w = 0; w < a.size(); ++w) {
+            uint64_t x = a[w] | b[w];
+            while (x) {
+                int i = __builtin_ctzll(x);
+                s += net.log2_size[w * 64 + i];
+                x &= x - 1;
+            }
+        }
+        return s;
+    }
+
+    void build(int v) {
+        if (v < n) { compute_res(v); return; }
+        int l = t.left[v], r = t.right[v];
+        build(l); build(r);
+        uint16_t* cv = &cnt[(size_t)v * nidx];
+        const uint16_t* cl = &cnt[(size_t)l * nidx];
+        const uint16_t* cr = &cnt[(size_t)r * nidx];
+        for (int i = 0; i < nidx; ++i) cv[i] = cl[i] + cr[i];
+        compute_res(v);
+        cost[v] = union_size(res[l], res[r]);
+        costs.insert(cost[v]);
+        peaks.insert(res_size[v]);
+        guide_sum += std::pow(2.0, gamma * std::min(cost[v], 120.0));
+    }
+
+    double score(double size_weight) const {
+        // stable log2(sum of 2^cost) from the top of the cost multiset —
+        // a float accumulator cancels catastrophically at 2^90 scales
+        double lf = 0.0;
+        if (!costs.empty()) {
+            double m = *costs.rbegin();
+            double acc = 0.0;
+            for (auto it = costs.rbegin(); it != costs.rend(); ++it) {
+                if (*it < m - 40.0) break;
+                acc += std::pow(2.0, *it - m);
+            }
+            lf = m + std::log2(acc);
+        }
+        double pk = peaks.empty() ? 0.0 : *peaks.rbegin();
+        return size_weight * pk + (1.0 - size_weight) * lf;
+    }
+
+    // perform the rotation and incrementally update; record undo info.
+    // Move selection is a cost tournament 70% of the time: the score is
+    // dominated by the most expensive contractions, so uniform rotations
+    // are almost always zero-delta random walk (measured: 99% accepts,
+    // zero improvements on hard circuit networks); attacking the top-cost
+    // nodes gives the annealer an actual gradient.
+    bool rotate(std::mt19937& rng) {
+        std::uniform_int_distribution<int> pick(n, total - 1);
+        int p = -1, c = -1, moved = -1, other = -1;
+        bool tournament = (rng() % 10) < 7;
+        for (int attempt = 0; attempt < 16; ++attempt) {
+            int pp = -1;
+            if (tournament) {
+                double bc = -1.0;
+                for (int k = 0; k < 16; ++k) {
+                    int cand = pick(rng);
+                    if (t.left[cand] < n && t.right[cand] < n) continue;
+                    if (cost[cand] > bc) { bc = cost[cand]; pp = cand; }
+                }
+                if (pp < 0) continue;
+            } else {
+                pp = pick(rng);
+            }
+            int l = t.left[pp], r = t.right[pp];
+            bool l_int = l >= n, r_int = r >= n;
+            if (!l_int && !r_int) continue;
+            int cc = (l_int && r_int) ? ((rng() & 1) ? l : r) : (l_int ? l : r);
+            p = pp; c = cc;
+            other = (c == t.left[p]) ? t.right[p] : t.left[p];
+            moved = (rng() & 1) ? t.left[c] : t.right[c];
+            break;
+        }
+        if (p < 0) return false;
+        // save undo
+        u_p = p; u_c = c; u_moved = moved; u_other = other;
+        u_cnt_c.assign(&cnt[(size_t)c * nidx], &cnt[(size_t)c * nidx] + nidx);
+        u_res_c = res[c];
+        u_res_size_c = res_size[c];
+        u_cost_c = cost[c];
+        u_cost_p = cost[p];
+        // tree swap
+        if (t.left[c] == moved) t.left[c] = other; else t.right[c] = other;
+        if (t.left[p] == other) t.left[p] = moved; else t.right[p] = moved;
+        t.parent[other] = c;
+        t.parent[moved] = p;
+        // incremental update of c then p
+        int cl = t.left[c], cr = t.right[c];
+        uint16_t* cv = &cnt[(size_t)c * nidx];
+        const uint16_t* a = &cnt[(size_t)cl * nidx];
+        const uint16_t* b = &cnt[(size_t)cr * nidx];
+        for (int i = 0; i < nidx; ++i) cv[i] = a[i] + b[i];
+        costs.erase(costs.find(cost[c]));
+        costs.erase(costs.find(cost[p]));
+        peaks.erase(peaks.find(res_size[c]));
+        guide_sum -= std::pow(2.0, gamma * std::min(cost[c], 120.0));
+        guide_sum -= std::pow(2.0, gamma * std::min(cost[p], 120.0));
+        compute_res(c);
+        peaks.insert(res_size[c]);
+        cost[c] = union_size(res[cl], res[cr]);
+        cost[p] = union_size(res[t.left[p]], res[t.right[p]]);
+        costs.insert(cost[c]);
+        costs.insert(cost[p]);
+        guide_sum += std::pow(2.0, gamma * std::min(cost[c], 120.0));
+        guide_sum += std::pow(2.0, gamma * std::min(cost[p], 120.0));
+        return true;
+    }
+
+    void undo() {
+        int p = u_p, c = u_c, moved = u_moved, other = u_other;
+        costs.erase(costs.find(cost[c]));
+        costs.erase(costs.find(cost[p]));
+        peaks.erase(peaks.find(res_size[c]));
+        guide_sum -= std::pow(2.0, gamma * std::min(cost[c], 120.0));
+        guide_sum -= std::pow(2.0, gamma * std::min(cost[p], 120.0));
+        // reverse the tree swap
+        if (t.left[c] == other) t.left[c] = moved; else t.right[c] = moved;
+        if (t.left[p] == moved) t.left[p] = other; else t.right[p] = other;
+        t.parent[other] = p;
+        t.parent[moved] = c;
+        std::copy(u_cnt_c.begin(), u_cnt_c.end(), &cnt[(size_t)c * nidx]);
+        res[c] = u_res_c;
+        res_size[c] = u_res_size_c;
+        cost[c] = u_cost_c;
+        cost[p] = u_cost_p;
+        peaks.insert(res_size[c]);
+        costs.insert(cost[c]);
+        costs.insert(cost[p]);
+        guide_sum += std::pow(2.0, gamma * std::min(cost[c], 120.0));
+        guide_sum += std::pow(2.0, gamma * std::min(cost[p], 120.0));
+    }
+
+    double guide_score(double size_weight) const {
+        double pk = peaks.empty() ? 0.0 : *peaks.rbegin();
+        double lf = std::log2(std::max(guide_sum, 1e-300)) / gamma;
+        return size_weight * pk + (1.0 - size_weight) * lf;
+    }
+};
+
 // SA move: swap a random subtree `other` (child of p) with a random subtree
 // `moved` (grandchild of p through internal child c) — the classic
 // associativity rotation on contraction trees.
@@ -336,26 +551,36 @@ double treesa_optimize_seeded(
     } else {
         best = greedy_tree(net, rng, false);
     }
-    double best_score;
-    {
-        Eval e(net, best);
-        best_score = score(e.run(), size_weight);
-    }
+    double best_score = 0.0;  // set from the incremental engine below
     Tree cur = best;
-    double cur_score = best_score;
+    std::unique_ptr<Inc> inc(new Inc(net, cur));
+    double cur_guide = inc->guide_score(size_weight);
+    best_score = inc->score(size_weight);
+    double best_guide = cur_guide;
+    int restart_every = std::max(n_iters / 8, 1);
 
     std::uniform_real_distribution<double> unif(0.0, 1.0);
     for (int it = 0; it < n_iters; ++it) {
         double frac = double(it) / std::max(1, n_iters - 1);
         double temp = t0 * std::pow(t1 / t0, frac);
-        Tree cand = cur;
-        if (!random_rotate(cand, rng)) continue;
-        Eval e(net, cand);
-        double s = score(e.run(), size_weight);
-        if (s < cur_score || unif(rng) < std::exp((cur_score - s) / std::max(temp, 1e-9))) {
-            cur = cand;
-            cur_score = s;
-            if (s < best_score) { best = cur; best_score = s; }
+        if (it > 0 && it % restart_every == 0 && cur_guide > best_guide) {
+            // plateau drift destroys good trees between improvements;
+            // periodically resume the anneal from the best-seen tree
+            cur = best;
+            inc.reset(new Inc(net, cur));
+            cur_guide = inc->guide_score(size_weight);
+        }
+        if (!inc->rotate(rng)) continue;
+        double s = inc->guide_score(size_weight);
+        if (s < cur_guide || unif(rng) < std::exp((cur_guide - s) / std::max(temp, 1e-9))) {
+            cur_guide = s;
+            if (s < best_guide) {
+                best_guide = s;
+                double true_s = inc->score(size_weight);
+                if (true_s < best_score) { best = cur; best_score = true_s; }
+            }
+        } else {
+            inc->undo();
         }
     }
 

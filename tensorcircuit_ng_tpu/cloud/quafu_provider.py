@@ -62,19 +62,52 @@ def submit_task(
     qtask = QuafuTask()
     qtask.config(backend=device.name, shots=shots, compile=compile)
     res = qtask.send(qc, wait=False)
-    return Task(res.taskid, device)
+    t = Task(res.taskid, device)
+    t._source = source  # kept for client-side resubmission
+    t._shots = shots
+    from . import apis
+
+    apis._tasks[t.id_] = t
+    return t
 
 
 def resubmit_task(task: Union[str, Task], token: Optional[str] = None, **kws: Any) -> Task:
-    raise NotImplementedError("quafu API does not support resubmission; submit a new task")
+    """The quafu API has no server-side resubmission; submit the stored
+    source as a fresh task (client-side resubmission)."""
+    if not isinstance(task, Task) or getattr(task, "_source", None) is None:
+        raise ValueError(
+            "quafu resubmission needs the original Task with its stored "
+            "source (server-side resubmission is not offered by the API)"
+        )
+    return submit_task(
+        task.device,
+        source=task._source,
+        shots=getattr(task, "_shots", 8192),
+        token=token,
+        **kws,
+    )
 
 
 def remove_task(task: Union[str, Task], token: Optional[str] = None) -> None:
-    raise NotImplementedError("quafu API does not support task removal")
+    """The quafu API offers no server-side removal; drop the client-side
+    handle so it stops appearing in :func:`list_tasks`."""
+    from . import apis
+
+    tid = task.id_ if isinstance(task, Task) else task
+    apis._tasks.pop(tid, None)
 
 
 def list_tasks(device: Optional[Device] = None, token: Optional[str] = None, **filters: Any) -> List[Task]:
-    raise NotImplementedError("quafu API exposes no task listing; track Task ids client-side")
+    """Client-side task registry (the quafu API exposes no listing)."""
+    from . import apis
+
+    out = []
+    for t in apis._tasks.values():
+        prov = getattr(getattr(t, "device", None), "provider", None)
+        if prov is not None and prov.name == "quafu":
+            if device is None or t.device.name == device.name:
+                out.append(t)
+    return out
 
 
 def get_task_details(task: Union[str, Task], token: Optional[str] = None) -> Dict[str, Any]:

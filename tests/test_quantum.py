@@ -330,3 +330,79 @@ def test_op2tensor_decorator():
     qop = qu.QuOperator.from_tensor(np.eye(2) * 2)
     assert abs(tr(qop) - 4.0) < 1e-6
     assert abs(tr(np.eye(3)) - 3.0) < 1e-6
+
+
+def test_mpo_interop_vendored_fixtures():
+    """tenpy2qop / quimb2qop validated against vendored-format fixtures.
+
+    tenpy/quimb are not installed, so these fixtures reproduce the exact
+    array layouts the libraries hand over (tenpy ``get_W -> (wL, wR, p, p*)``,
+    quimb ``.arrays`` with (l, r, out, in) and rank-3 boundary tensors) for
+    the standard bond-dimension-3 transverse-field Ising MPO; the converted
+    QuOperator must equal the independently built dense Hamiltonian
+    (reference quantum.py:1644/1824 conversions).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+    from tensorcircuit_ng_tpu import quantum as qu
+
+    J, g, L = 1.0, 0.7, 4
+    I2 = np.eye(2)
+    X = np.array([[0, 1], [1, 0.0]])
+    Z = np.diag([1.0, -1.0])
+
+    # W[a, b, p, p*]: rows/cols index the bond, standard TFI grid
+    W = np.zeros((3, 3, 2, 2))
+    W[0, 0] = I2
+    W[0, 1] = Z
+    W[0, 2] = -g * X
+    W[1, 2] = -J * Z
+    W[2, 2] = I2
+    Ws = [W[0:1]] + [W] * (L - 2) + [W[:, 2:3]]
+
+    # dense oracle
+    ls, ws = [], []
+    for i in range(L - 1):
+        v = [0] * L
+        v[i] = 3
+        v[i + 1] = 3
+        ls.append(v)
+        ws.append(-J)
+    for i in range(L):
+        v = [0] * L
+        v[i] = 1
+        ls.append(v)
+        ws.append(-g)
+    h_dense = np.asarray(qu.PauliStringSum2Dense(ls, ws, numpy=True))
+
+    class FakeTenpyW:
+        def __init__(self, w):
+            self._w = w
+
+        def to_ndarray(self):
+            return self._w  # (wL, wR, p, p*)
+
+    class FakeTenpyMPO:
+        L = len(Ws)
+
+        def get_W(self, i):
+            return FakeTenpyW(Ws[i])
+
+    m1 = np.asarray(qu.tenpy2qop(FakeTenpyMPO()).eval_matrix())
+    np.testing.assert_allclose(m1, h_dense, atol=1e-6)
+
+    class FakeQuimbMPO:
+        # quimb arrays: (l, r, out, in); boundary tensors drop the outer bond
+        arrays = (
+            [np.transpose(Ws[0][0], (0, 1, 2))]  # (r, p, p*) == (r, out, in)
+            + [np.transpose(W, (0, 1, 2, 3))] * (L - 2)
+            + [np.transpose(Ws[-1][:, 0], (0, 1, 2))]  # (l, out, in)
+        )
+
+    m2 = np.asarray(qu.quimb2qop(FakeQuimbMPO()).eval_matrix())
+    np.testing.assert_allclose(m2, h_dense, atol=1e-6)
+
+    # tn2qop chain independently
+    chain = [jnp.asarray(np.transpose(w, (0, 2, 3, 1))) for w in Ws]
+    m3 = np.asarray(qu.tn2qop(chain).eval_matrix())
+    np.testing.assert_allclose(m3, h_dense, atol=1e-6)

@@ -229,9 +229,14 @@ def fused_zzrx_layer(state: Tensor, pairs: Any, zz_thetas: Tensor, rx_thetas: Te
         )
     else:
         psi = kernels_rowlayer._zz_phase_dense(psi, pairs, n, zz_thetas)
-    psi = jnp.reshape(psi, (-1,))
-    for q in range(nouter):
-        psi = statevec.apply_unitary(psi, rx_matrix(rx_thetas[q]), [q])
+    if nouter:
+        # ONE kron matmul applies all outer-qubit rx gates (one HLO + its
+        # two AD ops, instead of 3 einsums + 6-9 AD ops per layer)
+        og = jax.vmap(lambda t: rx_matrix(t).astype(psi.dtype))(rx_thetas[:nouter])
+        mo = og[0]
+        for j in range(1, nouter):
+            mo = jnp.kron(mo, og[j])
+        psi = jnp.reshape(mo @ jnp.reshape(psi, (2**nouter, -1)), (-1,))
     psi = jnp.reshape(psi, (max(2**nrow, 1), 2**nlane))
     lane_gates = jax.vmap(lambda t: rx_matrix(t).astype(psi.dtype))(rx_thetas[nrow:])
     m = lane_gates[0]
@@ -239,6 +244,11 @@ def fused_zzrx_layer(state: Tensor, pairs: Any, zz_thetas: Tensor, rx_thetas: Te
         m = jnp.kron(m, lane_gates[j])
     psi = psi @ m.T
     return jnp.reshape(psi, (-1,))
+
+
+#: multilayer implementation: "pallas" (whole-block kernels), "xla"
+#: (pure-matmul variant, native AD), or "perlayer" (round-1 path)
+ML_MODE = "perlayer"
 
 
 def fused_zzrx_multilayer(
@@ -264,11 +274,22 @@ def fused_zzrx_multilayer(
     # qubits + 8 lane qubits (a 256x256 lane matmul is still trivial MXU work)
     nrow = min(n - _LANE_QUBITS, kml.MAX_ML_ROW_QUBITS)
     nlane = n - nrow
-    if nrow < 1 or nlane > 10 or len(pairs) > kml.MAX_ML_PAIRS:
+    if (
+        ML_MODE == "perlayer"
+        or nrow < 1
+        or nlane > 10
+        or len(pairs) > kml.MAX_ML_PAIRS
+    ):
         psi = state
         for l in range(L):
             psi = fused_zzrx_layer(psi, pairs, zz_thetas[l], rx_thetas[l])
         return psi
+    if ML_MODE == "xla" and n >= 10:
+        gb = min(3, n - 14) if n > 14 else 0
+        cb = min(7, n - gb - 1)
+        return kml.zzrx_multilayer_xla(
+            pairs, n, state, zz_thetas, rx_thetas, split=(gb, cb)
+        )
     from ..ops.gates import rx_matrix
 
     def lane_m(th_lane):

@@ -119,7 +119,6 @@ def _ml_fwd_kernel(nrow, L):
         sr_ref, si_ref, or_ref, oi_ref,
     ):
         rb = or_ref.shape[0]
-        rows = jax.lax.broadcasted_iota(jnp.int32, or_ref.shape, 0)
         f32 = jnp.float32
         j = pl.program_id(0)
 
@@ -140,16 +139,34 @@ def _ml_fwd_kernel(nrow, L):
         ci = oi_ref[:]
         or_ref[:] = pc * cr - ps * ci
         oi_ref[:] = pc * ci + ps * cr
-        # static unroll: rolls with static shifts are fast VPU shuffles
-        # (a fori_loop variant with dynamic shifts ran ~3x slower end to end)
-        for q in range(nrow):
-            s = rb >> (q + 1)
+        # interleave sweep: iteration q butterflies the CURRENT TOP row bit
+        # (two contiguous half-blocks - no rolls, no dynamic shapes), then
+        # rotates that bit to the bottom via stack+reshape; after nrow
+        # iterations the layout returns to canonical order.  Fixed shapes
+        # let the whole sweep be ONE fori_loop body (unrolled butterflies
+        # made Mosaic spill ~100 MB of vregs and compile for 25+ min;
+        # dynamic-shift rolls ran ~3x slow)
+        half = rb // 2
+
+        def fwd_body(q, _):
             c = cs_ref[0, q, 0]
             sn = cs_ref[0, q, 1]
-            m = (c, 0.0, 0.0, -sn, 0.0, -sn, c, 0.0)
-            nsr, nsi = _butterfly(or_ref[:], oi_ref[:], rows, s, m)
-            or_ref[:] = nsr
-            oi_ref[:] = nsi
+            xr = or_ref[:]
+            xi = oi_ref[:]
+            lo_r, hi_r = xr[:half], xr[half:]
+            lo_i, hi_i = xi[:half], xi[half:]
+            # interleaved views: iperm = (lo,hi) pairs, ipswap = (hi,lo);
+            # rx = [[c, -i sn], [-i sn, c]] acts UNIFORMLY on both slots:
+            # out = c*iperm + (-i sn)*ipswap
+            iperm_r = jnp.reshape(jnp.stack([lo_r, hi_r], 1), (rb, -1))
+            iperm_i = jnp.reshape(jnp.stack([lo_i, hi_i], 1), (rb, -1))
+            ipswap_r = jnp.reshape(jnp.stack([hi_r, lo_r], 1), (rb, -1))
+            ipswap_i = jnp.reshape(jnp.stack([hi_i, lo_i], 1), (rb, -1))
+            or_ref[:] = c * iperm_r + sn * ipswap_i
+            oi_ref[:] = c * iperm_i - sn * ipswap_r
+            return _
+
+        jax.lax.fori_loop(0, nrow, fwd_body, 0)
         mr = mr_ref[0]
         mi = mi_ref[0]
         cr = or_ref[:]
@@ -186,7 +203,6 @@ def _ml_bwd_kernel(nrow, L):
             dsi_ref[:] = cti_ref[:]
 
         rb = s_r.shape[0]
-        rows = jax.lax.broadcasted_iota(jnp.int32, s_r.shape, 0)
         f32 = jnp.float32
         dg_dim = (((1,), (1,)), ((), ()))  # a @ b^T
         dt_dim = (((0,), (0,)), ((), ()))  # a^T @ b
@@ -218,30 +234,44 @@ def _ml_bwd_kernel(nrow, L):
         dsi_ref[:] = jax.lax.dot_general(
             ctr0, mi, dg_dim, preferred_element_type=f32
         ) + jax.lax.dot_general(cti0, mr, dg_dim, preferred_element_type=f32)
-        # --- rx stage: theta-native reverse butterflies --------------------
-        for q in range(nrow - 1, -1, -1):
-            s = rb >> (q + 1)
+        # --- rx stage: reverse interleave sweep (see fwd kernel) -----------
+        # iteration i inverts fwd iteration q = nrow-1-i: the acted bit sits
+        # at the BOTTOM of the row index, so lo/hi come interleaved
+        half = rb // 2
+
+        def bwd_body(i, _):
+            q = nrow - 1 - i
             c = cs_ref[0, q, 0]
             sn = cs_ref[0, q, 1]
-            bit = (rows // s) % 2
-            is_lo = bit == 0
-            mdag = (c, 0.0, 0.0, sn, 0.0, sn, c, 0.0)
-            nsr, nsi = _butterfly(s_r[:], s_i[:], rows, s, mdag)
+            # de-interleave into contiguous concat layouts (Mosaic cannot
+            # reduce over strided-slice layouts, so everything downstream
+            # works on full contiguous arrays)
+            xr = jnp.reshape(s_r[:], (half, 2, -1))
+            xi = jnp.reshape(s_i[:], (half, 2, -1))
+            sperm_r = jnp.concatenate([xr[:, 0], xr[:, 1]], 0)
+            sperm_i = jnp.concatenate([xi[:, 0], xi[:, 1]], 0)
+            spswap_r = jnp.concatenate([xr[:, 1], xr[:, 0]], 0)
+            spswap_i = jnp.concatenate([xi[:, 1], xi[:, 0]], 0)
+            # un-apply rx^dagger = [[c, +i sn], [+i sn, c]]: uniform form
+            nsr = c * sperm_r - sn * spswap_i
+            nsi = c * sperm_i + sn * spswap_r
             s_r[:] = nsr
             s_i[:] = nsi
-            cr = dsr_ref[:]
-            ci = dsi_ref[:]
-            pct_r = jnp.where(
-                is_lo, pltpu.roll(cr, rb - s, 0), pltpu.roll(cr, s, 0)
-            )
-            pct_i = jnp.where(
-                is_lo, pltpu.roll(ci, rb - s, 0), pltpu.roll(ci, s, 0)
-            )
-            re_s1 = jnp.sum(cr * nsr - ci * nsi)
-            im_s2 = jnp.sum(pct_r * nsi + pct_i * nsr)
+            ctr = jnp.reshape(dsr_ref[:], (half, 2, -1))
+            cti = jnp.reshape(dsi_ref[:], (half, 2, -1))
+            cperm_r = jnp.concatenate([ctr[:, 0], ctr[:, 1]], 0)
+            cperm_i = jnp.concatenate([cti[:, 0], cti[:, 1]], 0)
+            cpswap_r = jnp.concatenate([ctr[:, 1], ctr[:, 0]], 0)
+            cpswap_i = jnp.concatenate([cti[:, 1], cti[:, 0]], 0)
+            re_s1 = jnp.sum(cperm_r * nsr - cperm_i * nsi)
+            im_s2 = jnp.sum(cpswap_r * nsi + cpswap_i * nsr)
             dth_ref[0, 0, q] = -0.5 * sn * re_s1 + 0.5 * c * im_s2
-            dsr_ref[:] = c * cr + sn * pct_i
-            dsi_ref[:] = c * ci - sn * pct_r
+            # ct walk by rx^T = rx (uniform form on permuted arrays)
+            dsr_ref[:] = c * cperm_r + sn * cpswap_i
+            dsi_ref[:] = c * cperm_i - sn * cpswap_r
+            return _
+
+        jax.lax.fori_loop(0, nrow, bwd_body, 0)
         # --- zz phase stage: s currently holds z = P x ---------------------
         zr = s_r[:]
         zi = s_i[:]
@@ -484,3 +514,56 @@ def _ml_bwd(pairs, n, res, ct):
 
 
 zzrx_multilayer.defvjp(_ml_fwd, _ml_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pallas-free XLA variant: the same L-layer zzrx stack as plain matmuls +
+# fused elementwise, native XLA AD.  The state is viewed (G, R, C) with the
+# qubits split across three axes; each rx sweep is three kron matmuls (MXU),
+# the zz phase is one sign-matrix matmul + cos/sin.  No Mosaic compile risk,
+# residuals handled by XLA's own rematerialization choices.
+# ---------------------------------------------------------------------------
+
+
+def _axis_kron(mats):
+    m = mats[0]
+    for x in mats[1:]:
+        m = jnp.kron(m, x)
+    return m
+
+
+def zzrx_multilayer_xla(pairs, n, state, zz_thetas, rx_thetas, split=(7, 7)):
+    """L zzrx layers on the flat state via pure-XLA matmuls.
+
+    ``split = (g_bits, c_bits)``: top g_bits on axis 0, bottom c_bits on
+    axis 2, the rest in the middle.  rx on each axis applies as the kron of
+    its gates (one dot per axis per layer).
+    """
+    from ..ops.gates import rx_matrix
+
+    zz_thetas = jnp.asarray(zz_thetas)
+    rx_thetas = jnp.asarray(rx_thetas)
+    L = zz_thetas.shape[0]
+    gb, cb = split
+    mb = n - gb - cb
+    G, M, C = 2**gb, 2**mb, 2**cb
+    # sign matrices on the (G*M, C) view: rows cover the top gb+mb qubits
+    srow, slane = _sign_matrices(pairs, n, gb + mb, C)
+    srow = jnp.asarray(srow)
+    slane = jnp.asarray(slane)
+    npairs = len(pairs)
+    psi = jnp.reshape(state, (G * M, C))
+    for l in range(L):
+        th = jnp.pad(zz_thetas[l], (0, MAX_ML_PAIRS - npairs))
+        expo = (srow * th[None, :]) @ slane.T
+        psi = psi * jnp.exp(-0.5j * expo).astype(psi.dtype)
+        gates = jax.vmap(lambda t: rx_matrix(t).astype(psi.dtype))(rx_thetas[l])
+        v = jnp.reshape(psi, (G, M, C))
+        if gb:
+            v = jnp.einsum("ab,bmc->amc", _axis_kron([gates[q] for q in range(gb)]), v)
+        if mb:
+            v = jnp.einsum("ab,gbc->gac", _axis_kron([gates[gb + q] for q in range(mb)]), v)
+        if cb:
+            v = jnp.einsum("ab,gmb->gma", _axis_kron([gates[gb + mb + q] for q in range(cb)]), v)
+        psi = jnp.reshape(v, (G * M, C))
+    return jnp.reshape(psi, (-1,))

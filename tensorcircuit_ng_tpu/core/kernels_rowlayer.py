@@ -813,7 +813,9 @@ row_layer_const.defvjp(_row_const_fwd, _row_const_bwd)
 # gain to XLA copies around the separate zz pass; fusing removes the seam).
 # ---------------------------------------------------------------------------
 
-MAX_KERNEL_QUBITS_ZZRX = 10
+MAX_KERNEL_QUBITS_ZZRX = 10  # 11 compiles with the vmem limit lifted to
+# v5e's real 128MB, but measured SLOWER end to end (4.81 vs 4.43 ms/step on
+# the N=20 bench): the rb=2048 block runs worse than 2x rb=1024 blocks
 
 
 def _zz_bit_sign(p, rb, lanes, j, row_i, lane_i):
@@ -1001,6 +1003,12 @@ def _zzrx_bwd_kernel(pairs, n, nrow):
     return kernel
 
 
+def _zzrx_compiler_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024)
+
+
 def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1029,6 +1037,7 @@ def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si):
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ),
         input_output_aliases={2: 0, 3: 1},
+        compiler_params=_zzrx_compiler_params(),
         interpret=_INTERPRET,
     )(zzth, cs, sr, si)
 
@@ -1071,6 +1080,7 @@ def _pallas_zzrx_bwd(pairs, n, zzth, th, yr, yi, ctr, cti):
             pltpu.VMEM((rb, lanes), jnp.float32),
         ],
         input_output_aliases={4: 0, 5: 1},
+        compiler_params=_zzrx_compiler_params(),
         interpret=_INTERPRET,
     )(zzth, cs, yr, yi, ctr, cti)
 

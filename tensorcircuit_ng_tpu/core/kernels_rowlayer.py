@@ -898,12 +898,18 @@ def _zz_pair_sums(h, pairs, n, rb, lanes, j):
 def _zzrx_fwd_kernel(pairs, n, nrow):
     from jax.experimental import pallas as pl
 
-    def kernel(zzth_ref, cs_ref, sr_ref, si_ref, or_ref, oi_ref):
-        j = pl.program_id(0)
+    def kernel(zzth_ref, cs_ref, srow_ref, slane_ref, sr_ref, si_ref, or_ref, oi_ref):
         cr = sr_ref[:]
         ci = si_ref[:]
         rb, lanes = cr.shape
-        expo = _zz_expo(zzth_ref, pairs, n, rb, lanes, j)
+        # expo = (Srow_block * theta) @ Slane^T: one MXU dot replaces the
+        # per-pair bit arithmetic (the sign matrices carry the global row
+        # index through the grid's block index map)
+        expo = jnp.dot(
+            srow_ref[:] * zzth_ref[0][None, :],
+            slane_ref[:].T,
+            preferred_element_type=jnp.float32,
+        )
         pc = jnp.cos(0.5 * expo)
         ps = -jnp.sin(0.5 * expo)  # phase = e^{-i expo / 2}
         cr, ci = pc * cr - ps * ci, pc * ci + ps * cr
@@ -927,7 +933,7 @@ def _zzrx_bwd_kernel(pairs, n, nrow):
     npairs = len(pairs)
 
     def kernel(
-        zzth_ref, cs_ref, yr_ref, yi_ref, ctr_ref, cti_ref,
+        zzth_ref, cs_ref, srow_ref, slane_ref, yr_ref, yi_ref, ctr_ref, cti_ref,
         dsr_ref, dsi_ref, dzz_ref, dth_ref,
         s_r, s_i,
     ):
@@ -935,8 +941,7 @@ def _zzrx_bwd_kernel(pairs, n, nrow):
 
         @pl.when(j == 0)
         def _():
-            for kk in range(npairs):
-                dzz_ref[kk] = 0.0
+            dzz_ref[:] = jnp.zeros_like(dzz_ref)
             for qq in range(nrow):
                 dth_ref[qq] = 0.0
 
@@ -980,20 +985,18 @@ def _zzrx_bwd_kernel(pairs, n, nrow):
         # Σ h·(1-2xor) = Σ h z_a z_b — factored partial sums (one lane and
         # one sublane reduction shared by all pairs)
         h = cr * zi + ci * zr
-        if _BWD_SKIP_GRADS:
-            pass
-        elif _BWD_DZZ_FACTORED:
-            for k, val in enumerate(_zz_pair_sums(h, pairs, n, rb, lanes, j)):
-                dzz_ref[k] += 0.5 * val
-        else:
-            h_total = jnp.sum(h)
-            rows_l = jax.lax.broadcasted_iota(jnp.int32, (rb, lanes), 0)
-            lane_l = jax.lax.broadcasted_iota(jnp.int32, (rb, lanes), 1)
-            idx = (j * rb + rows_l) * lanes + lane_l
-            for k, (a, b) in enumerate(pairs):
-                xor = (((idx >> (n - 1 - a)) ^ (idx >> (n - 1 - b))) & 1).astype(jnp.float32)
-                dzz_ref[k] += 0.5 * (h_total - 2.0 * jnp.sum(h * xor))
-        expo = _zz_expo(zzth_ref, pairs, n, rb, lanes, j)
+        if not _BWD_SKIP_GRADS:
+            # batched over pairs via the sign matrices: one MXU dot + one
+            # masked column-sum instead of a full-block xor mask per pair
+            t = jnp.dot(h, slane_ref[:], preferred_element_type=jnp.float32)
+            dzz_ref[:] += 0.5 * jnp.sum(
+                srow_ref[:] * t, axis=0, keepdims=True
+            )
+        expo = jnp.dot(
+            srow_ref[:] * zzth_ref[0][None, :],
+            slane_ref[:].T,
+            preferred_element_type=jnp.float32,
+        )
         pc = jnp.cos(0.5 * expo)
         ps = -jnp.sin(0.5 * expo)
         # transpose walk of a diagonal map: multiply by the phase itself
@@ -1009,16 +1012,29 @@ def _zzrx_compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=127 * 1024 * 1024)
 
 
+def _zzrx_sign_inputs(pairs, n, zzth, r, lanes):
+    """Padded theta row + (Srow, Slane) sign matrices for the zz stage."""
+    import math as _math
+
+    from .kernels_multilayer import MAX_ML_PAIRS, _sign_matrices
+
+    npairs = zzth.shape[0]
+    zzp = jnp.pad(zzth, (0, MAX_ML_PAIRS - npairs))[None, :]
+    srow, slane = _sign_matrices(pairs, n, int(_math.log2(r)), lanes)
+    return zzp, jnp.asarray(srow), jnp.asarray(slane)
+
+
 def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nrow = th.shape[0]
-    npairs = zzth.shape[0]
     r, lanes = sr.shape
     rb = 2**nrow
     grid = (r // rb,)
     cs = jnp.stack([jnp.cos(th / 2), jnp.sin(th / 2)], axis=1)
+    zzp, srow, slane = _zzrx_sign_inputs(pairs, n, zzth, r, lanes)
+    P = zzp.shape[1]
     return pl.pallas_call(
         _zzrx_fwd_kernel(pairs, n, nrow),
         grid=grid,
@@ -1027,8 +1043,10 @@ def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si):
             jax.ShapeDtypeStruct(si.shape, si.dtype),
         ),
         in_specs=[
-            pl.BlockSpec((npairs,), lambda j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, P), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nrow, 2), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, P), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, P), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ],
@@ -1036,10 +1054,10 @@ def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si):
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ),
-        input_output_aliases={2: 0, 3: 1},
+        input_output_aliases={4: 0, 5: 1},
         compiler_params=_zzrx_compiler_params(),
         interpret=_INTERPRET,
-    )(zzth, cs, sr, si)
+    )(zzp, cs, srow, slane, sr, si)
 
 
 def _pallas_zzrx_bwd(pairs, n, zzth, th, yr, yi, ctr, cti):
@@ -1052,18 +1070,22 @@ def _pallas_zzrx_bwd(pairs, n, zzth, th, yr, yi, ctr, cti):
     rb = 2**nrow
     grid = (r // rb,)
     cs = jnp.stack([jnp.cos(th / 2), jnp.sin(th / 2)], axis=1)
-    return pl.pallas_call(
+    zzp, srow, slane = _zzrx_sign_inputs(pairs, n, zzth, r, lanes)
+    P = zzp.shape[1]
+    outs = pl.pallas_call(
         _zzrx_bwd_kernel(pairs, n, nrow),
         grid=grid,
         out_shape=(
             jax.ShapeDtypeStruct(yr.shape, yr.dtype),
             jax.ShapeDtypeStruct(yi.shape, yi.dtype),
-            jax.ShapeDtypeStruct((npairs,), jnp.float32),
+            jax.ShapeDtypeStruct((1, P), jnp.float32),
             jax.ShapeDtypeStruct((nrow,), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec((npairs,), lambda j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, P), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nrow, 2), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((rb, P), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, P), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
@@ -1072,17 +1094,19 @@ def _pallas_zzrx_bwd(pairs, n, zzth, th, yr, yi, ctr, cti):
         out_specs=(
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((npairs,), lambda j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, P), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nrow,), lambda j: (0,), memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((rb, lanes), jnp.float32),
             pltpu.VMEM((rb, lanes), jnp.float32),
         ],
-        input_output_aliases={4: 0, 5: 1},
+        input_output_aliases={6: 0, 7: 1},
         compiler_params=_zzrx_compiler_params(),
         interpret=_INTERPRET,
-    )(zzth, cs, yr, yi, ctr, cti)
+    )(zzp, cs, srow, slane, yr, yi, ctr, cti)
+    dsr, dsi, dzzp, dth = outs
+    return dsr, dsi, dzzp[0, :npairs], dth
 
 
 def _zz_phase_dense(state2d, pairs, n, zz_thetas):

@@ -573,6 +573,12 @@ class BaseCircuit(AbstractCircuit):
         if format is None and format_ is not None:
             format = format_
         nbatch = 1 if batch is None else batch
+        if self._d**self._nqubits > 2**self._DENSE_MAX_QUBITS:
+            # above the dense-memory cliff no 2^n object may exist; sample
+            # autoregressively through planned light-cone contractions of
+            # projector expectations (the reference degrades to
+            # perfect_sampling here; its TN path is this path's role)
+            return self._sample_large_n(nbatch, batch, format, status, jittable)
         if allow_state:
             p = self.probability()
             p = p / jnp.sum(p)
@@ -617,6 +623,71 @@ class BaseCircuit(AbstractCircuit):
         return qu.sample2all(
             idx, self._nqubits, format=format, jittable=jittable, d=self._d
         )
+
+    def _sample_large_n(
+        self,
+        nbatch: int,
+        batch: Optional[int],
+        format: Optional[str],
+        status: Optional[Tensor],
+        jittable: bool,
+    ) -> Any:
+        """Autoregressive sampling without any 2^n object.
+
+        Per qubit, P(q = v | measured prefix) comes from a planned
+        (light-cone pruned) contraction of projector expectations on the
+        einsum IR — the scalable role of the reference's tn-based
+        ``perfect_sampling`` for wide shallow circuits.
+        """
+        import numpy as np
+
+        from ..core import contractor as _ctr
+
+        n = self._nqubits
+        d = self._d
+        if status is None:
+            rng = np.random.default_rng()
+            status_np = rng.uniform(size=(nbatch, n))
+        else:
+            status_np = np.asarray(jax.device_get(status)).reshape(nbatch, n)
+        proj = [np.zeros((d, d), dtype=np.complex64) for _ in range(d)]
+        for v in range(d):
+            proj[v][v, v] = 1.0
+        def joint(ops: List[Tuple[Any, List[int]]]) -> float:
+            v = _ctr.contract_ir(self.expectation_before(*ops))
+            return max(float(np.real(np.asarray(jax.device_get(v)))), 0.0)
+
+        samples = np.zeros((nbatch, n), dtype=np.int32)
+        for b in range(nbatch):
+            fixed: List[Tuple[Any, List[int]]] = []
+            p_prefix = 1.0
+            for q in range(n):
+                # draw from P(q = v | prefix) = P(prefix ∧ v) / P(prefix)
+                r = status_np[b, q] * p_prefix
+                acc = 0.0
+                outcome = d - 1
+                p_joint = None
+                for v in range(d - 1):
+                    pv = joint(fixed + [(proj[v], [q])])
+                    if r < acc + pv:
+                        outcome = v
+                        p_joint = pv
+                        break
+                    acc += pv
+                if p_joint is None:  # last outcome takes the remainder
+                    p_joint = max(p_prefix - acc, 1e-30)
+                samples[b, q] = outcome
+                fixed = fixed + [(proj[outcome], [q])]
+                p_prefix = max(p_joint, 1e-30)
+        samples_j = jnp.asarray(samples)
+        if format is None:
+            if batch is None:
+                return samples_j[0], -1.0
+            return [(samples_j[i], -1.0) for i in range(nbatch)]
+        from .. import quantum as qu
+
+        idx = qu.sample_bin2int(samples_j, n, d)
+        return qu.sample2all(idx, n, format=format, jittable=jittable, d=d)
 
     def readouterror_bs(
         self, readout_error: Optional[Sequence[Any]] = None, p: Optional[Tensor] = None

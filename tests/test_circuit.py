@@ -363,3 +363,28 @@ def test_inverse_and_matrix_with_fused_items():
     np.testing.assert_allclose(abs(s[0]), 1.0, atol=1e-5)
     m = np.asarray(c.matrix())
     np.testing.assert_allclose(m @ m.conj().T, np.eye(16), atol=1e-5)
+
+
+def test_sample_above_dense_cliff_uses_ir_path():
+    """sample() above _DENSE_MAX_QUBITS runs IR-based autoregressive
+    sampling (no 2^n object) — the scalable perfect_sampling role."""
+    from tensorcircuit_ng_tpu.models import basecircuit
+
+    old = basecircuit.BaseCircuit._DENSE_MAX_QUBITS
+    basecircuit.BaseCircuit._DENSE_MAX_QUBITS = 4
+    try:
+        n = 6
+        c = tc.Circuit(n)
+        c.h(0)
+        for i in range(n - 1):
+            c.cnot(i, i + 1)
+        c.rx(2, theta=0.6)
+        status = jnp.asarray(np.random.default_rng(0).uniform(size=(120, n)))
+        out = c.sample(batch=120, allow_state=True, format="sample_bin", status=status)
+        samples = np.asarray(out)
+    finally:
+        basecircuit.BaseCircuit._DENSE_MAX_QUBITS = old
+    # GHZ backbone: q0 and q5 perfectly correlated despite rx(2) noise leg
+    z = 1 - 2 * samples
+    np.testing.assert_allclose(np.mean(z[:, 0] * z[:, 5]), 1.0, atol=1e-9)
+    assert abs(np.mean(samples[:, 0] == 0) - 0.5) < 0.15

@@ -89,11 +89,17 @@ def KerasLayer(f: Callable[..., Any], weights_shape: Any, **kws: Any) -> Any:
             ]
 
         def call(self, inputs: Any) -> Any:
+            nw = len(self.ws)
+
             @tf.custom_gradient
             def run(*args: Any):
-                np_args = [np.asarray(a) for a in args]
-                jax_args = [jnp.asarray(a) for a in np_args]
-                y, vjp = jax.vjp(f, *jax_args)
+                jax_args = [jnp.asarray(np.asarray(a)) for a in args]
+
+                def f_batched(*a: Any) -> Any:
+                    # keras feeds (batch, features); weights are shared
+                    return jax.vmap(lambda x: f(*a[:nw], x))(a[nw])
+
+                y, vjp = jax.vjp(f_batched, *jax_args)
 
                 def grad(dy: Any):
                     gs = vjp(jnp.asarray(np.asarray(dy)).astype(np.asarray(y).dtype))
@@ -101,7 +107,10 @@ def KerasLayer(f: Callable[..., Any], weights_shape: Any, **kws: Any) -> Any:
 
                 return tf.convert_to_tensor(np.asarray(y)), grad
 
-            return run(*self.ws, inputs)
+            # pass plain tensors: tf.custom_gradient over raw Variables
+            # demands the `variables=` protocol; reading them first lets
+            # gradients flow to the Variables through the read op instead
+            return run(*[tf.convert_to_tensor(w) for w in self.ws], inputs)
 
     return _Layer(**kws)
 

@@ -11,6 +11,8 @@ state caching (``basecircuit.py:375-391``), status-driven jittable sampling
 
 from __future__ import annotations
 
+import math
+
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -94,8 +96,28 @@ class BaseCircuit(AbstractCircuit):
         self._state_cache = None  # invalidate (reference basecircuit.py:371)
 
     def _compute_state(self) -> Tensor:
-        psi = self._initial_state()
-        for group in self._grouped_qir():
+        groups = self._grouped_qir()
+        psi = None
+        if (
+            self._inputs is None
+            and self._d == 2
+            and groups
+            and isinstance(groups[0], dict)
+            and groups[0].get("name") == "h_layer"
+            and groups[0].get("constant")
+        ):
+            # H^n |0...0> is the uniform state: fold it to a broadcast
+            # constant — the h kernels AND their whole backward walk vanish
+            # (the cotangent stops at a constant).  Scalar-broadcast real
+            # constant, then cast: axon-safe (no complex host constants).
+            dim = 2**self._nqubits
+            psi = jnp.full((dim,), 1.0 / math.sqrt(dim), dtype=jnp.float32).astype(
+                jnp.dtype(config.dtypestr())
+            )
+            groups = groups[1:]
+        if psi is None:
+            psi = self._initial_state()
+        for group in groups:
             if isinstance(group, list):  # consecutive zzrx layers, same pairs
                 from ..core import kernels
 

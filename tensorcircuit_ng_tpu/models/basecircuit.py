@@ -924,72 +924,55 @@ class BaseCircuit(AbstractCircuit):
 
         return qu.QuVector.from_tensor(self.state(form="tensor"))
 
+    # ------------------------------------------------------------------
+    # reference node-graph compatibility surface (basecircuit.py:104-181,
+    # 1823).  The dense engine has no tn.Node graph; these provide the same
+    # *services* over the QIR / dense state instead (documented deviation).
+    # ------------------------------------------------------------------
 
-# ======================================================================
-# reference node-graph compatibility surface (basecircuit.py:104-181, 1823)
-# The dense engine has no tn.Node graph; these provide the same *services*
-# over the QIR / dense state instead (documented deviation).
-# ======================================================================
+    def outcome_probability(self, bitstring: Any) -> Tensor:
+        """P(measuring ``bitstring``) on the current state (reference role)."""
+        amp = self.amplitude(bitstring)
+        return jnp.real(jnp.conj(amp) * amp)
 
+    def all_zero_nodes(self) -> List[Any]:
+        """|0...0⟩ input "nodes": the dense initial state (reference :52-66)."""
+        return [self._initial_state()]
 
-def _bc_outcome_probability(self: "BaseCircuit", bitstring: Any) -> Tensor:
-    """P(measuring ``bitstring``) on the current state (reference role)."""
-    amp = self.amplitude(bitstring)
-    return jnp.real(jnp.conj(amp) * amp)
+    def copy_nodes(self, conj: bool = False) -> List[Any]:
+        """Copy of the circuit's tensors; conjugated for the bra half (ref :150)."""
+        tensors = [jnp.asarray(item["gate"].tensor) for item in self._expanded_qir()]
+        if conj:
+            tensors = [jnp.conj(t) for t in tensors]
+        return tensors
 
+    def front_from_nodes(self, nodes: Any = None) -> List[int]:
+        """Dangling-edge handles: qubit slots of the dense state (reference role)."""
+        return list(range(self._nqubits))
 
-def _bc_all_zero_nodes(self: "BaseCircuit") -> List[Any]:
-    """|0...0⟩ input "nodes": the dense initial state (reference :52-66)."""
-    return [self._initial_state()]
+    def coloring_nodes(self, *args: Any, **kws: Any) -> None:
+        """Light-cone tagging is an IR pass here (see ``simplify.light_cone_qir``);
+        kept as a no-op for reference-API compatibility (reference :104-148)."""
 
+    def coloring_copied_nodes(self, *args: Any, **kws: Any) -> None:
+        """See :meth:`coloring_nodes` (reference :128)."""
 
-def _bc_copy_nodes(self: "BaseCircuit", conj: bool = False) -> List[Any]:
-    """Copy of the circuit's tensors; conjugated for the bra half (ref :150)."""
-    tensors = [jnp.asarray(item["gate"].tensor) for item in self._expanded_qir()]
-    if conj:
-        tensors = [jnp.conj(t) for t in tensors]
-    return tensors
-
-
-def _bc_front_from_nodes(self: "BaseCircuit", nodes: Any = None) -> List[int]:
-    """Dangling-edge handles: qubit slots of the dense state (reference role)."""
-    return list(range(self._nqubits))
-
-
-def _bc_coloring_nodes(self: "BaseCircuit", *args: Any, **kws: Any) -> None:
-    """Light-cone tagging is an IR pass here (see ``simplify.light_cone_qir``);
-    kept as a no-op for reference-API compatibility (reference :104-148)."""
-
-
-def _bc_coloring_copied_nodes(self: "BaseCircuit", *args: Any, **kws: Any) -> None:
-    """See :meth:`coloring_nodes` (reference :128)."""
-
-
-def _bc_to_graphviz(self: "BaseCircuit", graph: Any = None, include_all_names: bool = False) -> str:
-    """DOT text of the circuit DAG (reference ``to_graphviz`` renders the
-    tn graph; here nodes are gates, edges are qubit wires)."""
-    lines = ["digraph circuit {", "  rankdir=LR;"]
-    last = {q: f"q{q}_in" for q in range(self._nqubits)}
-    for q in range(self._nqubits):
-        lines.append(f'  q{q}_in [label="q{q}|0>", shape=plaintext];')
-    for gi, item in enumerate(self._qir):
-        name = item.get("name") or "?"
-        node = f"g{gi}"
-        lines.append(f'  {node} [label="{name}", shape=box];')
-        for q in item["index"]:
-            lines.append(f"  {last[int(q)]} -> {node};")
-            last[int(q)] = node
-    for q in range(self._nqubits):
-        lines.append(f'  q{q}_out [label="q{q}", shape=plaintext];')
-        lines.append(f"  {last[q]} -> q{q}_out;")
-    lines.append("}")
-    return "\n".join(lines)
-
-
-BaseCircuit.outcome_probability = _bc_outcome_probability
-BaseCircuit.all_zero_nodes = _bc_all_zero_nodes
-BaseCircuit.copy_nodes = _bc_copy_nodes
-BaseCircuit.front_from_nodes = _bc_front_from_nodes
-BaseCircuit.coloring_nodes = _bc_coloring_nodes
-BaseCircuit.coloring_copied_nodes = _bc_coloring_copied_nodes
-BaseCircuit.to_graphviz = _bc_to_graphviz
+    def to_graphviz(self, graph: Any = None, include_all_names: bool = False) -> str:
+        """DOT text of the circuit DAG (reference ``to_graphviz`` renders the
+        tn graph; here nodes are gates, edges are qubit wires)."""
+        lines = ["digraph circuit {", "  rankdir=LR;"]
+        last = {q: f"q{q}_in" for q in range(self._nqubits)}
+        for q in range(self._nqubits):
+            lines.append(f'  q{q}_in [label="q{q}|0>", shape=plaintext];')
+        for gi, item in enumerate(self._qir):
+            name = item.get("name") or "?"
+            node = f"g{gi}"
+            lines.append(f'  {node} [label="{name}", shape=box];')
+            for q in item["index"]:
+                lines.append(f"  {last[int(q)]} -> {node};")
+                last[int(q)] = node
+        for q in range(self._nqubits):
+            lines.append(f'  q{q}_out [label="q{q}", shape=plaintext];')
+            lines.append(f"  {last[q]} -> q{q}_out;")
+        lines.append("}")
+        return "\n".join(lines)

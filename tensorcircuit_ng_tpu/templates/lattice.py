@@ -106,6 +106,33 @@ class AbstractLattice:
                 pairs.append((i, j))
         return pairs
 
+    @property
+    def sites(self) -> List[Any]:
+        """Site identifiers in index order (reference ``sites``)."""
+        return [self.get_identifier(i) for i in range(self.num_sites)]
+
+    def get_all_pairs(self, k: int = 1, tol: float = 1e-6) -> List[Tuple[int, int]]:
+        """All k-th-neighbor site pairs (reference ``get_all_pairs``)."""
+        return self.get_neighbor_pairs(k=k, unique=True, tol=tol)
+
+    def show(self, **kws: Any) -> Any:  # pragma: no cover - plotting
+        """Scatter-plot of the lattice via matplotlib (reference ``show``)."""
+        import matplotlib.pyplot as plt
+
+        coords = self.get_coordinates()
+        fig, ax = plt.subplots()
+        if coords.shape[1] == 1:
+            ax.scatter(coords[:, 0], np.zeros(len(coords)))
+        else:
+            ax.scatter(coords[:, 0], coords[:, 1])
+        for a, b in self.get_neighbor_pairs():
+            ca, cb = coords[a], coords[b]
+            if coords.shape[1] == 1:
+                ax.plot([ca[0], cb[0]], [0, 0], "k-", lw=0.5)
+            else:
+                ax.plot([ca[0], cb[0]], [ca[1], cb[1]], "k-", lw=0.5)
+        return ax
+
     def to_networkx(self, k: int = 1) -> Any:
         import networkx as nx
 
@@ -185,6 +212,40 @@ class CustomizeLattice(AbstractLattice):
         super().__init__(dimensionality)
         for ident, coord in zip(identifiers, coordinates):
             self._add_site(ident, coord)
+
+    def add_sites(
+        self, identifiers: Sequence[Any], coordinates: Sequence[Sequence[float]]
+    ) -> "CustomizeLattice":
+        """Extend the lattice with new sites (reference ``add_sites``)."""
+        for ident, coord in zip(identifiers, coordinates):
+            self._add_site(ident, coord)
+        self._distance_matrix = None
+        return self
+
+    def remove_sites(self, identifiers: Sequence[Any]) -> "CustomizeLattice":
+        """Remove sites by identifier, reindexing (reference ``remove_sites``)."""
+        drop = set(identifiers)
+        keep = [
+            (i, c)
+            for i, c in zip(self.sites, self.get_coordinates().tolist())
+            if i not in drop
+        ]
+        new = CustomizeLattice(
+            dimensionality=self.dimensionality,
+            identifiers=[i for i, _ in keep],
+            coordinates=[c for _, c in keep],
+        )
+        self.__dict__.update(new.__dict__)
+        return self
+
+    @classmethod
+    def from_lattice(cls, lattice: AbstractLattice) -> "CustomizeLattice":
+        """Freeze any lattice into an explicit-coordinate one (reference name)."""
+        return cls(
+            dimensionality=lattice.dimensionality,
+            identifiers=list(lattice.sites),
+            coordinates=lattice.get_coordinates().tolist(),
+        )
 
 
 # ---------------------------------------------------------------- named
@@ -287,75 +348,3 @@ def get_compatible_layers(bonds: Sequence[Tuple[int, int]]) -> List[List[Tuple[i
         layers.append(layer)
         remaining = rest
     return layers
-
-
-# -- reference-parity lattice surface (templates/lattice.py:55-1774) --
-
-
-def _al_sites(self: AbstractLattice) -> List[Any]:
-    """Site identifiers in index order (reference ``sites``)."""
-    return [self.get_identifier(i) for i in range(self.num_sites)]
-
-
-def _al_get_all_pairs(self: AbstractLattice, k: int = 1, tol: float = 1e-6) -> List[Tuple[int, int]]:
-    """All k-th-neighbor site pairs (reference ``get_all_pairs``)."""
-    return self.get_neighbor_pairs(k=k, unique=True, tol=tol)
-
-
-def _al_show(self: AbstractLattice, **kws: Any) -> Any:  # pragma: no cover - plotting
-    """Scatter-plot of the lattice via matplotlib (reference ``show``)."""
-    import matplotlib.pyplot as plt
-
-    coords = self.get_coordinates()
-    fig, ax = plt.subplots()
-    if coords.shape[1] == 1:
-        ax.scatter(coords[:, 0], np.zeros(len(coords)))
-    else:
-        ax.scatter(coords[:, 0], coords[:, 1])
-    for a, b in self.get_neighbor_pairs():
-        ca, cb = coords[a], coords[b]
-        if coords.shape[1] == 1:
-            ax.plot([ca[0], cb[0]], [0, 0], "k-", lw=0.5)
-        else:
-            ax.plot([ca[0], cb[0]], [ca[1], cb[1]], "k-", lw=0.5)
-    return ax
-
-
-AbstractLattice.sites = property(_al_sites)
-AbstractLattice.get_all_pairs = _al_get_all_pairs
-AbstractLattice.show = _al_show
-
-
-def _cl_add_sites(self: "CustomizeLattice", identifiers: Sequence[Any], coordinates: Sequence[Sequence[float]]) -> "CustomizeLattice":
-    """Extend the lattice with new sites (reference ``add_sites``)."""
-    for ident, coord in zip(identifiers, coordinates):
-        self._add_site(ident, coord)
-    self.__dict__.pop("_distance_cache", None)
-    return self
-
-
-def _cl_remove_sites(self: "CustomizeLattice", identifiers: Sequence[Any]) -> "CustomizeLattice":
-    """Remove sites by identifier, reindexing (reference ``remove_sites``)."""
-    drop = set(identifiers)
-    keep = [(i, c) for i, c in zip(self.sites, self.get_coordinates().tolist()) if i not in drop]
-    new = CustomizeLattice(
-        dimensionality=self.dimensionality,
-        identifiers=[i for i, _ in keep],
-        coordinates=[c for _, c in keep],
-    )
-    self.__dict__.update(new.__dict__)
-    return self
-
-
-def _cl_from_lattice(cls: Any, lattice: AbstractLattice) -> "CustomizeLattice":
-    """Freeze any lattice into an explicit-coordinate one (reference name)."""
-    return cls(
-        dimensionality=lattice.dimensionality,
-        identifiers=list(lattice.sites),
-        coordinates=lattice.get_coordinates().tolist(),
-    )
-
-
-CustomizeLattice.add_sites = _cl_add_sites
-CustomizeLattice.remove_sites = _cl_remove_sites
-CustomizeLattice.from_lattice = classmethod(_cl_from_lattice)

@@ -8,6 +8,7 @@ batch/data parallelism riding plain ``vmap`` + GSPMD shardings.
 
 from .distributed import DistributedContractor
 from .mesh import default_mesh, term_sharded_expectation
+from .sharded_state import ShardedStatevec
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None, **kws):
@@ -29,6 +30,7 @@ def initialize_distributed(coordinator_address=None, num_processes=None, process
 
 __all__ = [
     "DistributedContractor",
+    "ShardedStatevec",
     "default_mesh",
     "term_sharded_expectation",
     "initialize_distributed",

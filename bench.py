@@ -42,26 +42,40 @@ def bench_tebd() -> float:
     X = np.array([[0, 1], [1, 0.0]])
     Z = np.diag([1.0, -1.0])
     h = -np.kron(Z, Z) - 0.5 * (np.kron(X, np.eye(2)) + np.kron(np.eye(2), X))
+    # gates stay NUMPY: complex closed over a jit must lift numpy -> MLIR
+    # constant; a complex DEVICE constant would be fetched at lowering and
+    # die UNIMPLEMENTED on axon (CLAUDE.md complex rule)
     gate = sl.expm(-0.05j * h).astype(np.complex64)
     eng = tc.ParallelTEBD(n, chi, initial="neel")
-    even = jnp.asarray(np.stack([gate] * len(range(0, n - 1, 2))))
-    odd = jnp.asarray(np.stack([gate] * len(range(1, n - 1, 2))))
+    even = np.stack([gate] * len(range(0, n - 1, 2)))
+    odd = np.stack([gate] * len(range(1, n - 1, 2)))
 
+    # only REAL arrays may cross the axon jit boundary in either direction
+    # (complex rule part 2): thread gammas as (real, imag) float pairs and
+    # recombine/split inside the trace.
     def stepfn(carry, _):
-        g, lam = carry
-        eng.gammas, eng.lambdas = g, lam
+        gr, gi, lam = carry
+        eng.gammas, eng.lambdas = gr + 1j * gi, lam
         eng.trotter_step(even, odd)
-        return (eng.gammas, eng.lambdas), jnp.real(eng.lambdas[n // 2, 0])
+        return (
+            jnp.real(eng.gammas),
+            jnp.imag(eng.gammas),
+            eng.lambdas,
+        ), jnp.real(eng.lambdas[n // 2, 0])
 
-    fk = jax.jit(lambda g, lam: jax.lax.scan(stepfn, (g, lam), None, length=K))
-    g0r = jnp.real(eng.gammas)
-    g0i = jnp.imag(eng.gammas)
-    lam0 = eng.lambdas
+    fk = jax.jit(
+        lambda gr, gi, lam: jax.lax.scan(stepfn, (gr, gi, lam), None, length=K)[1]
+    )
+    # split in NUMPY: an eager jnp.real(complex device array) would itself
+    # be a complex-input executable and die UNIMPLEMENTED on axon (the
+    # constructor keeps gammas host-side for exactly this)
+    g0r = np.ascontiguousarray(np.real(eng.gammas)).astype(np.float32)
+    g0i = np.ascontiguousarray(np.imag(eng.gammas)).astype(np.float32)
+    lam0 = np.asarray(eng.lambdas, dtype=np.float32)
 
     def run(eps: float) -> float:
-        g0 = (g0r + eps) + 1j * g0i
         t0 = time.time()
-        (gs, ls), out = fk(g0, lam0)
+        out = fk(g0r + eps, g0i, lam0)
         _ = float(out[-1])
         return time.time() - t0
 

@@ -246,9 +246,13 @@ def fused_zzrx_layer(state: Tensor, pairs: Any, zz_thetas: Tensor, rx_thetas: Te
     return jnp.reshape(psi, (-1,))
 
 
-#: multilayer implementation: "pallas" (whole-block kernels), "xla"
-#: (pure-matmul variant, native AD), or "perlayer" (round-1 path)
-ML_MODE = "perlayer"
+#: multilayer implementation: "stack" (per-layer Pallas kernels chained
+#: inside ONE custom-VJP boundary with f32 planes threaded across layers —
+#: the production path), "pallas" (whole-block kernels; measured slower:
+#: interleave butterflies), "xla" (pure-matmul variant, native AD), or
+#: "perlayer" (round-1 path: one custom VJP and a complex<->planes
+#: conversion pair per layer)
+ML_MODE = "stack"
 
 
 def fused_zzrx_multilayer(
@@ -284,6 +288,31 @@ def fused_zzrx_multilayer(
         for l in range(L):
             psi = fused_zzrx_layer(psi, pairs, zz_thetas[l], rx_thetas[l])
         return psi
+    if ML_MODE == "stack" and n > _LANE_QUBITS and len(pairs) <= kml.MAX_ML_PAIRS:
+        from . import kernels_stack as kst
+        from ..ops.gates import rx_matrix
+
+        nrow_s = n - _LANE_QUBITS
+        nkernel = min(nrow_s, kernels_rowlayer.MAX_KERNEL_QUBITS_ZZRX)
+        nouter = nrow_s - nkernel
+
+        def kron_m(th_block, transpose):
+            gs = jax.vmap(lambda t: rx_matrix(t).astype(state.dtype))(th_block)
+            m = gs[0]
+            for j in range(1, th_block.shape[0]):
+                m = jnp.kron(m, gs[j])
+            return m.T if transpose else m
+
+        mlane = jax.vmap(lambda th: kron_m(th, True))(rx_thetas[:, nrow_s:])
+        if nouter:
+            mout = jax.vmap(lambda th: kron_m(th, False))(rx_thetas[:, :nouter])
+        else:
+            mout = jnp.ones((L, 1, 1), state.dtype)
+        psi = jnp.reshape(state, (2**nrow_s, 2**_LANE_QUBITS))
+        psi = kst.zzrx_stack_core(
+            pairs, n, psi, zz_thetas, rx_thetas[:, nouter:nrow_s], mout, mlane
+        )
+        return jnp.reshape(psi, (-1,))
     if ML_MODE == "xla" and n >= 10:
         gb = min(3, n - 14) if n > 14 else 0
         cb = min(7, n - gb - 1)

@@ -1,0 +1,264 @@
+"""L-layer zzrx stack custom VJP threading f32 planes across layers.
+
+The per-layer path (``kernels.fused_zzrx_layer``) pays, per layer and per
+direction, a complex<->(real, imag) conversion pair around the opaque Pallas
+call plus XLA-AD residual traffic for the outer-kron and lane matmul stages
+— measured ~0.9 ms of the 2.5 ms N=20 L=4 VQE step
+(``examples/microbench_layer_anatomy.py``).  This module fuses the WHOLE
+L-layer stack into one custom-VJP boundary:
+
+- the state is split into f32 planes ONCE per step (each way), and every
+  stage — the Pallas zzrx kernel, the outer-qubit kron matmul, the lane
+  matmul — consumes and produces planes;
+- the backward walks the adjoint chain by hand: lane stage (dM + transpose
+  ct walk as real dot_generals), outer stage (dMo + walk), then the Pallas
+  backward kernel which un-applies the layer and emits theta-native
+  d(zz)/d(rx) for the kernel qubits;
+- the tiny chains d(Mo) -> d(rx_outer) and d(M) -> d(rx_lane) stay with XLA
+  AD outside the boundary (the matrices are differentiable inputs, as in
+  :mod:`kernels_multilayer`).
+
+Layer structure (n qubits, layout index = row * 128 + lane):
+  x --pallas zzrx (zz phase over ALL qubits + rx on nkernel row bits)--> k
+  k --outer: kron of rx on the top nouter row bits, left matmul--> o
+  o --lane: kron of rx on the 7 lane bits, right matmul--> x'
+
+Residuals are the per-layer ``k`` planes (the Pallas outputs); ``o`` is
+recomputed in the backward from ``k`` (two small dots) which is cheaper than
+an extra HBM round trip of saves.  Gates are unitary, so the backward
+kernel reconstructs everything else by un-application.
+
+Reference for the role: XLA-AD through the reference's einsum chain
+(reference cons.py:937-950); this replaces it with a hand-scheduled adjoint
+at the HBM-traffic roofline.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from . import kernels_rowlayer as krl
+
+Tensor = Any
+
+__all__ = ["zzrx_stack_core"]
+
+_LANE_QUBITS = 7
+
+
+def _dot(a, b, contract):
+    return jax.lax.dot_general(
+        a, b, (contract, ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _outer_apply(mor, moi, xr, xi):
+    """(D, M, C) planes <- complex left-matmul by mo on the leading axis."""
+    cdim = (((1,), (0,)),)
+    yr = _dot(mor, xr, cdim[0]) - _dot(moi, xi, cdim[0])
+    yi = _dot(mor, xi, cdim[0]) + _dot(moi, xr, cdim[0])
+    return yr, yi
+
+
+def _outer_unapply(mor, moi, yr, yi):
+    """x = conj(mo)^T @ y on the leading axis (mo unitary)."""
+    cdim = (((0,), (0,)),)
+    xr = _dot(mor, yr, cdim[0]) + _dot(moi, yi, cdim[0])
+    xi = _dot(mor, yi, cdim[0]) - _dot(moi, yr, cdim[0])
+    return xr, xi
+
+
+def _outer_walk(mor, moi, cr, ci):
+    """ct <- mo^T @ ct (transpose walk, non-conjugating convention)."""
+    cdim = (((0,), (0,)),)
+    nr = _dot(mor, cr, cdim[0]) - _dot(moi, ci, cdim[0])
+    ni = _dot(mor, ci, cdim[0]) + _dot(moi, cr, cdim[0])
+    return nr, ni
+
+
+def _lane_apply(mr, mi, xr, xi):
+    """planes <- x @ m on the last axis (m is the pre-transposed kron)."""
+    cdim = (((2,), (0,)),)
+    yr = _dot(xr, mr, cdim[0]) - _dot(xi, mi, cdim[0])
+    yi = _dot(xr, mi, cdim[0]) + _dot(xi, mr, cdim[0])
+    return yr, yi
+
+
+def _lane_walk(mr, mi, cr, ci):
+    """ct <- ct @ m^T on the last axis."""
+    cdim = (((2,), (1,)),)
+    nr = _dot(cr, mr, cdim[0]) - _dot(ci, mi, cdim[0])
+    ni = _dot(cr, mi, cdim[0]) + _dot(ci, mr, cdim[0])
+    return nr, ni
+
+
+def _shapes(n: int):
+    nlane = _LANE_QUBITS
+    nrow = n - nlane
+    nkernel = min(nrow, krl.MAX_KERNEL_QUBITS_ZZRX)
+    nouter = nrow - nkernel
+    return nrow, nkernel, nouter, nlane
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def zzrx_stack_core(
+    pairs: Any,
+    n: int,
+    state2d: Tensor,
+    zz_thetas: Tensor,
+    rx_kernel_thetas: Tensor,
+    mout: Tensor,
+    mlane: Tensor,
+) -> Tensor:
+    """L stacked [zz phase; rx on kernel rows; outer kron; lane matmul].
+
+    ``state2d``: (2^nrow, 128) complex; ``zz_thetas`` (L, npairs);
+    ``rx_kernel_thetas`` (L, nkernel); ``mout`` (L, D, D) complex left-mul
+    unitaries on the top nouter row bits (D = 2^nouter); ``mlane``
+    (L, 128, 128) complex right-mul unitaries on the lane bits.  Planes are
+    split/combined exactly once per direction.
+    """
+    return _stack_fwd_impl(
+        pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane
+    )[0]
+
+
+def _stack_fwd_impl(pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane):
+    nrow, nkernel, nouter, nlane = _shapes(n)
+    r, lanes = state2d.shape
+    d = 2**nouter
+    m = r // d
+    L = zz_thetas.shape[0]
+    sr = jnp.real(state2d).astype(jnp.float32)
+    si = jnp.imag(state2d).astype(jnp.float32)
+    mor = jnp.real(mout).astype(jnp.float32)
+    moi = jnp.imag(mout).astype(jnp.float32)
+    mlr = jnp.real(mlane).astype(jnp.float32)
+    mli = jnp.imag(mlane).astype(jnp.float32)
+    ks = []
+    for l in range(L):
+        sr, si = _kernel_fwd(
+            pairs, n, zz_thetas[l], rx_kernel_thetas[l], sr, si
+        )
+        ks.append((sr, si))
+        if nouter:
+            xr = jnp.reshape(sr, (d, m, lanes))
+            xi = jnp.reshape(si, (d, m, lanes))
+            xr, xi = _outer_apply(mor[l], moi[l], xr, xi)
+        else:
+            xr = jnp.reshape(sr, (d, m, lanes))
+            xi = jnp.reshape(si, (d, m, lanes))
+        xr, xi = _lane_apply(mlr[l], mli[l], xr, xi)
+        sr = jnp.reshape(xr, (r, lanes))
+        si = jnp.reshape(xi, (r, lanes))
+    y = (sr + 1j * si).astype(state2d.dtype)
+    return y, tuple(ks)
+
+
+def _kernel_fwd(pairs, n, zzth, rxth, sr, si):
+    if krl._on_tpu() or krl._INTERPRET:
+        return krl._pallas_zzrx_fwd(
+            pairs, n, jnp.asarray(zzth, jnp.float32), jnp.asarray(rxth, jnp.float32),
+            sr, si,
+        )
+    # CPU reference: complex round trip (tests exercise the interpret path)
+    psi = (sr + 1j * si).astype(jnp.complex64)
+    psi = krl._zz_phase_dense(psi, pairs, n, jnp.asarray(zzth))
+    psi = krl._row_layer_reference(psi, krl._rx_gates(jnp.asarray(rxth)))
+    return jnp.real(psi).astype(jnp.float32), jnp.imag(psi).astype(jnp.float32)
+
+
+def _kernel_bwd(pairs, n, zzth, rxth, yr, yi, ctr, cti):
+    if krl._on_tpu() or krl._INTERPRET:
+        return krl._pallas_zzrx_bwd(
+            pairs, n, jnp.asarray(zzth, jnp.float32), jnp.asarray(rxth, jnp.float32),
+            yr, yi, ctr, cti,
+        )
+    y = (yr + 1j * yi).astype(jnp.complex64)
+    ct = (ctr + 1j * cti).astype(jnp.complex64)
+    ds, dzz, dth = krl._zzrx_bwd(pairs, n, (y, zzth, rxth), ct)
+    return (
+        jnp.real(ds).astype(jnp.float32),
+        jnp.imag(ds).astype(jnp.float32),
+        dzz.astype(jnp.float32),
+        dth.astype(jnp.float32),
+    )
+
+
+def _stack_fwd(pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane):
+    y, ks = _stack_fwd_impl(
+        pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane
+    )
+    return y, (ks, zz_thetas, rx_kernel_thetas, mout, mlane)
+
+
+def _stack_bwd(pairs, n, res, ct):
+    ks, zz_thetas, rx_kernel_thetas, mout, mlane = res
+    nrow, nkernel, nouter, nlane = _shapes(n)
+    L = zz_thetas.shape[0]
+    r, lanes = ks[0][0].shape
+    d = 2**nouter
+    mm = r // d
+    mor = jnp.real(mout).astype(jnp.float32)
+    moi = jnp.imag(mout).astype(jnp.float32)
+    mlr = jnp.real(mlane).astype(jnp.float32)
+    mli = jnp.imag(mlane).astype(jnp.float32)
+    cr = jnp.real(ct).astype(jnp.float32)
+    ci = jnp.imag(ct).astype(jnp.float32)
+    dzz, dth, dmo, dml = [], [], [], []
+    tdim = (((1,), (1,)),)  # (D, M C) x (D, M C) -> matmul over flattened MC
+    for l in range(L - 1, -1, -1):
+        kr, ki = ks[l]
+        # recompute o = outer(k) on the (D, M, C) view
+        k3r = jnp.reshape(kr, (d, mm, lanes))
+        k3i = jnp.reshape(ki, (d, mm, lanes))
+        if nouter:
+            o3r, o3i = _outer_apply(mor[l], moi[l], k3r, k3i)
+        else:
+            o3r, o3i = k3r, k3i
+        c3r = jnp.reshape(cr, (d, mm, lanes))
+        c3i = jnp.reshape(ci, (d, mm, lanes))
+        # --- lane stage: x' = o @ m ---------------------------------------
+        # dm = o^T ct (complex, non-conjugating): contract (D, M) jointly
+        ldim = (((0, 1), (0, 1)),)
+        dmr = _dot(o3r, c3r, ldim[0]) - _dot(o3i, c3i, ldim[0])
+        dmi = _dot(o3r, c3i, ldim[0]) + _dot(o3i, c3r, ldim[0])
+        dml.insert(0, dmr + 1j * dmi)
+        c3r, c3i = _lane_walk(mlr[l], mli[l], c3r, c3i)
+        # --- outer stage: o = mo @ k --------------------------------------
+        if nouter:
+            # dmo = ct @ k^T over the flattened (M*C) axis
+            fc_r = jnp.reshape(c3r, (d, mm * lanes))
+            fc_i = jnp.reshape(c3i, (d, mm * lanes))
+            fk_r = jnp.reshape(k3r, (d, mm * lanes))
+            fk_i = jnp.reshape(k3i, (d, mm * lanes))
+            dmor = _dot(fc_r, fk_r, tdim[0]) - _dot(fc_i, fk_i, tdim[0])
+            dmoi = _dot(fc_r, fk_i, tdim[0]) + _dot(fc_i, fk_r, tdim[0])
+            dmo.insert(0, dmor + 1j * dmoi)
+            c3r, c3i = _outer_walk(mor[l], moi[l], c3r, c3i)
+        else:
+            dmo.insert(0, jnp.zeros((d, d), jnp.complex64))
+        cr = jnp.reshape(c3r, (r, lanes))
+        ci = jnp.reshape(c3i, (r, lanes))
+        # --- pallas zzrx stage (un-applies the layer internally) ----------
+        cr, ci, dz, dt = _kernel_bwd(
+            pairs, n, zz_thetas[l], rx_kernel_thetas[l], kr, ki, cr, ci
+        )
+        dzz.insert(0, dz)
+        dth.insert(0, dt)
+    ds = (cr + 1j * ci).astype(ct.dtype)
+    return (
+        ds,
+        jnp.stack(dzz).astype(jnp.asarray(zz_thetas).dtype),
+        jnp.stack(dth).astype(jnp.asarray(rx_kernel_thetas).dtype),
+        jnp.stack(dmo).astype(jnp.asarray(mout).dtype),
+        jnp.stack(dml).astype(jnp.asarray(mlane).dtype),
+    )
+
+
+zzrx_stack_core.defvjp(_stack_fwd, _stack_bwd)

@@ -516,3 +516,51 @@ def test_zzrx_multilayer_circuit_grouping():
     np.testing.assert_allclose(
         complex(np.asarray(e1)), complex(np.asarray(e2)), atol=1e-5
     )
+
+
+def test_zzrx_stack_outer_stage(monkeypatch):
+    """Stack custom VJP with a nonzero outer-kron stage == rzz+rx chain.
+
+    Shrinks the kernel row budget so n=10 splits as 1 outer + 2 kernel + 7
+    lane qubits, exercising the outer matmul fwd/bwd of kernels_stack.
+    """
+    from tensorcircuit_ng_tpu.core import kernels, kernels_rowlayer
+
+    monkeypatch.setattr(kernels_rowlayer, "MAX_KERNEL_QUBITS_ZZRX", 2)
+    n, L = 10, 2
+    pairs = tuple((i, i + 1) for i in range(n - 1))
+    rng = np.random.default_rng(11)
+    psi = rng.normal(size=(2**n,)) + 1j * rng.normal(size=(2**n,))
+    psi = jnp.asarray((psi / np.linalg.norm(psi)).astype(np.complex64))
+    zz = jnp.asarray(rng.normal(size=(L, n - 1)) * 0.3, jnp.float32)
+    rx = jnp.asarray(rng.normal(size=(L, n)) * 0.3, jnp.float32)
+    w = jnp.asarray(
+        (rng.normal(size=(2**n,)) + 1j * rng.normal(size=(2**n,))).astype(np.complex64)
+    )
+
+    def loss_stack(zz, rx):
+        y = kernels.fused_zzrx_multilayer(psi, pairs, zz, rx)
+        return jnp.real(jnp.vdot(w, y)) + jnp.imag(jnp.vdot(w, y * y))
+
+    from tensorcircuit_ng_tpu.core import statevec
+    from tensorcircuit_ng_tpu.ops.gates import rx_matrix
+
+    def loss_ref(zz, rx):
+        y = psi
+        for l in range(L):
+            y = statevec.apply_zz_product_phase(y, pairs, zz[l])
+            for q in range(n):
+                y = statevec.apply_unitary(y, rx_matrix(rx[l, q]), [q])
+        return jnp.real(jnp.vdot(w, y)) + jnp.imag(jnp.vdot(w, y * y))
+
+    assert kernels.ML_MODE == "stack"
+    v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1))(zz, rx)
+    for interp in (False, True):
+        kernels.set_interpret_mode(interp)
+        try:
+            v1, g1 = jax.value_and_grad(loss_stack, argnums=(0, 1))(zz, rx)
+        finally:
+            kernels.set_interpret_mode(False)
+        np.testing.assert_allclose(float(v1), float(v2), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=2e-3)

@@ -71,6 +71,10 @@ def __getattr__(name):  # lazy heavy/optional submodules
         "SymbolCircuit": (".models.symbolcircuit", "SymbolCircuit"),
         "pauli_propagation": (".models.pauliprop", "pauli_propagation"),
         "PauliPropagationEngine": (".models.pauliprop", "PauliPropagationEngine"),
+        "SparsePauliPropagationEngine": (
+            ".models.pauliprop",
+            "SparsePauliPropagationEngine",
+        ),
         "DMCircuit_reference": (".models.densitymatrix", "DMCircuit"),
         "timeevol": (".timeevol", None),
         "shadows": (".shadows", None),

@@ -145,6 +145,49 @@ class PauliPropagationEngine:
                 mask[bi] = 1.0
         return jnp.sum(coeffs * jnp.asarray(mask, dtype=coeffs.dtype))
 
+    # -- reference-parity surface (reference pauliprop.py:30-540) --
+
+    def string_to_code(self, ps: Sequence[int]) -> int:
+        """Index of a Pauli string in the truncated basis (SINK if weight > k)."""
+        key = tuple((i, int(v)) for i, v in enumerate(ps) if v)
+        return self.index.get(key, self.SINK)
+
+    def get_initial_state(self, ps: Sequence[int]) -> Tensor:
+        """Coefficient vector for observable ``ps`` (reference name)."""
+        return self.observable_vector(ps)
+
+    def get_ptm_1q(self, u: Any) -> Tensor:
+        """4x4 Pauli-transfer matrix of a 1q unitary (reference name)."""
+        return jnp.asarray(_ptm(np.asarray(u).reshape(2, 2), 1))
+
+    def get_ptm_2q(self, u: Any) -> Tensor:
+        """16x16 Pauli-transfer matrix of a 2q unitary (reference name)."""
+        return jnp.asarray(_ptm(np.asarray(u).reshape(4, 4), 2))
+
+    def expectation(self, circuit: Any, ps: Sequence[int]) -> Tensor:
+        """⟨0|C† P C|0⟩ through this engine (reference ``expectation``)."""
+        coeffs = self.propagate(circuit.to_qir(), ps)
+        return self.expectation_zero_state(coeffs)
+
+    def compute_expectation_scan(
+        self, qirs: Sequence[Sequence[Dict[str, Any]]], ps: Sequence[int]
+    ) -> Tensor:
+        """Expectations after each successive layer (reference scan variant).
+
+        ``qirs`` is a list of QIR segments (layers); returns the ⟨0|P(t)|0⟩
+        trajectory as the observable propagates through them (backwards
+        order).
+        """
+        coeffs = self.observable_vector(ps)
+        out = [self.expectation_zero_state(coeffs)]
+        for seg in reversed(list(qirs)):
+            for item in reversed(list(seg)):
+                g = item["gate"]
+                tensor = g.tensor if hasattr(g, "tensor") else g
+                coeffs = self.apply_gate(coeffs, np.asarray(tensor), item["index"])
+            out.append(self.expectation_zero_state(coeffs))
+        return jnp.stack(out)
+
 
 def pauli_propagation(
     circuit: Any, ps: Sequence[int], k: int = 2
@@ -153,63 +196,6 @@ def pauli_propagation(
     eng = PauliPropagationEngine(circuit.nqubits, k)
     coeffs = eng.propagate(circuit.to_qir(), ps)
     return eng.expectation_zero_state(coeffs)
-
-
-# -- reference-parity helpers on the engine (pauliprop.py:30-540) --
-
-
-def _engine_string_to_code(self: "PauliPropagationEngine", ps: Sequence[int]) -> int:
-    """Index of a Pauli string in the truncated basis (SINK if weight > k)."""
-    key = tuple((i, int(v)) for i, v in enumerate(ps) if v)
-    return self.index.get(key, self.SINK)
-
-
-def _engine_get_initial_state(self: "PauliPropagationEngine", ps: Sequence[int]) -> Tensor:
-    """Coefficient vector for observable ``ps`` (reference name)."""
-    return self.observable_vector(ps)
-
-
-def _engine_get_ptm_1q(self: "PauliPropagationEngine", u: Any) -> Tensor:
-    """4x4 Pauli-transfer matrix of a 1q unitary (reference name)."""
-    return jnp.asarray(_ptm(np.asarray(u).reshape(2, 2), 1))
-
-
-def _engine_get_ptm_2q(self: "PauliPropagationEngine", u: Any) -> Tensor:
-    """16x16 Pauli-transfer matrix of a 2q unitary (reference name)."""
-    return jnp.asarray(_ptm(np.asarray(u).reshape(4, 4), 2))
-
-
-def _engine_expectation(self: "PauliPropagationEngine", circuit: Any, ps: Sequence[int]) -> Tensor:
-    """⟨0|C† P C|0⟩ through this engine (reference ``expectation``)."""
-    coeffs = self.propagate(circuit.to_qir(), ps)
-    return self.expectation_zero_state(coeffs)
-
-
-def _engine_compute_expectation_scan(
-    self: "PauliPropagationEngine", qirs: Sequence[Sequence[Dict[str, Any]]], ps: Sequence[int]
-) -> Tensor:
-    """Expectations after each successive layer (reference scan variant).
-
-    ``qirs`` is a list of QIR segments (layers); returns the ⟨0|P(t)|0⟩
-    trajectory as the observable propagates through them (backwards order).
-    """
-    coeffs = self.observable_vector(ps)
-    out = [self.expectation_zero_state(coeffs)]
-    for seg in reversed(list(qirs)):
-        for item in reversed(list(seg)):
-            g = item["gate"]
-            tensor = g.tensor if hasattr(g, "tensor") else g
-            coeffs = self.apply_gate(coeffs, np.asarray(tensor), item["index"])
-        out.append(self.expectation_zero_state(coeffs))
-    return jnp.stack(out)
-
-
-PauliPropagationEngine.string_to_code = _engine_string_to_code
-PauliPropagationEngine.get_initial_state = _engine_get_initial_state
-PauliPropagationEngine.get_ptm_1q = _engine_get_ptm_1q
-PauliPropagationEngine.get_ptm_2q = _engine_get_ptm_2q
-PauliPropagationEngine.expectation = _engine_expectation
-PauliPropagationEngine.compute_expectation_scan = _engine_compute_expectation_scan
 
 
 class SparsePauliPropagationEngine:
@@ -281,30 +267,22 @@ class SparsePauliPropagationEngine:
     def expectation(self, circuit: Any, ps: Sequence[int]) -> complex:
         return self.expectation_zero_state(self.propagate(circuit.to_qir(), ps))
 
+    def string_to_code(self, ps: Sequence[int]) -> Tuple[Tuple[int, int], ...]:
+        """Canonical dict key of a Pauli string (sparse engine; reference name)."""
+        return tuple((i, int(v)) for i, v in enumerate(ps) if v)
 
-def _sparse_string_to_code(self: "SparsePauliPropagationEngine", ps: Sequence[int]) -> Tuple[Tuple[int, int], ...]:
-    """Canonical dict key of a Pauli string (sparse engine; reference name)."""
-    return tuple((i, int(v)) for i, v in enumerate(ps) if v)
+    def get_initial_state(self, ps: Sequence[int]) -> Dict[Any, complex]:
+        return self.observable_dict(ps)
 
-
-def _sparse_get_initial_state(self: "SparsePauliPropagationEngine", ps: Sequence[int]) -> Dict[Any, complex]:
-    return self.observable_dict(ps)
-
-
-def _sparse_compute_expectation_scan(
-    self: "SparsePauliPropagationEngine", qirs: Sequence[Sequence[Dict[str, Any]]], ps: Sequence[int]
-) -> List[complex]:
-    coeffs = self.observable_dict(ps)
-    out = [self.expectation_zero_state(coeffs)]
-    for seg in reversed(list(qirs)):
-        for item in reversed(list(seg)):
-            g = item["gate"]
-            tensor = g.tensor if hasattr(g, "tensor") else g
-            coeffs = self.apply_gate(coeffs, np.asarray(tensor), item["index"])
-        out.append(self.expectation_zero_state(coeffs))
-    return out
-
-
-SparsePauliPropagationEngine.string_to_code = _sparse_string_to_code
-SparsePauliPropagationEngine.get_initial_state = _sparse_get_initial_state
-SparsePauliPropagationEngine.compute_expectation_scan = _sparse_compute_expectation_scan
+    def compute_expectation_scan(
+        self, qirs: Sequence[Sequence[Dict[str, Any]]], ps: Sequence[int]
+    ) -> List[complex]:
+        coeffs = self.observable_dict(ps)
+        out = [self.expectation_zero_state(coeffs)]
+        for seg in reversed(list(qirs)):
+            for item in reversed(list(seg)):
+                g = item["gate"]
+                tensor = g.tensor if hasattr(g, "tensor") else g
+                coeffs = self.apply_gate(coeffs, np.asarray(tensor), item["index"])
+            out.append(self.expectation_zero_state(coeffs))
+        return out

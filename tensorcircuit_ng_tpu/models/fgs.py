@@ -717,52 +717,46 @@ class FGSTestSimulator:
             return float(keep), np.array([p0, p1])
         return float(keep)
 
+    def fermion_diagonalization(self, hc: Any, L: int) -> Any:
+        """Oracle-side ground state from a BdG matrix (reference :1083)."""
+        _, _, alpha = FGSSimulator.fermion_diagonalization(hc, L)
+        return np.asarray(alpha)
+
+    def get_ot_cmatrix(self, psi0: Optional[np.ndarray] = None) -> np.ndarray:
+        """Out-of-time-order ⟨ψ0|Ψ Ψ†|ψ⟩ correlation matrix (reference :1175)."""
+        L = self.L
+        cs = [self.c_op(i) for i in range(L)]
+        ops = cs + [c.conj().T for c in cs]
+        bra = self.psi if psi0 is None else np.asarray(psi0)
+        C = np.zeros((2 * L, 2 * L), dtype=complex)
+        for a in range(2 * L):
+            for b in range(2 * L):
+                C[a, b] = bra.conj() @ (ops[a] @ ops[b].conj().T) @ self.psi
+        return C
+
+    def renyi_entanglement_asymmetry(
+        self,
+        n: int,
+        subsystems_to_trace_out: Optional[Sequence[int]] = None,
+        batch: int = 100,
+        status: Optional[np.ndarray] = None,
+        with_std: bool = False,
+    ) -> Any:
+        """Dense-oracle S_n of the charge-dephased rho_A (matches FGSSimulator)."""
+        if status is None:
+            status = np.random.default_rng().uniform(-np.pi, np.pi, size=[batch, n])
+        zs = np.array(
+            [self.charge_moment(a, n, subsystems_to_trace_out) for a in np.asarray(status)]
+        )
+        r_mean = float(np.mean(zs.real))
+        saq = 1.0 / (1 - n) * np.log(r_mean)
+        if with_std:
+            return saq, abs(1.0 / (1 - n) * float(np.std(zs.real)) / saq)
+        return saq
+
 
 # -- remaining reference aliases --
 
 FGSSimulator.sc_pairing = staticmethod(FGSSimulator.pairing)  # reference name
 
 
-def _fts_fermion_diagonalization(self: "FGSTestSimulator", hc: Any, L: int) -> Any:
-    """Oracle-side ground state from a BdG matrix (reference :1083)."""
-    _, _, alpha = FGSSimulator.fermion_diagonalization(hc, L)
-    return np.asarray(alpha)
-
-
-def _fts_get_ot_cmatrix(self: "FGSTestSimulator", psi0: Optional[np.ndarray] = None) -> np.ndarray:
-    """Out-of-time-order ⟨ψ0|Ψ Ψ†|ψ⟩ correlation matrix (reference :1175)."""
-    L = self.L
-    cs = [self.c_op(i) for i in range(L)]
-    ops = cs + [c.conj().T for c in cs]
-    bra = self.psi if psi0 is None else np.asarray(psi0)
-    C = np.zeros((2 * L, 2 * L), dtype=complex)
-    for a in range(2 * L):
-        for b in range(2 * L):
-            C[a, b] = bra.conj() @ (ops[a] @ ops[b].conj().T) @ self.psi
-    return C
-
-
-def _fts_renyi_entanglement_asymmetry(
-    self: "FGSTestSimulator",
-    n: int,
-    subsystems_to_trace_out: Optional[Sequence[int]] = None,
-    batch: int = 100,
-    status: Optional[np.ndarray] = None,
-    with_std: bool = False,
-) -> Any:
-    """Dense-oracle S_n of the charge-dephased rho_A (matches FGSSimulator)."""
-    if status is None:
-        status = np.random.default_rng().uniform(-np.pi, np.pi, size=[batch, n])
-    zs = np.array(
-        [self.charge_moment(a, n, subsystems_to_trace_out) for a in np.asarray(status)]
-    )
-    r_mean = float(np.mean(zs.real))
-    saq = 1.0 / (1 - n) * np.log(r_mean)
-    if with_std:
-        return saq, abs(1.0 / (1 - n) * float(np.std(zs.real)) / saq)
-    return saq
-
-
-FGSTestSimulator.fermion_diagonalization = _fts_fermion_diagonalization
-FGSTestSimulator.get_ot_cmatrix = _fts_get_ot_cmatrix
-FGSTestSimulator.renyi_entanglement_asymmetry = _fts_renyi_entanglement_asymmetry

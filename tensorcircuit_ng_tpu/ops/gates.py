@@ -515,6 +515,17 @@ class GateF:
 
         return GateF(self.name + "d", adj_fn, self.nqubits)
 
+    def ided(self, before: bool = True) -> "GateF":
+        """Tensor an identity wire onto the gate (reference ``gates.py:323``)."""
+        base = self
+
+        def ided_fn(*args: Any, dtype: Optional[str] = None, **kws: Any) -> Tensor:
+            m = np.asarray(base(*args, dtype=dtype, **kws).matrix())
+            eye = np.eye(2, dtype=m.dtype)
+            return np.kron(eye, m) if before else np.kron(m, eye)
+
+        return GateF(("ip" if before else "ia") + self.name, ided_fn, self.nqubits + 1)
+
     def controlled(self) -> "GateF":
         base = self
 
@@ -794,16 +805,3 @@ def mpo_gate(mpo: Any, name: str = "mpo") -> Any:
     return mpo
 
 
-def _gatef_ided(self: GateF, before: bool = True) -> GateF:
-    """Tensor an identity wire onto the gate (reference ``gates.py:323``)."""
-    base = self
-
-    def ided_fn(*args: Any, dtype: Optional[str] = None, **kws: Any) -> Tensor:
-        m = np.asarray(base(*args, dtype=dtype, **kws).matrix())
-        eye = np.eye(2, dtype=m.dtype)
-        return np.kron(eye, m) if before else np.kron(m, eye)
-
-    return GateF(("ip" if before else "ia") + self.name, ided_fn, self.nqubits + 1)
-
-
-GateF.ided = _gatef_ided

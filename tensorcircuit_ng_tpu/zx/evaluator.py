@@ -131,6 +131,43 @@ class ExactScalarArray:
     def __repr__(self) -> str:
         return f"ExactScalarArray(coeffs={np.asarray(self.coeffs)}, power={np.asarray(self.power)})"
 
+    @classmethod
+    def create(cls, coeffs: Any, power: Any = None) -> "ExactScalarArray":
+        """Constructor alias (reference ``ExactScalarArray.create``)."""
+        return cls(coeffs, power)
+
+    def prod(self, axis: int = 0) -> "ExactScalarArray":
+        """Product-reduce along an axis via repeated exact multiplies (ref name)."""
+        arrs = [
+            ExactScalarArray(
+                np.take(np.asarray(self.coeffs), i, axis=axis),
+                np.take(np.asarray(self.power), i, axis=axis),
+            )
+            for i in range(self.coeffs.shape[axis])
+        ]
+        out = arrs[0]
+        for a in arrs[1:]:
+            out = out * a
+        return out
+
+    def sum(self, axis: int = 0) -> "ExactScalarArray":
+        """Sum-reduce along an axis with exact power alignment (ref name)."""
+        arrs = [
+            ExactScalarArray(
+                np.take(np.asarray(self.coeffs), i, axis=axis),
+                np.take(np.asarray(self.power), i, axis=axis),
+            )
+            for i in range(self.coeffs.shape[axis])
+        ]
+        out = arrs[0]
+        for a in arrs[1:]:
+            out = out + a
+        return out
+
+    def reduce(self, op: str = "prod", axis: int = 0) -> "ExactScalarArray":
+        """Named reduction dispatcher (reference ``reduce``)."""
+        return self.prod(axis) if op == "prod" else self.sum(axis)
+
 
 def _poly_mul_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     out = np.zeros(4, dtype=np.int64)
@@ -164,53 +201,3 @@ def evaluate(compiled: Any, params: Any) -> Any:
     compiled graphs are dense-engine closures (see ``zx/scalar_graph.py``).
     """
     return compiled.eval(params)
-
-
-def _esa_create(cls: Any, coeffs: Any, power: Any = None) -> "ExactScalarArray":
-    """Constructor alias (reference ``ExactScalarArray.create``)."""
-    return cls(coeffs, power)
-
-
-def _esa_prod(self: "ExactScalarArray", axis: int = 0) -> "ExactScalarArray":
-    """Product-reduce along an axis via repeated exact multiplies (ref name)."""
-    import numpy as _np
-
-    arrs = [
-        ExactScalarArray(
-            _np.take(_np.asarray(self.coeffs), i, axis=axis),
-            _np.take(_np.asarray(self.power), i, axis=axis),
-        )
-        for i in range(self.coeffs.shape[axis])
-    ]
-    out = arrs[0]
-    for a in arrs[1:]:
-        out = out * a
-    return out
-
-
-def _esa_sum(self: "ExactScalarArray", axis: int = 0) -> "ExactScalarArray":
-    """Sum-reduce along an axis with exact power alignment (ref name)."""
-    import numpy as _np
-
-    arrs = [
-        ExactScalarArray(
-            _np.take(_np.asarray(self.coeffs), i, axis=axis),
-            _np.take(_np.asarray(self.power), i, axis=axis),
-        )
-        for i in range(self.coeffs.shape[axis])
-    ]
-    out = arrs[0]
-    for a in arrs[1:]:
-        out = out + a
-    return out
-
-
-def _esa_reduce(self: "ExactScalarArray", op: str = "prod", axis: int = 0) -> "ExactScalarArray":
-    """Named reduction dispatcher (reference ``reduce``)."""
-    return _esa_prod(self, axis) if op == "prod" else _esa_sum(self, axis)
-
-
-ExactScalarArray.create = classmethod(_esa_create)
-ExactScalarArray.prod = _esa_prod
-ExactScalarArray.sum = _esa_sum
-ExactScalarArray.reduce = _esa_reduce

@@ -208,6 +208,95 @@ class VQNHE:
 
     multi_training = training  # reference API alias (single-process here)
 
+    # ------------------------------------------------------ reference surface
+    # (applications/vqes.py:72-676)
+
+    def create_circuit(self, ansatz: Optional[str] = None, **kws: Any) -> Callable[[Tensor], Tensor]:
+        """Return the ``params -> state`` function of the chosen ansatz (ref names
+        create_circuit/create_hea_circuit/create_hn_circuit/create_hea2_circuit)."""
+        if ansatz is not None:
+            self.ansatz = ansatz
+        return self.circuit_state
+
+    def create_hea_circuit(self, **kws: Any) -> Callable[[Tensor], Tensor]:
+        return self.create_circuit("hea", **kws)
+
+    def create_hea2_circuit(self, **kws: Any) -> Callable[[Tensor], Tensor]:
+        return self.create_circuit("hea", **kws)
+
+    def create_hn_circuit(self, **kws: Any) -> Callable[[Tensor], Tensor]:
+        return self.create_circuit("hn", **kws)
+
+    def create_functional_circuit(self, fn: Callable[[Tensor], Tensor]) -> Callable[[Tensor], Tensor]:
+        """Install a user ``params -> state`` function as the ansatz (ref name)."""
+        self.circuit_state = fn  # type: ignore[assignment]
+        return fn
+
+    def create_model(self, model_type: Optional[str] = None, **kws: Any) -> Dict[str, Tensor]:
+        """(Re)initialize the neural post-processor (reference create_*_model)."""
+        if model_type is not None:
+            self.model_type = model_type
+        rng = np.random.default_rng(kws.pop("seed", 0))
+        self.model_params = self._init_model(rng)
+        return self.model_params
+
+    def create_real_model(self, **kws: Any) -> Dict[str, Tensor]:
+        return self.create_model("real", **kws)
+
+    def create_complex_model(self, **kws: Any) -> Dict[str, Tensor]:
+        return self.create_model("complex", **kws)
+
+    def create_real_rbm_model(self, **kws: Any) -> Dict[str, Tensor]:
+        return self.create_model("rbm", **kws)
+
+    def create_complex_rbm_model(self, **kws: Any) -> Dict[str, Tensor]:
+        return self.create_model("complex-rbm", **kws)
+
+    def assign(self, cparams: Optional[Tensor] = None, mparams: Optional[Any] = None) -> None:
+        """Overwrite current variational parameters (reference ``assign``)."""
+        if cparams is not None:
+            self.circuit_params = jnp.asarray(cparams)
+        if mparams is not None:
+            self.model_params = jax.tree_util.tree_map(jnp.asarray, mparams)
+
+    def evaluation(self, cparams: Optional[Tensor] = None, mparams: Optional[Any] = None) -> Tuple[float, float]:
+        """(hybrid energy, plain circuit energy) at given/current params."""
+        cp = self.circuit_params if cparams is None else jnp.asarray(cparams)
+        mp = self.model_params if mparams is None else mparams
+        return float(self.energy(cp, mp)), self.plain_energy(cp)
+
+    def plain_evaluation(self, cparams: Optional[Tensor] = None) -> float:
+        return self.plain_energy(cparams)
+
+    def save(self, path: str) -> None:
+        """Pickle current parameters (reference ``save``)."""
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(
+                {
+                    "circuit_params": np.asarray(jax.device_get(self.circuit_params)),
+                    "model_params": jax.tree_util.tree_map(
+                        lambda x: np.asarray(jax.device_get(x)), self.model_params
+                    ),
+                    "model_type": self.model_type,
+                    "ansatz": self.ansatz,
+                },
+                f,
+            )
+
+    def load(self, path: str) -> None:
+        """Restore parameters from :meth:`save` output (reference ``load``)."""
+        import pickle
+
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        self.model_type = data["model_type"]
+        self.ansatz = data["ansatz"]
+        self.assign(data["circuit_params"], data["model_params"])
+
+    recover = load  # reference alias
+
 
 # ======================================================================
 # reference-parity surface (applications/vqes.py:72-676)
@@ -243,6 +332,8 @@ class Linear:
         b = params["br"] + 1j * params["bi"]
         return jnp.asarray(x, dtype=w.dtype) @ w + b
 
+    call = __call__  # TF-era alias
+
 
 def JointSchedule(
     steps: int = 300,
@@ -258,123 +349,5 @@ def JointSchedule(
     return schedule
 
 
-def _vqnhe_create_circuit(self: "VQNHE", ansatz: Optional[str] = None, **kws: Any) -> Callable[[Tensor], Tensor]:
-    """Return the ``params -> state`` function of the chosen ansatz (ref names
-    create_circuit/create_hea_circuit/create_hn_circuit/create_hea2_circuit)."""
-    if ansatz is not None:
-        self.ansatz = ansatz
-    return self.circuit_state
 
 
-def _vqnhe_create_hea_circuit(self: "VQNHE", **kws: Any) -> Callable[[Tensor], Tensor]:
-    return _vqnhe_create_circuit(self, "hea", **kws)
-
-
-def _vqnhe_create_hea2_circuit(self: "VQNHE", **kws: Any) -> Callable[[Tensor], Tensor]:
-    return _vqnhe_create_circuit(self, "hea", **kws)
-
-
-def _vqnhe_create_hn_circuit(self: "VQNHE", **kws: Any) -> Callable[[Tensor], Tensor]:
-    return _vqnhe_create_circuit(self, "hn", **kws)
-
-
-def _vqnhe_create_functional_circuit(self: "VQNHE", fn: Callable[[Tensor], Tensor]) -> Callable[[Tensor], Tensor]:
-    """Install a user ``params -> state`` function as the ansatz (ref name)."""
-    self.circuit_state = fn  # type: ignore[assignment]
-    return fn
-
-
-def _vqnhe_create_model(self: "VQNHE", model_type: Optional[str] = None, **kws: Any) -> Dict[str, Tensor]:
-    """(Re)initialize the neural post-processor (reference create_*_model)."""
-    if model_type is not None:
-        self.model_type = model_type
-    rng = np.random.default_rng(kws.pop("seed", 0))
-    self.model_params = self._init_model(rng)
-    return self.model_params
-
-
-def _vqnhe_create_real_model(self: "VQNHE", **kws: Any) -> Dict[str, Tensor]:
-    return _vqnhe_create_model(self, "real", **kws)
-
-
-def _vqnhe_create_complex_model(self: "VQNHE", **kws: Any) -> Dict[str, Tensor]:
-    return _vqnhe_create_model(self, "complex", **kws)
-
-
-def _vqnhe_create_real_rbm_model(self: "VQNHE", **kws: Any) -> Dict[str, Tensor]:
-    return _vqnhe_create_model(self, "rbm", **kws)
-
-
-def _vqnhe_create_complex_rbm_model(self: "VQNHE", **kws: Any) -> Dict[str, Tensor]:
-    return _vqnhe_create_model(self, "complex-rbm", **kws)
-
-
-def _vqnhe_assign(self: "VQNHE", cparams: Optional[Tensor] = None, mparams: Optional[Any] = None) -> None:
-    """Overwrite current variational parameters (reference ``assign``)."""
-    if cparams is not None:
-        self.circuit_params = jnp.asarray(cparams)
-    if mparams is not None:
-        self.model_params = jax.tree_util.tree_map(jnp.asarray, mparams)
-
-
-def _vqnhe_evaluation(self: "VQNHE", cparams: Optional[Tensor] = None, mparams: Optional[Any] = None) -> Tuple[float, float]:
-    """(hybrid energy, plain circuit energy) at given/current params."""
-    cp = self.circuit_params if cparams is None else jnp.asarray(cparams)
-    mp = self.model_params if mparams is None else mparams
-    return float(self.energy(cp, mp)), self.plain_energy(cp)
-
-
-def _vqnhe_plain_evaluation(self: "VQNHE", cparams: Optional[Tensor] = None) -> float:
-    return self.plain_energy(cparams)
-
-
-def _vqnhe_save(self: "VQNHE", path: str) -> None:
-    """Pickle current parameters (reference ``save``)."""
-    import pickle
-
-    with open(path, "wb") as f:
-        pickle.dump(
-            {
-                "circuit_params": np.asarray(jax.device_get(self.circuit_params)),
-                "model_params": jax.tree_util.tree_map(
-                    lambda x: np.asarray(jax.device_get(x)), self.model_params
-                ),
-                "model_type": self.model_type,
-                "ansatz": self.ansatz,
-            },
-            f,
-        )
-
-
-def _vqnhe_load(self: "VQNHE", path: str) -> None:
-    """Restore parameters from :meth:`save` output (reference ``load``)."""
-    import pickle
-
-    with open(path, "rb") as f:
-        data = pickle.load(f)
-    self.model_type = data["model_type"]
-    self.ansatz = data["ansatz"]
-    _vqnhe_assign(self, data["circuit_params"], data["model_params"])
-
-
-_vqnhe_recover = _vqnhe_load  # reference alias
-
-VQNHE.create_circuit = _vqnhe_create_circuit
-VQNHE.create_hea_circuit = _vqnhe_create_hea_circuit
-VQNHE.create_hea2_circuit = _vqnhe_create_hea2_circuit
-VQNHE.create_hn_circuit = _vqnhe_create_hn_circuit
-VQNHE.create_functional_circuit = _vqnhe_create_functional_circuit
-VQNHE.create_model = _vqnhe_create_model
-VQNHE.create_real_model = _vqnhe_create_real_model
-VQNHE.create_complex_model = _vqnhe_create_complex_model
-VQNHE.create_real_rbm_model = _vqnhe_create_real_rbm_model
-VQNHE.create_complex_rbm_model = _vqnhe_create_complex_rbm_model
-VQNHE.assign = _vqnhe_assign
-VQNHE.evaluation = _vqnhe_evaluation
-VQNHE.plain_evaluation = _vqnhe_plain_evaluation
-VQNHE.save = _vqnhe_save
-VQNHE.load = _vqnhe_load
-VQNHE.recover = _vqnhe_recover
-
-
-Linear.call = Linear.__call__  # TF-era alias

@@ -9,6 +9,32 @@ from typing import Any, Dict, List, Optional, Sequence, Union
 __all__ = ["Provider", "Device", "Task"]
 
 
+class TCException(Exception):
+    """Base exception of the cloud layer (reference name)."""
+
+
+class TaskException(TCException):
+    """Task-related failure (reference name)."""
+
+
+class TaskUnfinished(TaskException):
+    """Results requested before the task completed (reference name)."""
+
+    def __init__(self, taskid: str, state: str):
+        self.taskid = taskid
+        self.state = state
+        super().__init__(f"Task {taskid} is not completed yet, now in {state} state")
+
+
+class TaskFailed(TaskException):
+    """The task ended in an error state (reference name)."""
+
+    def __init__(self, taskid: str, state: str = "failed", message: str = ""):
+        self.taskid = taskid
+        self.state = state
+        super().__init__(f"Task {taskid} failed: {message}")
+
+
 class Provider:
     _registry: Dict[str, "Provider"] = {}
 
@@ -29,6 +55,29 @@ class Provider:
         from . import apis
 
         return apis.list_devices(self)
+
+    def get_device(self, device: Any = None) -> "Device":
+        """Device handle under this provider (reference ``Provider.get_device``)."""
+        from . import apis
+
+        if device is None:
+            return apis.get_device()
+        return Device.from_name(device, self)
+
+    def get_token(self) -> Any:
+        from . import apis
+
+        return apis.get_token(self)
+
+    def set_token(self, token: Optional[str] = None, **kws: Any) -> Any:
+        from . import apis
+
+        return apis.set_token(token, provider=self, **kws)
+
+    def list_tasks(self, **filters: Any) -> Any:
+        from . import apis
+
+        return apis.list_tasks(provider=self, **filters)
 
     def __repr__(self) -> str:
         return f"Provider({self.name!r})"
@@ -57,6 +106,46 @@ class Device:
         from . import apis
 
         return apis.submit_task(device=self, **kws)
+
+    def get_task(self, taskid: str) -> "Task":
+        from . import apis
+
+        return apis.get_task(taskid)
+
+    def get_token(self) -> Any:
+        return self.provider.get_token()
+
+    def set_token(self, token: Optional[str] = None, **kws: Any) -> Any:
+        return self.provider.set_token(token, **kws)
+
+    def list_tasks(self, **filters: Any) -> Any:
+        from . import apis
+
+        return apis.list_tasks(device=self, **filters)
+
+    def native_gates(self) -> List[str]:
+        """Native gate set from device properties (reference ``native_gates``)."""
+        props = self.list_properties()
+        return list(props.get("native_gates", props.get("basis_gates", [])))
+
+    def topology(self) -> List[List[int]]:
+        """Coupling map from device properties (reference ``topology``)."""
+        props = self.list_properties()
+        links = props.get("topology", props.get("coupling_map", []))
+        return [list(e) for e in links]
+
+    def topology_graph(self, visualize: bool = False) -> Any:
+        """Coupling map as an nx.Graph (reference ``topology_graph``)."""
+        import networkx as nx
+
+        g = nx.Graph()
+        props = self.list_properties()
+        n = int(props.get("nqubits", props.get("n", 0)) or 0)
+        g.add_nodes_from(range(n))
+        g.add_edges_from(self.topology())
+        if visualize:  # pragma: no cover
+            nx.draw(g, with_labels=True)
+        return g
 
     def __repr__(self) -> str:
         return f"Device({self.provider.name}::{self.name})"
@@ -94,154 +183,24 @@ class Task:
             "submit_time": self._submit_time,
         }
 
+    def add_details(self, **kws: Any) -> Dict[str, Any]:
+        """Attach extra metadata to the task record (reference ``add_details``)."""
+        if not hasattr(self, "_extra_details"):
+            self._extra_details = {}
+        self._extra_details.update(kws)
+        return self._extra_details
+
+    def get_device(self) -> Optional[Device]:
+        return self.device
+
+    def get_logical_physical_mapping(self) -> Optional[Dict[int, int]]:
+        """Qubit mapping recorded at submission (reference name)."""
+        return getattr(self, "_extra_details", {}).get("logical_physical_mapping")
+
+    def resubmit(self, **kws: Any) -> "Task":
+        from . import apis
+
+        return apis.resubmit_task(self, **kws)
+
     def __repr__(self) -> str:
         return f"Task(id={self.id_!r}, state={self._state!r})"
-
-
-# ======================================================================
-# reference-parity abstraction surface (cloud/abstraction.py:44-472)
-# ======================================================================
-
-
-class TCException(Exception):
-    """Base exception of the cloud layer (reference name)."""
-
-
-class TaskException(TCException):
-    """Task-related failure (reference name)."""
-
-
-class TaskUnfinished(TaskException):
-    """Results requested before the task completed (reference name)."""
-
-    def __init__(self, taskid: str, state: str):
-        self.taskid = taskid
-        self.state = state
-        super().__init__(f"Task {taskid} is not completed yet, now in {state} state")
-
-
-class TaskFailed(TaskException):
-    """The task ended in an error state (reference name)."""
-
-    def __init__(self, taskid: str, state: str = "failed", message: str = ""):
-        self.taskid = taskid
-        self.state = state
-        super().__init__(f"Task {taskid} failed: {message}")
-
-
-def _provider_get_device(self: Provider, device: Any = None) -> "Device":
-    """Device handle under this provider (reference ``Provider.get_device``)."""
-    from . import apis
-
-    if device is None:
-        return apis.get_device()
-    return Device.from_name(device, self)
-
-
-def _provider_get_token(self: Provider) -> Any:
-    from . import apis
-
-    return apis.get_token(self)
-
-
-def _provider_set_token(self: Provider, token: Optional[str] = None, **kws: Any) -> Any:
-    from . import apis
-
-    return apis.set_token(token, provider=self, **kws)
-
-
-def _provider_list_tasks(self: Provider, **filters: Any) -> Any:
-    from . import apis
-
-    return apis.list_tasks(provider=self, **filters)
-
-
-Provider.get_device = _provider_get_device
-Provider.get_token = _provider_get_token
-Provider.set_token = _provider_set_token
-Provider.list_tasks = _provider_list_tasks
-
-
-def _device_get_task(self: Device, taskid: str) -> "Task":
-    from . import apis
-
-    return apis.get_task(taskid)
-
-
-def _device_get_token(self: Device) -> Any:
-    return self.provider.get_token()
-
-
-def _device_set_token(self: Device, token: Optional[str] = None, **kws: Any) -> Any:
-    return self.provider.set_token(token, **kws)
-
-
-def _device_list_tasks(self: Device, **filters: Any) -> Any:
-    from . import apis
-
-    return apis.list_tasks(device=self, **filters)
-
-
-def _device_native_gates(self: Device) -> List[str]:
-    """Native gate set from device properties (reference ``native_gates``)."""
-    props = self.list_properties()
-    return list(props.get("native_gates", props.get("basis_gates", [])))
-
-
-def _device_topology(self: Device) -> List[List[int]]:
-    """Coupling map from device properties (reference ``topology``)."""
-    props = self.list_properties()
-    links = props.get("topology", props.get("coupling_map", []))
-    return [list(e) for e in links]
-
-
-def _device_topology_graph(self: Device, visualize: bool = False) -> Any:
-    """Coupling map as an nx.Graph (reference ``topology_graph``)."""
-    import networkx as nx
-
-    g = nx.Graph()
-    props = self.list_properties()
-    n = int(props.get("nqubits", props.get("n", 0)) or 0)
-    g.add_nodes_from(range(n))
-    g.add_edges_from(self.topology())
-    if visualize:  # pragma: no cover
-        nx.draw(g, with_labels=True)
-    return g
-
-
-Device.get_task = _device_get_task
-Device.get_token = _device_get_token
-Device.set_token = _device_set_token
-Device.list_tasks = _device_list_tasks
-Device.native_gates = _device_native_gates
-Device.topology = _device_topology
-Device.topology_graph = _device_topology_graph
-
-
-def _task_add_details(self: Task, **kws: Any) -> Dict[str, Any]:
-    """Attach extra metadata to the task record (reference ``add_details``)."""
-    if not hasattr(self, "_extra_details"):
-        self._extra_details = {}
-    self._extra_details.update(kws)
-    return self._extra_details
-
-
-def _task_get_device(self: Task) -> Optional[Device]:
-    return self.device
-
-
-def _task_get_logical_physical_mapping(self: Task) -> Optional[Dict[int, int]]:
-    """Qubit mapping recorded at submission (reference name)."""
-    return getattr(self, "_extra_details", {}).get("logical_physical_mapping")
-
-
-def _task_resubmit(self: Task, **kws: Any) -> "Task":
-    from . import apis
-
-    return apis.resubmit_task(self, **kws)
-
-
-Task.add_details = _task_add_details
-Task.get_device = _task_get_device
-Task.get_logical_physical_mapping = _task_get_logical_physical_mapping
-Task.resubmit = _task_resubmit

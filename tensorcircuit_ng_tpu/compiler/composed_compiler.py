@@ -14,6 +14,18 @@ class Compiler:
         self.compile_funcs = list(compile_funcs)
         self.compiled_options = list(compiled_options or [{}] * len(self.compile_funcs))
 
+    def add_options(self, compiled_options: Optional[Any] = None) -> None:
+        """Reset per-stage options (reference ``composed_compiler.py:25``)."""
+        if compiled_options is None:
+            self.compiled_options = [{} for _ in self.compile_funcs]
+        elif isinstance(compiled_options, dict):
+            self.compiled_options = [dict(compiled_options) for _ in self.compile_funcs]
+        else:
+            assert len(compiled_options) == len(self.compile_funcs), (
+                "`compiled_options` must have the same list length as `compile_funcs`"
+            )
+            self.compiled_options = [dict(c or {}) for c in compiled_options]
+
     def __call__(self, circuit: Any, info: Optional[Dict[str, Any]] = None) -> Tuple[Any, Dict[str, Any]]:
         info = dict(info or {})
         for f, opts in zip(self.compile_funcs, self.compiled_options):
@@ -105,17 +117,3 @@ def qiskit_compile(
     return Circuit.from_openqasm(get_qiskit_qasm(compiled)), info
 
 
-def _compiler_add_options(self: Compiler, compiled_options: Optional[Any] = None) -> None:
-    """Reset per-stage options (reference ``composed_compiler.py:25``)."""
-    if compiled_options is None:
-        self.compiled_options = [{} for _ in self.compile_funcs]
-    elif isinstance(compiled_options, dict):
-        self.compiled_options = [dict(compiled_options) for _ in self.compile_funcs]
-    else:
-        assert len(compiled_options) == len(self.compile_funcs), (
-            "`compiled_options` must have the same list length as `compile_funcs`"
-        )
-        self.compiled_options = [dict(c or {}) for c in compiled_options]
-
-
-Compiler.add_options = _compiler_add_options

@@ -465,225 +465,181 @@ class AbstractCircuit:
             total = total + w * self.expectation_ps(ps=s, **kws)
         return total
 
+    # ------------------------------------------------------------------
+    # gate-factory plumbing (reference abstractcircuit.py:124)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def apply_general_gate_delayed(gatef: Any, name: Optional[str] = None, mpo: bool = False) -> Any:
+        """Unbound method applying a FIXED gate factory (reference ``:124``)."""
+
+        def apply(self: "AbstractCircuit", *index: int, **kws: Any) -> None:
+            self._apply_gate_instance(gatef, *index, name=name or getattr(gatef, "name", "any"), **kws)
+
+        return apply
+
+    @staticmethod
+    def apply_general_variable_gate_delayed(gatef: Any, name: Optional[str] = None, mpo: bool = False) -> Any:
+        """Unbound method applying a PARAMETERIZED gate factory (reference ``:124``)."""
+        return AbstractCircuit.apply_general_gate_delayed(gatef, name=name, mpo=mpo)
+
+    @staticmethod
+    def standardize_gate(name: str) -> str:
+        """Canonical gate-name normalization (reference ``:242-373`` helper)."""
+        name = name.lower()
+        aliases = {
+            "cx": "cnot",
+            "toff": "toffoli",
+            "ccx": "toffoli",
+            "cswap": "fredkin",
+            "sdg": "sd",
+            "tdg": "td",
+        }
+        return aliases.get(name, name)
+
+    # ------------------------------------------------------------------
+    # serialization / interop (reference abstractcircuit.py:1118-1391)
+    # ------------------------------------------------------------------
+
+    def to_json(self, simplified: bool = False, file: Optional[str] = None) -> Any:
+        """Circuit -> JSON string (or file) (reference ``abstractcircuit.py:1249``)."""
+        from ..translation import circuit_to_json
+
+        s = circuit_to_json(self, simplified=simplified, as_str=True)
+        if file is not None:
+            with open(file, "w") as f:
+                f.write(s)
+        return s
+
+    @classmethod
+    def from_json(cls, data: Any, **kws: Any) -> Any:
+        from ..translation import circuit_from_json
+
+        return circuit_from_json(data, circuit_class=cls)
+
+    @classmethod
+    def from_json_file(cls, file: str, **kws: Any) -> Any:
+        with open(file) as f:
+            return cls.from_json(f.read(), **kws)
+
+    def to_qiskit(self, **kws: Any) -> Any:
+        """Circuit -> qiskit.QuantumCircuit via OpenQASM (requires qiskit)."""
+        from qiskit import QuantumCircuit  # type: ignore
+
+        return QuantumCircuit.from_qasm_str(self.to_openqasm())
+
+    @classmethod
+    def from_qiskit(cls, qc: Any, **kws: Any) -> Any:
+        from ..translation import get_qiskit_qasm
+
+        return cls.from_openqasm(get_qiskit_qasm(qc), **kws)
+
+    def to_cirq(self, **kws: Any) -> Any:
+        """Circuit -> cirq.Circuit (requires cirq)."""
+        from ..translation import qir2cirq
+
+        return qir2cirq(self.to_qir(), self._nqubits)
+
+    @classmethod
+    def from_cirq(cls, qc: Any, **kws: Any) -> Any:
+        from ..translation import cirq2tc
+
+        return cirq2tc(qc, circuit_class=cls)
+
+    @classmethod
+    def from_qsim_file(cls, file: str, **kws: Any) -> Any:
+        """Load a qsim-format circuit file (reference ``abstractcircuit.py``).
+
+        qsim lines: first line nqubits; then ``cycle gate q [q2] [angle...]``.
+        """
+        with open(file) as f:
+            lines = [ln.strip() for ln in f if ln.strip() and not ln.startswith("#")]
+        n = int(lines[0])
+        c = cls(n, **kws)
+        for ln in lines[1:]:
+            parts = ln.split()
+            name = parts[1].lower()
+            rest = parts[2:]
+            if name in ("rz", "rx", "ry"):
+                getattr(c, name)(int(rest[0]), theta=float(rest[1]))
+            elif name in ("fs", "fsim"):
+                import numpy as _np
+
+                theta, phi = float(rest[2]), float(rest[3])
+                a, b = int(rest[0]), int(rest[1])
+                m = _np.eye(4, dtype=complex)
+                m[1, 1] = m[2, 2] = _np.cos(theta)
+                m[1, 2] = m[2, 1] = -1j * _np.sin(theta)
+                m[3, 3] = _np.exp(-1j * phi)
+                c.any(a, b, unitary=m, name="fsim")
+            elif name in ("x_1_2",):
+                c.rx(int(rest[0]), theta=np.pi / 2)
+            elif name in ("y_1_2",):
+                c.ry(int(rest[0]), theta=np.pi / 2)
+            elif name in ("hz_1_2", "w_1_2"):
+                import numpy as _np
+
+                w = (_np.array([[1, -_np.sqrt(1j)], [_np.sqrt(-1j), 1]]) / _np.sqrt(2))
+                c.any(int(rest[0]), unitary=w, name="w_1_2")
+            else:
+                idx = [int(x) for x in rest]
+                getattr(c, name)(*idx)
+        return c
+
+    def draw(self, output: Optional[str] = None, **kws: Any) -> Any:
+        """Draw the circuit: qiskit drawer when available, else ASCII fallback.
+
+        Reference ``abstractcircuit.py:1118`` delegates to qiskit; the fallback
+        here renders a plain text wire diagram so draw() always works.
+        """
+        try:
+            return self.to_qiskit().draw(output=output, **kws)
+        except Exception:
+            lines = [f"q{q}: -" for q in range(self._nqubits)]
+            for item in self._qir:
+                width = max(len(item.get("name") or "?"), 1)
+                touched = set(item["index"])
+                for q in range(self._nqubits):
+                    if q in touched:
+                        lines[q] += f"[{item.get('name')}]-"
+                    else:
+                        lines[q] += "-" * (width + 3)
+            return "\n".join(lines)
+
+    def vis_tex(self, **kws: Any) -> str:
+        """quantikz LaTeX of the circuit (reference ``vis_tex`` -> vis.qir2tex)."""
+        from ..vis import qir2tex
+
+        return qir2tex(self.to_qir(), self._nqubits, **kws)
+
+    # -- hardware instruction sugar recorded in _extra_qir (reference :834-1005) --
+
+    def pauli_instruction(self, *index: int, p: Any = None, **kws: Any) -> None:
+        """Record a PAULI_CHANNEL_1-style noise instruction (reference name)."""
+        self._extra_qir.append(
+            {"name": "pauli", "index": tuple(index), "p": p, "pos": len(self._qir), **kws}
+        )
+
+    def pauli2_instruction(self, *index: int, p: Any = None, **kws: Any) -> None:
+        self._extra_qir.append(
+            {"name": "pauli2", "index": tuple(index), "p": p, "pos": len(self._qir), **kws}
+        )
+
+    def depolarizing_instruction(self, *index: int, p: float = 0.0, **kws: Any) -> None:
+        self._extra_qir.append(
+            {"name": "depolarizing", "index": tuple(index), "p": p, "pos": len(self._qir), **kws}
+        )
+
+    def depolarizing2_instruction(self, *index: int, p: float = 0.0, **kws: Any) -> None:
+        self._extra_qir.append(
+            {"name": "depolarizing2", "index": tuple(index), "p": p, "pos": len(self._qir), **kws}
+        )
+
+    def mr_instruction(self, *index: int, **kws: Any) -> None:
+        """Measure-and-reset instruction record (reference name)."""
+        self._extra_qir.append(
+            {"name": "mr", "index": tuple(index), "pos": len(self._qir), **kws}
+        )
+
 
 AbstractCircuit._meta_apply()
-
-
-# ======================================================================
-# reference-parity circuit surface (abstractcircuit.py:124-1391)
-# ======================================================================
-
-
-def _ac_apply_general_gate_delayed(gatef: Any, name: Optional[str] = None, mpo: bool = False) -> Any:
-    """Unbound method applying a FIXED gate factory (reference ``:124``)."""
-
-    def apply(self: "AbstractCircuit", *index: int, **kws: Any) -> None:
-        self._apply_gate_instance(gatef, *index, name=name or getattr(gatef, "name", "any"), **kws)
-
-    return apply
-
-
-def _ac_apply_general_variable_gate_delayed(gatef: Any, name: Optional[str] = None, mpo: bool = False) -> Any:
-    """Unbound method applying a PARAMETERIZED gate factory (reference ``:124``)."""
-    return _ac_apply_general_gate_delayed(gatef, name=name, mpo=mpo)
-
-
-AbstractCircuit.apply_general_gate_delayed = staticmethod(_ac_apply_general_gate_delayed)
-AbstractCircuit.apply_general_variable_gate_delayed = staticmethod(
-    _ac_apply_general_variable_gate_delayed
-)
-
-
-def _ac_standardize_gate(name: str) -> str:
-    """Canonical gate-name normalization (reference ``:242-373`` helper)."""
-    name = name.lower()
-    aliases = {
-        "cx": "cnot",
-        "toff": "toffoli",
-        "ccx": "toffoli",
-        "cswap": "fredkin",
-        "sdg": "sd",
-        "tdg": "td",
-    }
-    return aliases.get(name, name)
-
-
-AbstractCircuit.standardize_gate = staticmethod(_ac_standardize_gate)
-
-
-def _ac_to_json(self: "AbstractCircuit", simplified: bool = False, file: Optional[str] = None) -> Any:
-    """Circuit -> JSON string (or file) (reference ``abstractcircuit.py:1249``)."""
-    from ..translation import circuit_to_json
-
-    s = circuit_to_json(self, simplified=simplified, as_str=True)
-    if file is not None:
-        with open(file, "w") as f:
-            f.write(s)
-    return s
-
-
-def _ac_from_json(cls: Any, data: Any, **kws: Any) -> Any:
-    from ..translation import circuit_from_json
-
-    return circuit_from_json(data, circuit_class=cls)
-
-
-def _ac_from_json_file(cls: Any, file: str, **kws: Any) -> Any:
-    with open(file) as f:
-        return _ac_from_json(cls, f.read(), **kws)
-
-
-AbstractCircuit.to_json = _ac_to_json
-AbstractCircuit.from_json = classmethod(_ac_from_json)
-AbstractCircuit.from_json_file = classmethod(_ac_from_json_file)
-
-
-def _ac_to_qiskit(self: "AbstractCircuit", **kws: Any) -> Any:
-    """Circuit -> qiskit.QuantumCircuit via OpenQASM (requires qiskit)."""
-    from qiskit import QuantumCircuit  # type: ignore
-
-    return QuantumCircuit.from_qasm_str(self.to_openqasm())
-
-
-def _ac_from_qiskit(cls: Any, qc: Any, **kws: Any) -> Any:
-    from ..translation import get_qiskit_qasm
-
-    return cls.from_openqasm(get_qiskit_qasm(qc), **kws)
-
-
-def _ac_to_cirq(self: "AbstractCircuit", **kws: Any) -> Any:
-    """Circuit -> cirq.Circuit (requires cirq)."""
-    from ..translation import qir2cirq
-
-    return qir2cirq(self.to_qir(), self._nqubits)
-
-
-def _ac_from_cirq(cls: Any, qc: Any, **kws: Any) -> Any:
-    from ..translation import cirq2tc
-
-    return cirq2tc(qc, circuit_class=cls)
-
-
-AbstractCircuit.to_qiskit = _ac_to_qiskit
-AbstractCircuit.from_qiskit = classmethod(_ac_from_qiskit)
-AbstractCircuit.to_cirq = _ac_to_cirq
-AbstractCircuit.from_cirq = classmethod(_ac_from_cirq)
-
-
-def _ac_from_qsim_file(cls: Any, file: str, **kws: Any) -> Any:
-    """Load a qsim-format circuit file (reference ``abstractcircuit.py``).
-
-    qsim lines: first line nqubits; then ``cycle gate q [q2] [angle...]``.
-    """
-    with open(file) as f:
-        lines = [ln.strip() for ln in f if ln.strip() and not ln.startswith("#")]
-    n = int(lines[0])
-    c = cls(n, **kws)
-    for ln in lines[1:]:
-        parts = ln.split()
-        name = parts[1].lower()
-        rest = parts[2:]
-        if name in ("rz", "rx", "ry"):
-            getattr(c, name)(int(rest[0]), theta=float(rest[1]))
-        elif name in ("fs", "fsim"):
-            import numpy as _np
-
-            theta, phi = float(rest[2]), float(rest[3])
-            a, b = int(rest[0]), int(rest[1])
-            m = _np.eye(4, dtype=complex)
-            m[1, 1] = m[2, 2] = _np.cos(theta)
-            m[1, 2] = m[2, 1] = -1j * _np.sin(theta)
-            m[3, 3] = _np.exp(-1j * phi)
-            c.any(a, b, unitary=m, name="fsim")
-        elif name in ("x_1_2",):
-            c.rx(int(rest[0]), theta=np.pi / 2)
-        elif name in ("y_1_2",):
-            c.ry(int(rest[0]), theta=np.pi / 2)
-        elif name in ("hz_1_2", "w_1_2"):
-            import numpy as _np
-
-            w = (_np.array([[1, -_np.sqrt(1j)], [_np.sqrt(-1j), 1]]) / _np.sqrt(2))
-            c.any(int(rest[0]), unitary=w, name="w_1_2")
-        else:
-            idx = [int(x) for x in rest]
-            getattr(c, name)(*idx)
-    return c
-
-
-AbstractCircuit.from_qsim_file = classmethod(_ac_from_qsim_file)
-
-
-def _ac_draw(self: "AbstractCircuit", output: Optional[str] = None, **kws: Any) -> Any:
-    """Draw the circuit: qiskit drawer when available, else ASCII fallback.
-
-    Reference ``abstractcircuit.py:1118`` delegates to qiskit; the fallback
-    here renders a plain text wire diagram so draw() always works.
-    """
-    try:
-        return self.to_qiskit().draw(output=output, **kws)
-    except Exception:
-        lines = [f"q{q}: -" for q in range(self._nqubits)]
-        for item in self._qir:
-            width = max(len(item.get("name") or "?"), 1)
-            touched = set(item["index"])
-            for q in range(self._nqubits):
-                if q in touched:
-                    lines[q] += f"[{item.get('name')}]-"
-                else:
-                    lines[q] += "-" * (width + 3)
-        return "\n".join(lines)
-
-
-AbstractCircuit.draw = _ac_draw
-
-
-def _ac_vis_tex(self: "AbstractCircuit", **kws: Any) -> str:
-    """quantikz LaTeX of the circuit (reference ``vis_tex`` -> vis.qir2tex)."""
-    from ..vis import qir2tex
-
-    return qir2tex(self.to_qir(), self._nqubits, **kws)
-
-
-AbstractCircuit.vis_tex = _ac_vis_tex
-
-
-# -- hardware instruction sugar recorded in _extra_qir (reference :834-1005) --
-
-
-def _ac_pauli_instruction(self: "AbstractCircuit", *index: int, p: Any = None, **kws: Any) -> None:
-    """Record a PAULI_CHANNEL_1-style noise instruction (reference name)."""
-    self._extra_qir.append(
-        {"name": "pauli", "index": tuple(index), "p": p, "pos": len(self._qir), **kws}
-    )
-
-
-def _ac_pauli2_instruction(self: "AbstractCircuit", *index: int, p: Any = None, **kws: Any) -> None:
-    self._extra_qir.append(
-        {"name": "pauli2", "index": tuple(index), "p": p, "pos": len(self._qir), **kws}
-    )
-
-
-def _ac_depolarizing_instruction(self: "AbstractCircuit", *index: int, p: float = 0.0, **kws: Any) -> None:
-    self._extra_qir.append(
-        {"name": "depolarizing", "index": tuple(index), "p": p, "pos": len(self._qir), **kws}
-    )
-
-
-def _ac_depolarizing2_instruction(self: "AbstractCircuit", *index: int, p: float = 0.0, **kws: Any) -> None:
-    self._extra_qir.append(
-        {"name": "depolarizing2", "index": tuple(index), "p": p, "pos": len(self._qir), **kws}
-    )
-
-
-def _ac_mr_instruction(self: "AbstractCircuit", *index: int, **kws: Any) -> None:
-    """Measure-and-reset instruction record (reference name)."""
-    self._extra_qir.append(
-        {"name": "mr", "index": tuple(index), "pos": len(self._qir), **kws}
-    )
-
-
-AbstractCircuit.pauli_instruction = _ac_pauli_instruction
-AbstractCircuit.pauli2_instruction = _ac_pauli2_instruction
-AbstractCircuit.depolarizing_instruction = _ac_depolarizing_instruction
-AbstractCircuit.depolarizing2_instruction = _ac_depolarizing2_instruction
-AbstractCircuit.mr_instruction = _ac_mr_instruction

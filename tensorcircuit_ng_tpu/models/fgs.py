@@ -146,6 +146,8 @@ class FGSSimulator:
         d[j, i] -= delta
         return FGSSimulator.bdg(np.zeros((L, L), dtype=complex), d)
 
+    sc_pairing = pairing  # reference name
+
     @staticmethod
     def bdg(h: np.ndarray, d: np.ndarray) -> np.ndarray:
         r"""Assemble M from h (hermitian, c† c) and d (antisymmetric, c c).
@@ -755,8 +757,5 @@ class FGSTestSimulator:
         return saq
 
 
-# -- remaining reference aliases --
-
-FGSSimulator.sc_pairing = staticmethod(FGSSimulator.pairing)  # reference name
 
 

@@ -68,6 +68,21 @@ def _sym_gate_matrix(name: str, params: Dict[str, Any]) -> Any:
     return sp.Matrix(sp.nsimplify(sp.Matrix(m), rational=False))
 
 
+def _need_binding(name: str) -> Any:
+    """Method factory: delegate ``name`` to the numerically-bound Circuit."""
+
+    def meth(self: "SymbolCircuit", *args: Any, bindings: Optional[Dict[Any, Any]] = None, **kws: Any) -> Any:
+        if bindings is None and self.free_symbols():
+            raise ValueError(
+                f"SymbolCircuit.{name} requires numeric values: pass bindings={{symbol: value}}"
+            )
+        return getattr(self.to_circuit(bindings), name)(*args, **kws)
+
+    meth.__name__ = name
+    meth.__doc__ = f"Numeric ``{name}`` after binding symbols (reference parity)."
+    return meth
+
+
 class SymbolCircuit(AbstractCircuit):
     """Circuit whose parameters may be sympy expressions."""
 
@@ -246,6 +261,43 @@ class SymbolCircuit(AbstractCircuit):
                 c.any(*item["index"], unitary=np.asarray(m, dtype=complex), name=item["name"])
         return c
 
+    # ---- reference-parity surface (symbolcircuit.py:48-652) ----
+
+    def bind(self, bindings: Dict[Any, Any]) -> Any:
+        """Numeric binding -> jittable Circuit (reference ``bind``)."""
+        return self.to_circuit(bindings)
+
+    def probability(self) -> Any:
+        """Symbolic probability vector |ψ_s|² (reference parity)."""
+        import sympy as sp
+
+        psi = self.wavefunction()
+        return sp.Matrix([sp.Abs(x) ** 2 for x in psi])
+
+    def expectation_before(self, *ops: Any, **kws: Any) -> Any:
+        """Symbolic ⟨ψ|O|ψ⟩ builder (un-evaluated sympy matrix product)."""
+        import sympy as sp
+
+        psi = self.wavefunction()
+        acc = None
+        for op, wires in ops:
+            m = sp.Matrix(np.asarray(op.matrix() if hasattr(op, "matrix") else op))
+            full = self._embed(m, tuple(wires))
+            term = (psi.conjugate().T * full * psi)[0]
+            acc = term if acc is None else acc * term
+        return acc
+
+    def get_quoperator(self) -> Any:
+        """Symbolic circuit matrix (QuOperator stand-in; reference name)."""
+        return self.matrix()
+
+    measure = _need_binding("measure")
+    measure_reference = _need_binding("measure_reference")
+    sample = _need_binding("sample")
+    sample_expectation_ps = _need_binding("sample_expectation_ps")
+    cond_measurement = _need_binding("cond_measurement")
+    projected_subsystem = _need_binding("projected_subsystem")
+
 
 def _qubit_permutation_matrix(order: Sequence[int], n: int) -> Any:
     """Permutation matrix P with (P psi)[new basis] ordering qubits by ``order``.
@@ -266,63 +318,3 @@ def _qubit_permutation_matrix(order: Sequence[int], n: int) -> Any:
     return p
 
 
-# ======================================================================
-# reference-parity SymbolCircuit surface (symbolcircuit.py:48-652)
-# ======================================================================
-
-
-def _sc_bind(self: SymbolCircuit, bindings: Dict[Any, Any]) -> Any:
-    """Numeric binding -> jittable Circuit (reference ``bind``)."""
-    return self.to_circuit(bindings)
-
-
-def _sc_probability(self: SymbolCircuit) -> Any:
-    """Symbolic probability vector |ψ_s|² (reference parity)."""
-    import sympy as sp
-
-    psi = self.wavefunction()
-    return sp.Matrix([sp.Abs(x) ** 2 for x in psi])
-
-
-def _sc_expectation_before(self: SymbolCircuit, *ops: Any, **kws: Any) -> Any:
-    """Symbolic ⟨ψ|O|ψ⟩ builder (un-evaluated sympy matrix product)."""
-    import sympy as sp
-
-    psi = self.wavefunction()
-    acc = None
-    for op, wires in ops:
-        m = sp.Matrix(np.asarray(op.matrix() if hasattr(op, "matrix") else op))
-        full = self._embed(m, tuple(wires))
-        term = (psi.conjugate().T * full * psi)[0]
-        acc = term if acc is None else acc * term
-    return acc
-
-
-def _sc_get_quoperator(self: SymbolCircuit) -> Any:
-    """Symbolic circuit matrix (QuOperator stand-in; reference name)."""
-    return self.matrix()
-
-
-def _need_binding(name: str) -> Callable[..., Any]:
-    def meth(self: SymbolCircuit, *args: Any, bindings: Optional[Dict[Any, Any]] = None, **kws: Any) -> Any:
-        if bindings is None and self.free_symbols():
-            raise ValueError(
-                f"SymbolCircuit.{name} requires numeric values: pass bindings={{symbol: value}}"
-            )
-        return getattr(self.to_circuit(bindings), name)(*args, **kws)
-
-    meth.__name__ = name
-    meth.__doc__ = f"Numeric ``{name}`` after binding symbols (reference parity)."
-    return meth
-
-
-SymbolCircuit.bind = _sc_bind
-SymbolCircuit.probability = _sc_probability
-SymbolCircuit.expectation_before = _sc_expectation_before
-SymbolCircuit.get_quoperator = _sc_get_quoperator
-SymbolCircuit.measure = _need_binding("measure")
-SymbolCircuit.measure_reference = _need_binding("measure_reference")
-SymbolCircuit.sample = _need_binding("sample")
-SymbolCircuit.sample_expectation_ps = _need_binding("sample_expectation_ps")
-SymbolCircuit.cond_measurement = _need_binding("cond_measurement")
-SymbolCircuit.projected_subsystem = _need_binding("projected_subsystem")

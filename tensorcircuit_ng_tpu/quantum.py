@@ -256,6 +256,32 @@ class QuOperator:
         v = jnp.reshape(self._t, (-1, 1))
         return QuOperator(v @ jnp.conj(v.T), self.out_dims, self.out_dims)
 
+    # reference-parity surface (quantum.py:455-1473) --------------------
+
+    @property
+    def in_space(self) -> Tuple[int, ...]:
+        """Input-leg dimensions (reference ``QuOperator.in_space``)."""
+        return tuple(self.in_dims)
+
+    @property
+    def out_space(self) -> Tuple[int, ...]:
+        """Output-leg dimensions (reference ``QuOperator.out_space``)."""
+        return tuple(self.out_dims)
+
+    @property
+    def nodes(self) -> List[Any]:
+        """Constituent "nodes" — dense design holds a single tensor (ref parity)."""
+        return [self._t]
+
+    def check_network(self) -> None:
+        """Consistency check of the operator data (reference ``check_network``)."""
+        size = int(np.prod(self.out_dims + self.in_dims, dtype=np.int64)) or 1
+        assert int(np.prod(self._t.shape, dtype=np.int64)) == size
+
+    def contract(self, final_edge_order: Optional[Sequence[int]] = None) -> "QuOperator":
+        """Contract the network in place (dense design: identity; ref name)."""
+        return self
+
 
 def _qu_like(m: Tensor, out_dims: Tuple[int, ...], in_dims: Tuple[int, ...]) -> QuOperator:
     if out_dims and in_dims:
@@ -287,6 +313,20 @@ class QuVector(QuOperator):
         rho = self.projector()
         return rho.partial_trace(cut)
 
+    @property
+    def space(self) -> Tuple[int, ...]:
+        """Subsystem dimensions of the ket (reference ``space``)."""
+        return tuple(self.out_dims)
+
+    @property
+    def subsystem_edges(self) -> List[int]:
+        """Per-subsystem leg handles; dense design exposes dim list (ref name)."""
+        return list(self.out_dims)
+
+    def reduced_density(self, subsystems_to_trace_out: Sequence[int]) -> QuOperator:
+        """ρ_A as a QuOperator (reference ``QuVector.reduced_density``)."""
+        return self.projector().partial_trace(list(subsystems_to_trace_out))
+
 
 class QuAdjointVector(QuOperator):
     """Bra ⟨psi| (reference ``quantum.py:1288``)."""
@@ -297,10 +337,34 @@ class QuAdjointVector(QuOperator):
             subsystem_dims = tuple(t.shape)
         super().__init__(t, (), tuple(subsystem_dims))
 
+    @classmethod
+    def from_tensor(cls, tensor: Tensor, subsystem_axes: Optional[Sequence[int]] = None) -> "QuAdjointVector":  # type: ignore[override]
+        t = jnp.asarray(tensor)
+        if subsystem_axes is not None:
+            t = jnp.transpose(t, subsystem_axes)
+        return cls(t, tuple(t.shape))
+
+    @property
+    def space(self) -> Tuple[int, ...]:
+        """Subsystem dimensions of the bra (reference ``space``)."""
+        return tuple(self.in_dims)
+
+    @property
+    def subsystem_edges(self) -> List[int]:
+        return list(self.in_dims)
+
+    def reduced_density(self, subsystems_to_trace_out: Sequence[int]) -> QuOperator:
+        ket = QuVector(jnp.conj(self._t), self.in_dims)
+        return ket.projector().partial_trace(list(subsystems_to_trace_out))
+
 
 class QuScalar(QuOperator):
     def __init__(self, tensor: Tensor):
         super().__init__(jnp.reshape(jnp.asarray(tensor), ()), (), ())
+
+    @classmethod
+    def from_tensor(cls, tensor: Tensor, *args: Any) -> "QuScalar":  # type: ignore[override]
+        return cls(jnp.reshape(jnp.asarray(tensor), ()))
 
 
 def quantum_constructor(
@@ -1358,93 +1422,6 @@ def reduced_wavefunction(
     return s
 
 
-# ======================================================================
-# reference-parity QuOperator/LinearOperator surface (quantum.py:455-1473)
-# ======================================================================
-
-
-def _qop_in_space(self: QuOperator) -> Tuple[int, ...]:
-    """Input-leg dimensions (reference ``QuOperator.in_space``)."""
-    return tuple(self.in_dims)
-
-
-def _qop_out_space(self: QuOperator) -> Tuple[int, ...]:
-    """Output-leg dimensions (reference ``QuOperator.out_space``)."""
-    return tuple(self.out_dims)
-
-
-def _qop_nodes(self: QuOperator) -> List[Any]:
-    """Constituent "nodes" — dense design holds a single tensor (ref parity)."""
-    return [self._t]
-
-
-def _qop_check_network(self: QuOperator) -> None:
-    """Consistency check of the operator data (reference ``check_network``)."""
-    size = int(np.prod(self.out_dims + self.in_dims, dtype=np.int64)) or 1
-    assert int(np.prod(self._t.shape, dtype=np.int64)) == size
-
-
-def _qop_contract(self: QuOperator, final_edge_order: Optional[Sequence[int]] = None) -> QuOperator:
-    """Contract the network in place (dense design: identity; ref name)."""
-    return self
-
-
-def _qop_copy(self: QuOperator) -> QuOperator:
-    return _qu_like(self._t, self.out_dims, self.in_dims)
-
-
-QuOperator.in_space = property(_qop_in_space)
-QuOperator.out_space = property(_qop_out_space)
-QuOperator.nodes = property(_qop_nodes)
-QuOperator.check_network = _qop_check_network
-QuOperator.contract = _qop_contract
-if not hasattr(QuOperator, "copy"):
-    QuOperator.copy = _qop_copy
-
-
-def _quv_space(self: QuOperator) -> Tuple[int, ...]:
-    """Subsystem dimensions of the ket/bra (reference ``space``)."""
-    return tuple(self.out_dims or self.in_dims)
-
-
-def _quv_subsystem_edges(self: QuOperator) -> List[int]:
-    """Per-subsystem leg handles; dense design exposes dim list (ref name)."""
-    return list(self.out_dims or self.in_dims)
-
-
-def _quv_reduced_density(self: "QuVector", subsystems_to_trace_out: Sequence[int]) -> QuOperator:
-    """ρ_A as a QuOperator (reference ``QuVector.reduced_density``)."""
-    return self.projector().partial_trace(list(subsystems_to_trace_out))
-
-
-QuVector.space = property(_quv_space)
-QuVector.subsystem_edges = property(_quv_subsystem_edges)
-QuVector.reduced_density = _quv_reduced_density
-QuAdjointVector.space = property(_quv_space)
-QuAdjointVector.subsystem_edges = property(_quv_subsystem_edges)
-
-
-def _quadj_reduced_density(self: "QuAdjointVector", subsystems_to_trace_out: Sequence[int]) -> QuOperator:
-    ket = QuVector(jnp.conj(self._t), self.in_dims)
-    return ket.projector().partial_trace(list(subsystems_to_trace_out))
-
-
-def _quadj_from_tensor(cls: Any, tensor: Tensor, subsystem_axes: Optional[Sequence[int]] = None) -> "QuAdjointVector":
-    t = jnp.asarray(tensor)
-    if subsystem_axes is not None:
-        t = jnp.transpose(t, subsystem_axes)
-    return cls(t, tuple(t.shape))
-
-
-QuAdjointVector.reduced_density = _quadj_reduced_density
-QuAdjointVector.from_tensor = classmethod(_quadj_from_tensor)
-
-
-def _quscalar_from_tensor(cls: Any, tensor: Tensor, *args: Any) -> "QuScalar":
-    return cls(jnp.reshape(jnp.asarray(tensor), ()))
-
-
-QuScalar.from_tensor = classmethod(_quscalar_from_tensor)
 
 
 def get_all_nodes(qops: Sequence[QuOperator]) -> List[Any]:

@@ -38,7 +38,10 @@ def bench_tebd() -> float:
 
     import tensorcircuit_ng_tpu as tc
 
-    n, chi, K = 60, 64, 10
+    # K=50: the ~36 ms axon call round trip is FIXED per dispatch, not
+    # per-iteration work — at K=10 it inflated the metric by ~3.6 ms/step
+    # (same amortization rule as the K=250 VQE metric).
+    n, chi, K = 60, 64, 50
     X = np.array([[0, 1], [1, 0.0]])
     Z = np.diag([1.0, -1.0])
     h = -np.kron(Z, Z) - 0.5 * (np.kron(X, np.eye(2)) + np.kron(np.eye(2), X))

@@ -226,6 +226,7 @@ def test_vqnhe_improves_on_plain_vqe():
 # ---------------- round-1 parity batch: applications surface ----------------
 
 
+@pytest.mark.slow  # 16 s; QAOA coverage also in test_optimization_cvar et al.
 def test_vags_qaoa_pipeline():
     import networkx as nx
     from tensorcircuit_ng_tpu.applications import dqas as dq, vags, layers as L
@@ -249,6 +250,7 @@ def test_vags_qaoa_pipeline():
     assert abs(v + 1.5) < 1e-5  # each edge contributes (0 - 1)/2
 
 
+@pytest.mark.slow  # 32 s; the dqas smoke path is test_dqas_finds_good_op
 def test_dqas_reference_search():
     from tensorcircuit_ng_tpu.applications import dqas as dq
 

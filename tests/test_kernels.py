@@ -343,6 +343,7 @@ def test_gram_svd_matches_adaware():
         assert float(jnp.abs(g1 - g2).max()) < 1e-2
 
 
+@pytest.mark.slow  # 11 s; gram_svd itself is covered by test_gram_svd_* fast tests
 def test_tebd_gram_svd_flag_consistency():
     from tensorcircuit_ng_tpu.core import linalg as L
     from tensorcircuit_ng_tpu.models.mpscircuit import MPSCircuit
@@ -456,6 +457,7 @@ def test_jacobi_svd_pallas_interpret():
         KJ._INTERPRET = old
 
 
+@pytest.mark.slow  # 20 s; exercises the non-default ML_MODE='xla' block path
 def test_zzrx_multilayer_reference_and_interpret():
     """Whole-block multi-layer kernel == stacked per-layer path (values+grads)."""
     from tensorcircuit_ng_tpu.core import kernels

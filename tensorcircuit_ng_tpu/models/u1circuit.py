@@ -282,9 +282,10 @@ class U1Circuit(AbstractCircuit):
                 x = [q for q, v in enumerate(ps) if v == 1]
                 y = [q for q, v in enumerate(ps) if v == 2]
                 z = [q for q, v in enumerate(ps) if v == 3]
-            term = coefficients[j] * self.expectation_ps(x=x, y=y, z=z).astype(
-                coefficients.dtype
-            )
+            ev = self.expectation_ps(x=x, y=y, z=z)
+            if not jnp.issubdtype(jnp.asarray(coefficients).dtype, jnp.complexfloating):
+                ev = jnp.real(ev)  # complex->real astype raises in newer jax
+            term = coefficients[j] * ev.astype(coefficients.dtype)
             acc = term if acc is None else acc + term
         return acc
 

@@ -54,7 +54,7 @@ _PLATFORM: Optional[Any] = None
 
 _QCIS_1Q = {
     "x": "X", "y": "Y", "z": "Z", "h": "H", "s": "S", "sd": "SD",
-    "t": "T", "td": "TD", "i": "I",
+    "t": "T", "td": "TD", "i": "I", "sx": "X2P",
 }
 
 
@@ -558,17 +558,25 @@ def submit_task(
         source = sources if isinstance(circuit, (list, tuple)) else sources[0]
     single = isinstance(source, str)
     sources = [source] if single else list(source)
+    if isinstance(shots, (list, tuple)):
+        if len(shots) != len(sources):
+            raise ValueError(
+                f"per-circuit shots list has length {len(shots)} for {len(sources)} circuits"
+            )
+        shots_list = [int(s) for s in shots]
+    else:
+        shots_list = [int(shots)] * len(sources)
     tasks = []
-    for src in sources:
+    for src, nshots in zip(sources, shots_list):
         tid = pf.submit_experiment(
             qcis=src,
             machine=device.name,
-            shots=int(shots) if not isinstance(shots, (list, tuple)) else int(shots[0]),
+            shots=nshots,
             exp_name=exp_name or f"tc_exp_{uuid.uuid4().hex[:8]}",
         )
         t = Task(str(tid), device)
         t._source = src  # for resubmission
-        t._shots = int(shots) if not isinstance(shots, (list, tuple)) else int(shots[0])
+        t._shots = nshots
         tasks.append(t)
     return tasks[0] if single else tasks
 

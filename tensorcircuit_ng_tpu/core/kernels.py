@@ -278,17 +278,23 @@ def fused_zzrx_multilayer(
     # qubits + 8 lane qubits (a 256x256 lane matmul is still trivial MXU work)
     nrow = min(n - _LANE_QUBITS, kml.MAX_ML_ROW_QUBITS)
     nlane = n - nrow
-    if (
-        ML_MODE == "perlayer"
-        or nrow < 1
-        or nlane > 10
-        or len(pairs) > kml.MAX_ML_PAIRS
+    # stack-path viability: its outer-kron unitary is (2^nouter)^2 — cap
+    # nouter at the lane width (mout <= 128x128) so the outer matmul stays
+    # trivial MXU work; per-layer kernels handle any pair count (sign
+    # columns pad to the next lane multiple)
+    nouter_s = max(0, (n - _LANE_QUBITS) - kernels_rowlayer.MAX_KERNEL_QUBITS_ZZRX)
+    stack_ok = n > _LANE_QUBITS and nouter_s <= _LANE_QUBITS
+    if ML_MODE == "perlayer" or (ML_MODE == "stack" and not stack_ok) or (
+        ML_MODE == "xla" and n < 10
+    ) or (
+        ML_MODE not in ("stack", "xla")
+        and (nrow < 1 or nlane > 10 or len(pairs) > kml.MAX_ML_PAIRS)
     ):
         psi = state
         for l in range(L):
             psi = fused_zzrx_layer(psi, pairs, zz_thetas[l], rx_thetas[l])
         return psi
-    if ML_MODE == "stack" and n > _LANE_QUBITS and len(pairs) <= kml.MAX_ML_PAIRS:
+    if ML_MODE == "stack":
         from . import kernels_stack as kst
         from ..ops.gates import rx_matrix
 
@@ -313,7 +319,7 @@ def fused_zzrx_multilayer(
             pairs, n, psi, zz_thetas, rx_thetas[:, nouter:nrow_s], mout, mlane
         )
         return jnp.reshape(psi, (-1,))
-    if ML_MODE == "xla" and n >= 10:
+    if ML_MODE == "xla":
         gb = min(3, n - 14) if n > 14 else 0
         cb = min(7, n - gb - 1)
         return kml.zzrx_multilayer_xla(

@@ -79,16 +79,20 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
 
 
-def _sign_matrices(pairs, n, nrow, lanes):
-    """Host-side (Srow, Slane) f32 sign factors; columns padded to 128.
+def _sign_matrices(pairs, n, nrow, lanes, p_cols=None):
+    """Host-side (Srow, Slane) f32 sign factors; columns padded to ``p_cols``.
 
     Global index = row * lanes + lane; qubit a lives at bit p = n-1-a from
     the LSB, lane bits are p < log2(lanes).  For pair k,
-    ``z_a z_b = Srow[row, k] * Slane[lane, k]``.
+    ``z_a z_b = Srow[row, k] * Slane[lane, k]``.  Default padding is the
+    grid-kernel budget MAX_ML_PAIRS; the per-layer path passes a wider
+    lane-aligned width when a layer has more than 128 pairs.
     """
     lane_bits = int(math.log2(lanes))
     npairs = len(pairs)
-    p_cols = MAX_ML_PAIRS
+    if p_cols is None:
+        p_cols = MAX_ML_PAIRS
+    assert npairs <= p_cols, (npairs, p_cols)
     srow = np.zeros((2**nrow, p_cols), np.float32)
     slane = np.zeros((lanes, p_cols), np.float32)
     rows = np.arange(2**nrow)

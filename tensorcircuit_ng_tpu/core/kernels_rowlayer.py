@@ -1013,14 +1013,20 @@ def _zzrx_compiler_params():
 
 
 def _zzrx_sign_inputs(pairs, n, zzth, r, lanes):
-    """Padded theta row + (Srow, Slane) sign matrices for the zz stage."""
+    """Padded theta row + (Srow, Slane) sign matrices for the zz stage.
+
+    Unlike the grid kernel (hard MAX_ML_PAIRS budget), this per-layer path
+    handles ANY pair count: columns pad up to the next lane multiple (128)
+    above npairs, and every kernel shape derives from that width.
+    """
     import math as _math
 
     from .kernels_multilayer import MAX_ML_PAIRS, _sign_matrices
 
     npairs = zzth.shape[0]
-    zzp = jnp.pad(zzth, (0, MAX_ML_PAIRS - npairs))[None, :]
-    srow, slane = _sign_matrices(pairs, n, int(_math.log2(r)), lanes)
+    p_cols = max(MAX_ML_PAIRS, -(-npairs // 128) * 128)
+    zzp = jnp.pad(zzth, (0, p_cols - npairs))[None, :]
+    srow, slane = _sign_matrices(pairs, n, int(_math.log2(r)), lanes, p_cols)
     return zzp, jnp.asarray(srow), jnp.asarray(slane)
 
 

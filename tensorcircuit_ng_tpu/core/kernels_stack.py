@@ -65,14 +65,6 @@ def _outer_apply(mor, moi, xr, xi):
     return yr, yi
 
 
-def _outer_unapply(mor, moi, yr, yi):
-    """x = conj(mo)^T @ y on the leading axis (mo unitary)."""
-    cdim = (((0,), (0,)),)
-    xr = _dot(mor, yr, cdim[0]) + _dot(moi, yi, cdim[0])
-    xi = _dot(mor, yi, cdim[0]) - _dot(moi, yr, cdim[0])
-    return xr, xi
-
-
 def _outer_walk(mor, moi, cr, ci):
     """ct <- mo^T @ ct (transpose walk, non-conjugating convention)."""
     cdim = (((0,), (0,)),)

@@ -599,8 +599,17 @@ class BaseCircuit(AbstractCircuit):
             # above the dense-memory cliff no 2^n object may exist; sample
             # autoregressively through planned light-cone contractions of
             # projector expectations (the reference degrades to
-            # perfect_sampling here; its TN path is this path's role)
-            return self._sample_large_n(nbatch, batch, format, status, jittable)
+            # perfect_sampling here; its TN path is this path's role);
+            # allow_state is moot here — the dense state cannot exist
+            return self._sample_large_n(
+                nbatch,
+                batch,
+                format,
+                status,
+                jittable,
+                readout_error=readout_error,
+                random_generator=random_generator,
+            )
         if allow_state:
             p = self.probability()
             p = p / jnp.sum(p)
@@ -653,6 +662,8 @@ class BaseCircuit(AbstractCircuit):
         format: Optional[str],
         status: Optional[Tensor],
         jittable: bool,
+        readout_error: Optional[Tensor] = None,
+        random_generator: Optional[Any] = None,
     ) -> Any:
         """Autoregressive sampling without any 2^n object.
 
@@ -668,20 +679,43 @@ class BaseCircuit(AbstractCircuit):
         n = self._nqubits
         d = self._d
         if status is None:
-            rng = np.random.default_rng()
-            status_np = rng.uniform(size=(nbatch, n))
+            if random_generator is not None:
+                status_np = np.asarray(
+                    jax.device_get(K.stateful_randu(random_generator, shape=[nbatch, n]))
+                )
+            else:
+                rng = np.random.default_rng()
+                status_np = rng.uniform(size=(nbatch, n))
         else:
             status_np = np.asarray(jax.device_get(status)).reshape(nbatch, n)
-        proj = [np.zeros((d, d), dtype=np.complex64) for _ in range(d)]
-        for v in range(d):
-            proj[v][v, v] = 1.0
-        def joint(ops: List[Tuple[Any, List[int]]]) -> float:
-            v = _ctr.contract_ir(self.expectation_before(*ops))
-            return max(float(np.real(np.asarray(jax.device_get(v)))), 0.0)
+        # One jitted program per prefix LENGTH (wires 0..q), with the
+        # projector diagonals as TRACED real inputs: reused across shots and
+        # outcomes (n programs total, not batch*n*d), and — critical on the
+        # axon TPU — no complex value ever crosses the jit boundary and no
+        # eager einsum chain runs on complex device arrays (CLAUDE.md
+        # complex rule; gate tensors enter as numpy constants).
+        joint_fns: Dict[int, Any] = {}
+
+        def joint(outcomes_ints: List[int]) -> float:
+            q = len(outcomes_ints) - 1
+            if q not in joint_fns:
+
+                def f(outcomes: Tensor, _q: int = q) -> Tensor:
+                    diags = jax.nn.one_hot(outcomes, d, dtype=jnp.float32)
+                    ops = [
+                        (jnp.eye(d, dtype=jnp.complex64) * diags[i][None, :], [i])
+                        for i in range(_q + 1)
+                    ]
+                    val = _ctr.contract_ir(self.expectation_before(*ops))
+                    return jnp.real(jnp.reshape(val, ()))
+
+                joint_fns[q] = jax.jit(f)
+            v = joint_fns[q](jnp.asarray(outcomes_ints, dtype=jnp.int32))
+            return max(float(v), 0.0)
 
         samples = np.zeros((nbatch, n), dtype=np.int32)
         for b in range(nbatch):
-            fixed: List[Tuple[Any, List[int]]] = []
+            prefix: List[int] = []
             p_prefix = 1.0
             for q in range(n):
                 # draw from P(q = v | prefix) = P(prefix ∧ v) / P(prefix)
@@ -690,7 +724,7 @@ class BaseCircuit(AbstractCircuit):
                 outcome = d - 1
                 p_joint = None
                 for v in range(d - 1):
-                    pv = joint(fixed + [(proj[v], [q])])
+                    pv = joint(prefix + [v])
                     if r < acc + pv:
                         outcome = v
                         p_joint = pv
@@ -699,8 +733,20 @@ class BaseCircuit(AbstractCircuit):
                 if p_joint is None:  # last outcome takes the remainder
                     p_joint = max(p_prefix - acc, 1e-30)
                 samples[b, q] = outcome
-                fixed = fixed + [(proj[outcome], [q])]
+                prefix = prefix + [outcome]
                 p_prefix = max(p_joint, 1e-30)
+        if readout_error is not None:
+            if d != 2:
+                raise NotImplementedError("readout_error needs qubits (d=2)")
+            # stochastic per-bit confusion: readout_error[i] = [P(0|0), P(1|1)]
+            err = np.asarray(jax.device_get(jnp.asarray(readout_error)), dtype=np.float64)
+            # deterministic given the sampling status tensor (cross-process)
+            import zlib
+
+            rng_ro = np.random.default_rng(zlib.crc32(status_np.tobytes()))
+            keep = np.where(samples == 0, err[None, :, 0], err[None, :, 1])
+            flips = rng_ro.uniform(size=samples.shape) >= keep
+            samples = np.where(flips, 1 - samples, samples).astype(np.int32)
         samples_j = jnp.asarray(samples)
         if format is None:
             if batch is None:

@@ -388,3 +388,26 @@ def test_sample_above_dense_cliff_uses_ir_path():
     z = 1 - 2 * samples
     np.testing.assert_allclose(np.mean(z[:, 0] * z[:, 5]), 1.0, atol=1e-9)
     assert abs(np.mean(samples[:, 0] == 0) - 0.5) < 0.15
+
+
+def test_sample_large_n_readout_error_and_generator():
+    """The above-the-cliff branch honors readout_error (stochastic per-bit
+    confusion) and random_generator (regression: both were silently ignored)."""
+    from tensorcircuit_ng_tpu.models import basecircuit
+
+    old = basecircuit.BaseCircuit._DENSE_MAX_QUBITS
+    basecircuit.BaseCircuit._DENSE_MAX_QUBITS = 3
+    try:
+        n = 5
+        c = tc.Circuit(n)  # |00000>: any 1 observed must come from readout error
+        err = jnp.asarray([[0.7, 1.0]] * n)  # P(0|0)=0.7 -> ~30% flips 0->1
+        status = jnp.asarray(np.random.default_rng(1).uniform(size=(200, n)))
+        out = c.sample(batch=200, format="sample_bin", status=status, readout_error=err)
+        flips = float(np.mean(np.asarray(out)))
+        assert 0.2 < flips < 0.4, flips
+        # without readout error all-zero; generator supplies the status
+        g = jax.random.PRNGKey(3) if hasattr(jax.random, "PRNGKey") else None
+        out2 = c.sample(batch=8, format="sample_bin", random_generator=g)
+        assert np.all(np.asarray(out2) == 0)
+    finally:
+        basecircuit.BaseCircuit._DENSE_MAX_QUBITS = old

@@ -258,6 +258,50 @@ def test_zzrx_kernel_reference_and_interpret():
             assert float(jnp.abs(jnp.reshape(a, (-1,)) - jnp.reshape(b, (-1,))).max()) < 1e-3
 
 
+def test_zzrx_kernel_over_128_pairs():
+    """Sign-column padding widens past the 128 budget (regression: n>=17
+    all-to-all layers crashed with a negative pad width)."""
+    from tensorcircuit_ng_tpu.core import kernels_rowlayer as kr
+    from tensorcircuit_ng_tpu.core import kernels
+    from tensorcircuit_ng_tpu.core import statevec as sv
+
+    n = 9
+    base = [(i, j) for i in range(n) for j in range(i + 1, n)]  # 36
+    pairs = tuple((base * 4)[:140])  # zz phases commute; duplicates are legal
+    rng = np.random.default_rng(5)
+    psi = rng.normal(size=(2**n,)) + 1j * rng.normal(size=(2**n,))
+    psi = (psi / np.linalg.norm(psi)).astype(np.complex64)
+    state2d = jnp.asarray(psi.reshape(2 ** (n - 7), 128))
+    zzth = jnp.asarray(rng.normal(size=len(pairs)) * 0.1, dtype=jnp.float32)
+    rxth = jnp.asarray(rng.normal(size=2) * 0.3, dtype=jnp.float32)
+    w = jnp.asarray(
+        (rng.normal(size=(2**n,)) + 1j * rng.normal(size=(2**n,))).astype(np.complex64)
+    )
+
+    def via_kernel(zt, rt):
+        y = kr.zzrx_row_layer(pairs, n, state2d, zt, rt)
+        return jnp.real(jnp.vdot(w, jnp.reshape(y, (-1,))))
+
+    def via_plain(zt, rt):
+        from tensorcircuit_ng_tpu.ops.gates import rx_matrix
+
+        s = jnp.reshape(state2d, (-1,))
+        s = sv.apply_zz_product_phase(s, pairs, zt)
+        for q in range(2):
+            s = sv.apply_unitary(s, rx_matrix(rt[q]).astype(s.dtype), [q])
+        return jnp.real(jnp.vdot(w, s))
+
+    v2, g2 = jax.value_and_grad(via_plain, argnums=(0, 1))(zzth, rxth)
+    kernels.set_interpret_mode(True)
+    try:
+        v1, g1 = jax.value_and_grad(via_kernel, argnums=(0, 1))(zzth, rxth)
+    finally:
+        kernels.set_interpret_mode(False)
+    assert abs(float(v1 - v2)) < 1e-4
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
 def test_zzrx_layer_circuit_equivalence():
     # multi-block + outer-qubit configuration via a shrunken kernel budget
     from tensorcircuit_ng_tpu.core import kernels_rowlayer as kr
@@ -457,9 +501,14 @@ def test_jacobi_svd_pallas_interpret():
         KJ._INTERPRET = old
 
 
-@pytest.mark.slow  # 20 s; exercises the non-default ML_MODE='xla' block path
+@pytest.mark.slow  # ~1 min; every ML_MODE dispatch (stack/xla/whole-block)
 def test_zzrx_multilayer_reference_and_interpret():
-    """Whole-block multi-layer kernel == stacked per-layer path (values+grads)."""
+    """All fused_zzrx_multilayer modes == stacked per-layer path (values+grads).
+
+    Loops ML_MODE over the production 'stack' path, the pure-matmul 'xla'
+    variant, and the whole-block kernels_multilayer grid kernel ('pallas'),
+    the latter two in interpret mode too — these have no other coverage.
+    """
     from tensorcircuit_ng_tpu.core import kernels
 
     n, L = 9, 2
@@ -484,15 +533,25 @@ def test_zzrx_multilayer_reference_and_interpret():
         return jnp.real(jnp.vdot(w, y)) + jnp.imag(jnp.vdot(w, y * y))
 
     v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1))(zz, rx)
-    for interp in (False, True):
-        kernels.set_interpret_mode(interp)
-        try:
-            v1, g1 = jax.value_and_grad(loss_ml, argnums=(0, 1))(zz, rx)
-        finally:
-            kernels.set_interpret_mode(False)
-        np.testing.assert_allclose(float(v1), float(v2), atol=2e-4)
-        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=2e-3)
-        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=2e-3)
+    old_mode = kernels.ML_MODE
+    try:
+        for mode, interp in (
+            ("stack", False),
+            ("stack", True),
+            ("xla", False),
+            ("pallas", True),  # whole-block grid kernel, interpret only on CPU
+        ):
+            kernels.ML_MODE = mode
+            kernels.set_interpret_mode(interp)
+            try:
+                v1, g1 = jax.value_and_grad(loss_ml, argnums=(0, 1))(zz, rx)
+            finally:
+                kernels.set_interpret_mode(False)
+            np.testing.assert_allclose(float(v1), float(v2), atol=2e-4, err_msg=mode)
+            np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=2e-3, err_msg=mode)
+            np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=2e-3, err_msg=mode)
+    finally:
+        kernels.ML_MODE = old_mode
 
 
 def test_zzrx_multilayer_circuit_grouping():

@@ -283,11 +283,14 @@ def choose_slices(
             {i for inp in sub_ir.inputs for i in inp} | set(sub_ir.output)
         )
         sym2id = {oe.get_symbol(k): i for k, i in enumerate(ids)}
-        # most frequent index (among network inputs) in the big intermediate
+        # most frequent index (among network inputs) in the big intermediate;
+        # NEVER slice an open output index — sliced_contract_ir SUMS over
+        # slices, which would marginalize an output leg
+        out_set = set(ir.output)
         freq: Dict[int, int] = {}
         for ch in big_inds:
             iid = sym2id.get(ch)
-            if iid is None:
+            if iid is None or iid in out_set:
                 continue
             freq[iid] = sum(1 for inp in cur_inputs if iid in inp)
         if not freq:
@@ -312,6 +315,12 @@ def sliced_contract_ir(
     """
     import opt_einsum as oe
 
+    bad = [i for i in sliced_indices if i in set(ir.output)]
+    if bad:
+        raise ValueError(
+            f"cannot slice open output indices {bad}: the slice sum would "
+            "marginalize an output leg"
+        )
     d_sizes = [ir.size_dict[i] for i in sliced_indices]
     nslices = int(np.prod(d_sizes)) if sliced_indices else 1
     if slice_ids is None:
@@ -478,9 +487,9 @@ def contraction_info_decorator(f: Any) -> Any:
             info = contraction_info(out if isinstance(out, EinsumIR) else args[0])
             print(
                 "------ contraction cost summary ------\n"
-                f"log10[FLOPs]: {info.get('log10_flops', 0):.3f}  "
-                f"log2[SIZE]: {info.get('log2_size', 0):.1f}  "
-                f"log2[WRITE]: {info.get('log2_write', 0):.1f}"
+                f"log10[FLOPs]: {info.get('log10[FLOPs]', 0):.3f}  "
+                f"log2[SIZE]: {info.get('log2[SIZE]', 0):.1f}  "
+                f"ops: {len(info.get('path', []))}"
             )
         except Exception:  # pragma: no cover
             pass

@@ -615,6 +615,10 @@ class BaseCircuit(AbstractCircuit):
             p = p / jnp.sum(p)
             if readout_error is not None:
                 p = self.readouterror_bs(readout_error, p)
+            if status is not None and jnp.asarray(status).ndim == 2:
+                # accept the trajectory-path convention [batch, n] too: the
+                # dense path needs one uniform per shot
+                status = jnp.asarray(status)[:, 0]
             idx = K.probability_sample(nbatch, p, status=status, g=random_generator)
             if format is None:
                 # legacy: list of (bitstring tensor, -1.0)

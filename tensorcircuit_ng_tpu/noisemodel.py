@@ -57,15 +57,21 @@ class NoiseConf:
             self.nc["readout"] = kraus
             self.has_readout = True
             return
+        entry = self.nc.get(gate_name)
+        if not isinstance(entry, dict):
+            entry = {}
         if qubit is None:
-            self.nc[gate_name] = {"any": kraus}
+            # APPEND: repeated add_noise on a gate stacks channels (the
+            # reference stores a list; replacing would silently drop earlier
+            # registrations)
+            entry["any"] = self._as_channels(entry.get("any") or []) + self._as_channels(kraus)
         else:
-            entry = self.nc.get(gate_name)
-            if not isinstance(entry, dict):
-                entry = {}
             for ks, q in zip(kraus, qubit):
-                entry[tuple(q)] = ks
-            self.nc[gate_name] = entry
+                prev = entry.get(tuple(q))
+                entry[tuple(q)] = (
+                    self._as_channels(prev) if prev is not None else []
+                ) + self._as_channels(ks)
+        self.nc[gate_name] = entry
         self.has_quantum = True
 
     def add_noise_by_condition(
@@ -78,7 +84,9 @@ class NoiseConf:
     def _as_channels(ks: Any) -> List[Any]:
         """Normalize: a channel is a sequence of Gates/matrices; accept both
         a bare channel and a list of channels (reference tolerates both)."""
-        if isinstance(ks, (list, tuple)) and ks and isinstance(ks[0], (list, tuple)):
+        if isinstance(ks, (list, tuple)) and not ks:
+            return []
+        if isinstance(ks, (list, tuple)) and isinstance(ks[0], (list, tuple)):
             return list(ks)
         return [ks]
 
@@ -102,29 +110,33 @@ class NoiseConf:
 
 
     def channel_count(self, c: Any) -> int:
-        """Total stochastic channels a noisy run of ``c`` contains (ref :127)."""
-        count = 0
-        for item in c.to_qir():
-            for ks in self.channels_for(item):
-                nsite = int(round(np.log2(np.asarray(
-                    ks[0].matrix() if hasattr(ks[0], "matrix") else ks[0]
-                ).shape[-1])))
-                count += 1 if nsite == len(item["index"]) else len(item["index"])
-        return count
+        """Total stochastic channel SITES a noisy run of ``c`` contains —
+        exactly the number of status scalars the apply loop consumes
+        (ref :127)."""
+        return sum(
+            _channel_sites(ks, item["index"])
+            for item in c.to_qir()
+            for ks in self.channels_for(item)
+        )
+
+
+def _channel_sites(ks: Any, index: Sequence[int]) -> int:
+    """Status scalars one channel consumes on a gate at ``index``: one if the
+    channel matches the gate arity, else one per qubit (broadcast).  The
+    single source of truth shared by every counter AND the apply loops."""
+    first = ks[0].matrix() if hasattr(ks[0], "matrix") else np.asarray(ks[0])
+    nsite = int(round(np.log2(np.asarray(first).shape[-1])))
+    return 1 if nsite == len(index) else len(index)
 
 
 def channel_count(c: Any, noise_conf: Optional[NoiseConf] = None) -> int:
-    """Number of stochastic channels a noisy run of ``c`` will contain."""
+    """Number of status scalars a noisy run of ``c`` will consume."""
+    cnt = sum(1 for item in c.to_qir() if item.get("is_channel"))
     if noise_conf is None:
-        return sum(1 for item in c.to_qir() if item.get("is_channel"))
-    cnt = 0
+        return cnt
     for item in c.to_qir():
-        if item.get("is_channel"):
-            cnt += 1
-        chs = noise_conf.channels_for(item)
-        for ks in chs:
-            # one status scalar per site the channel acts on
-            cnt += 1
+        for ks in noise_conf.channels_for(item):
+            cnt += _channel_sites(ks, item["index"])
     return cnt
 
 
@@ -147,9 +159,7 @@ def apply_qir_with_noise(
         c._apply_qir_item(item)
         for ks in noise_conf.channels_for(item):
             index = item["index"]
-            first = ks[0].matrix() if hasattr(ks[0], "matrix") else np.asarray(ks[0])
-            nsite = int(round(np.log2(np.asarray(first).shape[-1])))
-            targets = [index] if nsite == len(index) else [(q,) for q in index]
+            targets = [index] if _channel_sites(ks, index) == 1 else [(q,) for q in index]
             for tgt in targets:
                 if is_mc:
                     st = status[k] if status is not None else None
@@ -182,11 +192,7 @@ def circuit_with_noise(
         for ks in noise_conf.channels_for(item):
             index = item["index"]
             # single-qubit channels broadcast over the gate's qubits
-            nsite = int(round(np.log2(ks[0].matrix().shape[0]))) if hasattr(ks[0], "matrix") else int(round(np.log2(np.asarray(ks[0]).shape[-1])))
-            if nsite == len(index):
-                targets = [index]
-            else:
-                targets = [(q,) for q in index]
+            targets = [index] if _channel_sites(ks, index) == 1 else [(q,) for q in index]
             for tgt in targets:
                 if is_mc:
                     st = status[k] if status is not None else None
@@ -201,13 +207,11 @@ def circuit_with_noise(
 
 
 def _mc_channel_count(c: Any, noise_conf: NoiseConf) -> int:
-    cnt = 0
-    for item in c.to_qir():
-        for ks in noise_conf.channels_for(item):
-            index = item["index"]
-            nsite = int(round(np.log2(ks[0].matrix().shape[0]))) if hasattr(ks[0], "matrix") else 1
-            cnt += 1 if nsite == len(index) else len(index)
-    return cnt
+    return sum(
+        _channel_sites(ks, item["index"])
+        for item in c.to_qir()
+        for ks in noise_conf.channels_for(item)
+    )
 
 
 def expectation_noisfy(

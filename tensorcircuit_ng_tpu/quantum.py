@@ -1191,12 +1191,12 @@ def measurement_counts(
     if is_prob:
         p = jnp.real(state)
     else:
-        flat = jnp.reshape(state, (-1,))
-        size = flat.shape[0]
-        nq = int(round(math.log2(size) / math.log2(d)))
-        if state.ndim == 2 and state.shape[0] == state.shape[1] and state.shape[0] == d**nq:
+        if state.ndim == 2 and state.shape[0] == state.shape[1] and state.shape[0] > 1:
+            # square 2-D input is a density matrix: probabilities are its
+            # diagonal (reference quantum.py:3717 DM support)
             p = jnp.real(jnp.diagonal(state))
         else:
+            flat = jnp.reshape(state, (-1,))
             p = jnp.real(jnp.conj(flat) * flat)
     p = p / jnp.sum(p)
     n = int(round(math.log2(p.shape[0]) / math.log2(d)))

@@ -28,6 +28,8 @@ __all__ = [
     "lanczos_iteration_scan",
     "krylov_evol",
     "hamiltonian_evol",
+    "hamiltonian_evol_real",
+    "ed_evol",
     "expm_multiply",
     "ode_evol_local",
     "ode_evol_global",
@@ -115,15 +117,48 @@ def krylov_evol(
 
 
 def hamiltonian_evol(
+    h: Tensor,
+    psi0: Tensor,
+    tlist: Tensor,
+    callback: Optional[Callable[[Tensor], Tensor]] = None,
+) -> Tensor:
+    r"""Imaginary-time evolution exp(-t H)|psi0⟩, normalized per time point.
+
+    Reference semantics and argument order (``timeevol.py:481-560``; also
+    exported as ``ed_evol``): each state is renormalized, so long times
+    project onto the ground state.  For real-time dynamics use
+    :func:`hamiltonian_evol_real`.
+    """
+    h = jnp.asarray(h)
+    psi0 = jnp.asarray(psi0)
+    e, v = jnp.linalg.eigh(h)
+    proj = jnp.conj(v.T) @ psi0.astype(v.dtype)
+
+    def one(t):
+        weights = jnp.exp(-e * jnp.real(t).astype(e.dtype))
+        psi_t = v @ (weights.astype(v.dtype) * proj)
+        psi_t = psi_t / jnp.linalg.norm(psi_t)
+        if callback is not None:
+            return callback(psi_t)
+        return psi_t
+
+    tlist = jnp.asarray(tlist)
+    return jax.vmap(one)(tlist) if tlist.ndim > 0 else one(tlist)
+
+
+ed_evol = hamiltonian_evol  # reference alias
+
+
+def hamiltonian_evol_real(
     tlist: Tensor,
     h: Tensor,
     psi0: Tensor,
     callback: Optional[Callable[[Tensor], Tensor]] = None,
 ) -> Tensor:
-    r"""Exact dense evolution by eigendecomposition (reference ``:481-560``).
+    r"""Exact real-time evolution exp(-i H t)|psi0⟩ by eigendecomposition.
 
-    Note: follows the reference convention exp(-H t) ... actually evolves with
-    exp(-i H t) on real times.
+    Dense oracle used by the Krylov/Chebyshev/ODE tests; unlike
+    :func:`hamiltonian_evol` the state is NOT renormalized (unitary already).
     """
     h = jnp.asarray(h)
     psi0 = jnp.asarray(psi0)
@@ -157,6 +192,13 @@ def expm_multiply(
     """
     hmvp = _mvp_of(h)
     psi0 = jnp.asarray(psi0)
+    if not jnp.issubdtype(psi0.dtype, jnp.complexfloating) and (
+        isinstance(prefactor, complex) and prefactor.imag != 0
+    ):
+        # a real initial state with a complex prefactor must upcast (the
+        # reference casts to dtypestr first); casting -1j INTO a real dtype
+        # raises instead
+        psi0 = psi0.astype(jnp.dtype(config.dtypestr()))
     t = jnp.asarray(t)
     coef = jnp.asarray(prefactor, dtype=psi0.dtype) * t.astype(psi0.dtype)
     if s is None:
@@ -405,7 +447,7 @@ def chebyshev_evol(
     intentionally not renormalized (norm error is an accuracy check).
     """
     if M is None:
-        M = k if k is not None else estimate_M(spectral_bounds, t)
+        M = estimate_M(t, spectral_bounds, k)
     emax, emin = spectral_bounds
     a = (emax - emin) / 2.0
     b = (emax + emin) / 2.0
@@ -444,43 +486,47 @@ def chebyshev_evol(
     return phase * acc
 
 
-def estimate_spectral_bounds(h: Any, n_iter: int = 30, dim: Optional[int] = None, key: Any = None) -> Tuple[float, float]:
-    """(Emax, Emin) by power iteration on H and shifted H (reference ``:1040``)."""
+def estimate_spectral_bounds(
+    h: Any,
+    n_iter: int = 30,
+    psi0: Optional[Any] = None,
+    shape: Optional[Sequence[int]] = None,
+) -> Tuple[float, float]:
+    """(Emax, Emin) by Lanczos tridiagonalization (reference ``:1017-1075``).
+
+    Ritz values of the Krylov subspace converge to BOTH spectral edges
+    simultaneously — a power iteration only finds the largest-|λ| end and,
+    for typical Hamiltonians with |Emin| > |Emax|, never sees Emax.
+    """
     hmvp = _mvp_of(h)
-    if dim is None:
-        hm = jnp.asarray(h) if hasattr(h, "shape") else None
-        dim = hm.shape[0]
-    if key is None:
-        key = jax.random.PRNGKey(42)
-    v = jax.random.normal(key, (dim,), dtype=jnp.float32).astype(jnp.dtype(config.dtypestr()))
-    v = v / jnp.linalg.norm(v)
-    for _ in range(n_iter):
-        w = hmvp(v)
-        lam_max = jnp.real(jnp.vdot(v, w))
-        v = w / jnp.linalg.norm(w)
-    lam_abs = jnp.real(jnp.vdot(v, hmvp(v)))
-    # shift-invert-free: iterate on (lam_abs I - H) for the other end
-    u = jax.random.normal(jax.random.fold_in(key, 1), (dim,), dtype=jnp.float32).astype(v.dtype)
-    u = u / jnp.linalg.norm(u)
-    shift = jnp.abs(lam_abs) + 1.0
-    for _ in range(n_iter):
-        w = shift.astype(u.dtype) * u - hmvp(u)
-        u = w / jnp.linalg.norm(w)
-    lam_min = jnp.real(jnp.vdot(u, hmvp(u)))
-    hi = jnp.maximum(lam_abs, lam_min)
-    lo = jnp.minimum(lam_abs, lam_min)
-    return float(hi), float(lo)
+    if psi0 is None:
+        if shape is None:
+            shape = jnp.asarray(h).shape if hasattr(h, "shape") else None
+        dim = int(shape[-1])
+        psi0 = np.random.default_rng(42).normal(size=dim)
+    psi0 = jnp.asarray(psi0, dtype=jnp.dtype(config.dtypestr()))
+    psi0 = psi0 / jnp.linalg.norm(psi0)
+    n_iter = min(n_iter, psi0.shape[0])
+    t_mat, _ = lanczos_iteration_scan(hmvp, psi0, n_iter)
+    ritz = np.linalg.eigvalsh(np.asarray(jax.device_get(jnp.real(t_mat))))
+    return float(ritz[-1]), float(ritz[0])
 
 
-def estimate_M(spectral_bounds: Tuple[float, float], t: float, eps: float = 1e-12) -> int:
-    """Chebyshev order needed for time t (reference ``estimate_M``)."""
+def estimate_k(t: float, spectral_bounds: Tuple[float, float]) -> int:
+    """Chebyshev truncation order for time t (reference ``:978-992``)."""
     emax, emin = spectral_bounds
     tau = abs((emax - emin) / 2.0 * t)
-    m = int(math.ceil(1.2 * tau + 20))
-    return max(m, 10)
+    return max(int(1.1 * tau), int(tau + 20))
 
 
-estimate_k = estimate_M
+def estimate_M(t: float, spectral_bounds: Tuple[float, float], k: Optional[int] = None) -> int:
+    """Bessel-iteration count for the Chebyshev evolution (reference ``:995-1014``)."""
+    emax, emin = spectral_bounds
+    tau = abs((emax - emin) / 2.0 * t)
+    if k is None:
+        k = estimate_k(t, spectral_bounds)
+    m = max(k, int(tau)) + int(15.0 * math.sqrt(tau))
+    return max(m, k + 30)
 
 
 # ======================================================================
@@ -559,7 +605,3 @@ def expm_multiply_evol(
     return outs[0] if np.ndim(times_np) == 0 else jnp.stack(outs)
 
 
-def estimate_k(t: float, spectral_radius: float, safety: float = 1.2) -> int:
-    """Chebyshev order estimate k ≳ e·|t|·R/2 (reference ``estimate_k``)."""
-    k = int(_math.ceil(safety * (_math.e * abs(t) * spectral_radius / 2.0 + 10)))
-    return k

@@ -22,7 +22,10 @@ def test_noise_conf_conditions_and_counts():
     conf.add_noise("h", [dep])
     conf.add_noise_by_condition(lambda item: len(item["index"]) == 2, [dep])
     c = build(tc.Circuit(2))
-    assert nm.channel_count(c, conf) == 2  # h on qubit 0 + the cnot
+    # h -> 1 status site; 1-qubit dep on the 2-qubit cnot broadcasts -> 2
+    # sites; the count equals what the MC apply loop consumes
+    assert nm.channel_count(c, conf) == 3
+    assert nm.channel_count(c, conf) == conf.channel_count(c) == nm._mc_channel_count(c, conf)
 
 
 def test_mc_trajectories_converge_to_exact_dm():

@@ -66,10 +66,10 @@ def test_entropy_shadow():
     ns = 4000
     rng = np.random.default_rng(13)
     strings = jnp.asarray(rng.integers(0, 3, size=(ns, n)), dtype=jnp.int32)
-    status = jnp.asarray(rng.uniform(size=(ns, 1)))
+    status = jnp.asarray(rng.uniform(size=(ns, 8)))
     snaps = shadows.shadow_snapshots(psi, strings, status)
     # subsystem qubit 0 is maximally mixed: purity 0.5 -> renyi2 = ln 2
-    s2 = float(shadows.renyi_entropy_2(snaps, strings, sub=[0]))
+    s2 = float(shadows.renyi_entropy_2(snaps, sub=[0]))
     np.testing.assert_allclose(s2, np.log(2), atol=0.3)
 
 

@@ -34,7 +34,7 @@ def test_krylov_vs_exact(highp):
     psi0[0] = 1.0
     psi0 = jnp.asarray(psi0, dtype=jnp.complex128)
     ts = jnp.asarray([0.2, 0.5, 1.0])
-    exact = timeevol.hamiltonian_evol(ts, h, psi0)
+    exact = timeevol.hamiltonian_evol_real(ts, h, psi0)
     kry = timeevol.krylov_evol(h, psi0, ts, subspace_dimension=20)
     np.testing.assert_allclose(np.asarray(kry), np.asarray(exact), atol=1e-6)
 
@@ -62,7 +62,7 @@ def test_chebyshev_evol(highp):
     psi0[0] = 1.0
     psi0 = jnp.asarray(psi0, dtype=jnp.complex128)
     t = 0.8
-    exact = timeevol.hamiltonian_evol(jnp.asarray(t), h, psi0)
+    exact = timeevol.hamiltonian_evol_real(jnp.asarray(t), h, psi0)
     e = np.linalg.eigvalsh(np.asarray(h))
     out = timeevol.chebyshev_evol(h, psi0, t, (float(e[-1]) + 0.1, float(e[0]) - 0.1))
     np.testing.assert_allclose(np.asarray(out), np.asarray(exact), atol=1e-6)
@@ -77,7 +77,7 @@ def test_expm_multiply(highp):
     psi0 = np.zeros(2**n)
     psi0[0] = 1.0
     psi0 = jnp.asarray(psi0, dtype=jnp.complex128)
-    exact = timeevol.hamiltonian_evol(jnp.asarray(0.5), h, psi0)
+    exact = timeevol.hamiltonian_evol_real(jnp.asarray(0.5), h, psi0)
     out = timeevol.expm_multiply(h, psi0, t=0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(exact), atol=1e-8)
 
@@ -90,7 +90,7 @@ def test_ode_evol_global(highp):
     psi0[0] = 1.0
     psi0 = jnp.asarray(psi0, dtype=jnp.complex128)
     ts = jnp.asarray([0.3, 0.6])
-    exact = timeevol.hamiltonian_evol(ts, h, psi0)
+    exact = timeevol.hamiltonian_evol_real(ts, h, psi0)
     out = timeevol.ode_evol_global(lambda t: h, psi0, ts)
     np.testing.assert_allclose(np.asarray(out), np.asarray(exact), atol=1e-5)
 

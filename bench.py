@@ -106,7 +106,9 @@ def main() -> None:
         c.h_layer()
         for l in range(nlayers):
             c.zzrx_layer(pairs, params[l, 0, : n - 1], params[l, 1])
-        return jnp.real(c.expectation_zz_sum(pairs)) - c.expectation_x_sum()
+        # fused readout: layers + ZZ/X energy in ONE custom-VJP boundary
+        # (== Re(c.expectation_zz_sum(pairs)) - c.expectation_x_sum())
+        return c.expectation_zzx_energy(pairs, 1.0, -1.0)
 
     vg = jax.value_and_grad(energy)
 

@@ -340,4 +340,88 @@ def fused_zzrx_multilayer(
     return jnp.reshape(psi, (-1,))
 
 
-__all__ += ["fused_zzrx_layer", "fused_zzrx_multilayer"]
+def fused_zzrx_multilayer_energy(
+    state: Tensor,
+    pairs: Any,
+    zz_thetas: Tensor,
+    rx_thetas: Tensor,
+    readout_pairs: Any = (),
+    zz_weight: float = 1.0,
+    x_weight: float = 1.0,
+) -> Tensor:
+    """L stacked zzrx layers + a ZZ/X-field energy readout, ONE VJP boundary.
+
+    E = zz_weight * Σ_{(a,b)∈readout_pairs} ⟨Z_a Z_b⟩ + x_weight * Σ_q ⟨X_q⟩
+    after applying the layers to ``state``.  On the stack path the readout
+    joins the custom-VJP boundary (plane-native mask dot + real block
+    sandwiches; its backward seed is saved in the forward —
+    :func:`kernels_stack.zzrx_stack_energy`).  ``zz_weight``/``x_weight``
+    must be static Python floats.  Falls back to layers + statevec readout
+    when the stack path is not viable (small n, non-complex64, other modes).
+    """
+    from . import statevec as sv
+
+    zz_thetas = jnp.asarray(zz_thetas)
+    rx_thetas = jnp.asarray(rx_thetas)
+    L, n = rx_thetas.shape
+    nq = int(round(math.log2(state.shape[0])))
+    assert nq == n, "one rx angle per qubit per layer required"
+    pairs = tuple((int(a), int(b)) for a, b in pairs)
+    readout_pairs = tuple((int(a), int(b)) for a, b in readout_pairs)
+    nouter_s = max(0, (n - _LANE_QUBITS) - kernels_rowlayer.MAX_KERNEL_QUBITS_ZZRX)
+    stack_ok = (
+        ML_MODE == "stack"
+        and n > _LANE_QUBITS
+        and nouter_s <= _LANE_QUBITS
+        and state.dtype == jnp.complex64
+    )
+    if not stack_ok:
+        psi = fused_zzrx_multilayer(state, pairs, zz_thetas, rx_thetas)
+        e = jnp.float32(0.0)
+        if zz_weight and readout_pairs:
+            e = e + jnp.float32(zz_weight) * jnp.real(
+                sv.expectation_zz_sum(psi, readout_pairs)
+            ).astype(jnp.float32)
+        if x_weight:
+            e = e + jnp.float32(x_weight) * jnp.real(
+                sv.expectation_x_sum(psi)
+            ).astype(jnp.float32)
+        return e
+    from . import kernels_stack as kst
+    from ..ops.gates import rx_matrix
+
+    nrow_s = n - _LANE_QUBITS
+    nkernel = min(nrow_s, kernels_rowlayer.MAX_KERNEL_QUBITS_ZZRX)
+    nouter = nrow_s - nkernel
+
+    def kron_m(th_block, transpose):
+        gs = jax.vmap(lambda t: rx_matrix(t).astype(state.dtype))(th_block)
+        m = gs[0]
+        for j in range(1, th_block.shape[0]):
+            m = jnp.kron(m, gs[j])
+        return m.T if transpose else m
+
+    mlane = jax.vmap(lambda th: kron_m(th, True))(rx_thetas[:, nrow_s:])
+    if nouter:
+        mout = jax.vmap(lambda th: kron_m(th, False))(rx_thetas[:, :nouter])
+    else:
+        mout = jnp.ones((L, 1, 1), state.dtype)
+    psi = jnp.reshape(state, (2**nrow_s, 2**_LANE_QUBITS))
+    return kst.zzrx_stack_energy(
+        pairs,
+        n,
+        psi,
+        zz_thetas,
+        rx_thetas[:, nouter:nrow_s],
+        mout,
+        mlane,
+        readout_pairs,
+        (float(zz_weight), float(x_weight)),
+    )
+
+
+__all__ += [
+    "fused_zzrx_layer",
+    "fused_zzrx_multilayer",
+    "fused_zzrx_multilayer_energy",
+]

@@ -36,9 +36,10 @@ at the HBM-traffic roofline.
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -46,7 +47,7 @@ from . import kernels_rowlayer as krl
 
 Tensor = Any
 
-__all__ = ["zzrx_stack_core"]
+__all__ = ["zzrx_stack_core", "zzrx_stack_energy"]
 
 _LANE_QUBITS = 7
 
@@ -191,6 +192,22 @@ def _stack_fwd(pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane):
 
 def _stack_bwd(pairs, n, res, ct):
     ks, zz_thetas, rx_kernel_thetas, mout, mlane = res
+    cr = jnp.real(ct).astype(jnp.float32)
+    ci = jnp.imag(ct).astype(jnp.float32)
+    ds, dzz, dth, dmo, dml = _adjoint_chain(
+        pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, cr, ci
+    )
+    return (
+        ds.astype(ct.dtype),
+        dzz.astype(jnp.asarray(zz_thetas).dtype),
+        dth.astype(jnp.asarray(rx_kernel_thetas).dtype),
+        dmo.astype(jnp.asarray(mout).dtype),
+        dml.astype(jnp.asarray(mlane).dtype),
+    )
+
+
+def _adjoint_chain(pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, cr, ci):
+    """Walk the L-layer adjoint from output-cotangent planes ``(cr, ci)``."""
     nrow, nkernel, nouter, nlane = _shapes(n)
     L = zz_thetas.shape[0]
     r, lanes = ks[0][0].shape
@@ -200,8 +217,6 @@ def _stack_bwd(pairs, n, res, ct):
     moi = jnp.imag(mout).astype(jnp.float32)
     mlr = jnp.real(mlane).astype(jnp.float32)
     mli = jnp.imag(mlane).astype(jnp.float32)
-    cr = jnp.real(ct).astype(jnp.float32)
-    ci = jnp.imag(ct).astype(jnp.float32)
     dzz, dth, dmo, dml = [], [], [], []
     tdim = (((1,), (1,)),)  # (D, M C) x (D, M C) -> matmul over flattened MC
     for l in range(L - 1, -1, -1):
@@ -243,14 +258,147 @@ def _stack_bwd(pairs, n, res, ct):
         )
         dzz.insert(0, dz)
         dth.insert(0, dt)
-    ds = (cr + 1j * ci).astype(ct.dtype)
-    return (
-        ds,
-        jnp.stack(dzz).astype(jnp.asarray(zz_thetas).dtype),
-        jnp.stack(dth).astype(jnp.asarray(rx_kernel_thetas).dtype),
-        jnp.stack(dmo).astype(jnp.asarray(mout).dtype),
-        jnp.stack(dml).astype(jnp.asarray(mlane).dtype),
-    )
+    ds = cr + 1j * ci
+    return ds, jnp.stack(dzz), jnp.stack(dth), jnp.stack(dmo), jnp.stack(dml)
 
 
 zzrx_stack_core.defvjp(_stack_fwd, _stack_bwd)
+
+
+# ======================================================================
+# stack + fused TFIM-style energy readout in ONE custom-VJP boundary
+# ======================================================================
+#
+# E = zz_weight * sum_{(a,b) in readout_pairs} <Z_a Z_b>
+#   + x_weight  * sum_q <X_q>
+#
+# evaluated directly on the stack's f32 output planes: the zz part is an
+# elementwise mask dot on |psi|^2, the X part three real block sandwiches
+# (lane matmul + two row-block einsums) — ~half the HBM traffic of the
+# complex XLA-AD readout, and the backward SEED planes are saved in the
+# forward so the readout's whole backward collapses to one scale.
+# Reference role: expectation chains through the einsum network
+# (reference cons.py:937-950, templates/measurements.py) — here the readout
+# joins the hand-scheduled adjoint instead.
+
+
+def _np_kron_all(ms):
+    out = ms[0]
+    for m in ms[1:]:
+        out = np.kron(out, m)
+    return out
+
+
+@lru_cache(maxsize=16)
+def _readout_consts(pairs, n, nrow_s):
+    """(zzw (r,lanes) f32, sxl (lanes,lanes) f32, row blocks [(pos,b,m)]).
+
+    Qubit q's bit of the flat index x is (x >> (n-1-q)) & 1; rows hold
+    qubits [0, nrow_s), lanes the rest (matching the stack's 2-D layout).
+    """
+    nlane = n - nrow_s
+    r, lanes = 2**nrow_s, 2**nlane
+    idx = np.arange(2**n, dtype=np.int64)
+    w = np.zeros(2**n, dtype=np.float32)
+    for a, b in pairs:
+        za = 1 - 2 * ((idx >> (n - 1 - int(a))) & 1)
+        zb = 1 - 2 * ((idx >> (n - 1 - int(b))) & 1)
+        w += (za * zb).astype(np.float32)
+    zzw = w.reshape(r, lanes)
+    x2 = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=np.float32)
+    e2 = np.eye(2, dtype=np.float32)
+    sxl = np.zeros((lanes, lanes), dtype=np.float32)
+    for j in range(nlane):
+        sxl += _np_kron_all([x2 if jj == j else e2 for jj in range(nlane)])
+    blocks = []
+    pos = 0
+    while pos < nrow_s:
+        b = min(_LANE_QUBITS, nrow_s - pos)
+        m = np.zeros((2**b, 2**b), dtype=np.float32)
+        for j in range(b):
+            m += _np_kron_all([x2 if jj == j else e2 for jj in range(b)])
+        blocks.append((pos, b, m))
+        pos += b
+    return zzw, sxl, tuple(blocks)
+
+
+def _x_sum_apply(plane, sxl, blocks, r, lanes):
+    """(S_X plane) where S_X = sum of all single-qubit X's, real blocks."""
+    out = plane @ sxl  # lane bits (S_X symmetric)
+    for pos, b, m in blocks:
+        left = 2**pos
+        mid = 2**b
+        v = jnp.reshape(plane, (left, mid, -1))
+        out = out + jnp.reshape(jnp.einsum("ab,xby->xay", jnp.asarray(m), v), (r, lanes))
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 7, 8))
+def zzrx_stack_energy(
+    pairs: Any,
+    n: int,
+    state2d: Tensor,
+    zz_thetas: Tensor,
+    rx_kernel_thetas: Tensor,
+    mout: Tensor,
+    mlane: Tensor,
+    readout_pairs: Any = (),
+    weights: Any = (1.0, 1.0),
+) -> Tensor:
+    """Real f32 energy after L stacked zzrx layers (see module notes).
+
+    ``weights`` = (zz_weight, x_weight) static floats; ``readout_pairs`` the
+    (hashable) ZZ correlator pairs of the readout Hamiltonian.
+    """
+    return _stack_energy_fwd(
+        pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane,
+        readout_pairs, weights,
+    )[0]
+
+
+def _stack_energy_fwd(
+    pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane,
+    readout_pairs, weights,
+):
+    y, ks = _stack_fwd_impl(
+        pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane
+    )
+    # _stack_fwd_impl combines planes into y only at the very end; re-split
+    # is free for XLA (real/imag of a just-combined complex value fuses away)
+    sr = jnp.real(y).astype(jnp.float32)
+    si = jnp.imag(y).astype(jnp.float32)
+    r, lanes = sr.shape
+    nrow_s = int(round(math.log2(r)))
+    zz_w, x_w = weights
+    zzw, sxl, blocks = _readout_consts(tuple(readout_pairs), n, nrow_s)
+    br = jnp.zeros_like(sr)
+    bi = jnp.zeros_like(si)
+    if zz_w and len(readout_pairs):
+        br = br + jnp.float32(zz_w) * (jnp.asarray(zzw) * sr)
+        bi = bi + jnp.float32(zz_w) * (jnp.asarray(zzw) * si)
+    if x_w:
+        br = br + jnp.float32(x_w) * _x_sum_apply(sr, jnp.asarray(sxl), blocks, r, lanes)
+        bi = bi + jnp.float32(x_w) * _x_sum_apply(si, jnp.asarray(sxl), blocks, r, lanes)
+    e = jnp.sum(sr * br) + jnp.sum(si * bi)
+    return e, (ks, br, bi, zz_thetas, rx_kernel_thetas, mout, mlane)
+
+
+def _stack_energy_bwd(pairs, n, readout_pairs, weights, res, ct):
+    ks, br, bi, zz_thetas, rx_kernel_thetas, mout, mlane = res
+    # dE/d(plane) = 2 B (S_X symmetric, zz mask diagonal).  The chain pairs
+    # non-conjugating (dL = Re<g, dx>, CLAUDE.md convention): g_r = dE/dsr,
+    # g_i = -dE/dsi.
+    s = 2.0 * ct.astype(jnp.float32)
+    ds, dzz, dth, dmo, dml = _adjoint_chain(
+        pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, s * br, -s * bi
+    )
+    return (
+        ds.astype(jnp.complex64),
+        dzz.astype(jnp.asarray(zz_thetas).dtype),
+        dth.astype(jnp.asarray(rx_kernel_thetas).dtype),
+        dmo.astype(jnp.asarray(mout).dtype),
+        dml.astype(jnp.asarray(mlane).dtype),
+    )
+
+
+zzrx_stack_energy.defvjp(_stack_energy_fwd, _stack_energy_bwd)

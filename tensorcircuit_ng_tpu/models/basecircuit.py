@@ -96,7 +96,9 @@ class BaseCircuit(AbstractCircuit):
         self._state_cache = None  # invalidate (reference basecircuit.py:371)
 
     def _compute_state(self) -> Tensor:
-        groups = self._grouped_qir()
+        return self._run_groups(self._grouped_qir())
+
+    def _run_groups(self, groups: List[Any]) -> Tensor:
         psi = None
         if (
             self._inputs is None
@@ -452,6 +454,46 @@ class BaseCircuit(AbstractCircuit):
 
     def expectation_x_sum(self, wires: Optional[Sequence[int]] = None) -> Tensor:
         return statevec.expectation_x_sum(self.state(), wires)
+
+    def expectation_zzx_energy(
+        self,
+        pairs: Optional[Sequence[Tuple[int, int]]] = None,
+        zz_weight: float = 1.0,
+        x_weight: float = 1.0,
+    ) -> Tensor:
+        """``zz_weight·Σ_pairs ⟨Z_a Z_b⟩ + x_weight·Σ_q ⟨X_q⟩`` fused readout.
+
+        The TFIM-family energy in ONE call: when the circuit ends in a run of
+        ≥2 ``zzrx_layer`` items, the layers AND the readout evaluate inside a
+        single custom-VJP boundary on f32 planes (the readout backward seed
+        is saved in the forward — ``core.kernels_stack.zzrx_stack_energy``),
+        skipping the complex state round trip entirely.  Otherwise equals the
+        ``expectation_zz_sum``/``expectation_x_sum`` composition.  Weights
+        must be static Python floats.
+        """
+        rp = tuple((int(a), int(b)) for a, b in (pairs or ()))
+        groups = self._grouped_qir()
+        if self._d == 2 and groups and isinstance(groups[-1], list):
+            from ..core import kernels
+
+            run = groups[-1]
+            psi = self._run_groups(groups[:-1])
+            zz = jnp.stack([jnp.asarray(it["zz_thetas"]) for it in run])
+            rx = jnp.stack([jnp.asarray(it["rx_thetas"]) for it in run])
+            return kernels.fused_zzrx_multilayer_energy(
+                psi, run[0]["pairs"], zz, rx, rp, zz_weight, x_weight
+            )
+        psi = self.state()
+        e = jnp.float32(0.0)
+        if zz_weight and rp:
+            e = e + jnp.float32(zz_weight) * jnp.real(
+                statevec.expectation_zz_sum(psi, rp)
+            ).astype(jnp.float32)
+        if x_weight:
+            e = e + jnp.float32(x_weight) * jnp.real(
+                statevec.expectation_x_sum(psi)
+            ).astype(jnp.float32)
+        return e
 
     def state(self, form: str = "default", reuse: bool = True) -> Tensor:
         """The output state (flat); cached until the next gate application.

@@ -625,3 +625,68 @@ def test_zzrx_stack_outer_stage(monkeypatch):
         np.testing.assert_allclose(float(v1), float(v2), atol=2e-4)
         np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=2e-3)
         np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=2e-3)
+
+
+def test_zzrx_stack_energy_fused_readout(monkeypatch):
+    """expectation_zzx_energy == Re(zz_sum) + w_x * x_sum, values AND grads.
+
+    Covers the stack fused-energy custom VJP (kernels_stack.zzrx_stack_energy)
+    on both the CPU reference and Pallas interpret paths, with a nonzero
+    outer-kron stage, plus the single-layer fallback branch and the
+    readout-pairs != layer-pairs case.
+    """
+    from tensorcircuit_ng_tpu.core import kernels, kernels_rowlayer
+
+    monkeypatch.setattr(kernels_rowlayer, "MAX_KERNEL_QUBITS_ZZRX", 1)
+    n, L = 9, 2
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    readout_pairs = [(0, 2), (3, 7), (1, 8)]  # differ from the layer pairs
+    rng = np.random.default_rng(5)
+    p0 = jnp.asarray(rng.normal(size=(L, 2, n)) * 0.4, jnp.float32)
+
+    def build(p, layers=L):
+        c = tc.Circuit(n)
+        c.h_layer()
+        for l in range(layers):
+            c.zzrx_layer(pairs, p[l, 0, : n - 1], p[l, 1])
+        return c
+
+    def e_fused(p):
+        return build(p).expectation_zzx_energy(readout_pairs, 0.7, -1.3)
+
+    def e_ref(p):
+        c = build(p)
+        return 0.7 * jnp.real(c.expectation_zz_sum(readout_pairs)) - (
+            1.3 * c.expectation_x_sum()
+        )
+
+    assert kernels.ML_MODE == "stack"
+    vr, gr = jax.value_and_grad(e_ref)(p0)
+    for interp in (False, True):
+        kernels.set_interpret_mode(interp)
+        try:
+            vf, gf = jax.value_and_grad(e_fused)(p0)
+        finally:
+            kernels.set_interpret_mode(False)
+        np.testing.assert_allclose(float(vf), float(vr), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=2e-3)
+
+    # single-layer circuit: no trailing run -> statevec fallback branch
+    def e1(p):
+        return build(p, layers=1).expectation_zzx_energy(readout_pairs, 0.7, -1.3)
+
+    def e1r(p):
+        c = build(p, layers=1)
+        return 0.7 * jnp.real(c.expectation_zz_sum(readout_pairs)) - (
+            1.3 * c.expectation_x_sum()
+        )
+
+    np.testing.assert_allclose(float(e1(p0)), float(e1r(p0)), atol=2e-4)
+
+    # x-only readout (no pairs) through the fused path
+    def ex(p):
+        return build(p).expectation_zzx_energy(None, 0.0, 1.0)
+
+    np.testing.assert_allclose(
+        float(ex(p0)), float(build(p0).expectation_x_sum()), atol=2e-4
+    )

@@ -218,6 +218,15 @@ def fused_zzrx_layer(state: Tensor, pairs: Any, zz_thetas: Tensor, rx_thetas: Te
     nq = int(round(math.log2(state.shape[0])))
     assert nq == n, "one rx angle per qubit required"
     pairs = tuple((int(a), int(b)) for a, b in pairs)
+    if state.dtype != jnp.complex64:
+        # the kernel VJPs compute in f32 planes; complex128 users keep full
+        # precision through the plain dense formulation (XLA AD)
+        psi = statevec.apply_zz_product_phase(state, pairs, zz_thetas)
+        for q in range(n):
+            psi = statevec.apply_unitary(
+                psi, rx_matrix(rx_thetas[q]).astype(psi.dtype), [q]
+            )
+        return psi
     nlane = min(_LANE_QUBITS, n)
     nrow = n - nlane
     nkernel = min(nrow, kernels_rowlayer.MAX_KERNEL_QUBITS_ZZRX)
@@ -283,9 +292,16 @@ def fused_zzrx_multilayer(
     # trivial MXU work; per-layer kernels handle any pair count (sign
     # columns pad to the next lane multiple)
     nouter_s = max(0, (n - _LANE_QUBITS) - kernels_rowlayer.MAX_KERNEL_QUBITS_ZZRX)
-    stack_ok = n > _LANE_QUBITS and nouter_s <= _LANE_QUBITS
+    # the stack VJP computes in f32 planes: complex128 states must keep the
+    # per-layer path (which preserves the working dtype) or they'd silently
+    # drop to single precision
+    stack_ok = (
+        n > _LANE_QUBITS
+        and nouter_s <= _LANE_QUBITS
+        and state.dtype == jnp.complex64
+    )
     if ML_MODE == "perlayer" or (ML_MODE == "stack" and not stack_ok) or (
-        ML_MODE == "xla" and n < 10
+        ML_MODE == "xla" and (n < 10 or len(pairs) > kml.MAX_ML_PAIRS)
     ) or (
         ML_MODE not in ("stack", "xla")
         and (nrow < 1 or nlane > 10 or len(pairs) > kml.MAX_ML_PAIRS)

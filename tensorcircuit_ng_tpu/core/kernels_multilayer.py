@@ -40,7 +40,7 @@ the role: XLA-AD through the einsum chain (reference cons.py:937-950).
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any
 
 import numpy as np
@@ -79,8 +79,14 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
 
 
+@lru_cache(maxsize=64)
 def _sign_matrices(pairs, n, nrow, lanes, p_cols=None):
     """Host-side (Srow, Slane) f32 sign factors; columns padded to ``p_cols``.
+
+    Cached: deterministic in hashable args, and the production stack path
+    otherwise rebuilds the identical O(npairs * 2^nrow) matrices once per
+    layer per direction on every trace.  Callers must not mutate the
+    returned arrays (they ``jnp.asarray`` them).
 
     Global index = row * lanes + lane; qubit a lives at bit p = n-1-a from
     the LSB, lane bits are p < log2(lanes).  For pair k,

@@ -139,13 +139,16 @@ def _stack_fwd_impl(pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane)
             pairs, n, zz_thetas[l], rx_kernel_thetas[l], sr, si
         )
         ks.append((sr, si))
+        xr = jnp.reshape(sr, (d, m, lanes))
+        xi = jnp.reshape(si, (d, m, lanes))
         if nouter:
-            xr = jnp.reshape(sr, (d, m, lanes))
-            xi = jnp.reshape(si, (d, m, lanes))
             xr, xi = _outer_apply(mor[l], moi[l], xr, xi)
         else:
-            xr = jnp.reshape(sr, (d, m, lanes))
-            xi = jnp.reshape(si, (d, m, lanes))
+            # degenerate outer stage: mout is a (1, 1) complex scalar —
+            # apply it rather than silently ignoring it (callers pass ones,
+            # but the function is exported)
+            ar, ai = mor[l, 0, 0], moi[l, 0, 0]
+            xr, xi = ar * xr - ai * xi, ar * xi + ai * xr
         xr, xi = _lane_apply(mlr[l], mli[l], xr, xi)
         sr = jnp.reshape(xr, (r, lanes))
         si = jnp.reshape(xi, (r, lanes))
@@ -227,7 +230,9 @@ def _adjoint_chain(pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, cr, c
         if nouter:
             o3r, o3i = _outer_apply(mor[l], moi[l], k3r, k3i)
         else:
-            o3r, o3i = k3r, k3i
+            ar, ai = mor[l, 0, 0], moi[l, 0, 0]
+            o3r = ar * k3r - ai * k3i
+            o3i = ar * k3i + ai * k3r
         c3r = jnp.reshape(cr, (d, mm, lanes))
         c3i = jnp.reshape(ci, (d, mm, lanes))
         # --- lane stage: x' = o @ m ---------------------------------------
@@ -249,7 +254,13 @@ def _adjoint_chain(pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, cr, c
             dmo.insert(0, dmor + 1j * dmoi)
             c3r, c3i = _outer_walk(mor[l], moi[l], c3r, c3i)
         else:
-            dmo.insert(0, jnp.zeros((d, d), jnp.complex64))
+            # o = a·k for the complex scalar a: g_a = Σ g_o·k (non-conj),
+            # g_k = a·g_o
+            ar, ai = mor[l, 0, 0], moi[l, 0, 0]
+            gar = jnp.sum(c3r * k3r) - jnp.sum(c3i * k3i)
+            gai = jnp.sum(c3r * k3i) + jnp.sum(c3i * k3r)
+            dmo.insert(0, jnp.reshape(gar + 1j * gai, (1, 1)))
+            c3r, c3i = ar * c3r - ai * c3i, ar * c3i + ai * c3r
         cr = jnp.reshape(c3r, (r, lanes))
         ci = jnp.reshape(c3i, (r, lanes))
         # --- pallas zzrx stage (un-applies the layer internally) ----------

@@ -177,11 +177,14 @@ def apply_zz_product_phase(
     n = num_slots(state, 2)
     idx = jnp.arange(state.shape[0], dtype=jnp.int32)
     thetas = jnp.reshape(jnp.asarray(thetas), (-1,))
-    expo = jnp.zeros(state.shape[0], dtype=jnp.float32)
+    # accumulate at the state's real precision (f32 here would silently
+    # degrade complex128 circuits)
+    rdt = jnp.float64 if state.dtype == jnp.complex128 else jnp.float32
+    expo = jnp.zeros(state.shape[0], dtype=rdt)
     for k, (a, b) in enumerate(pairs):
         za = 1 - 2 * ((idx >> (n - 1 - int(a))) & 1)
         zb = 1 - 2 * ((idx >> (n - 1 - int(b))) & 1)
-        expo = expo + thetas[k].astype(jnp.float32) * (za * zb).astype(jnp.float32)
+        expo = expo + thetas[k].astype(rdt) * (za * zb).astype(rdt)
     phase = jnp.exp(np.asarray(-0.5j).astype(state.dtype) * expo.astype(state.dtype))
     return state * phase
 
@@ -197,11 +200,12 @@ def apply_zz_exponential(
     n = num_slots(state, 2)
     idx = jnp.arange(state.shape[0], dtype=jnp.int32)
     coeffs = jnp.reshape(jnp.asarray(coeffs), (-1,))
-    expo = jnp.zeros(state.shape[0], dtype=jnp.float32)
+    rdt = jnp.float64 if state.dtype == jnp.complex128 else jnp.float32
+    expo = jnp.zeros(state.shape[0], dtype=rdt)
     for k, (a, b) in enumerate(pairs):
         za = 1 - 2 * ((idx >> (n - 1 - int(a))) & 1)
         zb = 1 - 2 * ((idx >> (n - 1 - int(b))) & 1)
-        expo = expo + coeffs[k].astype(jnp.float32) * (za * zb).astype(jnp.float32)
+        expo = expo + coeffs[k].astype(rdt) * (za * zb).astype(rdt)
     return state * jnp.exp(expo).astype(state.dtype)
 
 

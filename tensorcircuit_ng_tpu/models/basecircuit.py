@@ -105,17 +105,16 @@ class BaseCircuit(AbstractCircuit):
             and self._d == 2
             and groups
             and isinstance(groups[0], dict)
-            and groups[0].get("name") == "h_layer"
-            and groups[0].get("constant")
+            and groups[0].get("h_fold")
         ):
             # H^n |0...0> is the uniform state: fold it to a broadcast
             # constant — the h kernels AND their whole backward walk vanish
             # (the cotangent stops at a constant).  Scalar-broadcast real
             # constant, then cast: axon-safe (no complex host constants).
             dim = 2**self._nqubits
-            psi = jnp.full((dim,), 1.0 / math.sqrt(dim), dtype=jnp.float32).astype(
-                jnp.dtype(config.dtypestr())
-            )
+            cdt = jnp.dtype(config.dtypestr())
+            rdt = jnp.float64 if cdt == jnp.complex128 else jnp.float32
+            psi = jnp.full((dim,), 1.0 / math.sqrt(dim), dtype=rdt).astype(cdt)
             groups = groups[1:]
         if psi is None:
             psi = self._initial_state()
@@ -394,6 +393,10 @@ class BaseCircuit(AbstractCircuit):
         h = gates_mod.GATES["h"]().matrix()
         gates = np.broadcast_to(h, (self._nqubits, 2, 2))
         self.fused_single_qubit_layer(gates, name="h_layer", constant=True)
+        # only THIS method may mark the item for the |0..0> -> uniform-state
+        # fold (keying the fold on the name alone would silently replace a
+        # user layer that merely reuses the name)
+        self._qir[-1]["h_fold"] = True
 
     def rzz_product(self, pairs: Sequence[Tuple[int, int]], thetas: Tensor) -> None:
         """exp(-i/2 Σ θ_k Z_a Z_b) over all listed pairs in one fused pass."""

@@ -132,11 +132,15 @@ def hamiltonian_evol(
     h = jnp.asarray(h)
     psi0 = jnp.asarray(psi0)
     e, v = jnp.linalg.eigh(h)
-    proj = jnp.conj(v.T) @ psi0.astype(v.dtype)
+    # a REAL h gives a REAL eigenbasis: compute in the promoted dtype, never
+    # cast psi0 down to v.dtype (that silently truncates a complex state)
+    dt = jnp.promote_types(v.dtype, psi0.dtype)
+    v = v.astype(dt)
+    proj = jnp.conj(v.T) @ psi0.astype(dt)
 
     def one(t):
         weights = jnp.exp(-e * jnp.real(t).astype(e.dtype))
-        psi_t = v @ (weights.astype(v.dtype) * proj)
+        psi_t = v @ (weights.astype(dt) * proj)
         psi_t = psi_t / jnp.linalg.norm(psi_t)
         if callback is not None:
             return callback(psi_t)
@@ -163,11 +167,19 @@ def hamiltonian_evol_real(
     h = jnp.asarray(h)
     psi0 = jnp.asarray(psi0)
     e, v = jnp.linalg.eigh(h)
-    proj = jnp.conj(v.T) @ psi0
+    # real-time phases are complex even for a REAL h (real eigenbasis):
+    # promote — casting phases to v.dtype would silently drop their
+    # imaginary part and break unitarity
+    dt = jnp.promote_types(
+        jnp.promote_types(v.dtype, psi0.dtype),
+        jnp.complex64 if v.dtype == jnp.float32 else jnp.complex128,
+    )
+    v = v.astype(dt)
+    proj = jnp.conj(v.T) @ psi0.astype(dt)
 
     def one(t):
         phases = jnp.exp(-1j * e * t.astype(e.dtype))
-        psi_t = v @ (phases.astype(v.dtype) * proj)
+        psi_t = v @ (phases.astype(dt) * proj)
         if callback is not None:
             return callback(psi_t)
         return psi_t
@@ -193,11 +205,13 @@ def expm_multiply(
     hmvp = _mvp_of(h)
     psi0 = jnp.asarray(psi0)
     if not jnp.issubdtype(psi0.dtype, jnp.complexfloating) and (
-        isinstance(prefactor, complex) and prefactor.imag != 0
+        np.iscomplexobj(prefactor)
+        or jnp.issubdtype(jnp.asarray(prefactor).dtype, jnp.complexfloating)
     ):
         # a real initial state with a complex prefactor must upcast (the
-        # reference casts to dtypestr first); casting -1j INTO a real dtype
-        # raises instead
+        # reference casts to dtypestr first); matching only Python `complex`
+        # would let np.complex64 / jnp scalars silently truncate to their
+        # real part (jnp.asarray(z, float32) warns, it does not raise)
         psi0 = psi0.astype(jnp.dtype(config.dtypestr()))
     t = jnp.asarray(t)
     coef = jnp.asarray(prefactor, dtype=psi0.dtype) * t.astype(psi0.dtype)

@@ -146,3 +146,125 @@ def test_renyi_entropy_2_brydges_estimator():
     # keep/trace-out spellings agree
     assert shadows.renyi_entropy_2(snaps, subsystem_to_keep=[0]) == s2_sub
     assert shadows.renyi_entropy_2(snaps, subsystems_to_trace_out=[1]) == s2_sub
+
+
+# ---------------------------------------------------------------------------
+# second review pass (fused-energy round)
+# ---------------------------------------------------------------------------
+
+
+def test_expm_multiply_numpy_complex_prefactor(highp):
+    """np.complex64/jnp complex prefactors must upcast a real psi0 too."""
+    h = np.diag([1.0, -1.0])
+    psi0 = jnp.asarray([1.0, 0.0], jnp.float64)
+    outs = [
+        timeevol.expm_multiply(jnp.asarray(h), psi0, t=0.3, prefactor=pf)
+        for pf in (-1j, np.complex64(-1j), jnp.asarray(-1j))
+    ]
+    exact = np.array([np.exp(-0.3j), 0.0])
+    for out in outs:
+        assert np.iscomplexobj(np.asarray(out))
+        np.testing.assert_allclose(np.asarray(out), exact, atol=1e-6)
+
+
+def test_stack_path_preserves_complex128(highp):
+    """>=2 grouped zzrx layers in complex128 must NOT drop to f32 planes."""
+    import tensorcircuit_ng_tpu as tc
+
+    tc.set_dtype("complex128")
+    try:
+        n, L = 9, 2
+        pairs = [(i, i + 1) for i in range(n - 1)]
+        rng = np.random.default_rng(3)
+        p = jnp.asarray(rng.normal(size=(L, 2, n)) * 0.3, jnp.float64)
+        c = tc.Circuit(n)
+        c.h_layer()
+        for l in range(L):
+            c.zzrx_layer(pairs, p[l, 0, : n - 1], p[l, 1])
+        psi = c.state()
+        assert psi.dtype == jnp.complex128
+        # per-layer oracle at f64
+        c2 = tc.Circuit(n)
+        c2.h_layer()
+        c2.zzrx_layer(pairs, p[0, 0, : n - 1], p[0, 1])
+        psi1 = c2.state()
+        c3 = tc.Circuit(n, inputs=psi1)
+        c3.zzrx_layer(pairs, p[1, 0, : n - 1], p[1, 1])
+        np.testing.assert_allclose(
+            np.asarray(psi), np.asarray(c3.state()), atol=1e-12
+        )
+    finally:
+        tc.set_dtype("complex64")
+
+
+def test_xla_mode_many_pairs_falls_back():
+    """ML_MODE='xla' with >MAX_ML_PAIRS pairs routes to the per-layer path."""
+    from tensorcircuit_ng_tpu.core import kernels
+
+    n, L = 17, 2
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]  # 136 pairs
+    assert len(pairs) > 128
+    rng = np.random.default_rng(4)
+    psi0 = rng.normal(size=(2**n,)) + 1j * rng.normal(size=(2**n,))
+    psi0 = jnp.asarray((psi0 / np.linalg.norm(psi0)).astype(np.complex64))
+    zz = jnp.asarray(rng.normal(size=(L, len(pairs))) * 0.2, jnp.float32)
+    rx = jnp.asarray(rng.normal(size=(L, n)) * 0.2, jnp.float32)
+    ref = kernels.fused_zzrx_multilayer(psi0, pairs, zz, rx)
+    old = kernels.ML_MODE
+    kernels.ML_MODE = "xla"
+    try:
+        out = kernels.fused_zzrx_multilayer(psi0, pairs, zz, rx)
+    finally:
+        kernels.ML_MODE = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_stack_core_scalar_mout_applied():
+    """zzrx_stack_core with nouter==0 must apply the (1,1) mout scalar and
+    return its true gradient (it used to silently drop both)."""
+    from tensorcircuit_ng_tpu.core import kernels_stack as kst
+
+    n, L = 9, 2
+    pairs = tuple((i, i + 1) for i in range(n - 1))
+    rng = np.random.default_rng(5)
+    psi = rng.normal(size=(2**n,)) + 1j * rng.normal(size=(2**n,))
+    psi2d = jnp.asarray((psi / np.linalg.norm(psi)).astype(np.complex64)).reshape(4, 128)
+    zz = jnp.asarray(rng.normal(size=(L, n - 1)) * 0.3, jnp.float32)
+    rxk = jnp.asarray(rng.normal(size=(L, 2)) * 0.3, jnp.float32)
+    mlane = jnp.asarray(
+        np.stack([np.eye(128, dtype=np.complex64)] * L)
+    )
+
+    def f(scale_r):
+        mout = jnp.ones((L, 1, 1), jnp.complex64) * scale_r.astype(jnp.complex64)
+        y = kst.zzrx_stack_core(pairs, n, psi2d, zz, rxk, mout, mlane)
+        return jnp.sum(jnp.real(y) ** 2 + jnp.imag(y) ** 2)
+
+    v, g = jax.value_and_grad(f)(jnp.float32(2.0))
+    # |2^L psi|^2 = 16 |psi|^2 = 16; d/ds |s^L psi|^2 = 2L s^(2L-1) = 32
+    np.testing.assert_allclose(float(v), 16.0, rtol=1e-4)
+    np.testing.assert_allclose(float(g), 32.0, rtol=1e-3)
+
+
+def test_h_layer_name_collision_not_folded():
+    """A user fused_single_qubit_layer named 'h_layer' must NOT be replaced
+    by the uniform-state fold."""
+    import tensorcircuit_ng_tpu as tc
+    from tensorcircuit_ng_tpu.ops.gates import ry_matrix
+
+    n = 4
+    gates = np.stack([np.asarray(ry_matrix(0.7))] * n)
+    c = tc.Circuit(n)
+    c.fused_single_qubit_layer(gates, name="h_layer", constant=True)
+    c2 = tc.Circuit(n)
+    for q in range(n):
+        c2.ry(q, theta=0.7)
+    np.testing.assert_allclose(
+        np.asarray(c.state()), np.asarray(c2.state()), atol=1e-6
+    )
+    # while the real h_layer still folds to the exact uniform state
+    c3 = tc.Circuit(n)
+    c3.h_layer()
+    np.testing.assert_allclose(
+        np.asarray(c3.state()), np.full(2**n, 2.0 ** (-n / 2)), atol=1e-6
+    )

@@ -356,34 +356,92 @@ def fused_zzrx_multilayer(
     return jnp.reshape(psi, (-1,))
 
 
+def ising_readout_spec(
+    n: int,
+    zz_terms: Any = None,
+    z_terms: Any = None,
+    x_terms: Any = None,
+) -> Tuple[Any, Any]:
+    """Normalize Ising-family readout terms to the hashable fused-readout spec.
+
+    ``zz_terms``: iterable of ``(a, b)`` or ``(a, b, w)``; ``z_terms``:
+    ``q`` / ``(q,)`` / ``(q, w)``; ``x_terms``: same as z_terms, or ``True``
+    for a uniform transverse field on every qubit.  Weights default to 1.0
+    and must be static Python floats.  Returns ``(diag_terms, x_terms)``:
+    diag entries are ``((qubits...), w)`` Z-strings of any locality.
+    """
+    diag = []
+    for t in zz_terms or ():
+        t = tuple(t)
+        w = float(t[2]) if len(t) > 2 else 1.0
+        diag.append(((int(t[0]), int(t[1])), w))
+    for t in z_terms or ():
+        t = (t,) if np.isscalar(t) else tuple(t)
+        w = float(t[1]) if len(t) > 1 else 1.0
+        diag.append(((int(t[0]),), w))
+    if x_terms is True:
+        x_terms = range(n)
+    xs = []
+    for t in x_terms or ():
+        t = (t,) if np.isscalar(t) else tuple(t)
+        w = float(t[1]) if len(t) > 1 else 1.0
+        xs.append((int(t[0]), w))
+    return tuple(diag), tuple(xs)
+
+
+def ising_energy_dense(state: Tensor, n: int, spec: Any) -> Tensor:
+    """⟨H⟩ for an Ising-family spec on a dense state, block-sandwich XLA path.
+
+    The readout half of :func:`kernels_stack.zzrx_stack_energy` without the
+    layer stack — works for any n and dtype (the masks/matrices are real
+    numpy constants applied at the state's precision).
+    """
+    from . import kernels_stack as kst
+
+    diag_terms, x_terms = spec
+    nrow = max(n - _LANE_QUBITS, 0)
+    r, lanes = 2**nrow, 2 ** min(n, _LANE_QUBITS)
+    mask, sxl, blocks = kst._readout_consts(spec, n, nrow)
+    psi = jnp.reshape(state, (r, lanes))
+    sr = jnp.real(psi)
+    si = jnp.imag(psi)
+    br = jnp.zeros_like(sr)
+    bi = jnp.zeros_like(si)
+    if diag_terms:
+        m = jnp.asarray(mask).astype(sr.dtype)
+        br = br + m * sr
+        bi = bi + m * si
+    if x_terms:
+        use_lanes = bool(np.any(sxl))
+        sxl_t = jnp.asarray(sxl).astype(sr.dtype)
+        br = br + kst._x_sum_apply(sr, sxl_t, use_lanes, blocks, r, lanes)
+        bi = bi + kst._x_sum_apply(si, sxl_t, use_lanes, blocks, r, lanes)
+    return jnp.sum(sr * br) + jnp.sum(si * bi)
+
+
 def fused_zzrx_multilayer_energy(
     state: Tensor,
     pairs: Any,
     zz_thetas: Tensor,
     rx_thetas: Tensor,
-    readout_pairs: Any = (),
-    zz_weight: float = 1.0,
-    x_weight: float = 1.0,
+    spec: Any = ((), ()),
 ) -> Tensor:
-    """L stacked zzrx layers + a ZZ/X-field energy readout, ONE VJP boundary.
+    """L stacked zzrx layers + an Ising-family energy readout, ONE VJP boundary.
 
-    E = zz_weight * Σ_{(a,b)∈readout_pairs} ⟨Z_a Z_b⟩ + x_weight * Σ_q ⟨X_q⟩
+    ``spec`` from :func:`ising_readout_spec`: ⟨Σ w_s Π_{q∈s} Z_q + Σ w_q X_q⟩
     after applying the layers to ``state``.  On the stack path the readout
     joins the custom-VJP boundary (plane-native mask dot + real block
     sandwiches; its backward seed is saved in the forward —
-    :func:`kernels_stack.zzrx_stack_energy`).  ``zz_weight``/``x_weight``
-    must be static Python floats.  Falls back to layers + statevec readout
-    when the stack path is not viable (small n, non-complex64, other modes).
+    :func:`kernels_stack.zzrx_stack_energy`).  Falls back to layers +
+    the XLA block-sandwich readout when the stack path is not viable
+    (small n, non-complex64, other modes).
     """
-    from . import statevec as sv
-
     zz_thetas = jnp.asarray(zz_thetas)
     rx_thetas = jnp.asarray(rx_thetas)
     L, n = rx_thetas.shape
     nq = int(round(math.log2(state.shape[0])))
     assert nq == n, "one rx angle per qubit per layer required"
     pairs = tuple((int(a), int(b)) for a, b in pairs)
-    readout_pairs = tuple((int(a), int(b)) for a, b in readout_pairs)
     nouter_s = max(0, (n - _LANE_QUBITS) - kernels_rowlayer.MAX_KERNEL_QUBITS_ZZRX)
     stack_ok = (
         ML_MODE == "stack"
@@ -393,16 +451,7 @@ def fused_zzrx_multilayer_energy(
     )
     if not stack_ok:
         psi = fused_zzrx_multilayer(state, pairs, zz_thetas, rx_thetas)
-        e = jnp.float32(0.0)
-        if zz_weight and readout_pairs:
-            e = e + jnp.float32(zz_weight) * jnp.real(
-                sv.expectation_zz_sum(psi, readout_pairs)
-            ).astype(jnp.float32)
-        if x_weight:
-            e = e + jnp.float32(x_weight) * jnp.real(
-                sv.expectation_x_sum(psi)
-            ).astype(jnp.float32)
-        return e
+        return ising_energy_dense(psi, n, spec)
     from . import kernels_stack as kst
     from ..ops.gates import rx_matrix
 
@@ -431,8 +480,7 @@ def fused_zzrx_multilayer_energy(
         rx_thetas[:, nouter:nrow_s],
         mout,
         mlane,
-        readout_pairs,
-        (float(zz_weight), float(x_weight)),
+        spec,
     )
 
 
@@ -440,4 +488,6 @@ __all__ += [
     "fused_zzrx_layer",
     "fused_zzrx_multilayer",
     "fused_zzrx_multilayer_energy",
+    "ising_readout_spec",
+    "ising_energy_dense",
 ]

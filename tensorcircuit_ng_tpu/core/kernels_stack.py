@@ -301,41 +301,55 @@ def _np_kron_all(ms):
 
 
 @lru_cache(maxsize=16)
-def _readout_consts(pairs, n, nrow_s):
-    """(zzw (r,lanes) f32, sxl (lanes,lanes) f32, row blocks [(pos,b,m)]).
+def _readout_consts(spec, n, nrow_s):
+    """(mask (r,lanes) f32, sxl (lanes,lanes) f32, row blocks [(pos,b,m)]).
 
-    Qubit q's bit of the flat index x is (x >> (n-1-q)) & 1; rows hold
-    qubits [0, nrow_s), lanes the rest (matching the stack's 2-D layout).
+    ``spec = (diag_terms, x_terms)``: ``diag_terms`` is a tuple of
+    ``(qubits_tuple, weight)`` Z-strings (any order — single-Z fields, ZZ
+    couplings, k-local strings), ``x_terms`` a tuple of ``(qubit, weight)``
+    transverse fields.  Qubit q's bit of the flat index x is
+    ``(x >> (n-1-q)) & 1``; rows hold qubits [0, nrow_s), lanes the rest
+    (matching the stack's 2-D layout).
     """
+    diag_terms, x_terms = spec
     nlane = n - nrow_s
     r, lanes = 2**nrow_s, 2**nlane
     idx = np.arange(2**n, dtype=np.int64)
-    w = np.zeros(2**n, dtype=np.float32)
-    for a, b in pairs:
-        za = 1 - 2 * ((idx >> (n - 1 - int(a))) & 1)
-        zb = 1 - 2 * ((idx >> (n - 1 - int(b))) & 1)
-        w += (za * zb).astype(np.float32)
-    zzw = w.reshape(r, lanes)
+    w = np.zeros(2**n, dtype=np.float64)
+    for qubits, wt in diag_terms:
+        zprod = np.ones(2**n, dtype=np.float64)
+        for q in qubits:
+            zprod *= 1 - 2 * ((idx >> (n - 1 - int(q))) & 1)
+        w += float(wt) * zprod
+    mask = w.astype(np.float32).reshape(r, lanes)
     x2 = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=np.float32)
     e2 = np.eye(2, dtype=np.float32)
+    xw = {int(q): float(wt) for q, wt in x_terms}
     sxl = np.zeros((lanes, lanes), dtype=np.float32)
     for j in range(nlane):
-        sxl += _np_kron_all([x2 if jj == j else e2 for jj in range(nlane)])
+        wt = xw.get(nrow_s + j, 0.0)
+        if wt:
+            sxl += wt * _np_kron_all([x2 if jj == j else e2 for jj in range(nlane)])
     blocks = []
     pos = 0
     while pos < nrow_s:
         b = min(_LANE_QUBITS, nrow_s - pos)
         m = np.zeros((2**b, 2**b), dtype=np.float32)
+        hit = False
         for j in range(b):
-            m += _np_kron_all([x2 if jj == j else e2 for jj in range(b)])
-        blocks.append((pos, b, m))
+            wt = xw.get(pos + j, 0.0)
+            if wt:
+                hit = True
+                m += wt * _np_kron_all([x2 if jj == j else e2 for jj in range(b)])
+        if hit:
+            blocks.append((pos, b, m))
         pos += b
-    return zzw, sxl, tuple(blocks)
+    return mask, sxl, tuple(blocks)
 
 
-def _x_sum_apply(plane, sxl, blocks, r, lanes):
-    """(S_X plane) where S_X = sum of all single-qubit X's, real blocks."""
-    out = plane @ sxl  # lane bits (S_X symmetric)
+def _x_sum_apply(plane, sxl, use_lanes, blocks, r, lanes):
+    """(S_X plane) where S_X = Σ_q w_q X_q, real weighted blocks."""
+    out = plane @ sxl if use_lanes else jnp.zeros_like(plane)
     for pos, b, m in blocks:
         left = 2**pos
         mid = 2**b
@@ -344,7 +358,7 @@ def _x_sum_apply(plane, sxl, blocks, r, lanes):
     return out
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 7, 8))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 7))
 def zzrx_stack_energy(
     pairs: Any,
     n: int,
@@ -353,23 +367,22 @@ def zzrx_stack_energy(
     rx_kernel_thetas: Tensor,
     mout: Tensor,
     mlane: Tensor,
-    readout_pairs: Any = (),
-    weights: Any = (1.0, 1.0),
+    spec: Any = ((), ()),
 ) -> Tensor:
-    """Real f32 energy after L stacked zzrx layers (see module notes).
+    """Real f32 ⟨H⟩ after L stacked zzrx layers (see module notes).
 
-    ``weights`` = (zz_weight, x_weight) static floats; ``readout_pairs`` the
-    (hashable) ZZ correlator pairs of the readout Hamiltonian.
+    ``spec = (diag_terms, x_terms)``, hashable with static float weights:
+    ``diag_terms`` Z-strings ``((qubits...), w)`` of any locality, ``x_terms``
+    transverse fields ``(q, w)`` — the general Ising/spin-glass readout
+    family H = Σ w_s Π_{q∈s} Z_q + Σ w_q X_q.
     """
     return _stack_energy_fwd(
-        pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane,
-        readout_pairs, weights,
+        pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane, spec
     )[0]
 
 
 def _stack_energy_fwd(
-    pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane,
-    readout_pairs, weights,
+    pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane, spec
 ):
     y, ks = _stack_fwd_impl(
         pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane
@@ -380,21 +393,22 @@ def _stack_energy_fwd(
     si = jnp.imag(y).astype(jnp.float32)
     r, lanes = sr.shape
     nrow_s = int(round(math.log2(r)))
-    zz_w, x_w = weights
-    zzw, sxl, blocks = _readout_consts(tuple(readout_pairs), n, nrow_s)
+    diag_terms, x_terms = spec
+    mask, sxl, blocks = _readout_consts(spec, n, nrow_s)
     br = jnp.zeros_like(sr)
     bi = jnp.zeros_like(si)
-    if zz_w and len(readout_pairs):
-        br = br + jnp.float32(zz_w) * (jnp.asarray(zzw) * sr)
-        bi = bi + jnp.float32(zz_w) * (jnp.asarray(zzw) * si)
-    if x_w:
-        br = br + jnp.float32(x_w) * _x_sum_apply(sr, jnp.asarray(sxl), blocks, r, lanes)
-        bi = bi + jnp.float32(x_w) * _x_sum_apply(si, jnp.asarray(sxl), blocks, r, lanes)
+    if diag_terms:
+        br = br + jnp.asarray(mask) * sr
+        bi = bi + jnp.asarray(mask) * si
+    if x_terms:
+        use_lanes = bool(np.any(sxl))
+        br = br + _x_sum_apply(sr, jnp.asarray(sxl), use_lanes, blocks, r, lanes)
+        bi = bi + _x_sum_apply(si, jnp.asarray(sxl), use_lanes, blocks, r, lanes)
     e = jnp.sum(sr * br) + jnp.sum(si * bi)
     return e, (ks, br, bi, zz_thetas, rx_kernel_thetas, mout, mlane)
 
 
-def _stack_energy_bwd(pairs, n, readout_pairs, weights, res, ct):
+def _stack_energy_bwd(pairs, n, spec, res, ct):
     ks, br, bi, zz_thetas, rx_kernel_thetas, mout, mlane = res
     # dE/d(plane) = 2 B (S_X symmetric, zz mask diagonal).  The chain pairs
     # non-conjugating (dL = Re<g, dx>, CLAUDE.md convention): g_r = dE/dsr,

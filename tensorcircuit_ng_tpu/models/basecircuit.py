@@ -458,6 +458,41 @@ class BaseCircuit(AbstractCircuit):
     def expectation_x_sum(self, wires: Optional[Sequence[int]] = None) -> Tensor:
         return statevec.expectation_x_sum(self.state(), wires)
 
+    def expectation_ising_sum(
+        self,
+        zz_terms: Optional[Sequence[Any]] = None,
+        z_terms: Optional[Sequence[Any]] = None,
+        x_terms: Any = None,
+    ) -> Tensor:
+        """⟨Σ w_s Π_{q∈s} Z_q + Σ w_q X_q⟩ — the Ising/spin-glass family in
+        ONE fused readout.
+
+        ``zz_terms``: ``(a, b)`` or ``(a, b, w)`` couplings; ``z_terms``:
+        ``q`` / ``(q, w)`` longitudinal fields; ``x_terms``: ``q`` /
+        ``(q, w)`` transverse fields, or ``True`` for a uniform field on
+        every qubit.  Weights must be static Python floats.
+
+        When the circuit ends in a run of ≥2 ``zzrx_layer`` items, the
+        layers AND the readout evaluate inside a single custom-VJP boundary
+        on f32 planes (the readout backward seed is saved in the forward —
+        ``core.kernels_stack.zzrx_stack_energy``), skipping the complex
+        state round trip entirely.  Otherwise the readout runs as real
+        block sandwiches on the dense state (``kernels.ising_energy_dense``).
+        """
+        from ..core import kernels
+
+        spec = kernels.ising_readout_spec(self._nqubits, zz_terms, z_terms, x_terms)
+        groups = self._grouped_qir()
+        if self._d == 2 and groups and isinstance(groups[-1], list):
+            run = groups[-1]
+            psi = self._run_groups(groups[:-1])
+            zz = jnp.stack([jnp.asarray(it["zz_thetas"]) for it in run])
+            rx = jnp.stack([jnp.asarray(it["rx_thetas"]) for it in run])
+            return kernels.fused_zzrx_multilayer_energy(
+                psi, run[0]["pairs"], zz, rx, spec
+            )
+        return kernels.ising_energy_dense(self.state(), self._nqubits, spec)
+
     def expectation_zzx_energy(
         self,
         pairs: Optional[Sequence[Tuple[int, int]]] = None,
@@ -466,37 +501,11 @@ class BaseCircuit(AbstractCircuit):
     ) -> Tensor:
         """``zz_weight·Σ_pairs ⟨Z_a Z_b⟩ + x_weight·Σ_q ⟨X_q⟩`` fused readout.
 
-        The TFIM-family energy in ONE call: when the circuit ends in a run of
-        ≥2 ``zzrx_layer`` items, the layers AND the readout evaluate inside a
-        single custom-VJP boundary on f32 planes (the readout backward seed
-        is saved in the forward — ``core.kernels_stack.zzrx_stack_energy``),
-        skipping the complex state round trip entirely.  Otherwise equals the
-        ``expectation_zz_sum``/``expectation_x_sum`` composition.  Weights
-        must be static Python floats.
+        TFIM-shaped shorthand for :meth:`expectation_ising_sum`.
         """
-        rp = tuple((int(a), int(b)) for a, b in (pairs or ()))
-        groups = self._grouped_qir()
-        if self._d == 2 and groups and isinstance(groups[-1], list):
-            from ..core import kernels
-
-            run = groups[-1]
-            psi = self._run_groups(groups[:-1])
-            zz = jnp.stack([jnp.asarray(it["zz_thetas"]) for it in run])
-            rx = jnp.stack([jnp.asarray(it["rx_thetas"]) for it in run])
-            return kernels.fused_zzrx_multilayer_energy(
-                psi, run[0]["pairs"], zz, rx, rp, zz_weight, x_weight
-            )
-        psi = self.state()
-        e = jnp.float32(0.0)
-        if zz_weight and rp:
-            e = e + jnp.float32(zz_weight) * jnp.real(
-                statevec.expectation_zz_sum(psi, rp)
-            ).astype(jnp.float32)
-        if x_weight:
-            e = e + jnp.float32(x_weight) * jnp.real(
-                statevec.expectation_x_sum(psi)
-            ).astype(jnp.float32)
-        return e
+        zz = [(int(a), int(b), float(zz_weight)) for a, b in (pairs or ())]
+        xs = [(q, float(x_weight)) for q in range(self._nqubits)] if x_weight else None
+        return self.expectation_ising_sum(zz_terms=zz, x_terms=xs)
 
     def state(self, form: str = "default", reuse: bool = True) -> Tensor:
         """The output state (flat); cached until the next gate application.

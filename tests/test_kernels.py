@@ -690,3 +690,56 @@ def test_zzrx_stack_energy_fused_readout(monkeypatch):
     np.testing.assert_allclose(
         float(ex(p0)), float(build(p0).expectation_x_sum()), atol=2e-4
     )
+
+
+def test_expectation_ising_sum_general(monkeypatch):
+    """Weighted zz + longitudinal z + weighted x + 3-local Z strings through
+    the fused Ising readout == per-string expectation_ps oracle."""
+    from tensorcircuit_ng_tpu.core import kernels, kernels_rowlayer
+
+    monkeypatch.setattr(kernels_rowlayer, "MAX_KERNEL_QUBITS_ZZRX", 1)
+    n, L = 9, 2
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    rng = np.random.default_rng(7)
+    p0 = jnp.asarray(rng.normal(size=(L, 2, n)) * 0.4, jnp.float32)
+    zz_terms = [(i, i + 1, 0.5 + 0.1 * i) for i in range(n - 1)]
+    z_terms = [(q, 0.3) for q in range(0, n, 2)]
+    x_terms = [(q, -0.8 - 0.05 * q) for q in range(n)]
+
+    def build(p):
+        c = tc.Circuit(n)
+        c.h_layer()
+        for l in range(L):
+            c.zzrx_layer(pairs, p[l, 0, : n - 1], p[l, 1])
+        return c
+
+    def e_fused(p):
+        return build(p).expectation_ising_sum(zz_terms, z_terms, x_terms)
+
+    def e_ref(p):
+        c = build(p)
+        e = jnp.float32(0.0)
+        for a, b, w in zz_terms:
+            e = e + w * jnp.real(c.expectation_ps(z=[a, b]))
+        for q, w in z_terms:
+            e = e + w * jnp.real(c.expectation_ps(z=[q]))
+        for q, w in x_terms:
+            e = e + w * jnp.real(c.expectation_ps(x=[q]))
+        return e
+
+    vr, gr = jax.value_and_grad(e_ref)(p0)
+    for interp in (False, True):
+        kernels.set_interpret_mode(interp)
+        try:
+            vf, gf = jax.value_and_grad(e_fused)(p0)
+        finally:
+            kernels.set_interpret_mode(False)
+        np.testing.assert_allclose(float(vf), float(vr), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=3e-3)
+
+    # 3-local Z string via the low-level dense readout
+    c = build(p0)
+    spec = ((((0, 1, 2), 0.7),), ())
+    ev = float(kernels.ising_energy_dense(c.state(), n, spec))
+    er = 0.7 * float(jnp.real(c.expectation_ps(z=[0, 1, 2])))
+    np.testing.assert_allclose(ev, er, atol=1e-4)

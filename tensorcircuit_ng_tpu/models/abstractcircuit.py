@@ -202,9 +202,11 @@ class AbstractCircuit:
         Identity unless explicit measure instructions were recorded; with
         partial measurement, position i maps to the i-th measured qubit.
         """
+        # measure instructions are recorded in _extra_qir (measure_instruction),
+        # not in the gate QIR
         measured = [
             item["index"][0]
-            for item in self._qir
+            for item in list(self._extra_qir) + list(self._qir)
             if item.get("measure") or item.get("name") == "measure"
         ]
         if not measured:
@@ -228,9 +230,17 @@ class AbstractCircuit:
 
     @classmethod
     def from_qir(
-        cls, qir: List[Dict[str, Any]], circuit_params: Optional[Dict[str, Any]] = None
+        cls,
+        qir: List[Dict[str, Any]],
+        circuit_params: Optional[Dict[str, Any]] = None,
+        allow_channel: bool = True,
     ) -> "AbstractCircuit":
-        """Rebuild a circuit from QIR (reference ``abstractcircuit.py:440-496``)."""
+        """Rebuild a circuit from QIR (reference ``abstractcircuit.py:440-496``).
+
+        ``allow_channel`` kept for reference signature parity — channels are
+        always replayable here (statevector circuits re-sample trajectories,
+        DM circuits apply them exactly).
+        """
         if circuit_params is None:
             circuit_params = {}
         if "nqubits" not in circuit_params:
@@ -311,6 +321,10 @@ class AbstractCircuit:
         c = type(self)(**circuit_params)  # type: ignore
         qir = self._expanded_qir() if hasattr(self, "_expanded_qir") else self._qir
         for item in reversed(qir):
+            if item.get("is_channel"):
+                # channels have no adjoint: the inverse circuit replays only
+                # the unitary part (reference test_dmcircuit.py:281 semantics)
+                continue
             if item.get("multicz"):  # diagonal ±1: self-inverse
                 c.multicz(*item["index"])  # type: ignore
                 continue

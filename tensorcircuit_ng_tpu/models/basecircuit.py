@@ -525,8 +525,34 @@ class BaseCircuit(AbstractCircuit):
 
     wavefunction = state
 
-    def quvector(self) -> Tensor:
-        return self.state(form="tensor")
+    def select_gate(self, which: Tensor, kraus: Sequence[Any], *index: int) -> None:
+        """Apply ``kraus[which]`` where ``which`` is a traced int tensor.
+
+        Jittable classical control (reference ``abstractcircuit.py:1393-1446``);
+        shared by the statevector and DM engines (the selected matrix is
+        applied as a unitary gate).
+        """
+        from ..ops.gates import Gate as _Gate
+
+        mats = [
+            (k.tensor if isinstance(k, _Gate) else jnp.asarray(k)).astype(
+                jnp.dtype(config.dtypestr())
+            )
+            for k in kraus
+        ]
+        dim = self._d ** len(index)
+        mats = [jnp.reshape(m, (dim, dim)) for m in mats]
+        stack = jnp.stack(mats)
+        which = jnp.asarray(which).astype(jnp.int32)
+        chosen = jnp.take(stack, which, axis=0)
+        self.any(*index, unitary=chosen, name="select_gate")  # type: ignore
+
+    conditional_gate = select_gate
+
+    def quvector(self) -> Any:
+        """Output state as a :class:`~.quantum.QuVector` (reference
+        ``basecircuit.py:1026``; alias of :meth:`get_quvector`)."""
+        return self.get_quvector()
 
     def replace_inputs(self, inputs: Tensor) -> None:
         """Swap the input state (reference ``basecircuit.py:1703``)."""
@@ -1003,20 +1029,26 @@ class BaseCircuit(AbstractCircuit):
     # ------------------------------------------------------------------
 
     def projected_subsystem(
-        self, traceout: Sequence[int], left: Union[str, Sequence[int]]
+        self, traceout: Tensor, left: Sequence[int]
     ) -> Tensor:
-        """State of remaining qubits after projecting ``traceout`` onto ``left``."""
-        if isinstance(left, str):
-            left = [int(ch, 36) for ch in left]
+        """Reduced state on sites in ``left``; every other site is projected
+        onto the per-site digit in ``traceout``.
+
+        Reference semantics and signature (``basecircuit.py:1823``):
+        ``traceout`` is a length-n digit tensor (entries at ``left``
+        positions are ignored; may be jit-traced), ``left`` the static tuple
+        of sites to keep.  Returns the normalized reduced state.
+        """
+        left = tuple(int(q) for q in left)
+        tv = jnp.reshape(jnp.asarray(traceout), (-1,)).astype(jnp.int32)
         psi = self.state()
-        # slice out the projected slots, descending so positions stay valid
-        pairs = sorted(zip(traceout, left), key=lambda t: -t[0])
         n = self._nqubits
         d = self._d
-        for q, v in pairs:
+        # slice out the projected slots, descending so positions stay valid
+        for q in sorted((q for q in range(self._nqubits) if q not in left), reverse=True):
             a = d**q
             b = d ** (n - 1 - q)
-            psi = jnp.reshape(psi, (a, d, b))[:, v, :]
+            psi = jnp.reshape(psi, (a, d, b))[:, tv[q], :]
             psi = jnp.reshape(psi, (-1,))
             n -= 1
         nrm = jnp.linalg.norm(psi)

@@ -77,25 +77,8 @@ class Circuit(DetectorMixin, BaseCircuit):
 
     cond_measure = cond_measurement
 
-    def select_gate(self, which: Tensor, kraus: Sequence[Any], *index: int) -> None:
-        """Apply ``kraus[which]`` where ``which`` is a traced int tensor.
-
-        Jittable classical control (reference ``abstractcircuit.py:1393-1446``).
-        """
-        mats = [
-            (k.tensor if isinstance(k, Gate) else jnp.asarray(k)).astype(
-                jnp.dtype(config.dtypestr())
-            )
-            for k in kraus
-        ]
-        dim = self._d ** len(index)
-        mats = [jnp.reshape(m, (dim, dim)) for m in mats]
-        stack = jnp.stack(mats)
-        which = jnp.asarray(which).astype(jnp.int32)
-        chosen = jnp.take(stack, which, axis=0)
-        self.any(*index, unitary=chosen, name="select_gate")  # type: ignore
-
-    conditional_gate = select_gate
+    # select_gate / conditional_gate live on BaseCircuit (shared with the
+    # DM engine)
 
     # ------------------------------------------------------------------
     # Monte-Carlo noise channels
@@ -435,6 +418,12 @@ def _mps_to_dense(mps_inputs: Any) -> Tensor:
 
     Kept 2D throughout ((grown, bond) matrices) for TPU tiling.
     """
+    from ..quantum import QuOperator
+
+    if isinstance(mps_inputs, QuOperator):
+        # a QuVector (e.g. from Circuit.quvector()) IS the dense state —
+        # reference accepts it directly as mps_inputs (test_circuit.py:692)
+        return jnp.reshape(mps_inputs.eval(), (-1,))
     if hasattr(mps_inputs, "tensors"):
         tensors = mps_inputs.tensors
     else:
@@ -464,8 +453,12 @@ def expectation(
 
     Reference ``circuit.py:920-1065``.
     """
+    cdt = jnp.dtype(config.dtypestr())
     psi = jnp.reshape(jnp.asarray(ket), (-1,))
-    bra_t = psi if bra is None else jnp.reshape(jnp.asarray(bra), (-1,))
+    if not jnp.issubdtype(psi.dtype, jnp.complexfloating):
+        # a real ket must not drag complex operators down to its dtype
+        psi = psi.astype(cdt)
+    bra_t = psi if bra is None else jnp.reshape(jnp.asarray(bra), (-1,)).astype(psi.dtype)
     phi = psi
     for op, wires in ops:
         if isinstance(op, Gate):

@@ -97,7 +97,9 @@ class DMCircuit(BaseCircuit):
         rho = self._initial_dm()
         # expand fused-layer items: the DM doubling needs per-gate tensors
         for item in self._expanded_qir():
-            if item.get("is_channel"):
+            if item.get("cond_collapse"):
+                rho = self._collapse_rho(rho, item["index"][0], item["status"])
+            elif item.get("is_channel"):
                 mats = [
                     statevec._as_nd(m).astype(rho.dtype) for m in item["channel_kraus"]
                 ]
@@ -139,6 +141,107 @@ class DMCircuit(BaseCircuit):
     def purity(self) -> Tensor:
         rho = self.densitymatrix()
         return jnp.real(jnp.trace(rho @ rho))
+
+    def amplitude(self, l: Union[str, Sequence[int], Tensor]) -> Tensor:
+        r"""⟨l|ρ|l⟩ — the diagonal probability of basis string ``l``.
+
+        Reference semantics (``test_dmcircuit.py:401``: the DM 'amplitude' is
+        the probability, 0.5 → 0.4 under depolarizing); jittable with a
+        traced digit tensor.
+        """
+        if isinstance(l, str):
+            l = [int(ch, 36) for ch in l]
+        lv = jnp.reshape(jnp.asarray(l), (-1,)).astype(jnp.int32)
+        n = self._nqubits
+        # int32 is ample: the dense DM engine caps far below n=31
+        powers = jnp.asarray(
+            [self._d ** (n - 1 - i) for i in range(n)], dtype=jnp.int32
+        )
+        idx = jnp.sum(lv * powers)
+        rho = self.densitymatrix()
+        return rho[idx, idx]
+
+    def _site_marginal(self, rho: Tensor, q: int) -> Tensor:
+        """(d,) diagonal marginal of site ``q``."""
+        n = self._nqubits
+        d = self._d
+        dim = d**n
+        p = jnp.real(jnp.diagonal(jnp.reshape(rho, (dim, dim))))
+        p = jnp.reshape(p, (d**q, d, dim // d ** (q + 1)))
+        return jnp.sum(p, axis=(0, 2))
+
+    def _collapse_rho(self, rho: Tensor, q: int, status: Optional[Tensor]) -> Tensor:
+        """Projective Z collapse on site ``q``: Π_v ρ Π_v / p_v."""
+        n = self._nqubits
+        d = self._d
+        dim = d**n
+        rho2 = jnp.reshape(rho, (dim, dim))
+        p = self._site_marginal(rho2, q)
+        p = p / jnp.sum(p)
+        st = jnp.asarray(0.5 if status is None else status)
+        v = jnp.searchsorted(jnp.cumsum(p), st.astype(p.dtype))
+        v = jnp.clip(v, 0, d - 1)
+        mask = jax.nn.one_hot(v, d, dtype=rho2.dtype)
+        a = d**q
+        b = dim // (a * d)
+        r6 = jnp.reshape(rho2, (a, d, b, a, d, b))
+        r6 = r6 * mask[None, :, None, None, None, None]
+        r6 = r6 * mask[None, None, None, None, :, None]
+        rho2 = jnp.reshape(r6, (dim, dim))
+        tr = jnp.trace(rho2)
+        rho2 = rho2 / (tr + jnp.asarray(1e-12).astype(tr.dtype))
+        # hand back the engine's internal (flat doubled-space) representation
+        return jnp.reshape(rho2, jnp.shape(rho))
+
+    def cond_measurement(self, index: int, status: Optional[Tensor] = None) -> Tensor:
+        """Projective Z measurement with exact renormalized collapse on ρ;
+        returns the outcome (reference ``basecircuit.py:1723-1754`` role on
+        the DM engine).  Jittable via ``status``."""
+        q = int(index) % self._nqubits
+        # outcome from the CURRENT state (the lazy recomputation makes the
+        # same deterministic choice from the same status)
+        p = self._site_marginal(self.densitymatrix(), q)
+        p = p / jnp.sum(p)
+        st = jnp.asarray(0.5 if status is None else status)
+        v = jnp.clip(jnp.searchsorted(jnp.cumsum(p), st.astype(p.dtype)), 0, self._d - 1)
+        self._qir.append(
+            {
+                "gatef": None,
+                "gate": None,
+                "index": (q,),
+                "name": "cond_measurement",
+                "split": None,
+                "mpo": False,
+                "cond_collapse": True,
+                "status": st,
+            }
+        )
+        self._state_cache = None
+        return v
+
+    cond_measure = cond_measurement
+
+    def projected_subsystem(self, traceout: Tensor, left: Sequence[int]) -> Tensor:
+        """Reduced ρ on sites in ``left`` after projecting the complement
+        onto the per-site digits in ``traceout`` (reference
+        ``basecircuit.py:1823``, DM branch — trace-normalized)."""
+        left = tuple(int(q) for q in left)
+        tv = jnp.reshape(jnp.asarray(traceout), (-1,)).astype(jnp.int32)
+        n = self._nqubits
+        d = self._d
+        rho = self.densitymatrix()
+        m = n
+        for q in sorted((q for q in range(n) if q not in left), reverse=True):
+            dim = d**m
+            a = d**q
+            b = d ** (m - 1 - q)
+            r4 = jnp.reshape(rho, (a, d, b, a, d, b))
+            rho = jnp.reshape(
+                r4[:, tv[q], :, :, tv[q], :], (dim // d, dim // d)
+            )
+            m -= 1
+        tr = jnp.trace(rho)
+        return rho / (tr + jnp.asarray(1e-10).astype(tr.dtype))
 
     @staticmethod
     def check_density_matrix(dm: Tensor) -> None:
@@ -193,11 +296,22 @@ class DMCircuit(BaseCircuit):
     def apply_general_kraus(
         self, kraus: Sequence[Any], *index: Any, name: Optional[str] = None, **kws: Any
     ) -> None:
-        """Exact channel application Σ_k K ρ K† (reference ``:397-428``)."""
-        if len(index) == 1 and isinstance(index[0], (list, tuple)) and index and not isinstance(index[0], int):
-            # legacy signature: [(kraus, index_tuple), ...] not supported; flatten
-            index = tuple(index[0])
-        index = tuple(int(i) % self._nqubits for i in index)
+        """Exact channel application Σ_k K ρ K† (reference ``:397-428``).
+
+        ``index`` accepts flat ints, a sequence, or the reference's list of
+        site tuples (``apply_general_kraus(kraus, [(1,)])``).
+        """
+
+        def _flatten(idx: Any) -> List[int]:
+            out: List[int] = []
+            for i in idx:
+                if isinstance(i, (list, tuple)):
+                    out.extend(_flatten(i))
+                else:
+                    out.append(int(i))
+            return out
+
+        index = tuple(i % self._nqubits for i in _flatten(index))
         dim = self._d ** len(index)
         mats = []
         for k1 in kraus:

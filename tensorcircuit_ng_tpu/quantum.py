@@ -207,14 +207,35 @@ class QuOperator:
         return _qu_like(m, self.out_dims, tuple(other_t.shape[1:]) if other_t.ndim > 1 else ())
 
     def __mul__(self, scalar: Any) -> "QuOperator":
-        if isinstance(scalar, QuOperator) and scalar.is_scalar:
-            scalar = scalar.eval()
-        return QuOperator(self._t * scalar, self.out_dims, self.in_dims)
+        if isinstance(scalar, QuOperator):
+            if not scalar.is_scalar and not self.is_scalar:
+                raise ValueError(
+                    "Only scalar multiplication is supported; use @ for "
+                    "operator products (reference quantum.py semantics)"
+                )
+            other_t = scalar.eval() if scalar.is_scalar else scalar._t
+            if self.is_scalar and not scalar.is_scalar:
+                return type(scalar)._build(self.eval() * other_t, scalar)
+            return self._build(self._t * other_t, self)
+        if np.ndim(scalar) != 0:
+            raise ValueError(
+                "Only scalar multiplication is supported; got a non-scalar "
+                "operand (reference quantum.py semantics)"
+            )
+        return self._build(self._t * scalar, self)
 
     __rmul__ = __mul__
 
+    @staticmethod
+    def _build(t: Tensor, like: "QuOperator") -> "QuOperator":
+        return _qu_like(
+            jnp.reshape(t, (-1,)), tuple(like.out_dims), tuple(like.in_dims)
+        )
+
     def __truediv__(self, scalar: Any) -> "QuOperator":
-        return QuOperator(self._t / scalar, self.out_dims, self.in_dims)
+        if isinstance(scalar, QuOperator) and scalar.is_scalar:
+            scalar = scalar.eval()
+        return self._build(self._t / scalar, self)
 
     def __add__(self, other: "QuOperator") -> "QuOperator":
         assert self.out_dims == other.out_dims and self.in_dims == other.in_dims
@@ -245,11 +266,14 @@ class QuOperator:
         dims = tuple(self.out_dims[i] for i in keep)
         return QuOperator(t, dims, dims)
 
-    def trace(self) -> Tensor:
-        return jnp.trace(self.eval_matrix())
+    def trace(self) -> "QuOperator":
+        """tr(O) as a QuScalar — call ``.eval()`` for the value (reference
+        returns the lazy scalar network)."""
+        return QuScalar(jnp.trace(self.eval_matrix()))
 
-    def norm(self) -> Tensor:
-        return jnp.linalg.norm(self.eval_matrix())
+    def norm(self) -> "QuOperator":
+        """Frobenius norm as a QuScalar (reference ``QuOperator.norm``)."""
+        return QuScalar(jnp.linalg.norm(self.eval_matrix()))
 
     def projector(self) -> "QuOperator":
         assert self.is_vector
@@ -837,6 +861,8 @@ def double_state(h: Tensor, beta: float = 1.0) -> Tensor:
 
 def free_energy(rho: Tensor, h: Tensor, beta: float = 1.0, eps: float = 1e-12) -> Tensor:
     rho = _to_rho(rho)
+    if isinstance(h, QuOperator):
+        h = h.eval_matrix()
     energy = jnp.real(jnp.trace(rho @ jnp.asarray(h)))
     s = entropy(rho, eps)
     return jnp.real(energy - s / beta)
@@ -844,6 +870,8 @@ def free_energy(rho: Tensor, h: Tensor, beta: float = 1.0, eps: float = 1e-12) -
 
 def renyi_free_energy(rho: Tensor, h: Tensor, beta: float = 1.0, k: int = 2) -> Tensor:
     rho = _to_rho(rho)
+    if isinstance(h, QuOperator):
+        h = h.eval_matrix()
     energy = jnp.real(jnp.trace(rho @ jnp.asarray(h)))
     s = renyi_entropy(rho, k)
     return jnp.real(energy - s / beta)

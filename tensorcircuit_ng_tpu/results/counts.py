@@ -72,8 +72,15 @@ def kl_divergence(c1: ct, c2: ct, eps: float = 1e-9) -> float:
     p = normalized_count(c1)
     q = normalized_count(c2)
     keys = set(p) | set(q)
+    # a zero-probability key contributes 0 in the limit (0*log 0 = 0),
+    # NOT nan via 0*(-inf); only q is clamped by eps
     return float(
-        sum(p.get(k, eps) * (np.log(p.get(k, eps)) - np.log(q.get(k, eps))) for k in keys)
+        sum(
+            pk * (np.log(pk) - np.log(q.get(k, eps) or eps))
+            for k in keys
+            for pk in (p.get(k, 0.0),)
+            if pk > 0
+        )
     )
 
 

@@ -175,7 +175,7 @@ def test_quoperator_algebra():
     c.cnot(0, 1)
     qv = qu.QuVector.from_tensor(c.state(form="tensor"))
     rho = qv.projector()
-    np.testing.assert_allclose(float(jnp.real(rho.trace())), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(jnp.real(rho.trace().eval())), 1.0, atol=1e-6)
     rdm = qv.reduced_density_matrix([0])
     np.testing.assert_allclose(np.asarray(rdm.eval_matrix()), np.eye(2) / 2, atol=1e-6)
 

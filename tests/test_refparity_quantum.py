@@ -1,0 +1,139 @@
+"""Behavioral parity tests against reference tests/test_quantum.py."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import tensorcircuit_ng_tpu as tc
+from tensorcircuit_ng_tpu import quantum as qu
+
+
+def test_tensor_product_norm():
+    """reference test_quantum.py:176 — |ψ⊗ψ| = |ψ|² as QuScalars."""
+    rng = np.random.default_rng(0)
+    psi = qu.QuVector.from_tensor(rng.random((2, 2)))
+    pp = psi.tensor_product(psi)
+    assert len(pp.subsystem_edges) == 4
+    np.testing.assert_almost_equal(
+        complex(pp.norm().eval()), complex(psi.norm().eval()) ** 2, decimal=5
+    )
+
+
+def test_mul_semantics():
+    """reference test_quantum.py:194 — scalar-only multiply, ValueError
+    otherwise, subclass preserved."""
+    mat = np.eye(2)
+    op = qu.QuOperator.from_tensor(mat, [0], [1])
+    sc = qu.QuScalar.from_tensor(np.float64(0.5))
+    np.testing.assert_allclose(np.asarray((op * sc).eval()), mat * 0.5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray((sc * op).eval()), mat * 0.5, atol=1e-6)
+    np.testing.assert_allclose(complex((sc * sc).eval()), 0.25, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray((op * np.float64(0.5)).eval()), mat * 0.5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray((np.float64(0.5) * op).eval()), mat * 0.5, atol=1e-6
+    )
+    with pytest.raises(ValueError):
+        _ = op * op
+    with pytest.raises(ValueError):
+        _ = op * mat
+
+
+def test_expectation_two_routes():
+    """reference test_quantum.py:223 — ⟨ψ|O⊗I|ψ⟩ == tr(O ρ_1)."""
+    rng = np.random.default_rng(1)
+    pt = rng.random((2, 2, 2)) + 1j * rng.random((2, 2, 2))
+    ot = rng.random((2, 2)) + 1j * rng.random((2, 2))
+    psi = qu.QuVector.from_tensor(pt)
+    op = qu.QuOperator.from_tensor(ot, [0], [1])
+    op3 = op.tensor_product(qu.identity((2, 2), dtype="complex64"))
+    r1 = complex((psi.adjoint() @ op3 @ psi).eval())
+    rho1 = psi.reduced_density([1, 2])
+    r2 = complex((op @ rho1).trace().eval())
+    np.testing.assert_almost_equal(r1, r2, decimal=5)
+
+
+def test_projector_idempotent():
+    """reference test_quantum.py:240."""
+    rng = np.random.default_rng(2)
+    pt = rng.random((2, 2))
+    pt /= np.linalg.norm(pt)
+    psi = qu.QuVector.from_tensor(pt)
+    P = psi.projector()
+    np.testing.assert_allclose(np.asarray((P @ psi).eval()), pt, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray((P @ P).eval()), np.asarray(P.eval()), atol=1e-6
+    )
+
+
+def test_nonsquare_quop():
+    """reference test_quantum.py:251."""
+    op = qu.QuOperator.from_tensor(np.ones([2] * 5), [0, 1, 2], [3, 4])
+    op2 = qu.QuOperator.from_tensor(np.ones([2] * 5), [0, 1], [2, 3, 4])
+    np.testing.assert_allclose(
+        np.asarray((op @ op2).eval()), 4 * np.ones([2] * 6), atol=1e-6
+    )
+
+
+def test_trace_product_mixed_args():
+    """reference test_quantum.py:296 — tensors and QuOperators interchangeable."""
+    o = np.ones([2, 2])
+    h = np.eye(2)
+    oq = qu.QuOperator.from_tensor(o)
+    hq = qu.QuOperator.from_tensor(h)
+    for a, b in [(o, h), (oq, hq), (oq, h), (o, hq)]:
+        np.testing.assert_allclose(complex(qu.trace_product(a, b)), 2, atol=1e-6)
+
+
+def test_free_energy_quoperator_h():
+    """reference test_quantum.py:380 — h may be a QuOperator."""
+    rho = np.array([[1.0, 0], [0, 0]])
+    h = np.array([[-1.0, 0], [0, 1]])
+    np.testing.assert_allclose(float(np.real(qu.free_energy(rho, h, 0.5))), -1, atol=1e-6)
+    np.testing.assert_allclose(
+        float(np.real(qu.renyi_free_energy(rho, h, 0.5))), -1, atol=1e-6
+    )
+    hq = qu.QuOperator.from_tensor(h)
+    np.testing.assert_allclose(
+        float(np.real(qu.free_energy(rho, hq, 0.5))), -1, atol=1e-6
+    )
+
+
+def test_measurement_counts_formats():
+    """reference test_quantum.py:390 — count_tuple and vector formats."""
+    state = np.ones([4])
+    ct, cs = qu.measurement_counts(state, format="count_tuple")
+    assert ct.shape[0] == 4
+    assert int(np.sum(np.asarray(cs))) == 8192
+    cv = qu.measurement_counts(np.array([1.0, 1.0, 0, 0]))
+    assert tuple(np.shape(cv)) == (4,)
+    np.testing.assert_allclose(float(np.sum(np.asarray(cv))), 8192, atol=1)
+
+
+def test_extract_from_measure():
+    """reference test_quantum.py:406 — spin_by_basis / correlations."""
+    np.testing.assert_allclose(
+        np.asarray(qu.spin_by_basis(2, 1)), [1, -1, 1, -1], atol=1e-6
+    )
+    state = jnp.asarray([0.6, 0.4, 0, 0])
+    np.testing.assert_allclose(
+        float(qu.correlation_from_counts([0, 1], state)), 0.2, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(qu.correlation_from_counts([1], state)), 0.2, atol=1e-6
+    )
+    samples = jnp.asarray([0, 0, 3, 3, 3], jnp.int32)
+    np.testing.assert_allclose(
+        float(qu.correlation_from_samples([0, 1], samples, n=2)), 1, atol=1e-5
+    )
+
+
+def test_heisenberg_ground_energy():
+    """reference test_quantum.py:422 — Line1D(6) Heisenberg E0 = -11.2111."""
+    g = tc.templates.graphs.Line1D(6)
+    h = qu.heisenberg_hamiltonian(g, sparse=False)
+    e = np.linalg.eigvalsh(np.asarray(h))
+    np.testing.assert_allclose(e[0], -11.2111, atol=1e-4)

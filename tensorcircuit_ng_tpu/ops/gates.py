@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -487,11 +487,20 @@ class GateF:
     ``.controlled()`` like reference ``gates.py:298-387``.
     """
 
-    def __init__(self, name: str, matrix_fn: Optional[Callable[..., Tensor]] = None, n: int = 1):
+    def __init__(
+        self,
+        name: str,
+        matrix_fn: Optional[Callable[..., Tensor]] = None,
+        n: int = 1,
+        ctrl: Optional[List[int]] = None,
+    ) -> None:
         self.n = name
         self.name = name
         self._matrix_fn = matrix_fn
         self.nqubits = n
+        #: control-bit pattern accumulated by controlled()/ocontrolled()
+        #: (reference gates.py GateF.ctrl; [] for uncontrolled gates)
+        self.ctrl: List[int] = list(ctrl) if ctrl is not None else []
 
     def __call__(self, *args: Any, **kws: Any) -> Gate:
         dtype = kws.pop("dtype", None) or config.dtypestr()
@@ -536,7 +545,7 @@ class GateF:
             out = xp.eye(2 * dim, dtype=m.dtype)
             return _set_block(out, slice(dim, None), slice(dim, None), m, xp)
 
-        return GateF("c" + self.name, ctrl_fn, self.nqubits + 1)
+        return GateF("c" + self.name, ctrl_fn, self.nqubits + 1, ctrl=[1] + self.ctrl)
 
     def ocontrolled(self) -> "GateF":
         base = self
@@ -548,7 +557,7 @@ class GateF:
             out = xp.eye(2 * dim, dtype=m.dtype)
             return _set_block(out, slice(None, dim), slice(None, dim), m, xp)
 
-        return GateF("o" + self.name, ctrl_fn, self.nqubits + 1)
+        return GateF("o" + self.name, ctrl_fn, self.nqubits + 1, ctrl=[0] + self.ctrl)
 
     def __repr__(self) -> str:
         return f"GateF({self.name!r})"

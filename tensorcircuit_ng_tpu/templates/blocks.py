@@ -17,28 +17,59 @@ __all__ = [
 
 
 def Bell_pair_block(c: Any, links: Optional[Sequence[Sequence[int]]] = None) -> Any:
-    """Entangle pairs into Bell states (reference ``blocks.py``)."""
+    """Entangle each pair into the singlet (|01⟩−|10⟩)/√2 (reference
+    ``blocks.py:47-69`` convention: X·H·CNOT·X)."""
     n = c.nqubits
     if links is None:
         links = [(i, i + 1) for i in range(0, n - 1, 2)]
     for a, b in links:
+        c.x(a)
         c.h(a)
         c.cnot(a, b)
+        c.x(b)
     return c
 
 
-def qft(c: Any, *index: int, with_swap: bool = True) -> Any:
-    """Quantum Fourier transform on the listed qubits."""
+def qft(
+    c: Any,
+    *index: int,
+    do_swaps: bool = True,
+    inverse: bool = False,
+    insert_barriers: bool = False,
+    with_swap: Optional[bool] = None,
+) -> Any:
+    """Quantum Fourier transform on the listed qubits.
+
+    Reference ``blocks.py:188-245`` signature: ``do_swaps`` includes the
+    final bit-reversal swaps, ``inverse`` builds the adjoint transform.
+    ``with_swap`` kept as a deprecated alias of ``do_swaps``.
+    """
+    if with_swap is not None:
+        do_swaps = with_swap
     if not index:
         index = tuple(range(c.nqubits))
+    assert len(set(index)) == len(index), "no repeated qubits"
     m = len(index)
-    for i in range(m):
-        c.h(index[i])
-        for j in range(i + 1, m):
-            c.cphase(index[j], index[i], theta=np.pi / (2 ** (j - i)))
-    if with_swap:
-        for i in range(m // 2):
-            c.swap(index[i], index[m - 1 - i])
+    if inverse:
+        if do_swaps:
+            for i in range(m // 2):
+                c.swap(index[i], index[m - 1 - i])
+        for i in range(m - 1, -1, -1):
+            for j in range(m - 1, i, -1):
+                c.cphase(index[j], index[i], theta=-np.pi / (2 ** (j - i)))
+            c.h(index[i])
+            if insert_barriers:
+                c.barrier_instruction(*range(min(index), max(index) + 1))
+    else:
+        for i in range(m):
+            c.h(index[i])
+            for j in range(i + 1, m):
+                c.cphase(index[j], index[i], theta=np.pi / (2 ** (j - i)))
+            if insert_barriers:
+                c.barrier_instruction(*range(min(index), max(index) + 1))
+        if do_swaps:
+            for i in range(m // 2):
+                c.swap(index[i], index[m - 1 - i])
     return c
 
 

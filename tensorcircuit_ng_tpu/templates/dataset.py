@@ -12,29 +12,23 @@ __all__ = ["amplitude_encoding", "mnist_pair_data"]
 def amplitude_encoding(fig: Any, nqubits: int, index: Optional[Any] = None) -> Any:
     """L2-normalize flattened data into a 2^n amplitude vector.
 
-    Reference ``dataset.py:amplitude_encoding``; batched inputs keep the
-    leading axis.
+    NON-batch, exactly the reference's pipeline (``dataset.py:15-36``):
+    flatten everything → normalize → zero-pad to 2^n → optional index
+    gather.  Batch with ``jax.vmap`` (vectorized argnum 0).
     """
     import jax.numpy as jnp
 
-    x = jnp.asarray(fig)
-    batched = x.ndim > 2 or (x.ndim == 2 and x.shape[-1] != x.shape[-2] and x.shape[0] > 2**nqubits)
-    if x.ndim >= 2 and x.shape[0] != 2**nqubits:
-        # heuristically treat axis 0 as batch when flattening overflows
-        pass
-    flat = jnp.reshape(x, (x.shape[0], -1)) if x.ndim > 1 else jnp.reshape(x, (1, -1))
-    size = flat.shape[-1]
-    dim = 2**nqubits
-    if size < dim:
-        flat = jnp.pad(flat, ((0, 0), (0, dim - size)))
-    else:
-        flat = flat[:, :dim]
-    if index is not None:
-        flat = flat[:, jnp.asarray(index)]
-    nrm = jnp.linalg.norm(flat, axis=-1, keepdims=True)
+    flat = jnp.reshape(jnp.asarray(fig), (-1,))
+    nrm = jnp.linalg.norm(flat)
     flat = flat / jnp.where(nrm == 0, 1.0, nrm)
-    if x.ndim == 1:
-        return flat[0]
+    dim = 2**nqubits
+    size = flat.shape[0]
+    if size < dim:
+        flat = jnp.pad(flat, (0, dim - size))
+    elif size > dim:
+        flat = flat[:dim]
+    if index is not None:
+        flat = flat[jnp.asarray(index).astype(jnp.int32)]
     return flat
 
 

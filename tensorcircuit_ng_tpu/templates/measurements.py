@@ -27,6 +27,7 @@ __all__ = [
     "spin_glass_measurements",
     "heisenberg_measurements",
     "parameterized_measurements",
+    "parameterized_local_measurements",
 ]
 
 
@@ -135,3 +136,29 @@ def parameterized_measurements(
 
     psi = c.state()
     return pauli_term_expectation(psi, jnp.asarray(structures, dtype=jnp.int32))
+
+
+def parameterized_local_measurements(
+    c: Any, structures: Tensor, onehot: bool = False, reuse: bool = True
+) -> Tensor:
+    """Per-wire single-Pauli expectations from a structure tensor.
+
+    Reference ``measurements.py:88-153`` (``any_local_measurements`` alias):
+    ``structures`` is [nwires, 4] Pauli weights, or [nwires] integer codes
+    with ``onehot=True``; returns the real [nwires] expectation stack.
+    Differentiable/jittable through the structure tensor.
+    """
+    from ..ops.gates import _i_matrix, _x_matrix, _y_matrix, _z_matrix
+
+    s = jnp.asarray(structures)
+    if onehot:
+        s = jax.nn.one_hot(s.astype(jnp.int32), 4, dtype=jnp.float32)
+    paulis = np.stack([_i_matrix, _x_matrix, _y_matrix, _z_matrix]).astype(
+        np.complex64
+    )
+    nwires = s.shape[0]
+    outs = []
+    for i in range(nwires):
+        m = jnp.tensordot(s[i].astype(jnp.complex64), jnp.asarray(paulis), axes=1)
+        outs.append(jnp.real(c.expectation((m, [i]), reuse=reuse)))
+    return jnp.stack(outs)

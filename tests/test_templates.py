@@ -129,8 +129,11 @@ def test_amplitude_encoding():
     x = np.arange(16.0)
     v = np.asarray(dataset.amplitude_encoding(x, 4))
     np.testing.assert_allclose(np.linalg.norm(v), 1.0, atol=1e-6)
-    xb = np.random.default_rng(0).normal(size=(5, 10))
-    vb = np.asarray(dataset.amplitude_encoding(xb, 4))
+    # reference semantics: non-batch; batch via vmap (reference dataset.py:39)
+    import jax
+
+    xb = jnp.asarray(np.random.default_rng(0).normal(size=(5, 10)), jnp.float32)
+    vb = np.asarray(jax.vmap(lambda f: dataset.amplitude_encoding(f, 4))(xb))
     assert vb.shape == (5, 16)
     np.testing.assert_allclose(np.linalg.norm(vb, axis=1), np.ones(5), atol=1e-5)
 

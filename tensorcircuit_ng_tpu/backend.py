@@ -932,6 +932,9 @@ def _reshaped(self, a, d):
     if not isinstance(d, int) or d <= 0:
         raise ValueError("d must be a positive integer.")
     size = int(np.prod(a.shape)) if a.shape else 1
+    if size == 0:
+        # reference convention: empty input -> canonical empty vector (0,)
+        return jnp.reshape(a, (0,))
     nleg = int(round(math.log(size, d))) if size > 1 else 0
     if d**nleg != size:
         raise ValueError(f"tensor size {size} is not a power of {d}")

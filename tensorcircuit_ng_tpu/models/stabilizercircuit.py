@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
+import jax.numpy as jnp
 
 from .. import config
 from ..core.tableau import Tableau
@@ -60,6 +61,9 @@ class StabilizerCircuit(AbstractCircuit):
             tableau_inputs.copy() if tableau_inputs is not None else make_tableau(nqubits)
         )
         self._measure_record: List[int] = []
+        #: False once the tableau holds information the QIR cannot replay
+        #: (tableau inputs, collapses, unrecorded Cliffords, noise)
+        self._replayable = tableau_inputs is None
 
     def _copy_params(self) -> Dict[str, Any]:
         return {"nqubits": self._nqubits}
@@ -69,6 +73,7 @@ class StabilizerCircuit(AbstractCircuit):
         c._tab = self._tab.copy()
         c._qir = [dict(i) for i in self._qir]
         c._measure_record = list(self._measure_record)
+        c._replayable = self._replayable
         return c
 
     # ------------------------------------------------------------------
@@ -159,6 +164,7 @@ class StabilizerCircuit(AbstractCircuit):
 
     def mid_measurement(self, index: int, keep: int = 0) -> None:
         """Post-select qubit ``index`` on ``keep`` (reference ``mid_measurement``)."""
+        self._replayable = False
         out = self._tab.measure(index, status=float(keep))
         # post-selection: if the outcome was deterministic and != keep, the
         # state is inconsistent with the projection
@@ -167,7 +173,11 @@ class StabilizerCircuit(AbstractCircuit):
                 "post-selected outcome has zero probability (deterministic mismatch)"
             )
 
+    post_select = mid_measurement
+    mid_measure = mid_measurement
+
     def cond_measurement(self, index: int, status: Optional[float] = None) -> int:
+        self._replayable = False
         out = self._tab.measure(index, status=None if status is None else float(status))
         self._measure_record.append(out)
         return out
@@ -294,18 +304,70 @@ class StabilizerCircuit(AbstractCircuit):
     # ------------------------------------------------------------------
 
     def state(self, form: str = "default") -> Tensor:
-        """Materialize the dense statevector by replaying the Clifford QIR."""
-        from .circuit import Circuit
+        """Materialize the dense statevector.
 
-        c = Circuit(self._nqubits)
-        for item in self._qir:
-            gname = item["name"]
-            if gname == "i":
-                continue
-            getattr(c, gname)(*item["index"])
-        return c.state(form=form)
+        Replaying the Clifford QIR preserves the exact global phase; when the
+        tableau holds non-replayable information (tableau inputs, collapses,
+        unrecorded Cliffords, trajectory noise) the state is reconstructed
+        from the stabilizer group instead (canonical phase: the anchor basis
+        amplitude is made real positive — a stabilizer tableau only defines
+        the state up to global phase, as does stim's to_state_vector).
+        """
+        if self._replayable:
+            from .circuit import Circuit
+
+            c = Circuit(self._nqubits)
+            for item in self._qir:
+                gname = item["name"]
+                if gname == "i":
+                    continue
+                getattr(c, gname)(*item["index"])
+            return c.state(form=form)
+        psi = self._state_from_tableau()
+        if form == "tensor":
+            return jnp.reshape(psi, (2,) * self._nqubits)
+        return psi
 
     wavefunction = state
+
+    def _state_from_tableau(self) -> Tensor:
+        """|psi> = prod_j (I+g_j)/2 |z*>, anchored on a support basis state.
+
+        z* comes from measuring every qubit on a COPY (status=0 branch);
+        the projector product then reconstructs the full superposition with
+        correct relative phases (g_j = (-1)^{r_j} prod_q sigma_q from the
+        tableau rows, Y where x and z bits are both set).
+        """
+        from ..core import statevec
+
+        n = self._nqubits
+        tab = self._tab.copy()
+        zstar = [int(tab.measure(q, status=0.0)) for q in range(n)]
+        idx = 0
+        for b in zstar:
+            idx = idx * 2 + int(b)
+        psi = jnp.zeros(2**n, jnp.complex64).at[idx].set(1.0)
+        xs, zs, rs = self._tab.stabilizers()
+        paulis = {
+            (1, 0): np.array([[0, 1], [1, 0]], np.complex64),
+            (0, 1): np.array([[1, 0], [0, -1]], np.complex64),
+            (1, 1): np.array([[0, -1j], [1j, 0]], np.complex64),
+        }
+        for j in range(n):
+            phi = psi
+            for q in range(n):
+                key = (int(xs[j, q]), int(zs[j, q]))
+                if key in paulis:
+                    phi = statevec.apply_unitary(phi, paulis[key], [q])
+            if int(rs[j]):
+                phi = -phi
+            psi = 0.5 * (psi + phi)
+        nrm = jnp.linalg.norm(psi)
+        psi = psi / nrm.astype(psi.dtype)
+        # canonical global phase: anchor amplitude real positive
+        anchor = psi[idx]
+        phase = anchor / jnp.abs(anchor).astype(psi.dtype)
+        return psi * jnp.conj(phase)
 
     def entanglement_entropy(self, cut: Sequence[int]) -> float:
         """Entropy of region ``cut`` from GF(2) rank (reference ``:406-495``)."""
@@ -374,6 +436,8 @@ class StabilizerCircuit(AbstractCircuit):
         local qubits 0..len(index)-1 (reference :141 takes a stim.Tableau;
         the gate-word form is the portable equivalent without stim).
         """
+        if not recorded:
+            self._replayable = False
         for name, local in tableau:
             target = tuple(index[i] for i in local)
             getattr(self._tab, _TABLEAU_OPS.get(name, name))(*target)
@@ -523,4 +587,5 @@ class StabilizerCircuit(AbstractCircuit):
             r = float(np.asarray(rng_vals).reshape(-1)[k])
             if r < p:
                 which = int(r / p * 3)  # uniform over x, y, z
+                self._replayable = False
                 [self._tab.x_gate, self._tab.y_gate, self._tab.z_gate][which](q)

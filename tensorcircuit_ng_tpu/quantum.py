@@ -680,32 +680,46 @@ def _to_rho(state: Tensor) -> Tensor:
 
 def reduced_density_matrix(
     state: Tensor,
-    cut: Union[int, Sequence[int]],
+    cut: Union[int, Sequence[int], None] = None,
     p: Optional[Tensor] = None,
+    normalize: bool = True,
+    dim: Optional[int] = None,
+    *,
+    subsystem_to_keep: Optional[Sequence[int]] = None,
+    subsystems_to_trace_out: Optional[Sequence[int]] = None,
 ) -> Tensor:
-    """Trace out qubits in ``cut`` (reference ``quantum.py:2591-2700``).
+    """Trace out sites in ``cut`` (reference ``quantum.py:2856`` signature).
 
-    ``state`` may be a ket (any shape reshapable to 2^n) or a density matrix.
+    ``state`` may be a ket (any shape reshapable to d^n), a density matrix,
+    or a QuOperator.  ``dim`` sets the local dimension (default 2);
+    ``subsystem_to_keep``/``subsystems_to_trace_out`` are the reference's
+    dual keyword forms of ``cut`` (give exactly one of the three).
     """
-    if isinstance(cut, int):
-        cut = [cut]
-    cut = list(cut)
+    if isinstance(state, QuOperator):
+        state = state.eval_matrix() if state.in_dims else state.eval()
+    d = int(dim or 2)
     s = jnp.asarray(state)
     size = int(np.prod(s.shape, dtype=np.int64))
     if s.ndim == 2 and s.shape[0] == s.shape[1] and size == s.shape[0] ** 2:
+        n = int(round(math.log(s.shape[0], d)))
+    else:
+        n = int(round(math.log(size, d)))
+    cut = _resolve_cut(n, cut, subsystem_to_keep, subsystems_to_trace_out)
+    if s.ndim == 2 and s.shape[0] == s.shape[1] and size == s.shape[0] ** 2:
         # density-matrix input: successive rank-5 partial traces (TPU-safe)
-        n = int(round(math.log2(s.shape[0])))
         flat = jnp.reshape(s, (-1,))
         m = n
         for q in sorted(cut, reverse=True):
-            a = 2**q
-            b = 2 ** (m - 1)
-            c = 2 ** (m - 1 - q)
-            t = jnp.reshape(flat, (a, 2, b, 2, c))
+            a = d**q
+            b = d ** (m - 1)
+            c = d ** (m - 1 - q)
+            t = jnp.reshape(flat, (a, d, b, d, c))
             flat = jnp.reshape(jnp.einsum("aibic->abc", t), (-1,))
             m -= 1
-        return jnp.reshape(flat, (2**m, 2**m))
-    n = int(round(math.log2(size)))
+        rho = jnp.reshape(flat, (d**m, d**m))
+        if normalize:
+            rho = rho / jnp.trace(rho)
+        return rho
     psi = jnp.reshape(s, (-1,))
     if p is not None:
         psi = psi * jnp.sqrt(jnp.reshape(p, (-1,))).astype(psi.dtype)
@@ -713,15 +727,18 @@ def reduced_density_matrix(
     nn = n
     for q in sorted(cut, reverse=True):
         # current position of q: earlier moves only touched slots after q
-        a = 2**q
-        b = 2 ** (nn - 1 - q)
+        a = d**q
+        b = d ** (nn - 1 - q)
         psi = jnp.reshape(
-            jnp.transpose(jnp.reshape(psi, (a, 2, b)), (0, 2, 1)), (-1,)
+            jnp.transpose(jnp.reshape(psi, (a, d, b)), (0, 2, 1)), (-1,)
         )
         # the moved slot now sits at the very end; subsequent (smaller-q)
         # moves go before it, preserving cut order ascending at the tail
-    psi_m = jnp.reshape(psi, (2 ** (n - len(cut)), 2 ** len(cut)))
-    return psi_m @ jnp.conj(psi_m.T)
+    psi_m = jnp.reshape(psi, (d ** (n - len(cut)), d ** len(cut)))
+    rho = psi_m @ jnp.conj(psi_m.T)
+    if normalize:
+        rho = rho / jnp.trace(rho)
+    return rho
 
 
 def entropy(rho: Any, eps: float = 1e-12) -> Tensor:
@@ -745,13 +762,64 @@ def renyi_entropy(rho: Any, k: int = 2, eps: float = 1e-12) -> Tensor:
     return jnp.log(jnp.sum(lam**k)) / (1 - k)
 
 
-def entanglement_entropy(state: Tensor, cut: Union[int, Sequence[int]]) -> Tensor:
-    rho = reduced_density_matrix(state, cut)
+def _resolve_cut(
+    n: int,
+    cut: Any,
+    subsystem_to_keep: Any,
+    subsystems_to_trace_out: Any,
+) -> List[int]:
+    """Reference cut-resolution: int cut means [0, cut); dual kwargs win."""
+    if subsystems_to_trace_out is not None:
+        return [int(q) for q in subsystems_to_trace_out]
+    if subsystem_to_keep is not None:
+        keep = set(int(q) for q in subsystem_to_keep)
+        return [q for q in range(n) if q not in keep]
+    if cut is None:
+        raise ValueError(
+            "give one of cut / subsystem_to_keep / subsystems_to_trace_out"
+        )
+    if isinstance(cut, int):
+        # reference convention (quantum.py:2873): int = list(range(cut))
+        return list(range(cut))
+    return [int(q) for q in cut]
+
+
+def entanglement_entropy(
+    state: Tensor,
+    cut: Union[int, Sequence[int], None] = None,
+    *,
+    subsystem_to_keep: Optional[Sequence[int]] = None,
+    subsystems_to_trace_out: Optional[Sequence[int]] = None,
+    dim: Optional[int] = None,
+) -> Tensor:
+    """Von Neumann entropy across the bipartition (reference ``quantum.py:2706``
+    signature: int cut = [0, cut); dual subsystem kwargs; qudit ``dim``)."""
+    rho = reduced_density_matrix(
+        state,
+        cut,
+        dim=dim,
+        subsystem_to_keep=subsystem_to_keep,
+        subsystems_to_trace_out=subsystems_to_trace_out,
+    )
     return entropy(rho)
 
 
-def renyi_entanglement_entropy(state: Tensor, cut: Union[int, Sequence[int]], k: int = 2) -> Tensor:
-    rho = reduced_density_matrix(state, cut)
+def renyi_entanglement_entropy(
+    state: Tensor,
+    cut: Union[int, Sequence[int], None] = None,
+    k: int = 2,
+    *,
+    subsystem_to_keep: Optional[Sequence[int]] = None,
+    subsystems_to_trace_out: Optional[Sequence[int]] = None,
+    dim: Optional[int] = None,
+) -> Tensor:
+    rho = reduced_density_matrix(
+        state,
+        cut,
+        dim=dim,
+        subsystem_to_keep=subsystem_to_keep,
+        subsystems_to_trace_out=subsystems_to_trace_out,
+    )
     return renyi_entropy(rho, k)
 
 
@@ -816,21 +884,28 @@ def trace_distance(rho: Tensor, rho0: Tensor, eps: float = 1e-12) -> Tensor:
     return 0.5 * jnp.sum(jnp.sqrt(lam + eps))
 
 
-def mutual_information(s: Tensor, cut: Union[int, Sequence[int]]) -> Tensor:
-    """I(A:B) (reference ``quantum.py:3439``)."""
-    if isinstance(cut, int):
-        cut = [cut]
+def mutual_information(
+    s: Tensor,
+    cut: Union[int, Sequence[int], None] = None,
+    dim: Optional[int] = None,
+    *,
+    subsystem_to_keep: Optional[Sequence[int]] = None,
+    subsystems_to_trace_out: Optional[Sequence[int]] = None,
+) -> Tensor:
+    """I(A:B) (reference ``quantum.py:3439`` signature and cut semantics)."""
+    d = int(dim or 2)
     s = jnp.asarray(s)
     size = int(np.prod(s.shape, dtype=np.int64))
     if s.ndim == 2 and s.shape[0] == s.shape[1]:
-        n = int(round(math.log2(s.shape[0])))
+        n = int(round(math.log(s.shape[0], d)))
         mixed = True
     else:
-        n = int(round(math.log2(size)))
+        n = int(round(math.log(size, d)))
         mixed = False
+    cut = _resolve_cut(n, cut, subsystem_to_keep, subsystems_to_trace_out)
     other = [i for i in range(n) if i not in set(cut)]
-    rho_a = reduced_density_matrix(s, other)  # keep cut
-    rho_b = reduced_density_matrix(s, list(cut))
+    rho_a = reduced_density_matrix(s, other, dim=d)  # keep cut
+    rho_b = reduced_density_matrix(s, list(cut), dim=d)
     if mixed:
         hab = entropy(s)
     else:

@@ -137,3 +137,68 @@ def test_heisenberg_ground_energy():
     h = qu.heisenberg_hamiltonian(g, sparse=False)
     e = np.linalg.eigvalsh(np.asarray(h))
     np.testing.assert_allclose(e[0], -11.2111, atol=1e-4)
+
+
+def test_entanglement_entropy_qudit_and_dual_args():
+    """reference test_quantum.py:754 — dim-aware entropy, dual kwargs, int
+    cut means [0, cut)."""
+    d = 3
+    schmidt = np.array([0.6, 0.3, 0.1], dtype="complex64")
+    schmidt = schmidt / np.linalg.norm(schmidt)
+    ref_entropy = -np.sum(np.abs(schmidt) ** 2 * np.log(np.abs(schmidt) ** 2))
+    psi = np.zeros(d * d, dtype="complex64")
+    for k in range(d):
+        psi[k * d + k] = schmidt[k]
+    rho = np.outer(psi, np.conj(psi))
+    s_pure = qu.entanglement_entropy(psi, subsystems_to_trace_out=[0], dim=d)
+    s_rho = qu.entanglement_entropy(rho, subsystems_to_trace_out=[0], dim=d)
+    np.testing.assert_allclose(float(np.real(s_pure)), ref_entropy, atol=1e-5)
+    np.testing.assert_allclose(float(np.real(s_rho)), ref_entropy, atol=1e-5)
+    np.testing.assert_allclose(
+        float(np.real(qu.entanglement_entropy(psi, subsystem_to_keep=[1], dim=d))),
+        float(np.real(s_pure)),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(np.real(qu.entanglement_entropy(psi, cut=1, dim=d))),
+        float(np.real(s_pure)),
+        atol=1e-5,
+    )
+    # pure bipartite: I(A:B) = 2 S(A)
+    np.testing.assert_allclose(
+        float(np.real(qu.mutual_information(psi, subsystems_to_trace_out=[0], dim=d))),
+        2.0 * ref_entropy,
+        atol=1e-5,
+    )
+
+
+def test_negativity_reference_values():
+    """reference test_quantum.py:796 — negativity on a noisy Bell state."""
+    c = tc.DMCircuit(2)
+    c.h(0)
+    c.cnot(0, 1)
+    c.depolarizing(0, px=0.1, py=0.1, pz=0.1)
+    dm = c.state()
+    np.testing.assert_allclose(
+        float(np.real(qu.log_negativity(dm, [0], base="2"))), 0.485427, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(qu.partial_transpose(qu.partial_transpose(dm, [0]), [0])),
+        np.asarray(dm),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(np.real(qu.entanglement_negativity(dm, [1]))), 0.2, atol=1e-5
+    )
+
+
+def test_mutual_information_pure_vs_dm_route():
+    """reference test_quantum.py:613 — ket and |psi><psi| agree."""
+    n = 5
+    rng = np.random.default_rng(4)
+    w = rng.normal(size=2**n) + 1j * rng.normal(size=2**n)
+    w = (w / np.linalg.norm(w)).astype(np.complex64)
+    rho = np.outer(w, w.conj())
+    m1 = float(np.real(qu.mutual_information(jnp.asarray(w), cut=[1, 2, 3])))
+    m2 = float(np.real(qu.mutual_information(jnp.asarray(rho), cut=[1, 2, 3])))
+    np.testing.assert_allclose(m1, m2, atol=1e-4)

@@ -37,6 +37,7 @@ __all__ = [
     "init_state",
     "apply_zz_product_phase",
     "expectation_zz_sum",
+    "apply_zstring_phase",
     "expectation_x_sum",
     "expectation_1q_sum",
     "num_slots",
@@ -207,6 +208,25 @@ def apply_zz_exponential(
         zb = 1 - 2 * ((idx >> (n - 1 - int(b))) & 1)
         expo = expo + coeffs[k].astype(rdt) * (za * zb).astype(rdt)
     return state * jnp.exp(expo).astype(state.dtype)
+
+
+def apply_zstring_phase(state: Tensor, wires: Sequence[int], theta: Any) -> Tensor:
+    r"""exp(-i theta/2 Z_{w1} Z_{w2} ... Z_{wk}) — one elementwise pass.
+
+    Arbitrary-length Z-string rotation from global-index bit parity (no 2^k
+    matrix; the reference's ``rzm`` gate realized as a diagonal mask, same
+    family as :func:`apply_zz_product_phase`).
+    """
+    n = num_slots(state, 2)
+    idx = jnp.arange(state.shape[0], dtype=jnp.int32)
+    parity = jnp.zeros(state.shape[0], dtype=jnp.int32)
+    for w in wires:
+        parity = parity ^ ((idx >> (n - 1 - int(w))) & 1)
+    sign = (1 - 2 * parity).astype(jnp.float32)
+    rdt = jnp.float64 if state.dtype == jnp.complex128 else jnp.float32
+    expo = jnp.asarray(theta).astype(rdt) * sign.astype(rdt)
+    phase = jnp.exp(np.asarray(-0.5j).astype(state.dtype) * expo.astype(state.dtype))
+    return state * phase
 
 
 def apply_multicz(state: Tensor, wires: Sequence[int]) -> Tensor:

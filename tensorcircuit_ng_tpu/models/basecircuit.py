@@ -179,6 +179,8 @@ class BaseCircuit(AbstractCircuit):
             )
         if item.get("multicz"):
             return statevec.apply_multicz(psi, item["index"])
+        if item.get("zstring_rot"):
+            return statevec.apply_zstring_phase(psi, item["index"], item["theta"])
         k = len(item["index"])
         if item.get("diagonal"):
             dim = self._d**k
@@ -210,6 +212,33 @@ class BaseCircuit(AbstractCircuit):
                             "diagonal": False,
                         }
                     )
+            elif item.get("zstring_rot"):
+                k = len(item["index"])
+                if k <= 8:
+                    th = item["theta"]
+                    zs = np.array(
+                        [(-1) ** bin(i).count("1") for i in range(2**k)]
+                    )
+                    xp = jnp if hasattr(th, "dtype") and hasattr(th, "aval") else np
+                    diag = xp.exp(
+                        -0.5j * xp.asarray(th).astype(
+                            np.complex128 if xp is np else jnp.complex64
+                        ) * xp.asarray(zs)
+                    )
+                    m = xp.diag(diag) if xp is np else jnp.diag(diag)
+                    out.append(
+                        {
+                            "gatef": None,
+                            "gate": Gate(m, name="rzm"),
+                            "index": item["index"],
+                            "name": "rzm",
+                            "split": None,
+                            "mpo": False,
+                            "diagonal": True,
+                        }
+                    )
+                else:
+                    out.append(dict(item))
             elif item.get("multicz"):
                 k = len(item["index"])
                 if k <= 8:
@@ -326,6 +355,29 @@ class BaseCircuit(AbstractCircuit):
         self._state_cache = None
 
     mcz = multicz
+    cmz = multicz
+
+    def rzm(self, *index: int, theta: Any = 0.0) -> None:
+        r"""exp(-i θ/2 Z⊗...⊗Z) on ``index`` — the reference's multi-qubit
+        Z-string rotation (``rzm``), applied as one diagonal parity mask
+        (no 2^k matrix on the dense path)."""
+        if len(index) == 1 and hasattr(index[0], "__len__"):
+            index = tuple(index[0])
+        index = tuple(int(i) % self._nqubits for i in index)
+        self._qir.append(
+            {
+                "gatef": None,
+                "gate": None,
+                "index": index,
+                "name": "rzm",
+                "split": None,
+                "mpo": False,
+                "zstring_rot": True,
+                "theta": theta,
+                "parameters": {"theta": theta},
+            }
+        )
+        self._state_cache = None
 
     def fused_single_qubit_layer(
         self, gates: Tensor, name: str = "fused_1q_layer", constant: bool = False

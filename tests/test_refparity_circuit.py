@@ -334,3 +334,69 @@ def test_exp1_minus_generator_equals_inverse():
     np.testing.assert_allclose(
         np.asarray(c.state()), np.asarray(want.state()), atol=1e-5
     )
+
+
+def test_rzm_and_cmz_gates():
+    """reference test_hyperedge.py:589,631 — multi-qubit Z-string rotation
+    and multi-controlled Z as diagonal hyperedge ops, both engines + AD."""
+    n, theta = 4, 1.2
+    c = tc.Circuit(n)
+    for i in range(n):
+        c.h(i)
+    c.rzm(*range(n), theta=theta)
+    for i in range(n):
+        c.rx(i, theta=0.3)
+    cd = tc.Circuit(n)
+    for i in range(n):
+        cd.h(i)
+    diag = np.ones(2**n, np.complex64) * np.cos(theta / 2)
+    zs = np.array([(-1) ** bin(i).count("1") for i in range(2**n)])
+    diag = diag - 1j * np.sin(theta / 2) * zs
+    cd.any(*range(n), unitary=np.diag(diag))
+    for i in range(n):
+        cd.rx(i, theta=0.3)
+    np.testing.assert_allclose(
+        np.asarray(c.state()), np.asarray(cd.state()), atol=1e-5
+    )
+
+    c2 = tc.Circuit(3)
+    for i in range(3):
+        c2.h(i)
+    c2.cmz(0, 1, 2)
+    c3 = tc.Circuit(3)
+    for i in range(3):
+        c3.h(i)
+    dg = np.ones(8, np.complex64)
+    dg[-1] = -1
+    c3.any(0, 1, 2, unitary=np.diag(dg))
+    np.testing.assert_allclose(
+        np.asarray(c2.state()), np.asarray(c3.state()), atol=1e-6
+    )
+
+    # DM engine applies them exactly (densified diagonal for k<=8)
+    cdm = tc.DMCircuit(3)
+    cdm.h(0)
+    cdm.h(1)
+    cdm.rzm(0, 1, 2, theta=0.7)
+    cdm.cmz(0, 1, 2)
+    cp = tc.Circuit(3)
+    cp.h(0)
+    cp.h(1)
+    cp.rzm(0, 1, 2, theta=0.7)
+    cp.cmz(0, 1, 2)
+    psi = np.asarray(cp.state())
+    np.testing.assert_allclose(
+        np.asarray(cdm.densitymatrix()), np.outer(psi, psi.conj()), atol=1e-5
+    )
+
+    # AD through theta: <X0> on |+++> after rzm = cos(theta)
+    def f(th):
+        c = tc.Circuit(3)
+        for i in range(3):
+            c.h(i)
+        c.rzm(0, 1, 2, theta=th)
+        return jnp.real(c.expectation_ps(x=[0]))
+
+    v, g = jax.value_and_grad(f)(jnp.asarray(0.4))
+    np.testing.assert_allclose(float(v), np.cos(0.4), atol=1e-5)
+    np.testing.assert_allclose(float(g), -np.sin(0.4), atol=1e-5)

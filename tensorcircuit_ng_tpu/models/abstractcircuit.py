@@ -273,6 +273,16 @@ class AbstractCircuit:
         if item.get("multicz"):
             self.multicz(*item["index"])  # type: ignore
             return
+        if item.get("zstring_rot"):
+            self.rzm(*item["index"], theta=item["theta"])  # type: ignore
+            return
+        if item.get("gate") is None and gatef is None and not item.get("is_channel"):
+            # matrix-free diagonal items (U1 fast paths): re-dispatch by name
+            self_method = getattr(self, item.get("name", ""), None)
+            if self_method is None:
+                raise ValueError(f"cannot replay matrix-free QIR item {item.get('name')!r}")
+            self_method(*index, **(item.get("parameters") or {}))
+            return
         if item.get("is_channel"):
             kraus = item["channel_kraus"]
             status = item.get("channel_status")
@@ -327,6 +337,17 @@ class AbstractCircuit:
                 continue
             if item.get("multicz"):  # diagonal ±1: self-inverse
                 c.multicz(*item["index"])  # type: ignore
+                continue
+            if item.get("gate") is None and item.get("gatef") is None:
+                # matrix-free items (U1 diagonal fast paths, zstring_rot):
+                # parameterized ones invert by negating theta, the rest are
+                # self-inverse diagonals (cz, cphase-free)
+                params = item.get("parameters") or {}
+                name = item.get("name")
+                if "theta" in params:
+                    getattr(c, name)(*item["index"], theta=-params["theta"])
+                else:
+                    getattr(c, name)(*item["index"])
                 continue
             m = item["gate"].matrix()
             mh = m.T.conj() if hasattr(m, "conj") else jnp.conj(m.T)

@@ -57,6 +57,7 @@ class U1Circuit(AbstractCircuit):
         if k is None:
             raise ValueError("provide filled=[...] or k=")
         self.k = k
+        self._filled = list(filled) if filled is not None else None
         self.basis = _sector_basis(nqubits, k)
         dim = len(self.basis)
         dt = jnp.dtype(config.dtypestr())
@@ -350,6 +351,10 @@ class U1Circuit(AbstractCircuit):
             blocks.append(rho[np.ix_(inds, inds)])
         return blocks
 
+    def _copy_params(self) -> Dict[str, Any]:
+        # inverse()/copy() rebuild in the SAME particle-number sector
+        return {"nqubits": self._nqubits, "filled": self._filled, "k": self.k}
+
     def sample(
         self,
         batch: Optional[int] = None,
@@ -363,6 +368,10 @@ class U1Circuit(AbstractCircuit):
         nbatch = 1 if batch is None else batch
         p = self.probability()
         p = p / jnp.sum(p)
+        if status is not None and jnp.asarray(status).ndim == 2:
+            # accept the trajectory-path convention [batch, n]: the sector
+            # sampler needs one uniform per shot (same rule as the dense path)
+            status = jnp.asarray(status)[:, 0]
         idx = K.probability_sample(nbatch, p, status=status)
         full_idx = jnp.asarray(self.basis)[idx]
         if format is None:

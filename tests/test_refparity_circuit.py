@@ -400,3 +400,28 @@ def test_rzm_and_cmz_gates():
     v, g = jax.value_and_grad(f)(jnp.asarray(0.4))
     np.testing.assert_allclose(float(v), np.cos(0.4), atol=1e-5)
     np.testing.assert_allclose(float(g), -np.sin(0.4), atol=1e-5)
+
+
+def test_u1_inverse_echo_and_sampling():
+    """reference test_u1circuit.py:739,401 — sector-preserving inverse and
+    conserved sampling with trajectory-convention status."""
+    n, filled = 5, [0, 2]
+    u1 = tc.U1Circuit(n, filled=filled)
+    for i in range(n - 1):
+        u1.rzz(i, i + 1, theta=0.2 + 0.1 * i)
+    u1.swap(1, 2)
+    u1.cphase(0, 3, theta=0.4)
+    inv = u1.inverse()
+    assert inv.k == len(filled)
+    echo = tc.U1Circuit(n, filled=filled)
+    echo.append_from_qir(u1.to_qir())
+    echo.append_from_qir(inv.to_qir())
+    init = np.asarray(tc.U1Circuit(n, filled=filled).to_dense())
+    assert abs(abs(np.vdot(init, np.asarray(echo.to_dense()))) - 1) < 1e-5
+    smp = u1.sample(
+        batch=16,
+        status=jnp.asarray(np.random.default_rng(0).uniform(size=(16, n))),
+    )
+    arr = np.asarray([np.asarray(b) for b, _ in smp])
+    assert arr.shape == (16, n)
+    assert np.all(arr.sum(axis=-1) == len(filled))

@@ -304,7 +304,12 @@ def fused_zzrx_multilayer(
         ML_MODE == "xla" and (n < 10 or len(pairs) > kml.MAX_ML_PAIRS)
     ) or (
         ML_MODE not in ("stack", "xla")
-        and (nrow < 1 or nlane > 10 or len(pairs) > kml.MAX_ML_PAIRS)
+        and (
+            nrow < 1
+            or nlane > 10
+            or len(pairs) > kml.MAX_ML_PAIRS
+            or state.dtype != jnp.complex64
+        )
     ):
         psi = state
         for l in range(L):
@@ -407,15 +412,17 @@ def ising_energy_dense(state: Tensor, n: int, spec: Any) -> Tensor:
     si = jnp.imag(psi)
     br = jnp.zeros_like(sr)
     bi = jnp.zeros_like(si)
+    rnp = np.float64 if sr.dtype == jnp.float64 else np.float32
     if diag_terms:
-        m = jnp.asarray(mask).astype(sr.dtype)
+        m = jnp.asarray(mask.astype(rnp))
         br = br + m * sr
         bi = bi + m * si
     if x_terms:
         use_lanes = bool(np.any(sxl))
-        sxl_t = jnp.asarray(sxl).astype(sr.dtype)
-        br = br + kst._x_sum_apply(sr, sxl_t, use_lanes, blocks, r, lanes)
-        bi = bi + kst._x_sum_apply(si, sxl_t, use_lanes, blocks, r, lanes)
+        sxl_t = jnp.asarray(sxl.astype(rnp))
+        blocks_t = tuple((p0, b0, m0.astype(rnp)) for p0, b0, m0 in blocks)
+        br = br + kst._x_sum_apply(sr, sxl_t, use_lanes, blocks_t, r, lanes)
+        bi = bi + kst._x_sum_apply(si, sxl_t, use_lanes, blocks_t, r, lanes)
     return jnp.sum(sr * br) + jnp.sum(si * bi)
 
 

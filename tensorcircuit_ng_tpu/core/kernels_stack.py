@@ -321,11 +321,13 @@ def _readout_consts(spec, n, nrow_s):
         for q in qubits:
             zprod *= 1 - 2 * ((idx >> (n - 1 - int(q))) & 1)
         w += float(wt) * zprod
-    mask = w.astype(np.float32).reshape(r, lanes)
-    x2 = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=np.float32)
-    e2 = np.eye(2, dtype=np.float32)
+    # keep f64: the stack path casts down to f32 at use, the dense readout
+    # (ising_energy_dense) casts to the state's own precision
+    mask = w.reshape(r, lanes)
+    x2 = np.array([[0.0, 1.0], [1.0, 0.0]], dtype=np.float64)
+    e2 = np.eye(2, dtype=np.float64)
     xw = {int(q): float(wt) for q, wt in x_terms}
-    sxl = np.zeros((lanes, lanes), dtype=np.float32)
+    sxl = np.zeros((lanes, lanes), dtype=np.float64)
     for j in range(nlane):
         wt = xw.get(nrow_s + j, 0.0)
         if wt:
@@ -334,7 +336,7 @@ def _readout_consts(spec, n, nrow_s):
     pos = 0
     while pos < nrow_s:
         b = min(_LANE_QUBITS, nrow_s - pos)
-        m = np.zeros((2**b, 2**b), dtype=np.float32)
+        m = np.zeros((2**b, 2**b), dtype=np.float64)
         hit = False
         for j in range(b):
             wt = xw.get(pos + j, 0.0)
@@ -398,12 +400,15 @@ def _stack_energy_fwd(
     br = jnp.zeros_like(sr)
     bi = jnp.zeros_like(si)
     if diag_terms:
-        br = br + jnp.asarray(mask) * sr
-        bi = bi + jnp.asarray(mask) * si
+        mask32 = jnp.asarray(mask.astype(np.float32))
+        br = br + mask32 * sr
+        bi = bi + mask32 * si
     if x_terms:
         use_lanes = bool(np.any(sxl))
-        br = br + _x_sum_apply(sr, jnp.asarray(sxl), use_lanes, blocks, r, lanes)
-        bi = bi + _x_sum_apply(si, jnp.asarray(sxl), use_lanes, blocks, r, lanes)
+        sxl32 = jnp.asarray(sxl.astype(np.float32))
+        blocks32 = tuple((p0, b0, m0.astype(np.float32)) for p0, b0, m0 in blocks)
+        br = br + _x_sum_apply(sr, sxl32, use_lanes, blocks32, r, lanes)
+        bi = bi + _x_sum_apply(si, sxl32, use_lanes, blocks32, r, lanes)
     e = jnp.sum(sr * br) + jnp.sum(si * bi)
     return e, (ks, br, bi, zz_thetas, rx_kernel_thetas, mout, mlane)
 

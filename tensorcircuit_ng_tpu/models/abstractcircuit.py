@@ -331,9 +331,10 @@ class AbstractCircuit:
         c = type(self)(**circuit_params)  # type: ignore
         qir = self._expanded_qir() if hasattr(self, "_expanded_qir") else self._qir
         for item in reversed(qir):
-            if item.get("is_channel"):
-                # channels have no adjoint: the inverse circuit replays only
-                # the unitary part (reference test_dmcircuit.py:281 semantics)
+            if item.get("is_channel") or item.get("cond_collapse"):
+                # channels and measurement collapses have no adjoint: the
+                # inverse circuit replays only the unitary part (reference
+                # test_dmcircuit.py:281 semantics)
                 continue
             if item.get("multicz"):  # diagonal ±1: self-inverse
                 c.multicz(*item["index"])  # type: ignore

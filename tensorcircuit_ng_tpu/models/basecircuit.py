@@ -219,13 +219,24 @@ class BaseCircuit(AbstractCircuit):
                     zs = np.array(
                         [(-1) ** bin(i).count("1") for i in range(2**k)]
                     )
-                    xp = jnp if hasattr(th, "dtype") and hasattr(th, "aval") else np
-                    diag = xp.exp(
-                        -0.5j * xp.asarray(th).astype(
-                            np.complex128 if xp is np else jnp.complex64
-                        ) * xp.asarray(zs)
-                    )
-                    m = xp.diag(diag) if xp is np else jnp.diag(diag)
+                    cdt = np.dtype(config.dtypestr())
+                    if isinstance(th, jax.core.Tracer):
+                        # traced theta: build in-trace at the working dtype
+                        # (the -0.5j factor lifts from numpy, axon-safe)
+                        diag = jnp.exp(
+                            np.asarray(-0.5j).astype(cdt)
+                            * jnp.asarray(th).astype(cdt)
+                            * jnp.asarray(zs.astype(cdt))
+                        )
+                        m = jnp.diag(diag)
+                    else:
+                        # concrete theta stays NUMPY at full precision (the
+                        # axon complex-constant rule; a concrete jnp complex
+                        # array could not be lowered as a jit constant)
+                        diag = np.exp(
+                            -0.5j * float(np.asarray(th)) * zs
+                        ).astype(cdt)
+                        m = np.diag(diag)
                     out.append(
                         {
                             "gatef": None,

@@ -99,6 +99,18 @@ class DMCircuit(BaseCircuit):
         for item in self._expanded_qir():
             if item.get("cond_collapse"):
                 rho = self._collapse_rho(rho, item["index"][0], item["status"])
+            elif item.get("multicz"):
+                n = self._nqubits
+                rho = statevec.apply_multicz(rho, item["index"])
+                rho = statevec.apply_multicz(rho, [w + n for w in item["index"]])
+            elif item.get("zstring_rot"):
+                n = self._nqubits
+                th = item["theta"]
+                rho = statevec.apply_zstring_phase(rho, item["index"], th)
+                # bra side conjugates: exp(+i theta/2 Z...Z)
+                rho = statevec.apply_zstring_phase(
+                    rho, [w + n for w in item["index"]], -th
+                )
             elif item.get("is_channel"):
                 mats = [
                     statevec._as_nd(m).astype(rho.dtype) for m in item["channel_kraus"]
@@ -214,6 +226,9 @@ class DMCircuit(BaseCircuit):
                 "mpo": False,
                 "cond_collapse": True,
                 "status": st,
+                # replay (copy/compose/from_qir) re-dispatches by name with
+                # these kwargs — without them the collapse branch is lost
+                "parameters": {"status": st},
             }
         )
         self._state_cache = None

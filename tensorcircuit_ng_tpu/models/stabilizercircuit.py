@@ -346,12 +346,13 @@ class StabilizerCircuit(AbstractCircuit):
         idx = 0
         for b in zstar:
             idx = idx * 2 + int(b)
-        psi = jnp.zeros(2**n, jnp.complex64).at[idx].set(1.0)
+        cdt = jnp.dtype(config.dtypestr())
+        psi = jnp.zeros(2**n, cdt).at[idx].set(1.0)
         xs, zs, rs = self._tab.stabilizers()
         paulis = {
-            (1, 0): np.array([[0, 1], [1, 0]], np.complex64),
-            (0, 1): np.array([[1, 0], [0, -1]], np.complex64),
-            (1, 1): np.array([[0, -1j], [1j, 0]], np.complex64),
+            (1, 0): np.array([[0, 1], [1, 0]]).astype(cdt),
+            (0, 1): np.array([[1, 0], [0, -1]]).astype(cdt),
+            (1, 1): np.array([[0, -1j], [1j, 0]]).astype(cdt),
         }
         for j in range(n):
             phi = psi

@@ -272,8 +272,13 @@ class QuOperator:
         return QuScalar(jnp.trace(self.eval_matrix()))
 
     def norm(self) -> "QuOperator":
-        """Frobenius norm as a QuScalar (reference ``QuOperator.norm``)."""
-        return QuScalar(jnp.linalg.norm(self.eval_matrix()))
+        """SQUARED Hilbert-Schmidt norm tr(A†A) as a QuScalar.
+
+        Matches the reference exactly (``QuOperator.norm``: "take the square
+        root ... for the actual norm").
+        """
+        m = self.eval_matrix()
+        return QuScalar(jnp.real(jnp.sum(jnp.conj(m) * m)))
 
     def projector(self) -> "QuOperator":
         assert self.is_vector

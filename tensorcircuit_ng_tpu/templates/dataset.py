@@ -19,14 +19,17 @@ def amplitude_encoding(fig: Any, nqubits: int, index: Optional[Any] = None) -> A
     import jax.numpy as jnp
 
     flat = jnp.reshape(jnp.asarray(fig), (-1,))
+    dim = 2**nqubits
+    if flat.shape[0] > dim:
+        # truncate BEFORE normalizing so the returned vector is a valid
+        # quantum state (the reference neither truncates nor renormalizes
+        # oversized input; truncating after the norm left ||out|| < 1)
+        flat = flat[:dim]
     nrm = jnp.linalg.norm(flat)
     flat = flat / jnp.where(nrm == 0, 1.0, nrm)
-    dim = 2**nqubits
     size = flat.shape[0]
     if size < dim:
         flat = jnp.pad(flat, (0, dim - size))
-    elif size > dim:
-        flat = flat[:dim]
     if index is not None:
         flat = flat[jnp.asarray(index).astype(jnp.int32)]
     return flat

@@ -170,10 +170,7 @@ def hamiltonian_evol_real(
     # real-time phases are complex even for a REAL h (real eigenbasis):
     # promote — casting phases to v.dtype would silently drop their
     # imaginary part and break unitarity
-    dt = jnp.promote_types(
-        jnp.promote_types(v.dtype, psi0.dtype),
-        jnp.complex64 if v.dtype == jnp.float32 else jnp.complex128,
-    )
+    dt = jnp.promote_types(jnp.promote_types(v.dtype, psi0.dtype), jnp.complex64)
     v = v.astype(dt)
     proj = jnp.conj(v.T) @ psi0.astype(dt)
 

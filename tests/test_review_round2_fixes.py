@@ -268,3 +268,69 @@ def test_h_layer_name_collision_not_folded():
     np.testing.assert_allclose(
         np.asarray(c3.state()), np.full(2**n, 2.0 ** (-n / 2)), atol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# third review pass (parity round)
+# ---------------------------------------------------------------------------
+
+
+def test_dm_cond_measure_copy_replay():
+    """copy()/compose must replay the collapse with its recorded status."""
+    c = tc.DMCircuit(1)
+    c.h(0)
+    c.cond_measurement(0, status=jnp.asarray(0.9))
+    rho1 = np.asarray(c.densitymatrix())
+    rho2 = np.asarray(c.copy().densitymatrix())
+    np.testing.assert_allclose(rho1, rho2, atol=1e-6)
+    assert abs(rho1[1, 1] - 1) < 1e-5
+    # inverse skips the collapse (non-unitary, like channels)
+    inv = c.inverse()
+    assert [i["name"] for i in inv.to_qir()] == ["hd"]
+
+
+def test_rzm_multicz_wide_on_dm():
+    """k>8 hyperedge items must not crash the DM engine."""
+    c = tc.DMCircuit(9)
+    c.h(0)
+    c.rzm(*range(9), theta=0.3)
+    c.multicz(*range(9))
+    rho = c.densitymatrix()
+    assert abs(float(jnp.real(jnp.trace(rho))) - 1) < 1e-5
+    # oracle vs pure-state engine
+    cp = tc.Circuit(9)
+    cp.h(0)
+    cp.rzm(*range(9), theta=0.3)
+    cp.multicz(*range(9))
+    psi = np.asarray(cp.state())
+    probs = np.real(np.diagonal(np.asarray(c.densitymatrix())))
+    np.testing.assert_allclose(probs, np.abs(psi) ** 2, atol=1e-6)
+
+
+def test_quoperator_norm_is_squared_hs():
+    """reference QuOperator.norm == tr(A^dag A) (take sqrt for the norm)."""
+    op = qu.QuOperator.from_tensor(np.diag([2.0, 0.0]), [0], [1])
+    np.testing.assert_allclose(float(np.real(op.norm().eval())), 4.0, atol=1e-6)
+
+
+def test_rzm_concrete_theta_stays_numpy():
+    """Concrete rzm expansion must stay numpy (axon complex-constant rule)."""
+    c = tc.DMCircuit(2)
+    c.rzm(0, 1, theta=0.3)
+    item = c._expanded_qir()[0]
+    assert isinstance(item["gate"].tensor, np.ndarray)
+
+
+def test_hamiltonian_evol_real_keeps_c64():
+    h = jnp.asarray(np.diag([1.0, -1.0]), jnp.complex64)
+    out = timeevol.hamiltonian_evol_real(
+        jnp.asarray(0.3), h, jnp.asarray([1.0, 0], jnp.complex64)
+    )
+    assert out.dtype == jnp.complex64
+
+
+def test_amplitude_encoding_oversized_normalized():
+    from tensorcircuit_ng_tpu.templates import dataset
+
+    v = np.asarray(dataset.amplitude_encoding(jnp.asarray(np.ones(64), jnp.float32), 4))
+    np.testing.assert_allclose(np.linalg.norm(v), 1.0, atol=1e-5)

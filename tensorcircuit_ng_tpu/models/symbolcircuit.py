@@ -263,9 +263,13 @@ class SymbolCircuit(AbstractCircuit):
 
     # ---- reference-parity surface (symbolcircuit.py:48-652) ----
 
-    def bind(self, bindings: Dict[Any, Any]) -> Any:
-        """Numeric binding -> jittable Circuit (reference ``bind``)."""
-        return self.to_circuit(bindings)
+    def bind(self, bindings: Dict[Any, Any]) -> "SymbolCircuit":
+        """Partial or full symbol substitution -> new SymbolCircuit.
+
+        Reference ``symbolcircuit.py:716``: bind returns a SymbolCircuit
+        (use :meth:`to_circuit` for the numeric jittable Circuit).
+        """
+        return self.subs(bindings)
 
     def probability(self) -> Any:
         """Symbolic probability vector |ψ_s|² (reference parity)."""

@@ -543,9 +543,13 @@ def test_symbolgates_and_symbolcircuit_parity():
     theta = sp.Symbol("theta")
     c = tc.SymbolCircuit(2)
     c.h(0); c.rx(1, theta=theta)
+    # bind returns a SymbolCircuit (reference partial-binding semantics);
+    # to_circuit gives the numeric jittable Circuit
     cb = c.bind({theta: 0.5})
+    assert cb.free_symbols() == set()
+    cn = c.to_circuit({theta: 0.5})
     c2 = tc.Circuit(2); c2.h(0); c2.rx(1, theta=0.5)
-    np.testing.assert_allclose(np.asarray(cb.state()), np.asarray(c2.state()), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cn.state()), np.asarray(c2.state()), atol=1e-6)
     with pytest.raises(ValueError):
         c.measure(0)
 

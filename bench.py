@@ -17,9 +17,29 @@ lane-kron MXU matmul and block-sandwich energy sums.
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _tpu_reachable(timeout_s: int = 120) -> bool:
+    """Probe backend init in a SUBPROCESS with a hard timeout.
+
+    When the axon tunnel is down, ``jax.devices()`` hangs indefinitely at
+    backend init (observed 2026-08-17 outage) — a hung bench would stall the
+    driver, so fail fast and report honestly instead.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return b"ok" in r.stdout
+    except Exception:
+        return False
 
 
 def bench_tebd() -> float:
@@ -88,6 +108,22 @@ def bench_tebd() -> float:
 
 
 def main() -> None:
+    if not _tpu_reachable():
+        print(
+            json.dumps(
+                {
+                    "metric": "tfim_vqe_n20_l4_step_ms",
+                    "value": None,
+                    "unit": "ms/step",
+                    "vs_baseline": None,
+                    "error": "TPU backend unreachable (axon tunnel down); "
+                    "last measured 2026-08-17: 2.064 ms/step = 8.46x, "
+                    "tebd 31.14 ms",
+                }
+            )
+        )
+        return
+
     import jax
     import jax.numpy as jnp
 

@@ -84,6 +84,22 @@ class _IRBuilder:
         for w in range(self.n):
             self.add_tensor(init_vec, (self.front[w],))
 
+    def add_diagonal(self, diag: Tensor, wires: Sequence[int]) -> None:
+        """Attach a k-local DIAGONAL as a (d,)*k hyperedge tensor.
+
+        The tensor shares the wires' current frontier indices and the
+        frontier does not advance: the contraction multiplies elementwise
+        (the indices appear ≥3 times — a hyperedge, which the planner and
+        executor already support).  Cost: 2^k entries, never (2^k)^2 — this
+        is how matrix-free items (rzm, multicz) lower at ANY k.
+        """
+        k = len(wires)
+        d = self.d
+        t = diag if hasattr(diag, "ndim") else np.asarray(diag)
+        if t.ndim != k:
+            t = t.reshape((d,) * k)
+        self.add_tensor(t, tuple(self.front[w] for w in wires))
+
     def add_gate(self, tensor: Tensor, wires: Sequence[int]) -> None:
         k = len(wires)
         d = self.d
@@ -122,6 +138,30 @@ def _build_forward(
     b = _IRBuilder(n, d)
     b.add_initial(_zero_vec(d, dtype))
     for item in qir:
+        if item.get("multicz"):
+            k = len(item["index"])
+            diag = np.ones(2**k, dtype=np.dtype(dtype))
+            diag[-1] = -1.0
+            b.add_diagonal(diag, item["index"])
+            continue
+        if item.get("zstring_rot"):
+            k = len(item["index"])
+            th = item["theta"]
+            zs = np.array([(-1) ** bin(i).count("1") for i in range(2**k)])
+            import jax as _jax
+
+            if isinstance(th, _jax.core.Tracer) or isinstance(th, _jax.Array):
+                diag = jnp.exp(
+                    np.asarray(-0.5j).astype(np.dtype(dtype))
+                    * jnp.asarray(th).astype(np.dtype(dtype))
+                    * jnp.asarray(zs.astype(np.dtype(dtype)))
+                )
+            else:
+                diag = np.exp(-0.5j * float(np.asarray(th)) * zs).astype(
+                    np.dtype(dtype)
+                )
+            b.add_diagonal(diag, item["index"])
+            continue
         b.add_gate(item["gate"].tensor, item["index"])
     return b
 

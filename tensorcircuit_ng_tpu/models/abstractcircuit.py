@@ -270,6 +270,9 @@ class AbstractCircuit:
         if item.get("rx_layer"):
             self.rx_layer(item["thetas"])  # type: ignore
             return
+        if item.get("zzrx_layer"):
+            self.zzrx_layer(item["pairs"], item["zz_thetas"], item["rx_thetas"])  # type: ignore
+            return
         if item.get("multicz"):
             self.multicz(*item["index"])  # type: ignore
             return
@@ -326,6 +329,7 @@ class AbstractCircuit:
                 dict(self._copy_params()) if hasattr(self, "_copy_params") else {}
             )
             circuit_params.pop("inputs", None)  # inverse starts from |0>
+            circuit_params.pop("dminputs", None)
         if "nqubits" not in circuit_params and "nqudits" not in circuit_params:
             circuit_params["nqubits"] = self._nqubits
         c = type(self)(**circuit_params)  # type: ignore

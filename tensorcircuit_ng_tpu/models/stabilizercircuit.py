@@ -319,7 +319,10 @@ class StabilizerCircuit(AbstractCircuit):
             c = Circuit(self._nqubits)
             for item in self._qir:
                 gname = item["name"]
-                if gname == "i":
+                # skip identity, lazy-noise, and detector/meta instructions:
+                # they carry no deterministic unitary content (noise only
+                # fires per-shot in sample_detectors)
+                if gname == "i" or not hasattr(c, gname) or "index" not in item:
                     continue
                 getattr(c, gname)(*item["index"])
             return c.state(form=form)

@@ -92,6 +92,7 @@ class SymbolCircuit(AbstractCircuit):
         super().__init__()
         self._nqubits = nqubits
         self._d = 2
+        self._inputs = inputs
         if inputs is not None:
             self._psi0 = sp.Matrix(list(np.asarray(inputs).reshape(-1)))
         else:
@@ -219,8 +220,12 @@ class SymbolCircuit(AbstractCircuit):
         return syms
 
     def subs(self, bindings: Dict[Any, Any]) -> "SymbolCircuit":
-        """Substitute symbols, returning a new SymbolCircuit."""
-        c = SymbolCircuit(self._nqubits)
+        """Substitute symbols, returning a new SymbolCircuit.
+
+        Construction state (inputs) is propagated — the reference bind
+        explicitly does this so binding does not silently reset to |0>.
+        """
+        c = SymbolCircuit(self._nqubits, inputs=getattr(self, "_inputs", None))
         for item in self._qir:
             new_item = dict(item)
             new_item["sym_matrix"] = item["sym_matrix"].subs(bindings)

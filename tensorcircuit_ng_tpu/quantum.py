@@ -701,7 +701,13 @@ def reduced_density_matrix(
     dual keyword forms of ``cut`` (give exactly one of the three).
     """
     if isinstance(state, QuOperator):
-        state = state.eval_matrix() if state.in_dims else state.eval()
+        # vectors FLATTEN (a 2-subsystem ket's eval() is square and would be
+        # misread as a density matrix); true operators keep matrix form
+        state = (
+            state.eval_matrix()
+            if (state.in_dims and state.out_dims)
+            else jnp.reshape(state.eval(), (-1,))
+        )
     d = int(dim or 2)
     s = jnp.asarray(state)
     size = int(np.prod(s.shape, dtype=np.int64))

@@ -334,3 +334,91 @@ def test_amplitude_encoding_oversized_normalized():
 
     v = np.asarray(dataset.amplitude_encoding(jnp.asarray(np.ones(64), jnp.float32), 4))
     np.testing.assert_allclose(np.linalg.norm(v), 1.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fourth review pass
+# ---------------------------------------------------------------------------
+
+
+def test_rdm_quvector_two_subsystems():
+    """A 2-subsystem QuVector must not be misread as a density matrix."""
+    rng = np.random.default_rng(0)
+    psi = rng.normal(size=4) + 1j * rng.normal(size=4)
+    psi /= np.linalg.norm(psi)
+    qv = qu.QuVector.from_tensor(psi.reshape(2, 2))
+    rho = np.asarray(qu.reduced_density_matrix(qv, [0]))
+    want = np.asarray(qu.reduced_density_matrix(jnp.asarray(psi), [0]))
+    np.testing.assert_allclose(rho, want, atol=1e-6)
+
+
+def test_symbol_bind_keeps_inputs():
+    import sympy
+
+    th = sympy.Symbol("t", real=True)
+    w = np.zeros(4)
+    w[1] = 1.0
+    c = tc.SymbolCircuit(2, inputs=w)
+    c.rx(0, theta=th)
+    out = np.array(
+        c.bind({th: 0.0}).wavefunction().evalf().tolist(), dtype=complex
+    ).reshape(-1)
+    np.testing.assert_allclose(np.abs(out), [0, 1, 0, 0], atol=1e-6)
+
+
+def test_zzrx_layer_circuit_copy():
+    """copy() must replay fused zzrx_layer items."""
+    c = tc.Circuit(8)
+    c.h_layer()
+    c.zzrx_layer(
+        [(0, 1), (2, 3)],
+        jnp.asarray([0.3, 0.4], jnp.float32),
+        jnp.asarray(np.full(8, 0.2), jnp.float32),
+    )
+    c2 = c.copy()
+    np.testing.assert_allclose(
+        np.asarray(c.state()), np.asarray(c2.state()), atol=1e-6
+    )
+
+
+def test_stabilizer_state_with_lazy_noise():
+    """Lazy noise/detector instructions must not break state()."""
+    sc = tc.StabilizerCircuit(2)
+    sc.h(0)
+    sc.x_error(0, p=0.1)
+    np.testing.assert_allclose(
+        np.abs(np.asarray(sc.state())),
+        [1 / np.sqrt(2), 0, 1 / np.sqrt(2), 0],
+        atol=1e-6,
+    )
+
+
+def test_dm_inverse_ignores_dminputs():
+    rho0 = np.diag([0.5, 0.5, 0, 0]).astype(np.complex64)
+    dm = tc.DMCircuit(2, dminputs=jnp.asarray(rho0))
+    dm.x(0)
+    rho_inv = np.asarray(dm.inverse().densitymatrix())
+    want = np.zeros((4, 4))
+    want[2, 2] = 1
+    np.testing.assert_allclose(rho_inv, want, atol=1e-6)
+
+
+def test_wide_hyperedges_through_einsum_ir():
+    """k>8 rzm/multicz lower as (2,)*k diagonal hyperedges in the IR."""
+    c = tc.DMCircuit2(9)
+    c.h(0)
+    c.multicz(*range(9))
+    c.rzm(*range(9), theta=0.4)
+    v = float(np.real(np.asarray(c.expectation((np.diag([1.0, -1.0]), [0])))))
+    np.testing.assert_allclose(v, 0.0, atol=1e-5)
+    c2 = tc.Circuit(4)
+    for i in range(4):
+        c2.h(i)
+    c2.multicz(0, 1, 2, 3)
+    c2.rzm(0, 1, theta=0.6)
+    from tensorcircuit_ng_tpu.core.einsum_ir import circuit_state_ir
+    from tensorcircuit_ng_tpu.core import contractor as ctr
+
+    ir = circuit_state_ir(c2.to_qir(), 4)
+    psi_ir = np.asarray(ctr.contract_ir(ir)).reshape(-1)
+    np.testing.assert_allclose(psi_ir, np.asarray(c2.state()), atol=1e-6)

@@ -284,8 +284,30 @@ def entropy_shadow(
     pauli_strings: Optional[Tensor] = None,
     sub: Optional[Sequence[int]] = None,
     alpha: int = 2,
+    *,
+    subsystem_to_keep: Optional[Sequence[int]] = None,
+    subsystems_to_trace_out: Optional[Sequence[int]] = None,
 ) -> Tensor:
-    """Rényi-alpha entropy from the shadow state (reference ``:304-446``)."""
+    """Rényi-alpha entropy from the shadow state (reference ``:304-446``).
+
+    The kept subsystem resolves from exactly one of ``sub`` /
+    ``subsystem_to_keep`` / ``subsystems_to_trace_out`` (reference dual-kwarg
+    convention).
+    """
+    nq = jnp.asarray(snapshots).shape[-1]
+    if subsystem_to_keep is not None and subsystems_to_trace_out is not None:
+        raise ValueError(
+            "give only one of subsystem_to_keep / subsystems_to_trace_out"
+        )
+    if subsystems_to_trace_out is not None:
+        out = set(int(q) for q in subsystems_to_trace_out)
+        if any(q >= nq or q < 0 for q in out):
+            raise ValueError("subsystem index out of range")
+        sub = [q for q in range(nq) if q not in out]
+    elif subsystem_to_keep is not None:
+        sub = [int(q) for q in subsystem_to_keep]
+    if sub is not None and any(int(q) >= nq or int(q) < 0 for q in sub):
+        raise ValueError("subsystem index out of range")
     rho = global_shadow_state(snapshots, pauli_strings, sub=sub)
     lam = jnp.real(jnp.linalg.eigvalsh(rho))
     lam = jnp.clip(lam, 1e-12, None)

@@ -148,3 +148,39 @@ def test_torch_interface_grads():
     v.backward()
     np.testing.assert_allclose(v.detach().numpy(), np.cos(0.4), atol=1e-5)
     np.testing.assert_allclose(p.grad.numpy(), [-np.sin(0.4), 0.0], atol=1e-5)
+
+
+def test_entropy_shadow_dual_kwargs():
+    """reference test_shadows.py:132 — dual subsystem kwargs + validation."""
+    from tensorcircuit_ng_tpu import shadows
+
+    nq, ns, repeat = 4, 800, 4
+    c = tc.Circuit(nq)
+    c.h(0)
+    c.rx(1, theta=0.7)
+    c.cx(0, 1)
+    c.ry(2, theta=0.4)
+    c.cx(1, 2)
+    psi = c.state()
+    rng = np.random.default_rng(0)
+    strings = jnp.asarray(rng.integers(0, 3, size=(ns, nq)), jnp.int32)
+    status = jnp.asarray(rng.uniform(size=(ns, repeat)))
+    snaps = shadows.shadow_snapshots(psi, strings, status)
+    e_sub = float(np.real(np.asarray(shadows.entropy_shadow(snaps, strings, sub=[0, 1]))))
+    e_keep = float(
+        np.real(np.asarray(shadows.entropy_shadow(snaps, strings, subsystem_to_keep=[0, 1])))
+    )
+    e_to = float(
+        np.real(
+            np.asarray(
+                shadows.entropy_shadow(snaps, strings, subsystems_to_trace_out=[2, 3])
+            )
+        )
+    )
+    assert e_sub == e_keep == e_to
+    with pytest.raises(ValueError):
+        shadows.entropy_shadow(
+            snaps, strings, subsystem_to_keep=[0], subsystems_to_trace_out=[1]
+        )
+    with pytest.raises(ValueError):
+        shadows.entropy_shadow(snaps, strings, subsystem_to_keep=[nq])

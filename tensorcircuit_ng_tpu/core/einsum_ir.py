@@ -138,32 +138,31 @@ def _build_forward(
     b = _IRBuilder(n, d)
     b.add_initial(_zero_vec(d, dtype))
     for item in qir:
-        if item.get("multicz"):
-            k = len(item["index"])
-            diag = np.ones(2**k, dtype=np.dtype(dtype))
-            diag[-1] = -1.0
-            b.add_diagonal(diag, item["index"])
-            continue
-        if item.get("zstring_rot"):
-            k = len(item["index"])
-            th = item["theta"]
-            zs = np.array([(-1) ** bin(i).count("1") for i in range(2**k)])
-            import jax as _jax
-
-            if isinstance(th, _jax.core.Tracer) or isinstance(th, _jax.Array):
-                diag = jnp.exp(
-                    np.asarray(-0.5j).astype(np.dtype(dtype))
-                    * jnp.asarray(th).astype(np.dtype(dtype))
-                    * jnp.asarray(zs.astype(np.dtype(dtype)))
-                )
-            else:
-                diag = np.exp(-0.5j * float(np.asarray(th)) * zs).astype(
-                    np.dtype(dtype)
-                )
-            b.add_diagonal(diag, item["index"])
+        if _add_matrix_free(b, item, dtype):
             continue
         b.add_gate(item["gate"].tensor, item["index"])
     return b
+
+
+def _add_matrix_free(b: _IRBuilder, item: Dict[str, Any], dtype: Any, conj: bool = False) -> bool:
+    """Lower matrix-free QIR items (multicz / zstring_rot) as diagonal
+    hyperedges; returns True if handled.  ``conj`` for the bra side of
+    doubled networks (diagonals need no leg swap, only conjugation)."""
+    if item.get("multicz"):
+        k = len(item["index"])
+        diag = np.ones(2**k, dtype=np.dtype(dtype))
+        diag[-1] = -1.0
+        b.add_diagonal(diag, item["index"])
+        return True
+    if item.get("zstring_rot"):
+        from ..ops.gates import rzm_diagonal
+
+        diag = rzm_diagonal(item["theta"], len(item["index"]), dtype)
+        if conj:
+            diag = diag.conj()
+        b.add_diagonal(diag, item["index"])
+        return True
+    return False
 
 
 def circuit_state_ir(qir: List[Dict[str, Any]], n: int, d: int = 2, dtype: Any = None) -> EinsumIR:
@@ -250,6 +249,20 @@ def expectation_ir(
     # conjugated circuit (bra side), applied in reverse with dagger tensors
     for item in reversed(qir):
         k = len(item["index"])
+        if item.get("multicz") or item.get("zstring_rot"):
+            if item.get("multicz"):
+                diag = np.ones(d**k, dtype=np.dtype(dtype))
+                diag[-1] = -1.0
+            else:
+                from ..ops.gates import rzm_diagonal
+
+                diag = rzm_diagonal(item["theta"], k, dtype).conj()
+            t = diag if hasattr(diag, "reshape") else np.asarray(diag)
+            b.add_tensor(
+                t.reshape((d,) * k),
+                tuple(bra_front[w] for w in item["index"]),
+            )
+            continue
         t = item["gate"].tensor
         if not hasattr(t, "ndim"):
             t = np.asarray(t)
@@ -318,6 +331,19 @@ def superop_expectation_ir(
     for item in qir:
         wires = list(item["index"])
         k = len(wires)
+        if item.get("multicz") or item.get("zstring_rot"):
+            if item.get("multicz"):
+                dk = np.ones(d**k, dtype=np.dtype(dtype))
+                dk[-1] = -1.0
+                db = dk
+            else:
+                from ..ops.gates import rzm_diagonal
+
+                dk = rzm_diagonal(item["theta"], k, dtype)
+                db = dk.conj()
+            b.add_diagonal(dk, wires)
+            b.add_diagonal(db, [w + m for w in wires])
+            continue
         if item.get("is_channel"):
             mats = item["channel_kraus"]
             dim = d**k

@@ -30,6 +30,50 @@ def _is_sequence(x: Any) -> bool:
     )
 
 
+
+def _remap_qir_item(
+    item: Dict[str, Any], mapping: Dict[int, int], n_new: int
+) -> Dict[str, Any]:
+    """Remap a QIR item's qubit references through ``mapping``.
+
+    Layer items carry wires outside ``index`` ("pairs") and FULL-register
+    per-qubit parameter arrays ("rx_thetas"/"thetas"/"gates"): the pairs are
+    rewritten in place (their per-pair parameter order is unchanged), the
+    per-qubit arrays are PERMUTED — which requires the mapping to be a
+    full-register bijection; otherwise remapping is ill-defined and raises
+    instead of silently misplacing parameters.
+    """
+    new_item = dict(item)
+    if "index" in item:
+        new_item["index"] = tuple(mapping[int(q)] for q in item["index"])
+    if item.get("pairs") is not None:
+        new_item["pairs"] = [
+            (mapping[int(a)], mapping[int(b)]) for a, b in item["pairs"]
+        ]
+    per_qubit_keys = [
+        k for k in ("rx_thetas", "gates") if item.get(k) is not None
+    ]
+    if item.get("rx_layer") or item.get("fused_1q_layer"):
+        if item.get("thetas") is not None:
+            per_qubit_keys.append("thetas")
+    for key in per_qubit_keys:
+        arr = jnp.asarray(item[key])
+        if (
+            len(mapping) != n_new
+            or sorted(mapping.values()) != list(range(n_new))
+            or arr.shape[0] != n_new
+        ):
+            raise ValueError(
+                f"cannot remap fused-layer item {item.get('name')!r}: "
+                "per-qubit parameters need a full-register bijection"
+            )
+        perm = np.zeros(n_new, dtype=np.int64)
+        for logical, physical in mapping.items():
+            perm[int(physical)] = int(logical)
+        new_item[key] = arr[jnp.asarray(perm)]
+    return new_item
+
+
 class AbstractCircuit:
     """Gate bookkeeping shared by every simulator."""
 
@@ -218,10 +262,7 @@ class AbstractCircuit:
         qir = other.to_qir()
         if indices is not None:
             mapping = {i: int(j) for i, j in enumerate(indices)}
-            qir = [
-                dict(item, index=tuple(mapping[int(q)] for q in item["index"]))
-                for item in qir
-            ]
+            qir = [_remap_qir_item(item, mapping, self._nqubits) for item in qir]
         return self.append_from_qir([dict(item) for item in qir])
 
     def to_qir(self) -> List[Dict[str, Any]]:
@@ -314,12 +355,11 @@ class AbstractCircuit:
         if "nqubits" not in circuit_params:
             circuit_params["nqubits"] = n if n is not None else self._nqubits
         c = type(self)(**circuit_params)  # type: ignore
+        n_new = circuit_params.get("nqubits", self._nqubits)
         for item in self._qir:
-            new_item = dict(item)
-            new_item["index"] = tuple(
-                logical_physical_mapping[i] for i in item["index"]
+            c._apply_qir_item(
+                _remap_qir_item(item, logical_physical_mapping, n_new)
             )
-            c._apply_qir_item(new_item)
         return c
 
     def inverse(self, circuit_params: Optional[Dict[str, Any]] = None) -> "AbstractCircuit":

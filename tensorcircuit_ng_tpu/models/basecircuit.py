@@ -215,28 +215,12 @@ class BaseCircuit(AbstractCircuit):
             elif item.get("zstring_rot"):
                 k = len(item["index"])
                 if k <= 8:
-                    th = item["theta"]
-                    zs = np.array(
-                        [(-1) ** bin(i).count("1") for i in range(2**k)]
+                    from ..ops.gates import rzm_diagonal
+
+                    diag = rzm_diagonal(
+                        item["theta"], k, np.dtype(config.dtypestr())
                     )
-                    cdt = np.dtype(config.dtypestr())
-                    if isinstance(th, jax.core.Tracer):
-                        # traced theta: build in-trace at the working dtype
-                        # (the -0.5j factor lifts from numpy, axon-safe)
-                        diag = jnp.exp(
-                            np.asarray(-0.5j).astype(cdt)
-                            * jnp.asarray(th).astype(cdt)
-                            * jnp.asarray(zs.astype(cdt))
-                        )
-                        m = jnp.diag(diag)
-                    else:
-                        # concrete theta stays NUMPY at full precision (the
-                        # axon complex-constant rule; a concrete jnp complex
-                        # array could not be lowered as a jit constant)
-                        diag = np.exp(
-                            -0.5j * float(np.asarray(th)) * zs
-                        ).astype(cdt)
-                        m = np.diag(diag)
+                    m = np.diag(diag) if isinstance(diag, np.ndarray) else jnp.diag(diag)
                     out.append(
                         {
                             "gatef": None,

@@ -319,10 +319,20 @@ class StabilizerCircuit(AbstractCircuit):
             c = Circuit(self._nqubits)
             for item in self._qir:
                 gname = item["name"]
-                # skip identity, lazy-noise, and detector/meta instructions:
-                # they carry no deterministic unitary content (noise only
-                # fires per-shot in sample_detectors)
-                if gname == "i" or not hasattr(c, gname) or "index" not in item:
+                # skip identity and flagged non-gate instructions (lazy noise
+                # fires per shot in sample_detectors; measure/reset/detector
+                # records carry no deterministic unitary content).  Unknown
+                # GATE names stay loud (AttributeError) rather than silently
+                # dropping from the reconstructed state.
+                if (
+                    gname == "i"
+                    or item.get("noise")
+                    or item.get("measure")
+                    or item.get("reset")
+                    or item.get("detector")
+                    or item.get("meta")
+                    or "index" not in item
+                ):
                     continue
                 getattr(c, gname)(*item["index"])
             return c.state(form=form)

@@ -234,6 +234,27 @@ def _set_block(m: Tensor, rows: Any, cols: Any, val: Tensor, xp: Any) -> Tensor:
     return m.at[rows, cols].set(val)
 
 
+def rzm_diagonal(theta: Any, k: int, dtype: Any) -> Tensor:
+    """Diagonal of exp(-i theta/2 Z^{⊗k}) as a length-2^k vector.
+
+    Concrete theta stays NUMPY at full precision (axon complex-constant
+    rule: a concrete complex jax array cannot lower as a jit constant);
+    traced theta builds in-trace at ``dtype``.  Single source of truth for
+    the QIR densify pass and the einsum-IR hyperedge lowering.
+    """
+    import jax as _jax
+
+    zs = np.array([(-1) ** bin(i).count("1") for i in range(2**k)])
+    if isinstance(theta, _jax.core.Tracer):
+        d = np.dtype(dtype)
+        return jnp.exp(
+            np.asarray(-0.5j).astype(d)
+            * jnp.asarray(theta).astype(d)
+            * jnp.asarray(zs.astype(d))
+        )
+    return np.exp(-0.5j * float(np.asarray(theta)) * zs).astype(np.dtype(dtype))
+
+
 def rgate_matrix(theta: Any = 0, alpha: Any = 0, phi: Any = 0, dtype: Optional[str] = None) -> Tensor:
     r"""General single-qubit rotation ``exp(-i theta n(alpha, phi) . sigma)``.
 

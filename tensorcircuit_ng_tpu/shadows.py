@@ -294,10 +294,26 @@ def entropy_shadow(
     ``subsystem_to_keep`` / ``subsystems_to_trace_out`` (reference dual-kwarg
     convention).
     """
-    nq = jnp.asarray(snapshots).shape[-1]
+    if alpha <= 0:
+        raise ValueError("alpha must be a positive integer")
+    shape = jnp.asarray(snapshots).shape
+    # bit snapshots: (ns, nq) or (ns, repeat, nq); snapshot STATES:
+    # (ns, repeat, nq, 2, 2) — the qubit axis is axis 2 (reference), or the
+    # last axis for 2-D input
+    nq = shape[1] if len(shape) == 2 else shape[2]
     if subsystem_to_keep is not None and subsystems_to_trace_out is not None:
         raise ValueError(
             "give only one of subsystem_to_keep / subsystems_to_trace_out"
+        )
+    if sub is not None and (
+        subsystem_to_keep is not None or subsystems_to_trace_out is not None
+    ):
+        import warnings
+
+        warnings.warn(
+            "both sub and a subsystem keyword given: the keyword wins and "
+            "sub is ignored (reference convention)",
+            UserWarning,
         )
     if subsystems_to_trace_out is not None:
         out = set(int(q) for q in subsystems_to_trace_out)

@@ -422,3 +422,100 @@ def test_wide_hyperedges_through_einsum_ir():
     ir = circuit_state_ir(c2.to_qir(), 4)
     psi_ir = np.asarray(ctr.contract_ir(ir)).reshape(-1)
     np.testing.assert_allclose(psi_ir, np.asarray(c2.state()), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# fifth review pass
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_shadow_snapshot_states_input():
+    """5-D snapshot-states input: qubit axis is axis 2, not the last axis."""
+    nq = 3
+    c = tc.Circuit(nq)
+    c.h(0)
+    c.cx(0, 1)
+    c.ry(2, theta=0.4)
+    psi = c.state()
+    rng = np.random.default_rng(0)
+    strings = jnp.asarray(rng.integers(0, 3, size=(200, nq)), jnp.int32)
+    status = jnp.asarray(rng.uniform(size=(200, 2)))
+    snaps = shadows.shadow_snapshots(psi, strings, status)
+    lss = shadows.local_snapshot_states(snaps, strings)
+    e1 = float(np.real(np.asarray(shadows.entropy_shadow(lss, None, sub=[1, 2]))))
+    e2 = float(
+        np.real(np.asarray(shadows.entropy_shadow(snaps, strings, subsystem_to_keep=[1, 2])))
+    )
+    assert abs(e1 - e2) < 1e-6
+    with pytest.raises(ValueError):
+        shadows.entropy_shadow(snaps, strings, sub=[0], alpha=0)
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        shadows.entropy_shadow(snaps, strings, sub=[0], subsystem_to_keep=[1])
+        assert any("sub is ignored" in str(x.message) for x in w)
+
+
+def test_wide_hyperedges_through_expectation_irs():
+    """k>8 rzm/multicz lower through BOTH expectation IRs (ket+bra sides)."""
+    from tensorcircuit_ng_tpu.core import contractor as ctr
+
+    X = np.array([[0, 1], [1, 0.0]])
+    cw = tc.Circuit(9)
+    for q in range(9):
+        cw.h(q)
+    cw.multicz(*range(9))
+    cw.rzm(*range(9), theta=0.8)
+    v_ir = float(np.real(np.asarray(ctr.contract_ir(cw.expectation_before((X, [0]))))))
+    v_dense = float(np.real(np.asarray(cw.expectation_ps(x=[0]))))
+    np.testing.assert_allclose(v_ir, v_dense, atol=1e-5)
+    cd2 = tc.DMCircuit2(9)
+    for q in range(9):
+        cd2.h(q)
+    cd2.multicz(*range(9))
+    cd2.rzm(*range(9), theta=0.8)
+    v_so = float(np.real(np.asarray(ctr.contract_ir(cd2.expectation_before((X, [0]))))))
+    np.testing.assert_allclose(v_so, v_dense, atol=1e-5)
+
+
+def test_rzm_traced_theta_through_ir():
+    """Traced rzm theta builds in-trace in the IR; grads match cos law."""
+    from tensorcircuit_ng_tpu.core import contractor as ctr
+    from tensorcircuit_ng_tpu.core.einsum_ir import expectation_ir
+
+    X = np.array([[0, 1], [1, 0.0]])
+
+    def f(th):
+        c = tc.Circuit(4)
+        for q in range(4):
+            c.h(q)
+        c.rzm(0, 1, 2, theta=th)
+        ir = expectation_ir(c.to_qir(), 4, [(jnp.asarray(X, jnp.complex64), [0])])
+        return jnp.real(ctr.contract_ir(ir))
+
+    v, g = jax.value_and_grad(f)(jnp.asarray(0.4))
+    np.testing.assert_allclose(float(v), np.cos(0.4), atol=1e-5)
+    np.testing.assert_allclose(float(g), -np.sin(0.4), atol=1e-5)
+
+
+def test_layer_item_remapping():
+    """initial_mapping/compose remap pairs and permute per-qubit thetas."""
+    rx = jnp.asarray(np.arange(3) * 0.1 + 0.1, jnp.float32)
+    c = tc.Circuit(3)
+    c.zzrx_layer([(0, 1)], jnp.asarray([0.3], jnp.float32), rx)
+    mp = {0: 2, 1: 0, 2: 1}
+    cm = c.initial_mapping(mp)
+    co = tc.Circuit(3)
+    co.rzz(2, 0, theta=0.3)
+    for q_l, q_p in mp.items():
+        co.rx(q_p, theta=float(rx[q_l]))
+    np.testing.assert_allclose(np.asarray(cm.state()), np.asarray(co.state()), atol=1e-5)
+    # partial mapping of a fused layer must raise, not silently misplace
+    big = tc.Circuit(4)
+    sub = tc.Circuit(2)
+    sub.zzrx_layer(
+        [(0, 1)], jnp.asarray([0.3], jnp.float32), jnp.asarray([0.1, 0.2], jnp.float32)
+    )
+    with pytest.raises(ValueError):
+        big.compose(sub, indices=[1, 2])

@@ -169,3 +169,22 @@ def test_noise_param_ad():
     v, g = jax.value_and_grad(f)(jnp.asarray(0.3))
     np.testing.assert_allclose(float(v), -0.4, atol=1e-5)
     np.testing.assert_allclose(float(g), 2.0, atol=1e-4)
+
+
+def test_wide_noisy_superop_with_hyperedges():
+    """Channels AND k-local hyperedges through the lazy superop IR at n=16
+    (forced above the dense-DM cliff) match the small-n dense oracle."""
+    X = np.array([[0, 1], [1, 0.0]])
+
+    def build(cls, n):
+        c = cls(n)
+        for q in range(4):
+            c.h(q)
+        c.multicz(0, 1, 2)
+        c.rzm(1, 2, 3, theta=0.5)
+        c.depolarizing(0, px=0.05, py=0.05, pz=0.05)
+        return c
+
+    v = float(np.real(np.asarray(build(tc.DMCircuit2, 16).expectation((X, [1])))))
+    vd = float(np.real(np.asarray(build(tc.DMCircuit, 8).expectation((X, [1])))))
+    np.testing.assert_allclose(v, vd, atol=1e-5)

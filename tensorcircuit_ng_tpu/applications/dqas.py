@@ -87,7 +87,7 @@ def DQAS_search(
 # reference-parity DQAS infrastructure (applications/dqas.py:38-972)
 # ======================================================================
 
-import inspect as _inspect
+import itertools as _itertools
 import sys as _sys
 from typing import Iterator
 
@@ -95,65 +95,74 @@ _op_pool: Sequence[Any] = []
 
 
 def set_op_pool(l: Sequence[Any]) -> None:
-    """Set the global operator pool (reference ``dqas.py:38``)."""
+    """Set the global operator pool (role of reference ``dqas.py:38``)."""
     global _op_pool
     _op_pool = l
 
 
 def get_op_pool() -> Sequence[Any]:
-    """Get the global operator pool (reference ``dqas.py:44``)."""
+    """Get the global operator pool (role of reference ``dqas.py:44``)."""
     return _op_pool
 
 
 def get_var(name: str) -> Any:
-    """Grab a local variable from the calling DQAS frame (reference :52)."""
-    return _inspect.stack()[2][0].f_locals[name]
+    """Fetch a local from the nearest enclosing frame that defines it.
+
+    Plays the role of the reference's fixed-depth stack peek (``dqas.py:52``)
+    but walks outward until the name is found, so helpers may be nested at
+    any depth inside the search loop.
+    """
+    frame = _sys._getframe(1)
+    while frame is not None:
+        if name in frame.f_locals:
+            return frame.f_locals[name]
+        frame = frame.f_back
+    raise KeyError(f"no enclosing DQAS frame defines {name!r}")
 
 
 def verbose_output(max_prob: bool = True, weight: bool = True) -> None:
-    """Print per-layer max probability and active weights (reference :64)."""
+    """Report loop diagnostics from inside a DQAS search (role of ref :64)."""
+    lines: List[str] = []
     if max_prob:
-        prob = get_var("prob")
-        print("max probability for each layer:")
-        print(np.max(np.asarray(prob), axis=1))
+        peaks = np.asarray(get_var("prob")).max(axis=1)
+        lines.append(f"max probability for each layer:\n{peaks}")
     if weight:
-        nnp = get_var("nnp")
-        stp = get_var("stp")
-        print("associating weights:", np.asarray(get_weights(nnp, stp)))
+        active = get_weights(get_var("nnp"), get_var("stp"))
+        lines.append(f"associating weights: {np.asarray(active)}")
+    print("\n".join(lines))
 
 
 def preset_byprob(prob: Any) -> List[int]:
-    """Sample one op index per layer from the categorical rows (ref :86)."""
-    prob = np.asarray(prob)
-    return [int(np.random.choice(prob.shape[1], p=prob[i] / prob[i].sum())) for i in range(prob.shape[0])]
+    """Draw one op index per layer via vectorized inverse-CDF sampling
+    (role of reference :86)."""
+    prob = np.asarray(prob, dtype=np.float64)
+    cdf = np.cumsum(prob, axis=1)
+    u = np.random.random(prob.shape[0]) * cdf[:, -1]
+    picks = (u[:, None] > cdf).sum(axis=1)
+    return np.minimum(picks, prob.shape[1] - 1).astype(int).tolist()
 
 
 def get_preset(stp: Any) -> Any:
-    """argmax op per layer (reference :96)."""
+    """argmax op per layer (role of reference :96)."""
     return jnp.argmax(jnp.asarray(stp), axis=1)
 
 
 def get_weights(nnp: Any, stp: Any = None, preset: Optional[Sequence[int]] = None) -> Any:
-    """Per-layer weights selected by preset/argmax(stp) (reference :100)."""
+    """Per-layer weights selected by preset/argmax(stp) (role of ref :100)."""
     nnp = jnp.asarray(nnp)
-    if preset is None:
-        preset = get_preset(stp)
-    preset = jnp.asarray(preset, dtype=jnp.int32)
-    return nnp[jnp.arange(nnp.shape[0]), preset]
+    idx = get_preset(stp) if preset is None else jnp.asarray(preset, dtype=jnp.int32)
+    return jnp.take_along_axis(nnp, idx[:, None], axis=1)[:, 0]
 
 
 def get_weights_v2(nnp: Any, preset: Sequence[int]) -> Any:
-    """Multi-param-per-op variant (reference :118)."""
-    nnp = np.asarray(nnp)
-    if nnp.ndim == 3:
-        l = nnp.shape[-1]
-        w = np.empty((nnp.shape[0], l), dtype=nnp.dtype)
-        for i, j in enumerate(preset):
-            w[i, :] = nnp[i, j, :]
-        if l == 1:
-            w = w.reshape([nnp.shape[0]])
-        return jnp.asarray(w)
-    return get_weights(nnp, preset=list(preset))
+    """Multi-param-per-op variant (role of reference :118): gathers the
+    chosen op's parameter row per layer, squeezing a trailing singleton."""
+    nnp = jnp.asarray(nnp)
+    if nnp.ndim != 3:
+        return get_weights(nnp, preset=list(preset))
+    idx = jnp.asarray(preset, dtype=jnp.int32)[:, None, None]
+    picked = jnp.take_along_axis(nnp, jnp.broadcast_to(idx, (nnp.shape[0], 1, nnp.shape[2])), axis=1)[:, 0, :]
+    return picked[:, 0] if nnp.shape[2] == 1 else picked
 
 
 def parallel_kernel(
@@ -162,48 +171,42 @@ def parallel_kernel(
     nnp: Any,
     kernel_func: Callable[[Any, Any, Sequence[int]], Tuple[Any, Any]],
 ) -> Tuple[Any, Any, Any]:
-    """One batched-sample evaluation: (loss, gnnp, ∇lnP) (reference :133).
+    """One MC sample: draw a preset, evaluate, return (loss, gnnp, ∇lnP).
 
-    The reference reseeds np.random here because it runs this in forked
-    multiprocessing workers; we run in-process (vmap supersedes pools on
-    TPU), so reseeding would clobber the caller's seed and make runs
-    non-deterministic — deliberately omitted.
+    Role of reference :133; ∇_stp lnP(preset) for a softmax categorical is
+    onehot(preset) − prob, built here by row indexing into an identity. The
+    reference reseeds np.random because it forks worker processes; we run
+    in-process (vmap supersedes pools on TPU) so reseeding is deliberately
+    omitted — it would clobber the caller's seed.
     """
     prob = np.asarray(prob)
-    p = prob.shape[0]
     preset = preset_byprob(prob)
     loss, gnnp = kernel_func(gdata, nnp, preset)
-    gs = -prob.copy()
-    for i, j in enumerate(preset):
-        gs[i, j] += 1.0
-    return loss, gnnp, jnp.asarray(gs, dtype=jnp.float32)
+    score = np.eye(prob.shape[1])[preset] - prob
+    return loss, gnnp, jnp.asarray(score, dtype=jnp.float32)
 
 
 def void_generator() -> Iterator[Any]:
-    while True:
-        yield None
+    return _itertools.repeat(None)
 
 
 def single_generator(g: Any) -> Iterator[Any]:
-    while True:
-        yield g
+    return _itertools.repeat(g)
 
 
 def history_loss() -> Any:
-    """Current baseline loss inside a DQAS loop (reference :175)."""
+    """Current baseline loss inside a DQAS loop (role of reference :175)."""
     return np.asarray(get_var("avcost1"))
 
 
 def repr_op(element: Any) -> str:
-    """Readable operator name (reference :179)."""
+    """Readable operator name (role of reference :179)."""
     if isinstance(element, str):
         return element
     if isinstance(element, (list, tuple)):
-        return str(tuple(repr_op(e) for e in element))
-    doc = getattr(element, "__doc__", None)
-    if doc:
-        return str(doc).splitlines()[0]
-    return repr(element)
+        return str(tuple(map(repr_op, element)))
+    first_doc_line = (getattr(element, "__doc__", None) or "").split("\n", 1)[0]
+    return first_doc_line or repr(element)
 
 
 DQAS_search_simple = DQAS_search  # keep the compact API under its own name
@@ -489,12 +492,10 @@ def micro_sample(
     """van_sample with layer-repetition expansion (reference ``dqas.py:642``)."""
     samples, glnprob_list = van_sample(prob_model, batch_size, key=key)
     samples = np.asarray(jax.device_get(samples)).astype(np.int32)
-    if not repetitions:
-        return jnp.asarray(samples), glnprob_list
-    ns = np.empty(shape=[batch_size, len(repetitions)], dtype=np.int32)
-    for i, j in enumerate(repetitions):
-        ns[:, i] = samples[:, j]
-    return jnp.asarray(ns), glnprob_list
+    if repetitions:
+        # expand layer choices to their repeated slots by column gather
+        samples = samples[:, np.asarray(repetitions, dtype=np.intp)]
+    return jnp.asarray(samples), glnprob_list
 
 
 def DQAS_search_pmb(

@@ -120,8 +120,8 @@ def _emit_gate(lines: List[str], name: str, idx: Sequence[int], params: Dict[str
         theta = params.get("theta", 1.0)
         if abs(float(np.real(np.asarray(theta))) - 1.0) > 1e-6:
             raise ValueError(
-                "tianyan QCIS conversion only supports full iSwap (theta=1.0), "
-                f"got theta={theta!r}"
+                "partial iSwap has no QCIS decomposition here; only the "
+                f"theta=1.0 point is emitted (requested theta={theta!r})"
             )
         a, b = idx
         # iswap = swap . (s (x) s) . cz (reference :246)
@@ -195,15 +195,24 @@ def _qasm_to_qcis(qasm: str) -> str:
     return circuit_to_qcis(c)
 
 
+#: source-language dispatch: canonical name -> per-string converter
+_LANG_CONVERTERS = {
+    "QCIS": lambda s: s,
+    "QASM": lambda s: _qasm_to_qcis(s),
+    "OPENQASM": lambda s: _qasm_to_qcis(s),
+    "OPENQASM2": lambda s: _qasm_to_qcis(s),
+}
+
+
 def _source_to_qcis(source: Union[str, Sequence[str]], lang: str) -> Any:
-    normalized = lang.strip().upper()
-    if normalized == "QCIS":
-        return source if isinstance(source, str) else list(source)
-    if normalized in {"QASM", "OPENQASM", "OPENQASM2"}:
-        if isinstance(source, str):
-            return _qasm_to_qcis(source)
-        return [_qasm_to_qcis(s) for s in source]
-    raise ValueError(f"Unsupported TianYan source language: {lang}")
+    convert = _LANG_CONVERTERS.get(lang.strip().upper())
+    if convert is None:
+        raise ValueError(
+            f"tianyan cannot ingest {lang!r} sources (accepted: QCIS, OpenQASM2)"
+        )
+    if isinstance(source, str):
+        return convert(source)
+    return [convert(s) for s in source]
 
 
 # ---------------------------------------------------------------------------
@@ -366,52 +375,84 @@ def validate_topology(
     return bad
 
 
-def _validate_circuit_topology(
-    circuit: Any, graph: Dict[int, Set[int]], available_qubits: Set[int]
-) -> None:
-    """Raise ValueError on unavailable qubits / unconnected multi-qubit gates
-    (reference ``:112-138``)."""
-    for inst in circuit.to_qir():
-        indices = tuple(inst.get("index", ()))
-        for idx in indices:
-            if idx not in available_qubits:
-                raise ValueError(
-                    f"Gate {inst.get('name')} acts on qubit {idx}, which is "
-                    "unavailable on this device; compile the circuit for the "
-                    "device first"
-                )
-        for i, q1 in enumerate(indices):
-            for q2 in indices[i + 1 :]:
-                if q1 != q2 and q2 not in graph.get(q1, set()):
-                    raise ValueError(
-                        f"Gate {inst.get('name')} acts on unconnected physical "
-                        f"qubits ({q1}, {q2}) for this device; compile and map "
-                        "the circuit to the device topology first"
-                    )
+class DeviceTopology:
+    """Undirected device connectivity held as an edge set.
+
+    Plays the role of the reference's (adjacency-dict, qubit-set) pair
+    (``cloud/tianyan.py:112-172``) with a different representation: couplers
+    are a frozenset of sorted ``(lo, hi)`` pairs and live qubits a frozenset,
+    so compatibility checks are pure set lookups and the object is hashable.
+    """
+
+    __slots__ = ("edges", "live")
+
+    def __init__(self, edges: Any, live: Any) -> None:
+        self.edges = frozenset(tuple(sorted(e)) for e in edges)
+        self.live = frozenset(live)
+
+    def check(self, circuit: Any) -> None:
+        """Raise ``ValueError`` listing *every* placement violation at once."""
+        problems: List[str] = []
+        for inst in circuit.to_qir():
+            wires = tuple(inst.get("index", ()))
+            label = inst.get("name", "?")
+            dead = [q for q in wires if q not in self.live]
+            if dead:
+                problems.append(f"{label}{wires}: qubit(s) {dead} not usable")
+                continue
+            from itertools import combinations
+
+            for pair in combinations(sorted(set(wires)), 2):
+                if pair not in self.edges:
+                    problems.append(f"{label}{wires}: no coupler for pair {pair}")
+        if problems:
+            raise ValueError(
+                "circuit does not fit this device's topology — route/transpile "
+                "it first:\n  " + "\n  ".join(problems)
+            )
+
+    @property
+    def adjacency(self) -> Dict[int, Set[int]]:
+        adj: Dict[int, Set[int]] = {}
+        for a, b in self.edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return adj
 
 
-def _get_device_topology(pf: Any, device_name: str) -> Tuple[Dict[int, Set[int]], Set[int]]:
-    """Adjacency graph + available qubits from the device config
-    (reference ``:141-172``)."""
-    config = pf.download_config(machine=device_name) or {}
-    overview = config.get("overview", {})
-    graph: Dict[int, Set[int]] = {}
-    for _coupler, qubits in (overview.get("coupler_map", {}) or {}).items():
-        q1 = int(qubits[0][1:])
-        q2 = int(qubits[1][1:])
-        graph.setdefault(q1, set()).add(q2)
-        graph.setdefault(q2, set()).add(q1)
-    all_qubits: Set[int] = set()
-    for q_str in overview.get("qubits", []) or []:
-        if q_str.startswith("Q"):
-            all_qubits.add(int(q_str[1:]))
-    disabled = overview.get("disabledQubits", "")
-    if disabled:
-        for q_str in disabled.split(","):
-            q_str = q_str.strip()
-            if q_str.startswith("Q"):
-                all_qubits.discard(int(q_str[1:]))
-    return graph, all_qubits
+def _qubit_label_to_int(label: str) -> Optional[int]:
+    """``"Q12"`` -> 12; anything unparseable -> None."""
+    label = label.strip()
+    if label[:1].upper() != "Q":
+        return None
+    try:
+        return int(label[1:])
+    except ValueError:
+        return None
+
+
+def _get_device_topology(pf: Any, device_name: str) -> DeviceTopology:
+    """Build a :class:`DeviceTopology` from the platform's device config
+    (role of reference ``:141-172``)."""
+    overview = (pf.download_config(machine=device_name) or {}).get("overview", {})
+    pairs = [
+        ids
+        for ends in (overview.get("coupler_map", {}) or {}).values()
+        if len(ids := [q for q in map(_qubit_label_to_int, ends) if q is not None]) == 2
+    ]
+    declared = {
+        q for q in map(_qubit_label_to_int, overview.get("qubits", []) or []) if q is not None
+    }
+    off = {
+        q
+        for q in map(_qubit_label_to_int, (overview.get("disabledQubits") or "").split(","))
+        if q is not None
+    }
+    return DeviceTopology(pairs, declared - off)
+
+
+def _validate_circuit_topology(circuit: Any, topo: DeviceTopology) -> None:
+    topo.check(circuit)
 
 
 # ---------------------------------------------------------------------------
@@ -508,13 +549,11 @@ def get_device_properties(device: Device, token: Optional[str] = None) -> Dict[s
         return {"name": device.name, "native_gates": ["X2P", "X2M", "Y2P", "Y2M", "RZ", "CZ"], "offline": True}
     config = _PLATFORM.download_config(machine=device.name) or {}
     overview = config.get("overview", {})
-    graph, qubits = _get_device_topology(_PLATFORM, device.name)
+    topo = _get_device_topology(_PLATFORM, device.name)
     return {
         "name": device.name,
-        "qubits": sorted(qubits),
-        "coupling_map": sorted(
-            {tuple(sorted((a, b))) for a, nbrs in graph.items() for b in nbrs}
-        ),
+        "qubits": sorted(topo.live),
+        "coupling_map": sorted(topo.edges),
         "native_gates": overview.get("native_gates", ["X2P", "X2M", "Y2P", "Y2M", "RZ", "CZ"]),
     }
 
@@ -552,8 +591,7 @@ def submit_task(
         sources = []
         for c in circuits:
             if topology is not None and hasattr(c, "to_qir"):
-                graph, available = topology
-                _validate_circuit_topology(c, graph, available)
+                topology.check(c)
             sources.append(circuit_to_qcis(c))
         source = sources if isinstance(circuit, (list, tuple)) else sources[0]
     single = isinstance(source, str)

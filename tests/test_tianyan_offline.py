@@ -149,12 +149,12 @@ def test_topology_validation(mock_platform):
     bad = tc.Circuit(3)
     bad.h(0)
     bad.cnot(0, 2)
-    with pytest.raises(ValueError, match="unconnected"):
+    with pytest.raises(ValueError, match="no coupler"):
         ty.submit_task(dev, circuit=bad, shots=10)
     # invalid: disabled qubit
     bad2 = tc.Circuit(4)
     bad2.x(3)
-    with pytest.raises(ValueError, match="unavailable"):
+    with pytest.raises(ValueError, match="not usable"):
         ty.submit_task(dev, circuit=bad2, shots=10)
     props = ty.get_device_properties(dev)
     assert props["qubits"] == [0, 1, 2]

@@ -129,8 +129,24 @@ def submit_task(
     return t
 
 
+def _task_provider_module(t: Task) -> Optional[Any]:
+    """Provider module owning the task, or None for local/unregistered."""
+    provider = getattr(t.device, "provider", None)
+    if provider is None or provider.name == "local":
+        return None
+    try:
+        return _provider_module(provider)
+    except ValueError:
+        return None
+
+
 def resubmit_task(task: Union[str, Task], **kws: Any) -> Task:
     t = get_task(task)
+    mod = _task_provider_module(t)
+    if mod is not None and hasattr(mod, "resubmit_task"):
+        fresh = mod.resubmit_task(t, **kws)
+        _tasks[fresh.id_] = fresh
+        return fresh
     return submit_task(device=t.device, **kws)
 
 
@@ -140,16 +156,32 @@ def get_task(task: Union[str, Task]) -> Task:
     return _tasks[task]
 
 
-def get_task_details(task: Union[str, Task]) -> Dict[str, Any]:
-    return get_task(task).details()
+def get_task_details(task: Union[str, Task], **kws: Any) -> Dict[str, Any]:
+    """Task details, refreshed from the owning provider when it has one
+    (reference ``apis.get_task_details`` dispatch)."""
+    t = get_task(task)
+    mod = _task_provider_module(t)
+    if mod is not None and hasattr(mod, "get_task_details"):
+        return mod.get_task_details(t, **kws)
+    return t.details()
 
 
-def list_tasks(**filters: Any) -> List[Task]:
+def list_tasks(provider: Union[str, Provider, None] = None, **filters: Any) -> List[Task]:
+    if provider is not None:
+        mod = _provider_module(Provider.from_name(provider))
+        if hasattr(mod, "list_tasks"):
+            return mod.list_tasks(**filters)
     return list(_tasks.values())
 
 
 def remove_task(task: Union[str, Task]) -> None:
     t = get_task(task)
+    mod = _task_provider_module(t)
+    if mod is not None and hasattr(mod, "remove_task"):
+        try:
+            mod.remove_task(t)
+        except NotImplementedError:
+            pass
     _tasks.pop(t.id_, None)
 
 

@@ -15,9 +15,29 @@ from typing import Any, Callable, Dict, Optional
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["HttpStatusError", "set_proxy", "reconnect", "rget_json", "rpost_json"]
+__all__ = [
+    "HttpStatusError",
+    "set_proxy",
+    "set_transport",
+    "reconnect",
+    "rget_json",
+    "rpost_json",
+]
 
 _PROXY: Optional[Dict[str, str]] = None
+
+#: when set, all cloud HTTP goes through this callable instead of the network:
+#: ``handler(method, url, body, headers) -> dict``.  This is the offline-test
+#: seam (no egress in this environment); ``set_transport(None)`` restores HTTP.
+_TRANSPORT: Optional[Callable[[str, str, Optional[Dict[str, Any]], Optional[Dict[str, str]]], Dict[str, Any]]] = None
+
+
+def set_transport(
+    handler: Optional[Callable[[str, str, Optional[Dict[str, Any]], Optional[Dict[str, str]]], Dict[str, Any]]]
+) -> None:
+    """Install (or clear with ``None``) a mock transport for cloud calls."""
+    global _TRANSPORT
+    _TRANSPORT = handler
 
 
 class HttpStatusError(Exception):
@@ -56,6 +76,8 @@ def reconnect(tries: int = 3, sleep: float = 1.0) -> Callable[..., Any]:
 @reconnect()
 def rget_json(url: str, headers: Optional[Dict[str, str]] = None, timeout: float = 30.0) -> Dict[str, Any]:
     """GET returning parsed JSON with retry (reference ``rget_json``)."""
+    if _TRANSPORT is not None:
+        return _TRANSPORT("GET", url, None, headers)
     import requests
 
     r = requests.get(url, headers=headers, proxies=_PROXY, timeout=timeout)
@@ -75,6 +97,8 @@ def rpost_json(
     timeout: float = 30.0,
 ) -> Dict[str, Any]:
     """POST returning parsed JSON with retry (reference ``rpost_json``)."""
+    if _TRANSPORT is not None:
+        return _TRANSPORT("POST", url, body, headers)
     import requests
 
     r = requests.post(url, json=body or {}, headers=headers, proxies=_PROXY, timeout=timeout)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 Tensor = Any
 
-__all__ = ["EinsumIR", "circuit_state_ir", "amplitude_ir", "expectation_ir", "superop_expectation_ir"]
+__all__ = ["EinsumIR", "circuit_state_ir", "amplitude_ir", "expectation_ir", "superop_expectation_ir", "superop_boundary_ir"]
 
 
 @dataclasses.dataclass
@@ -292,20 +292,54 @@ def superop_expectation_ir(
 ) -> EinsumIR:
     """IR for tr(O_k ... O_1 rho) over the DOUBLED (superoperator) network.
 
+    See :func:`superop_boundary_ir` — this is the all-wires-traced case.
+    """
+    return superop_boundary_ir(qir, n, ops=ops, d=d, dtype=dtype, lightcone=lightcone)
+
+
+def superop_boundary_ir(
+    qir: List[Dict[str, Any]],
+    n: int,
+    ops: Sequence[Tuple[Tensor, Sequence[int]]] = (),
+    fixed: Optional[Dict[int, Tensor]] = None,
+    diag_wires: Sequence[int] = (),
+    d: int = 2,
+    dtype: Any = None,
+    lightcone: bool = True,
+) -> EinsumIR:
+    """Doubled (superoperator) network with per-wire boundary conditions.
+
     The reference keeps Kraus channels lazily in the tn graph
     (``densitymatrix.py:398-430`` with ``channels.py:542 kraus_to_super_gate``)
-    so wide shallow noisy expectations never materialize the d^2n density
-    matrix; this is that capability on the einsum IR.  Unitaries contribute
-    (U, conj U) on the ket/bra wire pair, channels ONE superoperator tensor
-    S[ok.., ob.., ik.., ib..] = sum_i K_i[ok, ik] conj(K_i)[ob, ib] bridging
-    both sides; trace-preservation means out-of-cone items cancel, so the
-    light-cone prune is identical to the pure case.
+    so wide shallow noisy circuits serve expectation, sampling, probability
+    and amplitude without a d^2n density matrix (reference
+    ``basecircuit.py:449-560,626``); this is that capability on the einsum
+    IR.  Unitaries contribute (U, conj U) on the ket/bra wire pair, channels
+    ONE superoperator tensor S[ok.., ob.., ik.., ib..] = sum_i K_i[ok, ik]
+    conj(K_i)[ob, ib] bridging both sides.
+
+    Boundary per wire:
+    - ``ops``: observable chain applied on the ket side before closing
+      (expectation semantics tr(O_k .. O_1 rho));
+    - ``fixed[w] = v``: the wire closes against |v><v| — ``v`` on the ket
+      frontier, ``conj(v)`` on the bra frontier (``v`` may be a traced
+      one-hot, enabling jittable autoregressive conditioning);
+    - ``diag_wires``: the wire's ket/bra pair routes through a 3-leg
+      delta whose third leg is an OUTPUT index — the contraction returns
+      the joint diagonal marginal of these wires, shape (d,)*len;
+    - all other wires are traced out (2-leg delta).
+
+    Trace-preservation cancels out-of-cone items, so the light-cone prune
+    seeds from ops ∪ fixed ∪ diag wires exactly like the pure case.
     """
     from .. import config
 
+    fixed = {int(w): v for w, v in (fixed or {}).items()}
+    diag_wires = [int(w) for w in diag_wires]
     dtype = dtype or jnp.dtype(config.dtypestr())
+    boundary_wires = set(fixed) | set(diag_wires)
     if lightcone:
-        cone = set()
+        cone = set(boundary_wires)
         for _, wires in ops:
             cone.update(int(w) for w in wires)
         keep: List[Dict[str, Any]] = []
@@ -317,10 +351,13 @@ def superop_expectation_ir(
     support = sorted(
         {int(w) for item in qir for w in item["index"]}
         | {int(w) for _, wires in ops for w in wires}
+        | boundary_wires
     )
     wmap = {w: i for i, w in enumerate(support)}
     qir = [dict(item, index=tuple(wmap[int(w)] for w in item["index"])) for item in qir]
     ops = [(op, tuple(wmap[int(w)] for w in wires)) for op, wires in ops]
+    fixed = {wmap[w]: v for w, v in fixed.items()}
+    diag_wires = [wmap[w] for w in diag_wires]
     from ..simplify import fuse_single_qubit_qir
 
     qir = fuse_single_qubit_qir(qir, d=d)
@@ -370,8 +407,25 @@ def superop_expectation_ir(
         if t.ndim != 2 * k:
             t = t.reshape((d,) * (2 * k))
         b.add_gate(t, list(wires))
-    # trace: delta connecting each ket frontier to its bra frontier
+    # per-wire boundary: fixed -> |v><v| closure; diag -> open 3-leg delta;
+    # everything else -> trace delta connecting ket frontier to bra frontier
     eye = np.eye(d, dtype=np.dtype(dtype))
+    delta3 = np.zeros((d, d, d), dtype=np.dtype(dtype))
+    for i in range(d):
+        delta3[i, i, i] = 1.0
+    out_by_wire: Dict[int, int] = {}
     for w in range(m):
-        b.add_tensor(eye, (b.front[w], b.front[w + m]))
-    return EinsumIR(b.inputs, (), b.size, b.tensors)
+        if w in fixed:
+            v = fixed[w]
+            if not hasattr(v, "ndim"):
+                v = np.asarray(v)
+            b.add_tensor(v, (b.front[w],))
+            b.add_tensor(v.conj(), (b.front[w + m],))
+        elif w in set(diag_wires):
+            o = b.new_index()
+            out_by_wire[w] = o
+            b.add_tensor(delta3, (b.front[w], b.front[w + m], o))
+        else:
+            b.add_tensor(eye, (b.front[w], b.front[w + m]))
+    output = tuple(out_by_wire[w] for w in diag_wires)
+    return EinsumIR(b.inputs, output, b.size, b.tensors)

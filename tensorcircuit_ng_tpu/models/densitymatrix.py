@@ -519,5 +519,103 @@ class DMCircuit2(DMCircuit):
             self.expectation_before(*ops, enable_lightcone=enable_lightcone)
         )
 
+    # ------------------------------------------------------------------
+    # lazy sampling / probability / amplitude above the dense cliff
+    # (reference basecircuit.py:449-560,626 serves these from the doubled
+    # network; here via einsum_ir.superop_boundary_ir)
+    # ------------------------------------------------------------------
+
+    # basecircuit.sample() cliff: a DM holds d^2n entries, so the dense
+    # path must stop at half the pure-state width
+    _DENSE_MAX_QUBITS = _DENSE_MAX_QUBITS_DM
+
+    def _boundary_ir(self, **kws: Any) -> Any:
+        from ..core import einsum_ir as _eir
+
+        return _eir.superop_boundary_ir(
+            self._expanded_qir(), self._nqubits, d=self._d, **kws
+        )
+
+    def probability(self, *index: int) -> Tensor:
+        """Diagonal of ρ, or the joint diagonal marginal of ``index`` wires.
+
+        With no arguments below the cliff this is the dense diagonal
+        (reference semantics); with wires given — or above the cliff — it
+        is a planned light-cone contraction of the doubled network and
+        never materializes ρ.  Marginals of a few wires on a wide shallow
+        noisy circuit cost milliseconds at any n.
+        """
+        from ..core import contractor as _ctr
+
+        if not index:
+            if self._nqubits <= self._DENSE_MAX_QUBITS_DM:
+                return DMCircuit.probability(self)
+            index = tuple(range(self._nqubits))
+        p = _ctr.contract_ir(self._boundary_ir(diag_wires=list(index)))
+        return jnp.real(jnp.reshape(p, (-1,)))
+
+    def measure_jit(
+        self, *index: int, with_prob: bool = False, status: Optional[Tensor] = None
+    ) -> Tuple[Tensor, Tensor]:
+        """Autoregressive projective measurement without materializing ρ.
+
+        Per measured qubit one light-cone contraction yields the d-outcome
+        conditional marginal (previous outcomes enter as traced one-hot
+        boundary vectors, so the whole chain jits); below the cliff the
+        dense path is kept for exact parity.
+        """
+        if self._nqubits <= self._DENSE_MAX_QUBITS_DM:
+            return DMCircuit.measure_jit(
+                self, *index, with_prob=with_prob, status=status
+            )
+        from ..core import contractor as _ctr
+
+        d = self._d
+        if status is None:
+            status = K.implicit_randu([len(index)])
+        rdt = jnp.dtype(config.rdtypestr())
+        fixed: Dict[int, Tensor] = {}
+        outcomes = []
+        prob = jnp.ones((), dtype=rdt)
+        for k, q in enumerate(index):
+            marg = jnp.real(
+                jnp.reshape(
+                    _ctr.contract_ir(self._boundary_ir(fixed=fixed, diag_wires=[q])),
+                    (d,),
+                )
+            )
+            marg = marg / jnp.sum(marg)
+            cdf = jnp.cumsum(marg)
+            r = status[k].astype(cdf.dtype)
+            outcome = jnp.clip(
+                jnp.searchsorted(cdf, r + self._MEASURE_EPS, side="left"), 0, d - 1
+            )
+            prob = prob * marg[outcome]
+            # real one-hot boundary: conditioning projector |v><v| (kept
+            # real so no complex value ever crosses a jit boundary on axon)
+            fixed = dict(fixed)
+            fixed[q] = jax.nn.one_hot(outcome, d, dtype=rdt)
+            outcomes.append(outcome)
+        sample = jnp.stack(outcomes).astype(jnp.int32)
+        if with_prob:
+            return sample, prob
+        return sample, jnp.asarray(-1.0)
+
+    def amplitude(self, l: Union[str, Sequence[int], Tensor]) -> Tensor:
+        """⟨l|ρ|l⟩; above the cliff a closed doubled-network contraction."""
+        if self._nqubits <= self._DENSE_MAX_QUBITS_DM:
+            return DMCircuit.amplitude(self, l)
+        from ..core import contractor as _ctr
+
+        if isinstance(l, str):
+            l = [int(ch, 36) for ch in l]
+        lv = jnp.reshape(jnp.asarray(l), (-1,)).astype(jnp.int32)
+        rdt = jnp.dtype(config.rdtypestr())
+        fixed = {
+            q: jax.nn.one_hot(lv[q], self._d, dtype=rdt)
+            for q in range(self._nqubits)
+        }
+        return _ctr.contract_ir(self._boundary_ir(fixed=fixed))
+
 
 DensityMatrixCircuit = DMCircuit

@@ -222,6 +222,7 @@ def test_fgs_charge_moment_vs_dense():
     np.testing.assert_allclose(z_fgs, z_dense, atol=1e-3)
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_fgs_asymmetry_semantics():
     # reference semantics: the return is S_n of the charge-dephased rho_A;
     # for a number-conserving state that equals the plain Renyi entropy of

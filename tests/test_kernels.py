@@ -36,6 +36,7 @@ def test_fused_layer_forward(interpret_mode, n):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_fused_layer_gradients(interpret_mode):
     n = 8
     psi, gates = random_state_and_gates(n, seed=2)
@@ -54,6 +55,7 @@ def test_fused_layer_gradients(interpret_mode):
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-4)
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_fused_layer_rx_parameterized(interpret_mode):
     # typical VQE use: rx(theta_q) on every qubit, grad through thetas
     n = 8
@@ -86,6 +88,7 @@ def test_fused_layer_rx_parameterized(interpret_mode):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_fused_circuit_api_matches_plain():
     n = 6
     rng = np.random.default_rng(1)
@@ -178,6 +181,7 @@ def test_row_layer_lane_matches_separate(interpret_mode):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_fused_rx_layer_both_paths(interpret_mode):
     """theta-native rotx (USE_ROTX on) == generic gate layer, incl. grads."""
     import jax
@@ -214,6 +218,7 @@ def test_fused_rx_layer_both_paths(interpret_mode):
 # ---------------- fused zz+rx layer kernel ----------------
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_zzrx_kernel_reference_and_interpret():
     from tensorcircuit_ng_tpu.core import kernels_rowlayer as kr
     from tensorcircuit_ng_tpu.core import kernels
@@ -258,6 +263,7 @@ def test_zzrx_kernel_reference_and_interpret():
             assert float(jnp.abs(jnp.reshape(a, (-1,)) - jnp.reshape(b, (-1,))).max()) < 1e-3
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_zzrx_kernel_over_128_pairs():
     """Sign-column padding widens past the 128 budget (regression: n>=17
     all-to-all layers crashed with a negative pad width)."""
@@ -302,6 +308,7 @@ def test_zzrx_kernel_over_128_pairs():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_zzrx_layer_circuit_equivalence():
     # multi-block + outer-qubit configuration via a shrunken kernel budget
     from tensorcircuit_ng_tpu.core import kernels_rowlayer as kr
@@ -579,6 +586,7 @@ def test_zzrx_multilayer_circuit_grouping():
     )
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_zzrx_stack_outer_stage(monkeypatch):
     """Stack custom VJP with a nonzero outer-kron stage == rzz+rx chain.
 

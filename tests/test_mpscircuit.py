@@ -153,6 +153,7 @@ def test_mps_perfect_sampling_matches_dense():
         np.testing.assert_allclose(float(p_m), float(p_c), atol=1e-4)
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_mps_batch_sample_statistics():
     n = 3
     _, m = build_pair(n)
@@ -200,6 +201,7 @@ def test_gate_to_mpo_and_apply():
     np.testing.assert_allclose(f, 1.0, atol=1e-4)
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_mps_compress():
     n = 6
     _, m = build_pair(n, chi=None)  # exact
@@ -302,6 +304,7 @@ def test_mps_mpo_roundtrip_and_apply():
 # ---------------- parallel Vidal TEBD engine ----------------
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_parallel_tebd_exact_regime():
     import scipy.linalg as sl
     from tensorcircuit_ng_tpu.models.tebd import ParallelTEBD
@@ -505,6 +508,7 @@ def test_parallel_tebd_canonicalize():
     np.testing.assert_allclose(lam[:8], np.sort(sv)[::-1][:8], atol=1e-5)
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_parallel_tebd_imaginary_time_ground_state():
     """Imaginary-time TEBD with per-bond edge-corrected gates hits the TFIM
     ground state (validated at err<1e-6 for the long schedule; short here)."""

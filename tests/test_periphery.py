@@ -357,6 +357,7 @@ def test_openqasm_with_fused_items_and_multicz():
     )
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_save_params_both_orders(tmp_path):
     import numpy as np
     import jax.numpy as jnp
@@ -619,6 +620,7 @@ def test_quop_linop_contractor_parity():
     assert fm.check_canonical() < 1e-5
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_backend_parity_batch():
     """Reference abstract_backend/jax_backend method surface (SURVEY 2.1)."""
     import tensorcircuit_ng_tpu as tc

@@ -82,6 +82,7 @@ def test_cond_measure_state_consistency():
         np.testing.assert_allclose(np.abs(psi) ** 2, want, atol=1e-6)
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_backend_reshaped_and_special_jv():
     """reference test_backends.py:140,721 — reshaped edge cases, Miller jv."""
     import scipy.special as ss

@@ -197,6 +197,7 @@ def test_stack_path_preserves_complex128(highp):
         tc.set_dtype("complex64")
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_xla_mode_many_pairs_falls_back():
     """ML_MODE='xla' with >MAX_ML_PAIRS pairs routes to the per-layer path."""
     from tensorcircuit_ng_tpu.core import kernels
@@ -457,6 +458,7 @@ def test_entropy_shadow_snapshot_states_input():
         assert any("sub is ignored" in str(x.message) for x in w)
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_wide_hyperedges_through_expectation_irs():
     """k>8 rzm/multicz lower through BOTH expectation IRs (ket+bra sides)."""
     from tensorcircuit_ng_tpu.core import contractor as ctr

@@ -73,6 +73,7 @@ def test_entropy_shadow():
     np.testing.assert_allclose(s2, np.log(2), atol=0.3)
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_global_shadow_state_variants_agree():
     n, ns, repeat = 3, 400, 4
     c = tc.Circuit(n)

@@ -234,6 +234,7 @@ def test_jax_export_save_load(tmp_path):
     np.testing.assert_allclose(np.asarray(g(x)), np.asarray(f(x)), atol=1e-6)
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_traced_time_chebyshev_and_bessel():
     """Differentiable evolution TIME: traced Bessel coefficients (custom JVP)."""
     import numpy as np

@@ -231,6 +231,7 @@ def test_find_stab_decompositions():
     np.testing.assert_allclose(acc3, rz(phi) @ ry(theta) @ rz(lam), atol=1e-10)
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_stabilizer_t_bell_and_tgate():
     from tensorcircuit_ng_tpu.zx import StabilizerTCircuit
 
@@ -256,6 +257,7 @@ def test_stabilizer_t_bell_and_tgate():
     assert abs(complex(np.asarray(c3.amplitude("11"))) - 1 / np.sqrt(2)) < 1e-6
 
 
+@pytest.mark.slow  # heavy; fast sibling covers the path
 def test_stabilizer_t_noise_and_detectors():
     from tensorcircuit_ng_tpu.zx import StabilizerTCircuit
 

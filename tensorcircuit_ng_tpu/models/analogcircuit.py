@@ -77,8 +77,11 @@ class AnalogCircuit:
         """Fold digital → analog → digital ... into the output state."""
         from .. import timeevol
 
-        if self._state_cache is not None:
-            return self._state_cache
+        import jax.core as _core
+
+        token = _core.get_opaque_trace_state()
+        if self._state_cache is not None and self._state_cache[0] == token:
+            return self._state_cache[1]
         psi = None
         for seg, c in enumerate(self.digital_circuits):
             if psi is not None:
@@ -105,7 +108,7 @@ class AnalogCircuit:
                         blk.index,
                         **blk.solver_options,
                     )[0]
-        self._state_cache = psi
+        self._state_cache = (token, psi)
         return psi
 
     wavefunction = state

@@ -95,7 +95,12 @@ class BaseCircuit(AbstractCircuit):
         self._qir.append(ir_dict)
         self._state_cache = None  # invalidate (reference basecircuit.py:371)
 
+    #: set by Circuit(mesh=...): the multi-chip sharded-statevector engine
+    _mesh_engine: Optional[Any] = None
+
     def _compute_state(self) -> Tensor:
+        if self._mesh_engine is not None:
+            return self._mesh_engine.run_groups(self._grouped_qir(), self._inputs)
         return self._run_groups(self._grouped_qir())
 
     def _run_groups(self, groups: List[Any]) -> Tensor:
@@ -529,6 +534,9 @@ class BaseCircuit(AbstractCircuit):
         from ..core import kernels
 
         spec = kernels.ising_readout_spec(self._nqubits, zz_terms, z_terms, x_terms)
+        if self._mesh_engine is not None:
+            # multi-chip: one shard_map readout pass + one psum
+            return self._mesh_engine.expectation_ising_sum(self.state(), spec)
         groups = self._grouped_qir()
         if self._d == 2 and groups and isinstance(groups[-1], list):
             run = groups[-1]
@@ -560,12 +568,20 @@ class BaseCircuit(AbstractCircuit):
         ``form="tensor"`` reshapes to ``(d,)*n`` — avoid inside jit for large
         n (TPU tiling; see core/statevec.py docstring).
         """
-        if self._state_cache is None or not reuse:
+        import jax.core as _core
+
+        # the cache is keyed on the tracing context: a state traced under one
+        # jit call must never be reused by a later trace (UnexpectedTracerError
+        # when a prebuilt circuit is captured in a jitted closure and called
+        # twice); within one trace reuse is safe and saves retracing
+        token = _core.get_opaque_trace_state()
+        cached = self._state_cache
+        if cached is not None and reuse and cached[0] == token:
+            s = cached[1]
+        else:
             s = self._compute_state()
             if reuse:
-                self._state_cache = s
-        else:
-            s = self._state_cache
+                self._state_cache = (token, s)
         if form == "tensor":
             return jnp.reshape(s, (self._d,) * self._nqubits)
         return s
@@ -675,6 +691,10 @@ class BaseCircuit(AbstractCircuit):
         n = len(index)
         if status is None:
             status = K.implicit_randu([n])
+        if self._mesh_engine is not None:
+            return self._mesh_engine.measure_jit(
+                self.state(), list(index), status=status, with_prob=with_prob
+            )
         psi = self.state()
         outcomes = []
         prob = jnp.ones((), dtype=jnp.dtype(config.rdtypestr()))
@@ -722,6 +742,29 @@ class BaseCircuit(AbstractCircuit):
         if format is None and format_ is not None:
             format = format_
         nbatch = 1 if batch is None else batch
+        if self._mesh_engine is not None:
+            # multi-chip engine: batched per-shard inverse-CDF sampling —
+            # one uniform per shot, two collectives TOTAL, no 2^n gather
+            if status is None:
+                if random_generator is None:
+                    status = K.implicit_randu([nbatch])
+                else:
+                    status = K.stateful_randu(random_generator, shape=[nbatch])
+            status = jnp.asarray(status)
+            if status.ndim == 2:
+                # trajectory-convention [batch, n] status accepted too
+                status = status[:, 0]
+            idx = self._mesh_engine.sample_direct(self.state(), status)
+            from .. import quantum as qu
+
+            if format is None:
+                bins = qu.sample_int2bin(idx, self._nqubits, self._d)
+                if batch is None:
+                    return bins[0], -1.0
+                return [(bins[i], -1.0) for i in range(nbatch)]
+            return qu.sample2all(
+                idx, self._nqubits, format=format, jittable=jittable, d=self._d
+            )
         if self._d**self._nqubits > 2**self._DENSE_MAX_QUBITS:
             # above the dense-memory cliff no 2^n object may exist; sample
             # autoregressively through planned light-cone contractions of
@@ -945,6 +988,9 @@ class BaseCircuit(AbstractCircuit):
             if not hasattr(wires, "__len__"):
                 wires = [wires]
             norm_ops.append((jnp.asarray(o), [int(w) % self._nqubits for w in wires]))
+        if self._mesh_engine is not None:
+            # multi-chip engine: ops applied shard-wise, one psum
+            return self._mesh_engine.expectation(self.state(reuse=reuse), norm_ops)
         if self._nqubits > self._DENSE_MAX_QUBITS:
             # lazy einsum-IR path (wide shallow circuits): lightcone + planned
             # contraction, never materializing the dense state

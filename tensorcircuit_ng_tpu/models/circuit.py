@@ -38,12 +38,25 @@ class Circuit(DetectorMixin, BaseCircuit):
         mps_inputs: Optional[Any] = None,
         split: Optional[Dict[str, Any]] = None,
         dim: int = 2,
+        mesh: Optional[Any] = None,
+        mesh_axis: str = "sv",
     ) -> None:
+        """``mesh``: a ``jax.sharding.Mesh`` — the circuit then executes on
+        the multi-chip sharded-statevector engine (state split over the
+        mesh's ``mesh_axis``; see ``parallel/sharded_state.py`` for the
+        memory/communication model).  A capability the reference lacks (its
+        distribution is slicing-only, ``experimental.py:760-1249``)."""
         if mps_inputs is not None:
             # densify MPS input (tensors, center) — small-n convenience
             inputs = _mps_to_dense(mps_inputs)
         super().__init__(nqubits, inputs=inputs, dim=dim)
         self._split = split
+        if mesh is not None:
+            if dim != 2:
+                raise ValueError("the sharded engine supports qubits (dim=2) only")
+            from ..parallel.sharded_state import ShardedStatevec
+
+            self._mesh_engine = ShardedStatevec(nqubits, mesh, axis=mesh_axis)
 
     # ------------------------------------------------------------------
     # post-selection & conditional logic

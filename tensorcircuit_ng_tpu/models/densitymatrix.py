@@ -132,12 +132,17 @@ class DMCircuit(BaseCircuit):
         return jnp.reshape(rho, (dim, dim))
 
     def state(self, form: str = "default", reuse: bool = True) -> Tensor:
-        if self._state_cache is None or not reuse:
+        import jax.core as _core
+
+        # trace-aware cache, same rationale as BaseCircuit.state
+        token = _core.get_opaque_trace_state()
+        cached = self._state_cache
+        if cached is not None and reuse and cached[0] == token:
+            s = cached[1]
+        else:
             s = self._compute_state()
             if reuse:
-                self._state_cache = s
-        else:
-            s = self._state_cache
+                self._state_cache = (token, s)
         if form == "flat":
             return s
         dim = self._d**self._nqubits

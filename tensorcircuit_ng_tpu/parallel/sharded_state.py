@@ -236,3 +236,430 @@ class ShardedStatevec:
             check_vma=False,
         )
         return sm(psi)[0]
+
+    # ==================================================================
+    # first-class engine surface (drives tc.Circuit(n, mesh=...))
+    # ==================================================================
+    #
+    # MEMORY MODEL: the (2^n,) complex64 state is the ONLY 2^n object and
+    # each device holds exactly its 2^{n-k} chunk (8·2^{n-k} bytes plus one
+    # transient of the same size during a butterfly/swap).  v5e (16 GB HBM):
+    # one chip tops out at n≈30; a 2^k-chip mesh adds k qubits (n≈34 on a
+    # 16-chip pod, ICI-only collectives).  Per LAYER communication:
+    # diagonal ops (zz/multicz/rzm) on ANY wires are communication-FREE
+    # (device-bit sign arithmetic); a 1q mixer on a top wire is ONE paired
+    # ppermute of the full chunk; a generic k-local gate with t top wires
+    # costs 2t swap-ppermutes.  Expectations of Z-strings are one psum;
+    # generic ops ride the gate path + one psum.
+
+    def _cdtype(self) -> Any:
+        from .. import config
+
+        return jnp.dtype(config.dtypestr())
+
+    def _rdtype(self) -> Any:
+        from .. import config
+
+        return jnp.dtype(config.rdtypestr())
+
+    def uniform(self) -> Tensor:
+        """|+...+> sharded (the h_fold constant, see basecircuit.py:108)."""
+        amp = 1.0 / math.sqrt(2.0**self.n)
+
+        @partial(
+            jax.shard_map, mesh=self.mesh, in_specs=(), out_specs=P(self.axis),
+            check_vma=False,
+        )
+        def build():
+            return jnp.full((self.local_size,), amp, self._rdtype()).astype(
+                self._cdtype()
+            )
+
+        return build()
+
+    def shard_input(self, inputs: Tensor) -> Tensor:
+        """Adopt a user-provided full state as a sharded array."""
+        psi = jnp.reshape(jnp.asarray(inputs), (-1,)).astype(self._cdtype())
+        import jax.core as _core
+
+        if isinstance(psi, _core.Tracer):
+            return jax.lax.with_sharding_constraint(psi, self.sharding)
+        return jax.device_put(psi, self.sharding)
+
+    # -- in-map building blocks (device-bit arithmetic, no communication) --
+
+    def _sign_of_wire(self, w: int, idx: Tensor, rdt: Any) -> Tensor:
+        """±1 of wire ``w`` per local element (scalar for top wires)."""
+        if w < self.k:
+            b = self._device_bit(w)
+            return 1.0 - 2.0 * b.astype(rdt)
+        bit = (idx >> (self.nlocal - 1 - (w - self.k))) & 1
+        return 1.0 - 2.0 * bit.astype(rdt)
+
+    def _zz_phases_in_map(
+        self, local: Tensor, pairs: Sequence[Tuple[int, int]], thetas: Tensor
+    ) -> Tensor:
+        """exp(-i/2 Σ θ s_a s_b) for ANY pairs — communication-free."""
+        rdt = self._rdtype()
+        idx = jnp.arange(self.local_size)
+        expo = jnp.zeros((), rdt)
+        for j, (a, b) in enumerate(pairs):
+            s = self._sign_of_wire(int(a), idx, rdt) * self._sign_of_wire(
+                int(b), idx, rdt
+            )
+            expo = expo + thetas[j].astype(rdt) * s
+        phase = jnp.cos(0.5 * expo) - 1j * jnp.sin(0.5 * expo)
+        return local * jnp.broadcast_to(phase, local.shape).astype(local.dtype)
+
+    def _gate1_top_in_map(self, local: Tensor, q: int, g: Tensor) -> Tensor:
+        """Any 1q gate on top wire ``q``: ONE paired ppermute butterfly."""
+        b = self._device_bit(q)
+        recv = jax.lax.ppermute(local, self.axis, self._pairs(q))
+        g = jnp.reshape(jnp.asarray(g), (2, 2)).astype(local.dtype)
+        return g[b, b] * local + g[b, 1 - b] * recv
+
+    def _diag_in_map(self, local: Tensor, diag: Tensor, wires: Sequence[int]) -> Tensor:
+        """k-local diagonal on any wires: slice top axes by device bit."""
+        wires = [int(w) for w in wires]
+        t = diag if hasattr(diag, "ndim") else np.asarray(diag)
+        t = jnp.reshape(jnp.asarray(t), (2,) * len(wires))
+        keep: list = []
+        for pos, w in enumerate(wires):
+            if w < self.k:
+                t = jnp.take(t, self._device_bit(w), axis=len(keep))
+            else:
+                keep.append(w - self.k)
+        if not keep:
+            return local * jnp.broadcast_to(t, local.shape).astype(local.dtype)
+        return statevec.apply_diagonal(local, jnp.reshape(t, (-1,)), keep, 2)
+
+    # -- sharded layer ops (one shard_map each; fuse under an outer jit) --
+
+    def rzz_product(self, psi: Tensor, pairs: Any, thetas: Tensor) -> Tensor:
+        thetas = jnp.reshape(jnp.asarray(thetas), (-1,))
+        pairs = [(int(a), int(b)) for a, b in pairs]
+        return self._shard_apply(
+            lambda local: self._zz_phases_in_map(local, pairs, thetas), psi
+        )
+
+    def rx_layer(self, psi: Tensor, thetas: Tensor) -> Tensor:
+        """rx on every qubit: local wires fused, top wires butterflied."""
+        from ..core import kernels
+        from ..ops.gates import rx_matrix
+
+        thetas = jnp.reshape(jnp.asarray(thetas), (-1,))
+
+        def f(local):
+            local = kernels.fused_rx_layer(local, thetas[self.k :])
+            for q in range(self.k):
+                local = self._gate1_top_in_map(local, q, rx_matrix(thetas[q]))
+            return local
+
+        return self._shard_apply(f, psi)
+
+    def gate_layer_1q(self, psi: Tensor, gates: Tensor, constant: bool = False) -> Tensor:
+        """gates[q] on every qubit q (the fused_1q_layer item)."""
+        from ..core import kernels
+
+        def f(local):
+            local = kernels.fused_single_qubit_layer(
+                local, gates[self.k :], constant=constant
+            )
+            for q in range(self.k):
+                local = self._gate1_top_in_map(local, q, gates[q])
+            return local
+
+        return self._shard_apply(f, psi)
+
+    def zzrx_layer(
+        self, psi: Tensor, pairs: Any, zz_thetas: Tensor, rx_thetas: Tensor
+    ) -> Tensor:
+        """Fused TFIM layer on the sharded state.
+
+        ALL zz phases are communication-free (diagonal); pairs fully inside
+        the local register ride the production Pallas kernel
+        (``kernels.fused_zzrx_layer``) together with the local-wire rx;
+        each top-wire rx is one paired ppermute.  Per layer the wire cost
+        is exactly k butterflies regardless of circuit width.
+        """
+        from ..core import kernels
+        from ..ops.gates import rx_matrix
+
+        zz_thetas = jnp.reshape(jnp.asarray(zz_thetas), (-1,))
+        rx_thetas = jnp.reshape(jnp.asarray(rx_thetas), (-1,))
+        pairs = [(int(a), int(b)) for a, b in pairs]
+        local_ids = [
+            j for j, (a, b) in enumerate(pairs) if a >= self.k and b >= self.k
+        ]
+        cross_ids = [j for j in range(len(pairs)) if j not in local_ids]
+
+        def f(local):
+            if cross_ids:
+                local = self._zz_phases_in_map(
+                    local,
+                    [pairs[j] for j in cross_ids],
+                    jnp.stack([zz_thetas[j] for j in cross_ids]),
+                )
+            if local_ids:
+                local = kernels.fused_zzrx_layer(
+                    local,
+                    [(pairs[j][0] - self.k, pairs[j][1] - self.k) for j in local_ids],
+                    jnp.stack([zz_thetas[j] for j in local_ids]),
+                    rx_thetas[self.k :],
+                )
+            else:
+                local = kernels.fused_rx_layer(local, rx_thetas[self.k :])
+            for q in range(self.k):
+                local = self._gate1_top_in_map(local, q, rx_matrix(rx_thetas[q]))
+            return local
+
+        return self._shard_apply(f, psi)
+
+    # -- QIR replay: the Circuit(mesh=...) execution backend ---------------
+
+    def apply_item(self, psi: Tensor, item: dict) -> Tensor:
+        """One QIR item on the sharded state (mirror of
+        ``basecircuit._apply_item``)."""
+        if item.get("rx_layer"):
+            return self.rx_layer(psi, item["thetas"])
+        if item.get("fused_1q_layer"):
+            return self.gate_layer_1q(
+                psi, jnp.asarray(item["gates"]), constant=bool(item.get("constant"))
+            )
+        if item.get("zz_product"):
+            return self.rzz_product(psi, item["pairs"], item["thetas"])
+        if item.get("zzrx_layer"):
+            return self.zzrx_layer(
+                psi, item["pairs"], item["zz_thetas"], item["rx_thetas"]
+            )
+        if item.get("multicz"):
+            kq = len(item["index"])
+            diag = np.ones(2**kq, np.float32)
+            diag[-1] = -1.0
+            return self._shard_apply(
+                lambda local: self._diag_in_map(local, diag, item["index"]), psi
+            )
+        if item.get("zstring_rot"):
+            from ..ops.gates import rzm_diagonal
+
+            diag = rzm_diagonal(item["theta"], len(item["index"]), self._cdtype())
+            return self._shard_apply(
+                lambda local: self._diag_in_map(local, diag, item["index"]), psi
+            )
+        if item.get("diagonal"):
+            kq = len(item["index"])
+            dim = 2**kq
+            diag = jnp.diagonal(jnp.reshape(item["gate"].tensor, (dim, dim)))
+            return self._shard_apply(
+                lambda local: self._diag_in_map(local, diag, item["index"]), psi
+            )
+        return self.apply(psi, item["gate"].tensor, item["index"])
+
+    def run_groups(self, groups: Sequence[Any], inputs: Optional[Tensor] = None) -> Tensor:
+        """Execute grouped QIR (``basecircuit._grouped_qir``) shard-wise."""
+        psi = None
+        if inputs is None and groups and isinstance(groups[0], dict) and groups[0].get("h_fold"):
+            psi = self.uniform()
+            groups = groups[1:]
+        elif inputs is not None:
+            psi = self.shard_input(inputs)
+        if psi is None:
+            psi = self.init_zero()
+        for group in groups:
+            if isinstance(group, list):
+                for it in group:
+                    psi = self.zzrx_layer(
+                        psi, it["pairs"], it["zz_thetas"], it["rx_thetas"]
+                    )
+            else:
+                psi = self.apply_item(psi, group)
+        return psi
+
+    # -- measurement / sampling -------------------------------------------
+
+    _MEASURE_EPS = 0.31415926e-12
+
+    def measure_jit(
+        self,
+        psi: Tensor,
+        index: Sequence[int],
+        status: Optional[Tensor] = None,
+        with_prob: bool = False,
+    ) -> Tuple[Tensor, Tensor]:
+        """Autoregressive projective measurement, ONE shard_map program.
+
+        Per qubit: the one-bit marginal is a per-shard reduction + psum
+        (status-driven inverse CDF, identical convention to the dense
+        engine), collapse is a local mask + global renorm — no state
+        gather at any width.
+        """
+        index = [int(q) for q in index]
+        if status is None:
+            status = jax.random.uniform(jax.random.key(0), (len(index),))
+        status = jnp.reshape(jnp.asarray(status), (-1,))
+        rdt = self._rdtype()
+
+        def f(local):
+            d_idx = jax.lax.axis_index(self.axis)
+            outs = []
+            prob = jnp.ones((), rdt)
+            for step, q in enumerate(index):
+                mass = jnp.abs(local) ** 2
+                if q < self.k:
+                    b = self._device_bit(q).astype(rdt)
+                    m1 = jax.lax.psum(jnp.sum(mass) * b, self.axis)
+                    tot = jax.lax.psum(jnp.sum(mass), self.axis)
+                else:
+                    lq = q - self.k
+                    left = 2**lq
+                    right = self.local_size // (2 * left)
+                    v = jnp.reshape(mass, (left, 2, right))
+                    m1 = jax.lax.psum(jnp.sum(v[:, 1]), self.axis)
+                    tot = jax.lax.psum(jnp.sum(mass), self.axis)
+                p1 = m1 / tot
+                cdf = jnp.stack([1.0 - p1, jnp.ones((), rdt)])
+                r = status[step].astype(rdt)
+                outcome = jnp.clip(
+                    jnp.searchsorted(cdf, r + self._MEASURE_EPS, side="left"), 0, 1
+                )
+                p_out = jnp.where(outcome == 1, p1, 1.0 - p1)
+                prob = prob * p_out
+                if q < self.k:
+                    keep = (self._device_bit(q) == outcome).astype(rdt)
+                    local = local * keep.astype(local.dtype)
+                else:
+                    lq = q - self.k
+                    left = 2**lq
+                    right = self.local_size // (2 * left)
+                    sel = jax.nn.one_hot(outcome, 2, dtype=rdt)
+                    v = jnp.reshape(local, (left, 2, right))
+                    local = jnp.reshape(
+                        v * sel[None, :, None].astype(local.dtype), (-1,)
+                    )
+                local = local / jnp.sqrt(
+                    jnp.maximum(p_out * tot, 1e-30)
+                ).astype(local.dtype)
+                outs.append(outcome)
+            sample = jnp.stack(outs).astype(jnp.int32)
+            return sample[None], prob[None]
+
+        sm = jax.shard_map(
+            f,
+            mesh=self.mesh,
+            in_specs=(P(self.axis),),
+            out_specs=(P(self.axis), P(self.axis)),
+            check_vma=False,
+        )
+        samples, probs = sm(psi)
+        if with_prob:
+            return samples[0], probs[0]
+        return samples[0], jnp.asarray(-1.0)
+
+    def sample_direct(self, psi: Tensor, status: Tensor) -> Tensor:
+        """Batched Born sampling: ALL shots in one pass, two collectives.
+
+        Per-shard inverse CDF: every device computes its local cumulative
+        mass, learns its exclusive prefix over the mesh (one all_gather of
+        scalars), maps each uniform r into its local interval, and the
+        single in-range device contributes ``global_index`` to one psum —
+        collective count is independent of the shot count (contrast the
+        autoregressive chain: 3 psums per measured qubit per shot).
+        Returns int32 global indices of shape ``status.shape``.
+        """
+        status = jnp.reshape(jnp.asarray(status), (-1,))
+
+        def f(local):
+            mass = jnp.real(local) ** 2 + jnp.imag(local) ** 2
+            csum = jnp.cumsum(mass)
+            mine = csum[-1]
+            d = jax.lax.axis_index(self.axis)
+            all_m = jax.lax.all_gather(mine, self.axis)  # (ndev,)
+            before = jnp.sum(jnp.where(jnp.arange(self.ndev) < d, all_m, 0.0))
+            tot = jnp.sum(all_m)
+            r = status.astype(mass.dtype) * tot * (1.0 - 1e-7)
+            x = r - before
+            in_range = (x >= 0) & (x < mine)
+            li = jnp.clip(
+                jnp.searchsorted(csum, x, side="right"), 0, self.local_size - 1
+            )
+            gidx = (d * self.local_size + li).astype(jnp.int64 if self.n > 31 else jnp.int32)
+            contrib = jnp.where(in_range, gidx, 0)
+            return jax.lax.psum(contrib, self.axis)[None]
+
+        sm = jax.shard_map(
+            f, mesh=self.mesh, in_specs=(P(self.axis),), out_specs=P(self.axis),
+            check_vma=False,
+        )
+        return sm(psi)[0]
+
+    def expectation_ising_sum(self, psi: Tensor, spec: Any) -> Tensor:
+        """⟨Σ w_s Π Z + Σ w_q X_q⟩ in ONE shard_map pass + one psum.
+
+        Z-strings of any locality are communication-free (local-bit index
+        arithmetic × top-wire device-bit signs on |ψ|²); each DISTINCT top
+        wire carrying an X field costs one paired ppermute; local X fields
+        are slot-flipped overlaps.  ``spec`` is the hashable output of
+        ``kernels.ising_readout_spec``.
+        """
+        diag_terms, x_terms = spec
+        rdt = self._rdtype()
+
+        def f(local):
+            idx = jnp.arange(self.local_size)
+            mass = jnp.real(local) ** 2 + jnp.imag(local) ** 2
+            e = jnp.zeros((), rdt)
+            for qubits, w in diag_terms:
+                s = jnp.ones((), rdt)
+                for q in qubits:
+                    s = s * self._sign_of_wire(int(q), idx, rdt)
+                e = e + w * jnp.sum(mass * s)
+            recv_cache = {}
+            for q, w in x_terms:
+                q = int(q)
+                if q < self.k:
+                    if q not in recv_cache:
+                        recv_cache[q] = jax.lax.ppermute(
+                            local, self.axis, self._pairs(q)
+                        )
+                    r = recv_cache[q]
+                    e = e + w * jnp.sum(
+                        jnp.real(local) * jnp.real(r) + jnp.imag(local) * jnp.imag(r)
+                    )
+                else:
+                    lq = q - self.k
+                    left = 2**lq
+                    right = self.local_size // (2 * left)
+                    v = jnp.reshape(local, (left, 2, right))
+                    e = e + 2.0 * w * jnp.sum(
+                        jnp.real(v[:, 0]) * jnp.real(v[:, 1])
+                        + jnp.imag(v[:, 0]) * jnp.imag(v[:, 1])
+                    )
+            return jax.lax.psum(e[None], self.axis)
+
+        sm = jax.shard_map(
+            f, mesh=self.mesh, in_specs=(P(self.axis),), out_specs=P(self.axis),
+            check_vma=False,
+        )
+        return sm(psi)[0]
+
+    def expectation_ps(
+        self,
+        psi: Tensor,
+        x: Optional[Sequence[int]] = None,
+        y: Optional[Sequence[int]] = None,
+        z: Optional[Sequence[int]] = None,
+    ) -> Tensor:
+        """<Π X_i Π Y_j Π Z_k> — Z-strings are communication-free + one
+        psum; X/Y ride the 1q gate path."""
+        ops = []
+        X = np.array([[0, 1], [1, 0]], np.complex64)
+        Y = np.array([[0, -1j], [1j, 0]], np.complex64)
+        for w in x or ():
+            ops.append((X, [int(w)]))
+        for w in y or ():
+            ops.append((Y, [int(w)]))
+        if not ops:
+            return self.expectation_z(psi, list(z or ())).astype(self._cdtype())
+        for w in z or ():
+            ops.append((np.diag([1.0, -1.0]).astype(np.complex64), [int(w)]))
+        return self.expectation(psi, ops)

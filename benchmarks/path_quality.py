@@ -90,6 +90,59 @@ def score(ir, optimizer, name):
     }
 
 
+def onchip_contract_seconds(results):
+    """Measure the 40q depth-4 sliced-amplitude workload as ACTUAL contract
+    seconds per optimizer (the VERDICT r2 #6 column) — planner FLOPs are a
+    model; this is the ground truth.  Requires a reachable accelerator
+    (skipped silently on CPU-only boxes: CPU contract times do not predict
+    TPU ones).  Run with JAX_PLATFORMS unset (axon) when the tunnel is up.
+    """
+    import jax as _jax
+
+    if _jax.devices()[0].platform not in ("tpu", "axon"):
+        print("onchip column skipped: no accelerator platform")
+        return results
+    from tensorcircuit_ng_tpu.parallel.distributed import DistributedContractor
+
+    n, depth = 40, 4
+    rng = np.random.default_rng(40)
+    import jax.numpy as jnp
+
+    th = jnp.asarray(rng.normal(size=(depth, n, 2)) * 0.5, dtype=jnp.float32)
+
+    def build40(thetas):
+        c = tc.Circuit(n)
+        for i in range(n):
+            c.h(i)
+        for l in range(depth):
+            for i in range(l % 2, n - 1, 2):
+                c.cnot(i, i + 1)
+            for i in range(n):
+                c.rz(i, theta=thetas[l, i, 0])
+                c.rx(i, theta=thetas[l, i, 1])
+        return c.amplitude_before("0" * n)
+
+    row = {"kind": "onchip_40q_sliced_amplitude", "n": n, "depth": depth, "onchip": {}}
+    for name, opt in (
+        ("greedy", "greedy"),
+        ("treesa", TreeSAOptimizer(n_iters=400000, seed=7, restarts=2, size_weight=0.5)),
+    ):
+        dc = DistributedContractor(
+            build40, th, options={"target_size": 2**24, "optimizer": opt}
+        )
+        v = dc.value(th)  # compile + first contract
+        _jax.block_until_ready(v)
+        t0 = time.time()
+        v = dc.value(th * 1.0001)  # fresh input: defeat tunnel memoization
+        # force a host fetch — block_until_ready alone does not force remote
+        # execution on axon (CLAUDE.md timing rule)
+        float(np.real(np.asarray(_jax.device_get(np.real(v)))))
+        row["onchip"][name] = {"contract_s": round(time.time() - t0, 3)}
+        print("onchip", name, row["onchip"][name])
+    results.append(row)
+    return results
+
+
 def main():
     assert treesa_available(), "native treesa library unavailable"
     cases = [
@@ -122,6 +175,7 @@ def main():
         )
         results.append(row)
         print(json.dumps(row))
+    results = onchip_contract_seconds(results)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "path_quality_results.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)

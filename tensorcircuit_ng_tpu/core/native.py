@@ -195,12 +195,19 @@ class TreeSAOptimizer(_OEPathOptimizer):
         seed: int = 42,
         seed_from_greedy: bool = True,
         restarts: int = 2,
+        skip_below_log10_flops: float = 9.0,
     ):
         self.n_iters = n_iters
         self.size_weight = size_weight
         self.seed = seed
         self.seed_from_greedy = seed_from_greedy
         self.restarts = max(1, restarts)
+        #: easy-network policy: when the greedy seed's cost is already below
+        #: 10^this, annealing cannot buy back its multi-second search time —
+        #: return the seed immediately (measured: treesa burned 5-16 s to
+        #: TIE greedy on every chain case in benchmarks/path_quality_results
+        #: .json; set to -inf to always anneal)
+        self.skip_below_log10_flops = float(skip_below_log10_flops)
 
     def _greedy_seed(self, inputs, output, size_dict):
         try:
@@ -235,6 +242,10 @@ class TreeSAOptimizer(_OEPathOptimizer):
             if self.seed_from_greedy
             else None
         )
+        if init is not None and self.skip_below_log10_flops > 0:
+            seed_cost = self._path_cost(init, inputs, output, size_dict)
+            if seed_cost < 10.0**self.skip_below_log10_flops:
+                return list(init)
         candidates = []
         if init is not None:
             candidates.append(list(init))

@@ -286,3 +286,35 @@ def test_treesa_handles_hyperedges():
     v_greedy = ctr.contract_ir(ir, optimizer="greedy")
     v_sa = ctr.contract_ir(ir, optimizer=TreeSAOptimizer(n_iters=300))
     np.testing.assert_allclose(np.asarray(v_sa), np.asarray(v_greedy), atol=1e-4)
+
+
+def test_treesa_easy_network_policy():
+    """The annealer returns the greedy seed immediately when its cost is
+    already below the skip threshold (VERDICT r2 #6: auto/treesa must never
+    burn seconds to tie greedy on easy nets)."""
+    import time
+
+    import opt_einsum as oe
+
+    from tensorcircuit_ng_tpu.core.native import TreeSAOptimizer, treesa_available
+
+    if not treesa_available():
+        pytest.skip("native treesa unavailable")
+    n, depth = 24, 8
+    c = tc.Circuit(n)
+    for l in range(depth):
+        for i in range(l % 2, n - 1, 2):
+            c.cnot(i, i + 1)
+    ir = c.expectation_before((np.diag([1.0, -1.0]), [n // 2]))
+    t0 = time.time()
+    _, ig = oe.contract_path(ir.to_subscripts(), *ir.shapes(), shapes=True, optimize="greedy")
+    t_greedy = time.time() - t0
+    t0 = time.time()
+    _, it = oe.contract_path(
+        ir.to_subscripts(), *ir.shapes(), shapes=True,
+        optimize=TreeSAOptimizer(n_iters=600000, restarts=3),
+    )
+    t_sa = time.time() - t0
+    assert float(ig.opt_cost) < 1e9  # this IS an easy network
+    assert float(it.opt_cost) <= float(ig.opt_cost) * 1.001
+    assert t_sa < t_greedy + 0.5, (t_sa, t_greedy)

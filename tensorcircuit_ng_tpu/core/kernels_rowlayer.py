@@ -895,10 +895,16 @@ def _zz_pair_sums(h, pairs, n, rb, lanes, j):
     return out
 
 
-def _zzrx_fwd_kernel(pairs, n, nrow):
+def _zzrx_fwd_kernel(pairs, n, nrow, with_lane: bool = False):
     from jax.experimental import pallas as pl
 
-    def kernel(zzth_ref, cs_ref, srow_ref, slane_ref, sr_ref, si_ref, or_ref, oi_ref):
+    def kernel(*refs):
+        if with_lane:
+            (zzth_ref, cs_ref, srow_ref, slane_ref, mr_ref, mi_ref,
+             sr_ref, si_ref, or_ref, oi_ref) = refs
+        else:
+            (zzth_ref, cs_ref, srow_ref, slane_ref,
+             sr_ref, si_ref, or_ref, oi_ref) = refs
         cr = sr_ref[:]
         ci = si_ref[:]
         rb, lanes = cr.shape
@@ -920,23 +926,42 @@ def _zzrx_fwd_kernel(pairs, n, nrow):
             sn = cs_ref[q, 1]
             m = (c, 0.0, 0.0, -sn, 0.0, -sn, c, 0.0)
             cr, ci = _butterfly(cr, ci, rows, s, m)
-        or_ref[:] = cr
-        oi_ref[:] = ci
+        if with_lane:
+            # epilogue: y = psi @ M (complex, planes) — the lane-qubit kron
+            # rides the MXU inside the same HBM pass (VERDICT r2 #1c)
+            f32 = jnp.float32
+            mr = mr_ref[:]
+            mi = mi_ref[:]
+            or_ref[:] = jnp.dot(cr, mr, preferred_element_type=f32) - jnp.dot(
+                ci, mi, preferred_element_type=f32
+            )
+            oi_ref[:] = jnp.dot(cr, mi, preferred_element_type=f32) + jnp.dot(
+                ci, mr, preferred_element_type=f32
+            )
+        else:
+            or_ref[:] = cr
+            oi_ref[:] = ci
 
     return kernel
 
 
-def _zzrx_bwd_kernel(pairs, n, nrow):
+def _zzrx_bwd_kernel(pairs, n, nrow, with_lane: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     npairs = len(pairs)
 
-    def kernel(
-        zzth_ref, cs_ref, srow_ref, slane_ref, yr_ref, yi_ref, ctr_ref, cti_ref,
-        dsr_ref, dsi_ref, dzz_ref, dth_ref,
-        s_r, s_i,
-    ):
+    def kernel(*refs):
+        if with_lane:
+            (zzth_ref, cs_ref, srow_ref, slane_ref, mr_ref, mi_ref,
+             yr_ref, yi_ref, ctr_ref, cti_ref,
+             dsr_ref, dsi_ref, dzz_ref, dth_ref, dmr_ref, dmi_ref,
+             s_r, s_i) = refs
+        else:
+            (zzth_ref, cs_ref, srow_ref, slane_ref, yr_ref, yi_ref,
+             ctr_ref, cti_ref,
+             dsr_ref, dsi_ref, dzz_ref, dth_ref,
+             s_r, s_i) = refs
         j = pl.program_id(0)
 
         @pl.when(j == 0)
@@ -945,10 +970,57 @@ def _zzrx_bwd_kernel(pairs, n, nrow):
             for qq in range(nrow):
                 dth_ref[qq] = 0.0
 
-        s_r[:] = yr_ref[:]
-        s_i[:] = yi_ref[:]
-        dsr_ref[:] = ctr_ref[:]
-        dsi_ref[:] = cti_ref[:]
+        if with_lane:
+            # prologue (mirror of _bwd_kernel's lane block): un-apply the
+            # lane matmul from the saved output, accumulate dM across the
+            # sequential grid, and walk the cotangent through M^T
+            @pl.when(j == 0)
+            def _():
+                dmr_ref[:] = jnp.zeros_like(dmr_ref)
+                dmi_ref[:] = jnp.zeros_like(dmi_ref)
+            f32 = jnp.float32
+            dg_dim = (((1,), (1,)), ((), ()))  # a @ b^T
+            dt_dim = (((0,), (0,)), ((), ()))  # a^T @ b
+            mr = mr_ref[:]
+            mi = mi_ref[:]
+            yr = yr_ref[:]
+            yi = yi_ref[:]
+            ctr0 = ctr_ref[:]
+            cti0 = cti_ref[:]
+            # psi = y @ M^{-1} = y @ conj(M)^T (M unitary)
+            sr0 = (
+                jax.lax.dot_general(yr, mr, dg_dim, preferred_element_type=f32)
+                + jax.lax.dot_general(yi, mi, dg_dim, preferred_element_type=f32)
+            )
+            si0 = (
+                jax.lax.dot_general(yi, mr, dg_dim, preferred_element_type=f32)
+                - jax.lax.dot_general(yr, mi, dg_dim, preferred_element_type=f32)
+            )
+            # dM += psi^T @ ct (plain transpose, complex product)
+            dmr_ref[:] += (
+                jax.lax.dot_general(sr0, ctr0, dt_dim, preferred_element_type=f32)
+                - jax.lax.dot_general(si0, cti0, dt_dim, preferred_element_type=f32)
+            )
+            dmi_ref[:] += (
+                jax.lax.dot_general(sr0, cti0, dt_dim, preferred_element_type=f32)
+                + jax.lax.dot_general(si0, ctr0, dt_dim, preferred_element_type=f32)
+            )
+            # ct walk: ct_pre = ct @ M^T
+            s_r[:] = sr0
+            s_i[:] = si0
+            dsr_ref[:] = (
+                jax.lax.dot_general(ctr0, mr, dg_dim, preferred_element_type=f32)
+                - jax.lax.dot_general(cti0, mi, dg_dim, preferred_element_type=f32)
+            )
+            dsi_ref[:] = (
+                jax.lax.dot_general(ctr0, mi, dg_dim, preferred_element_type=f32)
+                + jax.lax.dot_general(cti0, mr, dg_dim, preferred_element_type=f32)
+            )
+        else:
+            s_r[:] = yr_ref[:]
+            s_i[:] = yi_ref[:]
+            dsr_ref[:] = ctr_ref[:]
+            dsi_ref[:] = cti_ref[:]
         rb, lanes = s_r.shape
         rows = jax.lax.broadcasted_iota(jnp.int32, s_r.shape, 0)
         for q in range(nrow - 1, -1, -1):
@@ -1030,7 +1102,7 @@ def _zzrx_sign_inputs(pairs, n, zzth, r, lanes):
     return zzp, jnp.asarray(srow), jnp.asarray(slane)
 
 
-def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si):
+def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si, mr=None, mi=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1038,11 +1110,25 @@ def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si):
     r, lanes = sr.shape
     rb = 2**nrow
     grid = (r // rb,)
+    with_lane = mr is not None
     cs = jnp.stack([jnp.cos(th / 2), jnp.sin(th / 2)], axis=1)
     zzp, srow, slane = _zzrx_sign_inputs(pairs, n, zzth, r, lanes)
     P = zzp.shape[1]
+    lane_specs = (
+        [
+            pl.BlockSpec((lanes, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        if with_lane
+        else []
+    )
+    nin = 4 + len(lane_specs)
+    args = [zzp, cs, srow, slane]
+    if with_lane:
+        args += [mr, mi]
+    args += [sr, si]
     return pl.pallas_call(
-        _zzrx_fwd_kernel(pairs, n, nrow),
+        _zzrx_fwd_kernel(pairs, n, nrow, with_lane),
         grid=grid,
         out_shape=(
             jax.ShapeDtypeStruct(sr.shape, sr.dtype),
@@ -1053,6 +1139,9 @@ def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si):
             pl.BlockSpec((nrow, 2), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((rb, P), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lanes, P), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        + lane_specs
+        + [
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ],
@@ -1060,13 +1149,13 @@ def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si):
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ),
-        input_output_aliases={4: 0, 5: 1},
+        input_output_aliases={nin: 0, nin + 1: 1},
         compiler_params=_zzrx_compiler_params(),
         interpret=_INTERPRET,
-    )(zzp, cs, srow, slane, sr, si)
+    )(*args)
 
 
-def _pallas_zzrx_bwd(pairs, n, zzth, th, yr, yi, ctr, cti):
+def _pallas_zzrx_bwd(pairs, n, zzth, th, yr, yi, ctr, cti, mr=None, mi=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1075,42 +1164,73 @@ def _pallas_zzrx_bwd(pairs, n, zzth, th, yr, yi, ctr, cti):
     r, lanes = yr.shape
     rb = 2**nrow
     grid = (r // rb,)
+    with_lane = mr is not None
     cs = jnp.stack([jnp.cos(th / 2), jnp.sin(th / 2)], axis=1)
     zzp, srow, slane = _zzrx_sign_inputs(pairs, n, zzth, r, lanes)
     P = zzp.shape[1]
+    lane_in = (
+        [
+            pl.BlockSpec((lanes, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        if with_lane
+        else []
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct(yr.shape, yr.dtype),
+        jax.ShapeDtypeStruct(yi.shape, yi.dtype),
+        jax.ShapeDtypeStruct((1, P), jnp.float32),
+        jax.ShapeDtypeStruct((nrow,), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, P), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nrow,), lambda j: (0,), memory_space=pltpu.SMEM),
+    ]
+    if with_lane:
+        out_shapes += [
+            jax.ShapeDtypeStruct((lanes, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((lanes, lanes), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((lanes, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ]
+    nin = 4 + len(lane_in)  # ctr is input nin+2
+    args = [zzp, cs, srow, slane]
+    if with_lane:
+        args += [mr, mi]
+    args += [yr, yi, ctr, cti]
     outs = pl.pallas_call(
-        _zzrx_bwd_kernel(pairs, n, nrow),
+        _zzrx_bwd_kernel(pairs, n, nrow, with_lane),
         grid=grid,
-        out_shape=(
-            jax.ShapeDtypeStruct(yr.shape, yr.dtype),
-            jax.ShapeDtypeStruct(yi.shape, yi.dtype),
-            jax.ShapeDtypeStruct((1, P), jnp.float32),
-            jax.ShapeDtypeStruct((nrow,), jnp.float32),
-        ),
+        out_shape=tuple(out_shapes),
         in_specs=[
             pl.BlockSpec((1, P), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nrow, 2), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((rb, P), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lanes, P), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        + lane_in
+        + [
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nrow,), lambda j: (0,), memory_space=pltpu.SMEM),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((rb, lanes), jnp.float32),
             pltpu.VMEM((rb, lanes), jnp.float32),
         ],
-        input_output_aliases={6: 0, 7: 1},
+        input_output_aliases={nin + 2: 0, nin + 3: 1},
         compiler_params=_zzrx_compiler_params(),
         interpret=_INTERPRET,
-    )(zzp, cs, srow, slane, yr, yi, ctr, cti)
+    )(*args)
+    if with_lane:
+        dsr, dsi, dzzp, dth, dmr, dmi = outs
+        return dsr, dsi, dzzp[0, :npairs], dth, dmr, dmi
     dsr, dsi, dzzp, dth = outs
     return dsr, dsi, dzzp[0, :npairs], dth
 

@@ -51,6 +51,13 @@ __all__ = ["zzrx_stack_core", "zzrx_stack_energy"]
 
 _LANE_QUBITS = 7
 
+#: fuse the lane matmul INTO the Pallas zzrx kernels (fwd epilogue dot +
+#: bwd un-lane/dM/walk prologue) — saves one full state read+write per
+#: layer per direction vs the XLA lane dot_generals.  A/B flag until the
+#: hardware measurement lands (examples/ab_lane_fused.py) — the proven
+#: 2.06 ms/step production path stays the default until then.
+FUSE_LANE = False
+
 
 def _dot(a, b, contract):
     return jax.lax.dot_general(
@@ -127,6 +134,7 @@ def _stack_fwd_impl(pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane)
     d = 2**nouter
     m = r // d
     L = zz_thetas.shape[0]
+    fused = FUSE_LANE and (krl._on_tpu() or krl._INTERPRET)
     sr = jnp.real(state2d).astype(jnp.float32)
     si = jnp.imag(state2d).astype(jnp.float32)
     mor = jnp.real(mout).astype(jnp.float32)
@@ -135,9 +143,18 @@ def _stack_fwd_impl(pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane)
     mli = jnp.imag(mlane).astype(jnp.float32)
     ks = []
     for l in range(L):
-        sr, si = _kernel_fwd(
-            pairs, n, zz_thetas[l], rx_kernel_thetas[l], sr, si
-        )
+        if fused:
+            # lane matmul rides inside the kernel; saved residual is the
+            # POST-lane state (outer and lane act on disjoint axes, so
+            # reordering lane before outer is exact)
+            sr, si = _kernel_fwd(
+                pairs, n, zz_thetas[l], rx_kernel_thetas[l], sr, si,
+                mlr[l], mli[l],
+            )
+        else:
+            sr, si = _kernel_fwd(
+                pairs, n, zz_thetas[l], rx_kernel_thetas[l], sr, si
+            )
         ks.append((sr, si))
         xr = jnp.reshape(sr, (d, m, lanes))
         xi = jnp.reshape(si, (d, m, lanes))
@@ -149,34 +166,53 @@ def _stack_fwd_impl(pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane)
             # but the function is exported)
             ar, ai = mor[l, 0, 0], moi[l, 0, 0]
             xr, xi = ar * xr - ai * xi, ar * xi + ai * xr
-        xr, xi = _lane_apply(mlr[l], mli[l], xr, xi)
+        if not fused:
+            xr, xi = _lane_apply(mlr[l], mli[l], xr, xi)
         sr = jnp.reshape(xr, (r, lanes))
         si = jnp.reshape(xi, (r, lanes))
     y = (sr + 1j * si).astype(state2d.dtype)
-    return y, tuple(ks)
+    return y, tuple(ks), fused
 
 
-def _kernel_fwd(pairs, n, zzth, rxth, sr, si):
+def _kernel_fwd(pairs, n, zzth, rxth, sr, si, mlr=None, mli=None):
     if krl._on_tpu() or krl._INTERPRET:
         return krl._pallas_zzrx_fwd(
             pairs, n, jnp.asarray(zzth, jnp.float32), jnp.asarray(rxth, jnp.float32),
-            sr, si,
+            sr, si, mlr, mli,
         )
     # CPU reference: complex round trip (tests exercise the interpret path)
     psi = (sr + 1j * si).astype(jnp.complex64)
     psi = krl._zz_phase_dense(psi, pairs, n, jnp.asarray(zzth))
     psi = krl._row_layer_reference(psi, krl._rx_gates(jnp.asarray(rxth)))
+    if mlr is not None:
+        psi = psi @ (mlr + 1j * mli).astype(psi.dtype)
     return jnp.real(psi).astype(jnp.float32), jnp.imag(psi).astype(jnp.float32)
 
 
-def _kernel_bwd(pairs, n, zzth, rxth, yr, yi, ctr, cti):
+def _kernel_bwd(pairs, n, zzth, rxth, yr, yi, ctr, cti, mlr=None, mli=None):
     if krl._on_tpu() or krl._INTERPRET:
         return krl._pallas_zzrx_bwd(
             pairs, n, jnp.asarray(zzth, jnp.float32), jnp.asarray(rxth, jnp.float32),
-            yr, yi, ctr, cti,
+            yr, yi, ctr, cti, mlr, mli,
         )
     y = (yr + 1j * yi).astype(jnp.complex64)
     ct = (ctr + 1j * cti).astype(jnp.complex64)
+    if mlr is not None:
+        mlane = (mlr + 1j * mli).astype(jnp.complex64)
+        psi = y @ jnp.conj(mlane).T
+        ct_pre = ct @ mlane.T
+        dm = jnp.matmul(psi.T, ct)
+        ds, dzz, dth = krl._zzrx_bwd(
+            pairs, n, (psi, zzth, rxth), ct_pre
+        )
+        return (
+            jnp.real(ds).astype(jnp.float32),
+            jnp.imag(ds).astype(jnp.float32),
+            dzz.astype(jnp.float32),
+            dth.astype(jnp.float32),
+            jnp.real(dm).astype(jnp.float32),
+            jnp.imag(dm).astype(jnp.float32),
+        )
     ds, dzz, dth = krl._zzrx_bwd(pairs, n, (y, zzth, rxth), ct)
     return (
         jnp.real(ds).astype(jnp.float32),
@@ -187,7 +223,7 @@ def _kernel_bwd(pairs, n, zzth, rxth, yr, yi, ctr, cti):
 
 
 def _stack_fwd(pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane):
-    y, ks = _stack_fwd_impl(
+    y, ks, _ = _stack_fwd_impl(
         pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane
     )
     return y, (ks, zz_thetas, rx_kernel_thetas, mout, mlane)
@@ -210,8 +246,14 @@ def _stack_bwd(pairs, n, res, ct):
 
 
 def _adjoint_chain(pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, cr, ci):
-    """Walk the L-layer adjoint from output-cotangent planes ``(cr, ci)``."""
+    """Walk the L-layer adjoint from output-cotangent planes ``(cr, ci)``.
+
+    Recomputes the FUSE_LANE trace-time decision (a Python bool cannot ride
+    custom-vjp residuals); the flag must not be flipped between the forward
+    and backward traces of one program.
+    """
     nrow, nkernel, nouter, nlane = _shapes(n)
+    fused = FUSE_LANE and (krl._on_tpu() or krl._INTERPRET)
     L = zz_thetas.shape[0]
     r, lanes = ks[0][0].shape
     d = 2**nouter
@@ -224,24 +266,27 @@ def _adjoint_chain(pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, cr, c
     tdim = (((1,), (1,)),)  # (D, M C) x (D, M C) -> matmul over flattened MC
     for l in range(L - 1, -1, -1):
         kr, ki = ks[l]
-        # recompute o = outer(k) on the (D, M, C) view
+        # fused: ks holds the POST-lane state (outer's direct input);
+        # unfused: ks holds the kernel output and outer/lane follow
         k3r = jnp.reshape(kr, (d, mm, lanes))
         k3i = jnp.reshape(ki, (d, mm, lanes))
-        if nouter:
-            o3r, o3i = _outer_apply(mor[l], moi[l], k3r, k3i)
-        else:
-            ar, ai = mor[l, 0, 0], moi[l, 0, 0]
-            o3r = ar * k3r - ai * k3i
-            o3i = ar * k3i + ai * k3r
         c3r = jnp.reshape(cr, (d, mm, lanes))
         c3i = jnp.reshape(ci, (d, mm, lanes))
-        # --- lane stage: x' = o @ m ---------------------------------------
-        # dm = o^T ct (complex, non-conjugating): contract (D, M) jointly
-        ldim = (((0, 1), (0, 1)),)
-        dmr = _dot(o3r, c3r, ldim[0]) - _dot(o3i, c3i, ldim[0])
-        dmi = _dot(o3r, c3i, ldim[0]) + _dot(o3i, c3r, ldim[0])
-        dml.insert(0, dmr + 1j * dmi)
-        c3r, c3i = _lane_walk(mlr[l], mli[l], c3r, c3i)
+        if not fused:
+            # recompute o = outer(k) on the (D, M, C) view
+            if nouter:
+                o3r, o3i = _outer_apply(mor[l], moi[l], k3r, k3i)
+            else:
+                ar, ai = mor[l, 0, 0], moi[l, 0, 0]
+                o3r = ar * k3r - ai * k3i
+                o3i = ar * k3i + ai * k3r
+            # --- lane stage: x' = o @ m -----------------------------------
+            # dm = o^T ct (complex, non-conjugating): contract (D, M) jointly
+            ldim = (((0, 1), (0, 1)),)
+            dmr = _dot(o3r, c3r, ldim[0]) - _dot(o3i, c3i, ldim[0])
+            dmi = _dot(o3r, c3i, ldim[0]) + _dot(o3i, c3r, ldim[0])
+            dml.insert(0, dmr + 1j * dmi)
+            c3r, c3i = _lane_walk(mlr[l], mli[l], c3r, c3i)
         # --- outer stage: o = mo @ k --------------------------------------
         if nouter:
             # dmo = ct @ k^T over the flattened (M*C) axis
@@ -263,10 +308,19 @@ def _adjoint_chain(pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, cr, c
             c3r, c3i = ar * c3r - ai * c3i, ar * c3i + ai * c3r
         cr = jnp.reshape(c3r, (r, lanes))
         ci = jnp.reshape(c3i, (r, lanes))
-        # --- pallas zzrx stage (un-applies the layer internally) ----------
-        cr, ci, dz, dt = _kernel_bwd(
-            pairs, n, zz_thetas[l], rx_kernel_thetas[l], kr, ki, cr, ci
-        )
+        # --- pallas zzrx stage (un-applies the layer internally; fused
+        # variant also un-lanes, accumulates dM over the grid, and walks
+        # the cotangent through M^T) ----------------------------------------
+        if fused:
+            cr, ci, dz, dt, dmr_f, dmi_f = _kernel_bwd(
+                pairs, n, zz_thetas[l], rx_kernel_thetas[l], kr, ki, cr, ci,
+                mlr[l], mli[l],
+            )
+            dml.insert(0, dmr_f + 1j * dmi_f)
+        else:
+            cr, ci, dz, dt = _kernel_bwd(
+                pairs, n, zz_thetas[l], rx_kernel_thetas[l], kr, ki, cr, ci
+            )
         dzz.insert(0, dz)
         dth.insert(0, dt)
     ds = cr + 1j * ci
@@ -386,7 +440,7 @@ def zzrx_stack_energy(
 def _stack_energy_fwd(
     pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane, spec
 ):
-    y, ks = _stack_fwd_impl(
+    y, ks, _ = _stack_fwd_impl(
         pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane
     )
     # _stack_fwd_impl combines planes into y only at the very end; re-split

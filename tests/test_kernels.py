@@ -700,6 +700,65 @@ def test_zzrx_stack_energy_fused_readout(monkeypatch):
     )
 
 
+def test_zzrx_stack_fused_lane(monkeypatch):
+    """FUSE_LANE in-kernel lane matmul == unfused XLA lane stage == rzz+rx.
+
+    Values and grads through both zzrx_stack_core (vdot loss) and the fused
+    energy readout, in Pallas interpret mode, with a nonzero outer stage
+    (kernel budget shrunk to 1 so n=9 splits 1 outer + 1 kernel + 7 lane).
+    """
+    from tensorcircuit_ng_tpu.core import kernels, kernels_rowlayer, kernels_stack
+
+    monkeypatch.setattr(kernels_rowlayer, "MAX_KERNEL_QUBITS_ZZRX", 1)
+    n, L = 9, 2
+    pairs = tuple((i, i + 1) for i in range(n - 1))
+    rng = np.random.default_rng(13)
+    psi = rng.normal(size=(2**n,)) + 1j * rng.normal(size=(2**n,))
+    psi = jnp.asarray((psi / np.linalg.norm(psi)).astype(np.complex64))
+    zz = jnp.asarray(rng.normal(size=(L, n - 1)) * 0.3, jnp.float32)
+    rx = jnp.asarray(rng.normal(size=(L, n)) * 0.3, jnp.float32)
+    w = jnp.asarray(
+        (rng.normal(size=(2**n,)) + 1j * rng.normal(size=(2**n,))).astype(np.complex64)
+    )
+
+    def loss_ml(zz, rx):
+        y = kernels.fused_zzrx_multilayer(psi, pairs, zz, rx)
+        return jnp.real(jnp.vdot(w, y)) + jnp.imag(jnp.vdot(w, y * y))
+
+    def loss_ref(zz, rx):
+        y = psi
+        for l in range(L):
+            y = kernels.fused_zzrx_layer(y, pairs, zz[l], rx[l])
+        return jnp.real(jnp.vdot(w, y)) + jnp.imag(jnp.vdot(w, y * y))
+
+    def e_fused(p):
+        c = tc.Circuit(n)
+        c.h_layer()
+        for l in range(L):
+            c.zzrx_layer(list(pairs), p[l, 0, : n - 1], p[l, 1])
+        return c.expectation_zzx_energy(list(pairs), 0.7, -1.3)
+
+    p0 = jnp.asarray(rng.normal(size=(L, 2, n)) * 0.4, jnp.float32)
+    v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1))(zz, rx)
+    assert kernels.ML_MODE == "stack"
+    results = {}
+    for fuse in (False, True):
+        monkeypatch.setattr(kernels_stack, "FUSE_LANE", fuse)
+        kernels.set_interpret_mode(True)
+        try:
+            v1, g1 = jax.value_and_grad(loss_ml, argnums=(0, 1))(zz, rx)
+            ve, ge = jax.value_and_grad(e_fused)(p0)
+        finally:
+            kernels.set_interpret_mode(False)
+        np.testing.assert_allclose(float(v1), float(v2), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=2e-3)
+        results[fuse] = (float(ve), np.asarray(ge))
+    # fused == unfused through the energy readout too
+    np.testing.assert_allclose(results[True][0], results[False][0], atol=2e-4)
+    np.testing.assert_allclose(results[True][1], results[False][1], atol=2e-3)
+
+
 def test_expectation_ising_sum_general(monkeypatch):
     """Weighted zz + longitudinal z + weighted x + 3-local Z strings through
     the fused Ising readout == per-string expectation_ps oracle."""

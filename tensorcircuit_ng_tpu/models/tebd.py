@@ -172,15 +172,18 @@ class ParallelTEBD:
         gates = jnp.asarray(gates)
         if gates.ndim == 2:
             gates = jnp.broadcast_to(gates, (nb,) + gates.shape)
-        li = np.asarray(bonds)  # left site index of each bond
+        p = parity
+        hi = p + 2 * nb  # one past the last touched site
         # lift numpy-held initial tensors (kept host-side for axon) to jnp
         self.gammas = jnp.asarray(self.gammas)
         self.lambdas = jnp.asarray(self.lambdas)
-        gl = self.gammas[li]
-        gr = self.gammas[li + 1]
-        lam_l = self.lambdas[li]
-        lam_c = self.lambdas[li + 1]
-        lam_r = self.lambdas[li + 2]
+        # strided slices instead of fancy-index gathers: TPU scatters/gathers
+        # over the site axis serialize; stride-2 slices are single-pass
+        gl = self.gammas[p:hi:2]
+        gr = self.gammas[p + 1 : hi : 2]
+        lam_l = self.lambdas[p:hi:2]
+        lam_c = self.lambdas[p + 1 : hi : 2]
+        lam_r = self.lambdas[p + 2 : hi + 1 : 2]
         dt = gl.dtype
         # theta_{b,(a i),(j c)} = λl Γl λc Γr λr, gate applied on (i j)
         left = lam_l.astype(dt)[:, :, None, None] * gl
@@ -200,8 +203,27 @@ class ParallelTEBD:
         inv_r = _safe_inv(lam_r).astype(dt)
         gl_new = jnp.reshape(u, (nb, chi, d, chi)) * inv_l[:, :, None, None]
         gr_new = jnp.reshape(vh, (nb, chi, d, chi)) * inv_r[:, None, None, :]
-        self.gammas = self.gammas.at[li].set(gl_new).at[li + 1].set(gr_new)
-        self.lambdas = self.lambdas.at[li + 1].set(s_new)
+        if isinstance(self.gammas, jax.core.Tracer):
+            # traced (jit/TPU production): reassemble by interleave + concat —
+            # pure reshapes/slices XLA fuses, instead of site-axis scatters
+            # which serialize on TPU
+            mid_g = jnp.reshape(
+                jnp.stack([gl_new, gr_new], axis=1), (2 * nb, chi, d, chi)
+            )
+            self.gammas = jnp.concatenate(
+                [self.gammas[:p], mid_g, self.gammas[hi:]], axis=0
+            )
+            mid_lam = jnp.reshape(
+                jnp.stack([lam_l, s_new], axis=1), (2 * nb, chi)
+            )
+            self.lambdas = jnp.concatenate(
+                [self.lambdas[:p], mid_lam, self.lambdas[hi:]], axis=0
+            )
+        else:
+            # eager: two scatters dispatch fewer ops than the concat chain
+            li = np.arange(p, hi, 2)
+            self.gammas = self.gammas.at[li].set(gl_new).at[li + 1].set(gr_new)
+            self.lambdas = self.lambdas.at[li + 1].set(s_new)
 
     def trotter_step(self, even_gates: Tensor, odd_gates: Optional[Tensor] = None) -> None:
         """Even layer then odd layer (2nd-order users call with half-steps).

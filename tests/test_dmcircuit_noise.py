@@ -226,17 +226,17 @@ def test_dmcircuit2_lazy_superop_expectation():
         e2 = complex(np.asarray(ctr.contract_ir(cl.expectation_before(*ops))))
         assert abs(e1 - e2) < 1e-5
 
-    # wide shallow: 22 qubits, depth 4 with 44 channels — the dense path
-    # would need a 2^44-element rho; the lazy path is a light-cone
-    # contraction.  The cone of Z10 Z11 spans qubits 8..13, so a 10-qubit
-    # window (global 6..15, observable at window (4,5)) reproduces it
-    # exactly on the dense engine.
-    n = 22
+    # wide shallow: 16 qubits, depth 4 with 32 channels — the dense path
+    # would need a 2^32-element rho; the lazy path is a light-cone
+    # contraction.  The cone of Z8 Z9 spans qubits 6..11, so a 10-qubit
+    # window (global 2..11 — even start keeps the cnot pair layers aligned —
+    # observable at window (6,7)) reproduces it exactly on the dense engine.
+    n = 16
     c = build(tc.DMCircuit2, n)
     t0 = time.time()
-    e = complex(np.asarray(c.expectation_ps(z=[10, 11])))
+    e = complex(np.asarray(c.expectation_ps(z=[8, 9])))
     dt = time.time() - t0
     cw = build(tc.DMCircuit, 10)
-    ew = complex(np.asarray(cw.expectation_ps(z=[4, 5])))
+    ew = complex(np.asarray(cw.expectation_ps(z=[6, 7])))
     np.testing.assert_allclose(e, ew, atol=1e-5)
     assert dt < 60.0

@@ -670,14 +670,15 @@ def test_zzrx_stack_energy_fused_readout(monkeypatch):
 
     assert kernels.ML_MODE == "stack"
     vr, gr = jax.value_and_grad(e_ref)(p0)
-    for interp in (False, True):
-        kernels.set_interpret_mode(interp)
-        try:
-            vf, gf = jax.value_and_grad(e_fused)(p0)
-        finally:
-            kernels.set_interpret_mode(False)
-        np.testing.assert_allclose(float(vf), float(vr), atol=2e-4)
-        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=2e-3)
+    # interpret mode only: the CPU-reference (non-interpret) stack branch is
+    # the default path of every CPU Circuit test in the suite already
+    kernels.set_interpret_mode(True)
+    try:
+        vf, gf = jax.value_and_grad(e_fused)(p0)
+    finally:
+        kernels.set_interpret_mode(False)
+    np.testing.assert_allclose(float(vf), float(vr), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=2e-3)
 
     # single-layer circuit: no trailing run -> statevec fallback branch
     def e1(p):
@@ -740,23 +741,22 @@ def test_zzrx_stack_fused_lane(monkeypatch):
 
     p0 = jnp.asarray(rng.normal(size=(L, 2, n)) * 0.4, jnp.float32)
     v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1))(zz, rx)
+    e_truth = jax.value_and_grad(e_fused)(p0)  # unfused CPU-reference path
     assert kernels.ML_MODE == "stack"
-    results = {}
-    for fuse in (False, True):
-        monkeypatch.setattr(kernels_stack, "FUSE_LANE", fuse)
-        kernels.set_interpret_mode(True)
-        try:
-            v1, g1 = jax.value_and_grad(loss_ml, argnums=(0, 1))(zz, rx)
-            ve, ge = jax.value_and_grad(e_fused)(p0)
-        finally:
-            kernels.set_interpret_mode(False)
-        np.testing.assert_allclose(float(v1), float(v2), atol=2e-4)
-        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=2e-3)
-        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=2e-3)
-        results[fuse] = (float(ve), np.asarray(ge))
-    # fused == unfused through the energy readout too
-    np.testing.assert_allclose(results[True][0], results[False][0], atol=2e-4)
-    np.testing.assert_allclose(results[True][1], results[False][1], atol=2e-3)
+    # FUSE_LANE=False interpret coverage lives in the other stack tests;
+    # this one validates the fused-lane kernels against the references
+    monkeypatch.setattr(kernels_stack, "FUSE_LANE", True)
+    kernels.set_interpret_mode(True)
+    try:
+        v1, g1 = jax.value_and_grad(loss_ml, argnums=(0, 1))(zz, rx)
+        ve, ge = jax.value_and_grad(e_fused)(p0)
+    finally:
+        kernels.set_interpret_mode(False)
+    np.testing.assert_allclose(float(v1), float(v2), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=2e-3)
+    np.testing.assert_allclose(float(ve), float(e_truth[0]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ge), np.asarray(e_truth[1]), atol=2e-3)
 
 
 def test_expectation_ising_sum_general(monkeypatch):

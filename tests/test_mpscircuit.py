@@ -15,12 +15,12 @@ def build_pair(n, chi=None):
     return c, m
 
 
-def random_circuit_ops(c, seed=0):
+def random_circuit_ops(c, seed=0, layers=3):
     rng = np.random.default_rng(seed)
     n = c.nqubits
     for i in range(n):
         c.h(i)
-    for l in range(3):
+    for l in range(layers):
         for i in range(n):
             c.rx(i, theta=float(rng.normal()))
         for i in range(n - 1):
@@ -32,8 +32,8 @@ def random_circuit_ops(c, seed=0):
 def test_mps_exact_matches_dense():
     n = 5
     c, m = build_pair(n, chi=None)  # exact caps
-    random_circuit_ops(c, 1)
-    random_circuit_ops(m, 1)
+    random_circuit_ops(c, 1, layers=2)
+    random_circuit_ops(m, 1, layers=2)
     psi_c = np.asarray(c.state())
     psi_m = np.asarray(m.wavefunction())
     np.testing.assert_allclose(np.abs(np.vdot(psi_c, psi_m)), 1.0, atol=1e-4)
@@ -93,7 +93,7 @@ def test_mps_from_wavefunction():
 
 
 def test_mps_jit_grad():
-    n = 6
+    n = 5
     chi = 8
 
     def loss(params):
@@ -488,14 +488,14 @@ def test_parallel_tebd_canonicalize():
     import scipy.linalg as sl
     import tensorcircuit_ng_tpu as tc
 
-    n, chi = 8, 16
+    n, chi = 6, 8
     X = np.array([[0, 1], [1, 0.0]])
     Z = np.diag([1.0, -1.0])
     gate = sl.expm(
         -1j * 0.3 * (np.kron(Z, Z) + 0.6 * np.kron(X, np.eye(2)))
     ).astype(np.complex64)
     eng = tc.ParallelTEBD(n, chi, initial="neel")
-    for _ in range(6):
+    for _ in range(4):
         eng.trotter_step(gate)
     w0 = np.array(eng.wavefunction())
     w0 = w0 / np.linalg.norm(w0)

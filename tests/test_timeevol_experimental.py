@@ -313,15 +313,17 @@ def test_vvag_and_adaptive_vmap_edges():
 
     vvag = K.vectorized_value_and_grad(f, argnums=0, vectorized_argnums=1)
     w = jnp.asarray(np.random.default_rng(0).normal(size=n) * 0.3, jnp.float32)
-    xs = jnp.asarray(np.random.default_rng(1).normal(size=(5, n)) * 0.3, jnp.float32)
+    xs = jnp.asarray(np.random.default_rng(1).normal(size=(3, n)) * 0.3, jnp.float32)
     vals, grads = vvag(w, xs)
-    assert vals.shape == (5,)
+    assert vals.shape == (3,)
     # reference loop: grads must be the SUM over the batch (reference vvag
-    # contract for shared weights)
-    g_sum = sum(jax.grad(f, argnums=0)(w, xs[b]) for b in range(5))
+    # contract for shared weights); jitted once so the loop reuses the trace
+    gf = jax.jit(jax.value_and_grad(f, argnums=0))
+    refs = [gf(w, xs[b]) for b in range(3)]
+    g_sum = sum(g for _, g in refs)
     np.testing.assert_allclose(np.asarray(grads), np.asarray(g_sum), atol=1e-5)
-    for b in range(5):
-        np.testing.assert_allclose(float(vals[b]), float(f(w, xs[b])), atol=1e-6)
+    for b in range(3):
+        np.testing.assert_allclose(float(vals[b]), float(refs[b][0]), atol=1e-6)
 
     # adaptive_vmap: batch (7) not divisible by chunk (3)
     av = experimental.adaptive_vmap(lambda x: jnp.sum(x**2, axis=-1) if False else jnp.sum(x**2), vectorized_argnums=0, chunk_size=3)

@@ -194,6 +194,7 @@ def test_bagging_ensemble():
     assert acc == 1.0
 
 
+@pytest.mark.slow  # sibling: test_vqnhe_reference_surface
 def test_vqnhe_improves_on_plain_vqe():
     import numpy as np
     from tensorcircuit_ng_tpu.applications.vqes import VQNHE, construct_matrix
@@ -299,6 +300,7 @@ def test_graphdata_parity():
     assert len(generate_qubits(gq)) == 4
 
 
+@pytest.mark.slow  # sibling: test_qubo_qaoa_small
 def test_optimization_cvar():
     from tensorcircuit_ng_tpu.applications import optimization as opt
     from tensorcircuit_ng_tpu.templates.conversions import QUBO_to_Ising

@@ -149,6 +149,7 @@ def test_vmap_over_params():
     np.testing.assert_allclose(np.asarray(vals), expected, atol=1e-5)
 
 
+@pytest.mark.slow  # sibling: test_timeevol_experimental vvag edges + vqe_value_and_grad_jit
 def test_vvag():
     n = 4
     K = tc.backend

@@ -27,7 +27,7 @@ def random_clifford(c, n, depth, rng):
     return c
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("seed", [0])  # seeds 1,2 in the slow sweep
 def test_stabilizer_matches_dense_on_random_clifford(seed):
     n, depth = 6, 40
     rng = np.random.default_rng(seed)
@@ -57,7 +57,7 @@ def test_stabilizer_matches_dense_on_random_clifford(seed):
         np.testing.assert_allclose(ev_d, ev_s, atol=1e-5)
 
 
-@pytest.mark.parametrize("seed", [3, 4])
+@pytest.mark.parametrize("seed", [3])  # seed 4 in the slow sweep
 def test_mps_exact_budget_matches_dense(seed):
     n, depth = 6, 14
     rng = np.random.default_rng(seed)

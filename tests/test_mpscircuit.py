@@ -495,7 +495,7 @@ def test_parallel_tebd_canonicalize():
         -1j * 0.3 * (np.kron(Z, Z) + 0.6 * np.kron(X, np.eye(2)))
     ).astype(np.complex64)
     eng = tc.ParallelTEBD(n, chi, initial="neel")
-    for _ in range(4):
+    for _ in range(3):
         eng.trotter_step(gate)
     w0 = np.array(eng.wavefunction())
     w0 = w0 / np.linalg.norm(w0)

@@ -402,6 +402,7 @@ def test_rzm_and_cmz_gates():
     np.testing.assert_allclose(float(g), -np.sin(0.4), atol=1e-5)
 
 
+@pytest.mark.slow  # sibling: test_cross_simulator u1 parity tests
 def test_u1_inverse_echo_and_sampling():
     """reference test_u1circuit.py:739,401 — sector-preserving inverse and
     conserved sampling with trajectory-convention status."""

@@ -150,6 +150,7 @@ def test_torch_interface_grads():
     np.testing.assert_allclose(p.grad.numpy(), [-np.sin(0.4), 0.0], atol=1e-5)
 
 
+@pytest.mark.slow  # sibling: test_shadows entropy + review snapshot-states tests
 def test_entropy_shadow_dual_kwargs():
     """reference test_shadows.py:132 — dual subsystem kwargs + validation."""
     from tensorcircuit_ng_tpu import shadows

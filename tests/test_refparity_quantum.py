@@ -192,6 +192,7 @@ def test_negativity_reference_values():
     )
 
 
+@pytest.mark.slow  # sibling: test_quantum entropy/mutual-information units
 def test_mutual_information_pure_vs_dm_route():
     """reference test_quantum.py:613 — ket and |psi><psi| agree."""
     n = 5

@@ -48,6 +48,7 @@ def test_depolarize_statistics():
     assert 4 < np.sum(r) < 39
 
 
+@pytest.mark.slow  # sibling: test_cross_simulator stabilizer-vs-dense + detector tests
 def test_tableau_state_matches_replay_up_to_phase():
     """The stabilizer-group state reconstruction (used after collapses /
     tableau inputs) agrees with circuit replay on random Cliffords."""

@@ -225,13 +225,13 @@ def test_stack_core_scalar_mout_applied():
     return its true gradient (it used to silently drop both)."""
     from tensorcircuit_ng_tpu.core import kernels_stack as kst
 
-    n, L = 9, 2
+    n, L = 8, 1
     pairs = tuple((i, i + 1) for i in range(n - 1))
     rng = np.random.default_rng(5)
     psi = rng.normal(size=(2**n,)) + 1j * rng.normal(size=(2**n,))
-    psi2d = jnp.asarray((psi / np.linalg.norm(psi)).astype(np.complex64)).reshape(4, 128)
+    psi2d = jnp.asarray((psi / np.linalg.norm(psi)).astype(np.complex64)).reshape(2, 128)
     zz = jnp.asarray(rng.normal(size=(L, n - 1)) * 0.3, jnp.float32)
-    rxk = jnp.asarray(rng.normal(size=(L, 2)) * 0.3, jnp.float32)
+    rxk = jnp.asarray(rng.normal(size=(L, 1)) * 0.3, jnp.float32)
     mlane = jnp.asarray(
         np.stack([np.eye(128, dtype=np.complex64)] * L)
     )
@@ -242,9 +242,9 @@ def test_stack_core_scalar_mout_applied():
         return jnp.sum(jnp.real(y) ** 2 + jnp.imag(y) ** 2)
 
     v, g = jax.value_and_grad(f)(jnp.float32(2.0))
-    # |2^L psi|^2 = 16 |psi|^2 = 16; d/ds |s^L psi|^2 = 2L s^(2L-1) = 32
-    np.testing.assert_allclose(float(v), 16.0, rtol=1e-4)
-    np.testing.assert_allclose(float(g), 32.0, rtol=1e-3)
+    # |2^L psi|^2 = 4 |psi|^2 = 4; d/ds |s^L psi|^2 = 2L s^(2L-1) = 4
+    np.testing.assert_allclose(float(v), 4.0, rtol=1e-4)
+    np.testing.assert_allclose(float(g), 4.0, rtol=1e-3)
 
 
 def test_h_layer_name_collision_not_folded():
@@ -439,8 +439,8 @@ def test_entropy_shadow_snapshot_states_input():
     c.ry(2, theta=0.4)
     psi = c.state()
     rng = np.random.default_rng(0)
-    strings = jnp.asarray(rng.integers(0, 3, size=(200, nq)), jnp.int32)
-    status = jnp.asarray(rng.uniform(size=(200, 2)))
+    strings = jnp.asarray(rng.integers(0, 3, size=(64, nq)), jnp.int32)
+    status = jnp.asarray(rng.uniform(size=(64, 2)))
     snaps = shadows.shadow_snapshots(psi, strings, status)
     lss = shadows.local_snapshot_states(snaps, strings)
     e1 = float(np.real(np.asarray(shadows.entropy_shadow(lss, None, sub=[1, 2]))))

@@ -39,6 +39,7 @@ def test_shadow_expectation_converges():
     np.testing.assert_allclose(val_z2, np.cos(0.6), atol=0.25)
 
 
+@pytest.mark.slow  # statistical sweep; sibling: test_shadow_expectation_converges
 def test_global_shadow_state_converges():
     n = 2
     c = tc.Circuit(n)

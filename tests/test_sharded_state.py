@@ -142,9 +142,9 @@ def test_circuit_mesh_engine_state_and_ops_parity():
 
 def test_circuit_mesh_engine_vqe_grad_and_fused_readout():
     """Jitted VQE value_and_grad through the sharded engine (fused Ising
-    readout: one shard_map + psum) matches dense at n=11 (odd n: uneven
+    readout: one shard_map + psum) matches dense at n=9 (odd n: uneven
     local registers exercise the wire remap)."""
-    n = 11
+    n = 9
     mesh = Mesh(np.array(jax.devices()[:8]), ("sv",))
     pairs = _ring(n)
 
@@ -230,14 +230,14 @@ def test_circuit_mesh_engine_n28_vqe_step():
 
 
 def test_circuit_mesh_engine_compact():
-    """Compact default-suite engine check: state parity (mixed op kinds in
-    ONE jitted SPMD program) + the batched inverse-CDF sampler.
+    """Compact default-suite engine check: state parity with mixed op kinds
+    in ONE jitted SPMD program.
 
-    Each extra sharded program costs a full 8-device SPMD compile (~25 s on
-    this box) — expectation_ps / measure_jit default coverage lives in
-    test_circuit_mesh_engine_vqe_grad_and_fused_readout and the slow-marked
-    full sweeps (test_circuit_mesh_engine_state_and_ops_parity /
-    _sampling_statistics)."""
+    Each extra sharded program costs a full 8-device SPMD compile (~15 s on
+    this box) — expectation_ps / fused-readout default coverage lives in
+    test_circuit_mesh_engine_vqe_grad_and_fused_readout; samplers and
+    measure_jit live in the slow-marked sweeps
+    (test_circuit_mesh_engine_state_and_ops_parity / _sampling_statistics)."""
     n = 8
     mesh = Mesh(np.array(jax.devices()[:8]), ("sv",))
     rng = np.random.default_rng(3)
@@ -257,13 +257,3 @@ def test_circuit_mesh_engine_compact():
     np.testing.assert_allclose(
         np.asarray(jax.device_get(psis)), np.asarray(cd.state()), atol=1e-5
     )
-    # batched sampler statistics vs dense marginal
-    nshots = 512
-    bins = np.stack(
-        [np.asarray(b) for b, _ in cs.sample(batch=nshots, status=jnp.asarray(rng.uniform(size=nshots)))]
-    )
-    freq = np.bincount(bins[:, 0] * 2 + bins[:, 5], minlength=4) / nshots
-    pv = np.asarray(cd.probability()).reshape((2,) * n)
-    exact = pv.sum(axis=tuple(i for i in range(n) if i not in (0, 5))).reshape(-1)
-    exact = exact / exact.sum()
-    assert np.abs(freq - exact).max() < 0.09, (freq, exact)

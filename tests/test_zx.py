@@ -290,7 +290,7 @@ DETECTOR rec[-1]
 M 0 2
 """
     c = StabilizerTCircuit.from_stim_str(stim_text)
-    det = np.asarray(c.sample_detectors(8000, seed=1))
+    det = np.asarray(c.sample_detectors(3000, seed=1))
     assert abs(det[:, 0].mean() - 0.1) < 0.03
 
 

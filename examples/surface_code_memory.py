@@ -154,9 +154,10 @@ def main():
     # with perfect measurements the round-2 comparison detectors are silent
     second_round = dets[:, n_z1 : n_z1 + n_cmp]
     assert second_round.sum() == 0, "comparison detectors fired w/o meas noise"
-    # ... and the final reconstructed layer equals the first-round syndrome
+    # ... and the final layer (last ancilla round XOR data-reconstructed
+    # checks) is silent too: both sides read the same stabilizer value
     final_layer = dets[:, n_z1 + n_cmp :]
-    assert (final_layer == dets[:, :n_z1]).all()
+    assert final_layer.sum() == 0
 
     table = build_lookup()
     pred = decode(dets, table)

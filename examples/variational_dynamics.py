@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+
+# exact-oracle validation example: run on host CPU (the axon TPU
+# tunnel cannot fetch complex host values; see CLAUDE.md)
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 import tensorcircuit_ng_tpu as tc
@@ -70,8 +74,13 @@ def rhs(flat):
     braket = jnp.conj(jacc.T) @ psi
     c_vec = jnp.imag(jnp.conj(jacc.T) @ hps - braket * jnp.vdot(psi, hps))
     a = a_fn(flat)
-    # Tikhonov-regularized solve (the standard McLachlan practicality)
-    theta_dot = jnp.linalg.solve(a + 1e-4 * jnp.eye(a.shape[0]), -c_vec)
+    # Tikhonov-regularized solve (the standard McLachlan practicality).
+    # Sign: minimizing ||sum_j dtheta_j |d_j psi> + iH|psi>|| gives
+    # A theta_dot = +Im<d_i psi|H|psi> (projected).  NOTE the <Z>(t) check
+    # alone cannot catch a flipped sign here: H and psi0 are real, so the
+    # quench is time-reversal symmetric and <Z>(-t) = <Z>(t) — only the
+    # final-state fidelity distinguishes forward from backward evolution.
+    theta_dot = jnp.linalg.solve(a + 1e-4 * jnp.eye(a.shape[0]), c_vec)
     return theta_dot
 
 

@@ -14,6 +14,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+
+# exact-oracle validation example: run on host CPU (the axon TPU
+# tunnel cannot fetch complex host values; see CLAUDE.md)
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import optax
 

@@ -61,6 +61,77 @@ def _butterfly(cr, ci, rows, s, m):
     return jnp.where(is_lo, lo_r, hi_r), jnp.where(is_lo, lo_i, hi_i)
 
 
+def _lane_fwd_epilogue(cr, ci, mr_ref, mi_ref, or_ref, oi_ref):
+    """y = psi @ M (complex, planes) — MXU matmul fused in-kernel.
+
+    Shared by every with_lane forward kernel (single-layer and zzrx)."""
+    mr = mr_ref[:]
+    mi = mi_ref[:]
+    f32 = jnp.float32
+    or_ref[:] = jnp.dot(cr, mr, preferred_element_type=f32) - jnp.dot(
+        ci, mi, preferred_element_type=f32
+    )
+    oi_ref[:] = jnp.dot(cr, mi, preferred_element_type=f32) + jnp.dot(
+        ci, mr, preferred_element_type=f32
+    )
+
+
+def _lane_bwd_prologue(j, mr_ref, mi_ref, yr_ref, yi_ref, ctr_ref, cti_ref,
+                       dsr_ref, dsi_ref, dmr_ref, dmi_ref, s_r, s_i):
+    """Un-lane the saved output, accumulate dM over the sequential grid, and
+    walk the cotangent through M^T.  Shared by every with_lane backward
+    kernel.  REQUIRES a unitary M: psi is reconstructed as y @ conj(M)^T.
+
+    On exit: (s_r, s_i) hold the pre-lane state, (dsr, dsi) the walked
+    cotangent.
+    """
+    from jax.experimental import pallas as pl
+
+    @pl.when(j == 0)
+    def _():
+        dmr_ref[:] = jnp.zeros_like(dmr_ref)
+        dmi_ref[:] = jnp.zeros_like(dmi_ref)
+
+    f32 = jnp.float32
+    dg_dim = (((1,), (1,)), ((), ()))  # a @ b^T
+    dt_dim = (((0,), (0,)), ((), ()))  # a^T @ b
+    mr = mr_ref[:]
+    mi = mi_ref[:]
+    yr = yr_ref[:]
+    yi = yi_ref[:]
+    ctr0 = ctr_ref[:]
+    cti0 = cti_ref[:]
+    # psi = y @ M^{-1} = y @ conj(M)^T (M unitary)
+    sr0 = (
+        jax.lax.dot_general(yr, mr, dg_dim, preferred_element_type=f32)
+        + jax.lax.dot_general(yi, mi, dg_dim, preferred_element_type=f32)
+    )
+    si0 = (
+        jax.lax.dot_general(yi, mr, dg_dim, preferred_element_type=f32)
+        - jax.lax.dot_general(yr, mi, dg_dim, preferred_element_type=f32)
+    )
+    # dM += psi^T @ ct (plain transpose, complex product)
+    dmr_ref[:] += (
+        jax.lax.dot_general(sr0, ctr0, dt_dim, preferred_element_type=f32)
+        - jax.lax.dot_general(si0, cti0, dt_dim, preferred_element_type=f32)
+    )
+    dmi_ref[:] += (
+        jax.lax.dot_general(sr0, cti0, dt_dim, preferred_element_type=f32)
+        + jax.lax.dot_general(si0, ctr0, dt_dim, preferred_element_type=f32)
+    )
+    # ct walk: ct_pre = ct @ M^T
+    s_r[:] = sr0
+    s_i[:] = si0
+    dsr_ref[:] = (
+        jax.lax.dot_general(ctr0, mr, dg_dim, preferred_element_type=f32)
+        - jax.lax.dot_general(cti0, mi, dg_dim, preferred_element_type=f32)
+    )
+    dsi_ref[:] = (
+        jax.lax.dot_general(ctr0, mi, dg_dim, preferred_element_type=f32)
+        + jax.lax.dot_general(cti0, mr, dg_dim, preferred_element_type=f32)
+    )
+
+
 def _fwd_kernel(nrow: int, with_lane: bool = False):
     def kernel(*refs):
         if with_lane:
@@ -79,18 +150,7 @@ def _fwd_kernel(nrow: int, with_lane: bool = False):
             )
             cr, ci = _butterfly(cr, ci, rows, s, m)
         if with_lane:
-            # y = psi @ M (complex, planes) — MXU matmul fused in-kernel
-            mr = mr_ref[:]
-            mi = mi_ref[:]
-            f32 = jnp.float32
-            yr = jnp.dot(cr, mr, preferred_element_type=f32) - jnp.dot(
-                ci, mi, preferred_element_type=f32
-            )
-            yi = jnp.dot(cr, mi, preferred_element_type=f32) + jnp.dot(
-                ci, mr, preferred_element_type=f32
-            )
-            or_ref[:] = yr
-            oi_ref[:] = yi
+            _lane_fwd_epilogue(cr, ci, mr_ref, mi_ref, or_ref, oi_ref)
         else:
             or_ref[:] = cr
             oi_ref[:] = ci
@@ -120,51 +180,10 @@ def _bwd_kernel(nrow: int, with_lane: bool = False):
                     dgi_ref[qq, ee] = 0.0
 
         if with_lane:
-            @pl.when(j == 0)
-            def _():
-                dmr_ref[:] = jnp.zeros_like(dmr_ref)
-                dmi_ref[:] = jnp.zeros_like(dmi_ref)
-            f32 = jnp.float32
-            dg_dim = (((1,), (1,)), ((), ()))  # a @ b^T
-            dt_dim = (((0,), (0,)), ((), ()))  # a^T @ b
-            mr = mr_ref[:]
-            mi = mi_ref[:]
-            yr = yr_ref[:]
-            yi = yi_ref[:]
-            ctr0 = ctr_ref[:]
-            cti0 = cti_ref[:]
-            # un-lane the state: fwd was y = psi @ M with M unitary, so
-            # psi = y @ M^{-1} = y @ conj(M)^T
-            sr0 = (
-                jax.lax.dot_general(yr, mr, dg_dim, preferred_element_type=f32)
-                + jax.lax.dot_general(yi, mi, dg_dim, preferred_element_type=f32)
+            _lane_bwd_prologue(
+                j, mr_ref, mi_ref, yr_ref, yi_ref, ctr_ref, cti_ref,
+                dsr_ref, dsi_ref, dmr_ref, dmi_ref, s_r, s_i,
             )
-            si0 = (
-                jax.lax.dot_general(yi, mr, dg_dim, preferred_element_type=f32)
-                - jax.lax.dot_general(yr, mi, dg_dim, preferred_element_type=f32)
-            )
-            # dM += psi^T @ ct (plain transpose, complex product)
-            dmr_ref[:] += (
-                jax.lax.dot_general(sr0, ctr0, dt_dim, preferred_element_type=f32)
-                - jax.lax.dot_general(si0, cti0, dt_dim, preferred_element_type=f32)
-            )
-            dmi_ref[:] += (
-                jax.lax.dot_general(sr0, cti0, dt_dim, preferred_element_type=f32)
-                + jax.lax.dot_general(si0, ctr0, dt_dim, preferred_element_type=f32)
-            )
-            # ct walk through the lane map: ct_pre = ct @ M^T
-            nctr = (
-                jax.lax.dot_general(ctr0, mr, dg_dim, preferred_element_type=f32)
-                - jax.lax.dot_general(cti0, mi, dg_dim, preferred_element_type=f32)
-            )
-            ncti = (
-                jax.lax.dot_general(ctr0, mi, dg_dim, preferred_element_type=f32)
-                + jax.lax.dot_general(cti0, mr, dg_dim, preferred_element_type=f32)
-            )
-            s_r[:] = sr0
-            s_i[:] = si0
-            dsr_ref[:] = nctr
-            dsi_ref[:] = ncti
         else:
             # cur_s lives in scratch; cur_ct walks in the ds output refs
             s_r[:] = yr_ref[:]
@@ -927,17 +946,9 @@ def _zzrx_fwd_kernel(pairs, n, nrow, with_lane: bool = False):
             m = (c, 0.0, 0.0, -sn, 0.0, -sn, c, 0.0)
             cr, ci = _butterfly(cr, ci, rows, s, m)
         if with_lane:
-            # epilogue: y = psi @ M (complex, planes) — the lane-qubit kron
-            # rides the MXU inside the same HBM pass (VERDICT r2 #1c)
-            f32 = jnp.float32
-            mr = mr_ref[:]
-            mi = mi_ref[:]
-            or_ref[:] = jnp.dot(cr, mr, preferred_element_type=f32) - jnp.dot(
-                ci, mi, preferred_element_type=f32
-            )
-            oi_ref[:] = jnp.dot(cr, mi, preferred_element_type=f32) + jnp.dot(
-                ci, mr, preferred_element_type=f32
-            )
+            # the lane-qubit kron rides the MXU inside the same HBM pass
+            # (VERDICT r2 #1c)
+            _lane_fwd_epilogue(cr, ci, mr_ref, mi_ref, or_ref, oi_ref)
         else:
             or_ref[:] = cr
             oi_ref[:] = ci
@@ -971,50 +982,9 @@ def _zzrx_bwd_kernel(pairs, n, nrow, with_lane: bool = False):
                 dth_ref[qq] = 0.0
 
         if with_lane:
-            # prologue (mirror of _bwd_kernel's lane block): un-apply the
-            # lane matmul from the saved output, accumulate dM across the
-            # sequential grid, and walk the cotangent through M^T
-            @pl.when(j == 0)
-            def _():
-                dmr_ref[:] = jnp.zeros_like(dmr_ref)
-                dmi_ref[:] = jnp.zeros_like(dmi_ref)
-            f32 = jnp.float32
-            dg_dim = (((1,), (1,)), ((), ()))  # a @ b^T
-            dt_dim = (((0,), (0,)), ((), ()))  # a^T @ b
-            mr = mr_ref[:]
-            mi = mi_ref[:]
-            yr = yr_ref[:]
-            yi = yi_ref[:]
-            ctr0 = ctr_ref[:]
-            cti0 = cti_ref[:]
-            # psi = y @ M^{-1} = y @ conj(M)^T (M unitary)
-            sr0 = (
-                jax.lax.dot_general(yr, mr, dg_dim, preferred_element_type=f32)
-                + jax.lax.dot_general(yi, mi, dg_dim, preferred_element_type=f32)
-            )
-            si0 = (
-                jax.lax.dot_general(yi, mr, dg_dim, preferred_element_type=f32)
-                - jax.lax.dot_general(yr, mi, dg_dim, preferred_element_type=f32)
-            )
-            # dM += psi^T @ ct (plain transpose, complex product)
-            dmr_ref[:] += (
-                jax.lax.dot_general(sr0, ctr0, dt_dim, preferred_element_type=f32)
-                - jax.lax.dot_general(si0, cti0, dt_dim, preferred_element_type=f32)
-            )
-            dmi_ref[:] += (
-                jax.lax.dot_general(sr0, cti0, dt_dim, preferred_element_type=f32)
-                + jax.lax.dot_general(si0, ctr0, dt_dim, preferred_element_type=f32)
-            )
-            # ct walk: ct_pre = ct @ M^T
-            s_r[:] = sr0
-            s_i[:] = si0
-            dsr_ref[:] = (
-                jax.lax.dot_general(ctr0, mr, dg_dim, preferred_element_type=f32)
-                - jax.lax.dot_general(cti0, mi, dg_dim, preferred_element_type=f32)
-            )
-            dsi_ref[:] = (
-                jax.lax.dot_general(ctr0, mi, dg_dim, preferred_element_type=f32)
-                + jax.lax.dot_general(cti0, mr, dg_dim, preferred_element_type=f32)
+            _lane_bwd_prologue(
+                j, mr_ref, mi_ref, yr_ref, yi_ref, ctr_ref, cti_ref,
+                dsr_ref, dsi_ref, dmr_ref, dmi_ref, s_r, s_i,
             )
         else:
             s_r[:] = yr_ref[:]

@@ -56,6 +56,11 @@ _LANE_QUBITS = 7
 #: layer per direction vs the XLA lane dot_generals.  A/B flag until the
 #: hardware measurement lands (examples/ab_lane_fused.py) — the proven
 #: 2.06 ms/step production path stays the default until then.
+#: PRECONDITION when on: ``mlane`` must be UNITARY (the fused backward
+#: reconstructs the pre-lane state as y @ conj(M)^T; the unfused path has
+#: no such requirement).  The trace-time decision is captured in the
+#: custom-VJP residual STRUCTURE, so flipping the flag between a vjp trace
+#: and its backward call is safe (the backward follows the forward's mode).
 FUSE_LANE = False
 
 
@@ -180,12 +185,12 @@ def _kernel_fwd(pairs, n, zzth, rxth, sr, si, mlr=None, mli=None):
             pairs, n, jnp.asarray(zzth, jnp.float32), jnp.asarray(rxth, jnp.float32),
             sr, si, mlr, mli,
         )
+    if mlr is not None:  # pragma: no cover - fused requires tpu/interpret
+        raise AssertionError("fused lane path reached the CPU reference")
     # CPU reference: complex round trip (tests exercise the interpret path)
     psi = (sr + 1j * si).astype(jnp.complex64)
     psi = krl._zz_phase_dense(psi, pairs, n, jnp.asarray(zzth))
     psi = krl._row_layer_reference(psi, krl._rx_gates(jnp.asarray(rxth)))
-    if mlr is not None:
-        psi = psi @ (mlr + 1j * mli).astype(psi.dtype)
     return jnp.real(psi).astype(jnp.float32), jnp.imag(psi).astype(jnp.float32)
 
 
@@ -195,24 +200,10 @@ def _kernel_bwd(pairs, n, zzth, rxth, yr, yi, ctr, cti, mlr=None, mli=None):
             pairs, n, jnp.asarray(zzth, jnp.float32), jnp.asarray(rxth, jnp.float32),
             yr, yi, ctr, cti, mlr, mli,
         )
+    if mlr is not None:  # pragma: no cover - fused requires tpu/interpret
+        raise AssertionError("fused lane path reached the CPU reference")
     y = (yr + 1j * yi).astype(jnp.complex64)
     ct = (ctr + 1j * cti).astype(jnp.complex64)
-    if mlr is not None:
-        mlane = (mlr + 1j * mli).astype(jnp.complex64)
-        psi = y @ jnp.conj(mlane).T
-        ct_pre = ct @ mlane.T
-        dm = jnp.matmul(psi.T, ct)
-        ds, dzz, dth = krl._zzrx_bwd(
-            pairs, n, (psi, zzth, rxth), ct_pre
-        )
-        return (
-            jnp.real(ds).astype(jnp.float32),
-            jnp.imag(ds).astype(jnp.float32),
-            dzz.astype(jnp.float32),
-            dth.astype(jnp.float32),
-            jnp.real(dm).astype(jnp.float32),
-            jnp.imag(dm).astype(jnp.float32),
-        )
     ds, dzz, dth = krl._zzrx_bwd(pairs, n, (y, zzth, rxth), ct)
     return (
         jnp.real(ds).astype(jnp.float32),
@@ -223,18 +214,23 @@ def _kernel_bwd(pairs, n, zzth, rxth, yr, yi, ctr, cti, mlr=None, mli=None):
 
 
 def _stack_fwd(pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane):
-    y, ks, _ = _stack_fwd_impl(
+    y, ks, fused = _stack_fwd_impl(
         pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane
     )
-    return y, (ks, zz_thetas, rx_kernel_thetas, mout, mlane)
+    # the mode rides the residual STRUCTURE (() vs None is a static pytree
+    # property, not a traced leaf): the backward always follows the mode the
+    # forward was traced with, even if FUSE_LANE is flipped in between
+    marker = () if fused else None
+    return y, (ks, zz_thetas, rx_kernel_thetas, mout, mlane, marker)
 
 
 def _stack_bwd(pairs, n, res, ct):
-    ks, zz_thetas, rx_kernel_thetas, mout, mlane = res
+    ks, zz_thetas, rx_kernel_thetas, mout, mlane, marker = res
     cr = jnp.real(ct).astype(jnp.float32)
     ci = jnp.imag(ct).astype(jnp.float32)
     ds, dzz, dth, dmo, dml = _adjoint_chain(
-        pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, cr, ci
+        pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, cr, ci,
+        fused=marker is not None,
     )
     return (
         ds.astype(ct.dtype),
@@ -245,15 +241,15 @@ def _stack_bwd(pairs, n, res, ct):
     )
 
 
-def _adjoint_chain(pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, cr, ci):
+def _adjoint_chain(
+    pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, cr, ci, fused=False
+):
     """Walk the L-layer adjoint from output-cotangent planes ``(cr, ci)``.
 
-    Recomputes the FUSE_LANE trace-time decision (a Python bool cannot ride
-    custom-vjp residuals); the flag must not be flipped between the forward
-    and backward traces of one program.
+    ``fused`` is the forward's trace-time FUSE_LANE decision, recovered from
+    the custom-VJP residual structure by the callers.
     """
     nrow, nkernel, nouter, nlane = _shapes(n)
-    fused = FUSE_LANE and (krl._on_tpu() or krl._INTERPRET)
     L = zz_thetas.shape[0]
     r, lanes = ks[0][0].shape
     d = 2**nouter
@@ -440,7 +436,7 @@ def zzrx_stack_energy(
 def _stack_energy_fwd(
     pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane, spec
 ):
-    y, ks, _ = _stack_fwd_impl(
+    y, ks, fused = _stack_fwd_impl(
         pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane
     )
     # _stack_fwd_impl combines planes into y only at the very end; re-split
@@ -464,17 +460,19 @@ def _stack_energy_fwd(
         br = br + _x_sum_apply(sr, sxl32, use_lanes, blocks32, r, lanes)
         bi = bi + _x_sum_apply(si, sxl32, use_lanes, blocks32, r, lanes)
     e = jnp.sum(sr * br) + jnp.sum(si * bi)
-    return e, (ks, br, bi, zz_thetas, rx_kernel_thetas, mout, mlane)
+    marker = () if fused else None  # mode rides the residual structure
+    return e, (ks, br, bi, zz_thetas, rx_kernel_thetas, mout, mlane, marker)
 
 
 def _stack_energy_bwd(pairs, n, spec, res, ct):
-    ks, br, bi, zz_thetas, rx_kernel_thetas, mout, mlane = res
+    ks, br, bi, zz_thetas, rx_kernel_thetas, mout, mlane, marker = res
     # dE/d(plane) = 2 B (S_X symmetric, zz mask diagonal).  The chain pairs
     # non-conjugating (dL = Re<g, dx>, CLAUDE.md convention): g_r = dE/dsr,
     # g_i = -dE/dsi.
     s = 2.0 * ct.astype(jnp.float32)
     ds, dzz, dth, dmo, dml = _adjoint_chain(
-        pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, s * br, -s * bi
+        pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, s * br, -s * bi,
+        fused=marker is not None,
     )
     return (
         ds.astype(jnp.complex64),

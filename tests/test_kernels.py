@@ -755,6 +755,35 @@ def test_zzrx_stack_fused_lane(monkeypatch):
     np.testing.assert_allclose(np.asarray(ge), np.asarray(e_truth[1]), atol=2e-3)
 
 
+def test_fuse_lane_flip_between_trace_and_backward(monkeypatch):
+    """Flipping FUSE_LANE between a vjp trace and its backward call must not
+    corrupt gradients: the mode rides the residual structure."""
+    from tensorcircuit_ng_tpu.core import kernels, kernels_stack
+
+    n, L = 9, 2
+    pairs = tuple((i, i + 1) for i in range(n - 1))
+    rng = np.random.default_rng(21)
+    p0 = jnp.asarray(rng.normal(size=(L, 2, n)) * 0.4, jnp.float32)
+
+    def e_fused(p):
+        c = tc.Circuit(n)
+        c.h_layer()
+        for l in range(L):
+            c.zzrx_layer(list(pairs), p[l, 0, : n - 1], p[l, 1])
+        return c.expectation_zzx_energy(list(pairs), 0.7, -1.3)
+
+    g_truth = np.asarray(jax.grad(e_fused)(p0))  # CPU reference path
+    kernels.set_interpret_mode(True)
+    try:
+        monkeypatch.setattr(kernels_stack, "FUSE_LANE", False)
+        _, vjp_fn = jax.vjp(e_fused, p0)
+        monkeypatch.setattr(kernels_stack, "FUSE_LANE", True)  # flip mid-flight
+        (g,) = vjp_fn(jnp.float32(1.0))
+    finally:
+        kernels.set_interpret_mode(False)
+    np.testing.assert_allclose(np.asarray(g), g_truth, atol=2e-3)
+
+
 def test_expectation_ising_sum_general(monkeypatch):
     """Weighted zz + longitudinal z + weighted x + 3-local Z strings through
     the fused Ising readout == per-string expectation_ps oracle."""

@@ -53,15 +53,16 @@ _LANE_QUBITS = 7
 
 #: fuse the lane matmul INTO the Pallas zzrx kernels (fwd epilogue dot +
 #: bwd un-lane/dM/walk prologue) — saves one full state read+write per
-#: layer per direction vs the XLA lane dot_generals.  A/B flag until the
-#: hardware measurement lands (examples/ab_lane_fused.py) — the proven
-#: 2.06 ms/step production path stays the default until then.
+#: layer per direction vs the XLA lane dot_generals.  Hardware A/B
+#: (examples/ab_lane_fused.py, 2026-08-18, TPU v5e): 2.051 -> 1.542
+#: ms/step on the N=20 L=4 fused-energy VQE step with EXACT value/grad
+#: parity — fused is the production default.
 #: PRECONDITION when on: ``mlane`` must be UNITARY (the fused backward
 #: reconstructs the pre-lane state as y @ conj(M)^T; the unfused path has
 #: no such requirement).  The trace-time decision is captured in the
 #: custom-VJP residual STRUCTURE, so flipping the flag between a vjp trace
 #: and its backward call is safe (the backward follows the forward's mode).
-FUSE_LANE = False
+FUSE_LANE = True
 
 
 def _dot(a, b, contract):

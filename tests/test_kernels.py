@@ -539,8 +539,14 @@ def test_zzrx_multilayer_reference_and_interpret():
             y = kernels.fused_zzrx_layer(y, pairs, zz[l], rx[l])
         return jnp.real(jnp.vdot(w, y)) + jnp.imag(jnp.vdot(w, y * y))
 
+    from tensorcircuit_ng_tpu.core import kernels_stack
+
     v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1))(zz, rx)
     old_mode = kernels.ML_MODE
+    old_fuse = kernels_stack.FUSE_LANE
+    # pin the UNFUSED lane stage here: the fused-lane default is covered by
+    # test_zzrx_stack_fused_lane; this keeps the XLA lane path exercised
+    kernels_stack.FUSE_LANE = False
     try:
         for mode, interp in (
             ("stack", False),
@@ -559,6 +565,7 @@ def test_zzrx_multilayer_reference_and_interpret():
             np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=2e-3, err_msg=mode)
     finally:
         kernels.ML_MODE = old_mode
+        kernels_stack.FUSE_LANE = old_fuse
 
 
 def test_zzrx_multilayer_circuit_grouping():

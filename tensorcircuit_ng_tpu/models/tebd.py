@@ -36,9 +36,16 @@ __all__ = ["ParallelTEBD"]
 #: (core/kernels_jacobi.py) does the same batch in ~10-20 ms.
 SVD_MODE = "auto"
 JACOBI_SWEEPS = 10
+#: sweeps when warm-started by the previous trotter step's V on the same
+#: bond (theta drifts by O(dt) per step, so the iteration starts inside the
+#: quadratic basin).  The Jacobi kernel is the whole TEBD step cost
+#: (measured 30.2 of 32.6 ms at n=60 chi=64) and is linear in sweeps.
+JACOBI_SWEEPS_WARM = 4
 
 
-def _svd_batched(theta: Tensor) -> Tuple[Tensor, Tensor, Tensor]:
+def _svd_batched(
+    theta: Tensor, vh0: Optional[Tensor] = None
+) -> Tuple[Tensor, Tensor, Tensor]:
     mode = SVD_MODE
     if mode == "auto":
         # in-process TPU A/B (n=60 chi=64, steady ~27ms calibration):
@@ -46,11 +53,13 @@ def _svd_batched(theta: Tensor) -> Tuple[Tensor, Tensor, Tensor]:
         # (S=0.88 vs CPU 0.84-0.88); fastV heats even at 16 sweeps there
         mode = "jacobi" if jax.default_backend() == "tpu" else "gram"
     if mode == "jacobi":
-        from ..core.kernels_jacobi import jacobi_svd
+        from ..core.kernels_jacobi import jacobi_svd, jacobi_svd_warm
 
         # accumulate_v=True: the cheap vh = S^-1 U^H A recovery amplifies
         # U's residual non-orthogonality by s_max/s_cut at the truncation
         # edge (measured: chi=12 quench fidelity 0.93 vs 0.999995)
+        if vh0 is not None:
+            return jacobi_svd_warm(theta, JACOBI_SWEEPS_WARM, True, vh0)
         return jacobi_svd(theta, JACOBI_SWEEPS, True)
     if mode != "gram":
         raise ValueError(f"SVD_MODE must be 'auto', 'gram' or 'jacobi', got {mode!r}")
@@ -86,6 +95,7 @@ class ParallelTEBD:
         # or passed as jit inputs — keep concrete complex host-side)
         self.gammas = g
         self.lambdas = lam
+        self._vh_warm: dict = {}
 
     @staticmethod
     def initial_tensors(
@@ -118,12 +128,34 @@ class ParallelTEBD:
         return gammas, lam
 
     @classmethod
-    def from_state(cls, gammas: Tensor, lambdas: Tensor) -> "ParallelTEBD":
-        """Wrap existing (n,χ,d,χ) Γ / (n+1,χ) λ tensors (e.g. scan carries)."""
+    def from_state(
+        cls, gammas: Tensor, lambdas: Tensor, warm: Optional[dict] = None
+    ) -> "ParallelTEBD":
+        """Wrap existing (n,χ,d,χ) Γ / (n+1,χ) λ tensors (e.g. scan carries).
+
+        ``warm``: optional :meth:`warm_state` dict — per-parity (real, imag)
+        plane pairs of the previous step's full ``vh``, used to warm-start
+        the Jacobi truncation (see :data:`JACOBI_SWEEPS_WARM`).
+        """
         e = cls.__new__(cls)
         e.n, e.chi, e.d = int(gammas.shape[0]), int(gammas.shape[1]), int(gammas.shape[2])
         e.gammas, e.lambdas = gammas, lambdas
+        e._vh_warm = {}
+        if warm:
+            for p, (vr, vi) in warm.items():
+                e._vh_warm[int(p)] = vr + 1j * vi
         return e
+
+    def warm_state(self) -> dict:
+        """Per-parity (real, imag) planes of the last full ``vh``.
+
+        Float planes so the dict can cross jit boundaries / ride scan
+        carries on axon (complex jit inputs are unsupported there); feed
+        back via :meth:`from_state`'s ``warm=``.
+        """
+        return {
+            p: (jnp.real(vh), jnp.imag(vh)) for p, vh in self._vh_warm.items()
+        }
 
     # ------------------------------------------------------------------
     # core batched update
@@ -141,11 +173,16 @@ class ParallelTEBD:
         left = lam_l.astype(dt)[:, None, None] * gl  # (χ, d, χ)
         left = left * lam_c.astype(dt)[None, None, :]
         right = gr * lam_r.astype(dt)[None, None, :]
-        theta = jnp.einsum("aim,mjb->aijb", left, right)
+        theta = jnp.einsum("aim,mjb->aijb", left, right, precision="highest")
         theta = jnp.reshape(theta, (chi * d, d * chi))
         # apply the gate on the physical pair
         th = jnp.reshape(theta, (chi, d, d, chi))
-        th = jnp.einsum("pq,aqb->apb", gate.astype(dt), jnp.reshape(th, (chi, d * d, chi)))
+        th = jnp.einsum(
+            "pq,aqb->apb",
+            gate.astype(dt),
+            jnp.reshape(th, (chi, d * d, chi)),
+            precision="highest",
+        )
         theta = jnp.reshape(th, (chi * d, d * chi))
         u, s, vh = _linalg.gram_svd(theta)
         u = u[:, :chi]
@@ -185,24 +222,60 @@ class ParallelTEBD:
         lam_c = self.lambdas[p + 1 : hi : 2]
         lam_r = self.lambdas[p + 2 : hi + 1 : 2]
         dt = gl.dtype
-        # theta_{b,(a i),(j c)} = λl Γl λc Γr λr, gate applied on (i j)
-        left = lam_l.astype(dt)[:, :, None, None] * gl
-        left = left * lam_c.astype(dt)[:, None, None, :]
+
+        def fold_gate(th):
+            th = jnp.reshape(th, (nb, chi, d * d, chi))
+            th = jnp.einsum("bpq,baqc->bapc", gates.astype(dt), th, precision="highest")
+            return jnp.reshape(th, (nb, chi * d, d * chi))
+
+        # theta_{b,(a i),(j c)} = λl Γl λc Γr λr, gate applied on (i j).
+        # Also build the λl-free and λr-free variants: the unwrap below uses
+        # Γl' = θ_noλl Vh^H S^-1 and Γr' = S^-1 U^H θ_noλr (Hastings/TeNPy
+        # inverse-free form) instead of dividing U/Vh by the environment λ.
+        # The old λ^-1 unwrap amplifies any ABSOLUTE noise in U/Vh entries at
+        # small-λ positions by up to 1/λ; the cold Jacobi keeps those entries
+        # exactly zero, but the warm-start rotation (and any dense SVD) does
+        # not, which measured as an exponential norm blow-up (|ψ| 1.45 by 40
+        # steps).  S^-1 touches only kept singular values, and rows scaled by
+        # 1/s_i are re-suppressed by λ'_c = s_i in every later contraction.
+        left_bare = gl * lam_c.astype(dt)[:, None, None, :]
         right = gr * lam_r.astype(dt)[:, None, None, :]
-        theta = jnp.einsum("baim,bmjc->baijc", left, right)
-        theta = jnp.reshape(theta, (nb, chi, d * d, chi))
-        theta = jnp.einsum("bpq,baqc->bapc", gates.astype(dt), theta)
-        theta = jnp.reshape(theta, (nb, chi * d, d * chi))
-        u, s, vh = _svd_batched(theta)
+        theta_nl = fold_gate(
+            jnp.einsum("baim,bmjc->baijc", left_bare, right, precision="highest")
+        )
+        left = lam_l.astype(dt)[:, :, None, None] * left_bare
+        theta_nr = fold_gate(
+            jnp.einsum("baim,bmjc->baijc", left, gr, precision="highest")
+        )
+        # theta = λl-row-scale of the λl-free variant (exact, elementwise)
+        theta = jnp.reshape(
+            lam_l.astype(dt)[:, :, None, None]
+            * jnp.reshape(theta_nl, (nb, chi, d, d * chi)),
+            (nb, chi * d, d * chi),
+        )
+        u, s, vh = _svd_batched(theta, self._vh_warm.get(parity))
+        # full pre-truncation vh is next step's warm start on this parity
+        self._vh_warm[parity] = vh
         u = u[..., :, :chi]
         s = s[..., :chi]
         vh = vh[..., :chi, :]
         nrm = jnp.linalg.norm(s, axis=-1, keepdims=True)
         s_new = s / jnp.where(nrm > 1e-30, nrm, 1.0)
-        inv_l = _safe_inv(lam_l).astype(dt)
-        inv_r = _safe_inv(lam_r).astype(dt)
-        gl_new = jnp.reshape(u, (nb, chi, d, chi)) * inv_l[:, :, None, None]
-        gr_new = jnp.reshape(vh, (nb, chi, d, chi)) * inv_r[:, None, None, :]
+        inv_s = _safe_inv(s).astype(dt)
+        gl_new = jnp.reshape(
+            jnp.matmul(
+                theta_nl, jnp.conj(jnp.swapaxes(vh, -1, -2)), precision="highest"
+            )
+            * inv_s[:, None, :],
+            (nb, chi, d, chi),
+        )
+        gr_new = jnp.reshape(
+            inv_s[:, :, None]
+            * jnp.matmul(
+                jnp.conj(jnp.swapaxes(u, -1, -2)), theta_nr, precision="highest"
+            ),
+            (nb, chi, d, chi),
+        )
         if isinstance(self.gammas, jax.core.Tracer):
             # traced (jit/TPU production): reassemble by interleave + concat —
             # pure reshapes/slices XLA fuses, instead of site-axis scatters
@@ -355,6 +428,6 @@ class ParallelTEBD:
         psi = tensors[0][:1]  # (1, d, χ) — the padded edge bond starts at slot 0
         psi = jnp.reshape(psi, (self.d, self.chi))
         for t in tensors[1:]:
-            psi = jnp.einsum("xm,mdb->xdb", psi, t)
+            psi = jnp.einsum("xm,mdb->xdb", psi, t, precision="highest")
             psi = jnp.reshape(psi, (-1, self.chi))
         return psi[:, 0]

@@ -642,6 +642,7 @@ def test_zzrx_stack_outer_stage(monkeypatch):
         np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=2e-3)
 
 
+@pytest.mark.slow  # CPU-path oracle sweep; fused_lane is the fast representative
 def test_zzrx_stack_energy_fused_readout(monkeypatch):
     """expectation_zzx_energy == Re(zz_sum) + w_x * x_sum, values AND grads.
 

@@ -565,3 +565,46 @@ def test_parallel_tebd_imaginary_time_ground_state():
     ).real
     e_exact = float(np.linalg.eigvalsh(H)[0])
     assert abs(e - e_exact) < 5e-3, (e, e_exact)
+
+
+def test_parallel_tebd_warm_start_matches_cold():
+    """Warm-started Jacobi (vh threaded via warm_state/from_state, 4 sweeps)
+    reproduces the cold 10-sweep evolution (interpret-mode kernel)."""
+    import scipy.linalg as sl
+    import tensorcircuit_ng_tpu as tc
+    from tensorcircuit_ng_tpu.models import tebd as tebd_mod
+    from tensorcircuit_ng_tpu.core import kernels_jacobi as KJ
+
+    X = np.array([[0, 1], [1, 0.0]])
+    Z = np.diag([1.0, -1.0])
+    hb = np.kron(Z, Z) + 0.5 * np.kron(X, np.eye(2))
+    gate = sl.expm(-1j * 0.12 * hb).astype(np.complex64)
+    n, chi, steps = 4, 8, 2
+
+    def evolve(threaded):
+        eng = tc.ParallelTEBD(n, chi, initial="neel")
+        gr, gi, lam = (
+            jnp.real(jnp.asarray(eng.gammas)),
+            jnp.imag(jnp.asarray(eng.gammas)),
+            jnp.asarray(eng.lambdas),
+        )
+        warm = None
+        for _ in range(steps):
+            eng = tc.ParallelTEBD.from_state(
+                gr + 1j * gi, lam, warm=warm if threaded else None
+            )
+            eng.trotter_step(gate)
+            warm = eng.warm_state()
+            gr, gi, lam = jnp.real(eng.gammas), jnp.imag(eng.gammas), eng.lambdas
+        return np.asarray(tc.ParallelTEBD.from_state(gr + 1j * gi, lam).wavefunction())
+
+    old_mode, old_interp = tebd_mod.SVD_MODE, KJ._INTERPRET
+    try:
+        tebd_mod.SVD_MODE = "jacobi"
+        KJ._INTERPRET = True
+        psi_c = evolve(False)
+        psi_w = evolve(True)
+    finally:
+        tebd_mod.SVD_MODE, KJ._INTERPRET = old_mode, old_interp
+    ov = abs(np.vdot(psi_c, psi_w)) / (np.linalg.norm(psi_c) * np.linalg.norm(psi_w))
+    assert ov > 1 - 1e-5, ov

@@ -140,6 +140,7 @@ def test_circuit_mesh_engine_state_and_ops_parity():
     np.testing.assert_allclose(float(p1), float(p2), atol=1e-5)
 
 
+@pytest.mark.slow  # one extra sharded compile (~14 s); compact covers the engine
 def test_circuit_mesh_engine_vqe_grad_and_fused_readout():
     """Jitted VQE value_and_grad through the sharded engine (fused Ising
     readout: one shard_map + psum) matches dense at n=9 (odd n: uneven

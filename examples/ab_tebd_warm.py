@@ -63,7 +63,8 @@ def make_cold(n, chi, K, even, odd, return_state=False):
 
 def make_warm(n, chi, K, even, odd, return_state=False):
     def cold0(gr, gi, lam):
-        eng = tc.ParallelTEBD.from_state(gr + 1j * gi, lam)
+        # warm={} opts in to RECORDING vh (cold sweeps this step)
+        eng = tc.ParallelTEBD.from_state(gr + 1j * gi, lam, warm={})
         eng.trotter_step(even, odd)
         return (
             jnp.real(eng.gammas),

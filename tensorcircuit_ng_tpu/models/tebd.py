@@ -95,7 +95,12 @@ class ParallelTEBD:
         # or passed as jit inputs — keep concrete complex host-side)
         self.gammas = g
         self.lambdas = lam
+        # warm-start is OPT-IN (from_state(warm=...)): a long-lived engine
+        # must not silently drop to JACOBI_SWEEPS_WARM sweeps nor cache
+        # trace-local tracers on the instance (CLAUDE.md no-tracer-caching)
+        self._warm_in: dict = {}
         self._vh_warm: dict = {}
+        self._record_warm = False
 
     @staticmethod
     def initial_tensors(
@@ -140,10 +145,14 @@ class ParallelTEBD:
         e = cls.__new__(cls)
         e.n, e.chi, e.d = int(gammas.shape[0]), int(gammas.shape[1]), int(gammas.shape[2])
         e.gammas, e.lambdas = gammas, lambdas
+        e._warm_in = {}
         e._vh_warm = {}
+        # warm-start only when the caller explicitly opts in; passing warm={}
+        # opts in to RECORDING (first step of a scan carry) with cold sweeps
+        e._record_warm = warm is not None
         if warm:
             for p, (vr, vi) in warm.items():
-                e._vh_warm[int(p)] = vr + 1j * vi
+                e._warm_in[int(p)] = vr + 1j * vi
         return e
 
     def warm_state(self) -> dict:
@@ -253,9 +262,12 @@ class ParallelTEBD:
             * jnp.reshape(theta_nl, (nb, chi, d, d * chi)),
             (nb, chi * d, d * chi),
         )
-        u, s, vh = _svd_batched(theta, self._vh_warm.get(parity))
-        # full pre-truncation vh is next step's warm start on this parity
-        self._vh_warm[parity] = vh
+        u, s, vh = _svd_batched(theta, self._warm_in.pop(parity, None))
+        if self._record_warm:
+            # full pre-truncation vh is next step's warm start on this parity
+            # (recorded ONLY under explicit opt-in: long-lived engines must
+            # not hold tracers across traces nor silently drop to warm sweeps)
+            self._vh_warm[parity] = vh
         u = u[..., :, :chi]
         s = s[..., :chi]
         vh = vh[..., :chi, :]
@@ -276,6 +288,13 @@ class ParallelTEBD:
             ),
             (nb, chi, d, chi),
         )
+        # Restore the zero-at-padded-directions invariant the old λ^-1 unwrap
+        # enforced via _safe_inv=0: without it, f32 noise in theta at padded
+        # zero-λ environment directions survives the inverse-free unwrap, and
+        # canonicalize()'s QR sweep normalizes that garbage into O(1) spurious
+        # orthonormal Schmidt directions.
+        gl_new = jnp.where(lam_l[:, :, None, None] > 1e-12, gl_new, 0.0)
+        gr_new = jnp.where(lam_r[:, None, None, :] > 1e-12, gr_new, 0.0)
         if isinstance(self.gammas, jax.core.Tracer):
             # traced (jit/TPU production): reassemble by interleave + concat —
             # pure reshapes/slices XLA fuses, instead of site-axis scatters
@@ -327,6 +346,9 @@ class ParallelTEBD:
         norm/phase), λ become true Schmidt spectra.
         """
         n, chi, d = self.n, self.chi, self.d
+        # re-gauging invalidates any recorded warm-start basis
+        self._warm_in = {}
+        self._vh_warm = {}
         tensors = self.to_mps_tensors()
         dt = jnp.asarray(tensors[0]).dtype
         # left-to-right QR sweep -> left-canonical A_i

@@ -505,7 +505,14 @@ def test_parallel_tebd_canonicalize():
     w1 = w1 / np.linalg.norm(w1)
     assert abs(np.vdot(w0, w1)) > 1 - 1e-5
     lam = np.sort(np.array(eng.lambdas[n // 2]))[::-1]
-    np.testing.assert_allclose(lam[:8], np.sort(sv)[::-1][:8], atol=1e-5)
+    sv = np.sort(sv)[::-1][:8]
+    # canonicalize() resolves Schmidt values through an f32 Gram-eigh
+    # (linalg.gram_svd): squaring the spectrum means sigma below
+    # sqrt(eps_f32)*s_max ~ 3.5e-4 carries absolute error ~eps*s_max^2/sigma
+    # (observed 1.1e-5 at sigma=1.2e-4) — tight atol only above that floor.
+    big = sv > 5e-4
+    np.testing.assert_allclose(lam[:8][big], sv[big], atol=1e-5)
+    np.testing.assert_allclose(lam[:8][~big], sv[~big], atol=1e-3)
 
 
 @pytest.mark.slow  # heavy; fast sibling covers the path
@@ -579,7 +586,9 @@ def test_parallel_tebd_warm_start_matches_cold():
     Z = np.diag([1.0, -1.0])
     hb = np.kron(Z, Z) + 0.5 * np.kron(X, np.eye(2))
     gate = sl.expm(-1j * 0.12 * hb).astype(np.complex64)
-    n, chi, steps = 4, 8, 2
+    # chi=4 < 2^(n/2): truncation is ACTIVE by step 2, so the warm path is
+    # exercised in the regime that motivated the inverse-free unwrap
+    n, chi, steps = 8, 4, 4
 
     def evolve(threaded):
         eng = tc.ParallelTEBD(n, chi, initial="neel")
@@ -588,7 +597,8 @@ def test_parallel_tebd_warm_start_matches_cold():
             jnp.imag(jnp.asarray(eng.gammas)),
             jnp.asarray(eng.lambdas),
         )
-        warm = None
+        # warm={} opts in to recording from step 1 (cold sweeps, warm later)
+        warm = {} if threaded else None
         for _ in range(steps):
             eng = tc.ParallelTEBD.from_state(
                 gr + 1j * gi, lam, warm=warm if threaded else None

@@ -93,6 +93,26 @@ def score(ir, optimizer, name):
     }
 
 
+def score_repo_auto(ir):
+    """Score the path the REPO actually uses for optimizer='auto': routed
+    through core.contractor.find_path so the hard-network treesa escalation
+    (contractor.py:84-105) fires exactly as in production.  The plain
+    opt_einsum 'auto' column (``oe_auto``) is kept as the external baseline;
+    this column is the shipped behavior."""
+    from tensorcircuit_ng_tpu.core import contractor as _ctr
+
+    _ctr._PATH_CACHE.pop((ir.signature(), "auto"), None)  # time a cold search
+    t0 = time.time()
+    _, info = _ctr.find_path(ir, "auto")
+    dt = time.time() - t0
+    return {
+        "optimizer": "repo_auto",
+        "log10_flops": round(float(np.log10(float(info.opt_cost))), 3),
+        "log2_size": round(float(np.log2(float(info.largest_intermediate))), 2),
+        "search_s": round(dt, 2),
+    }
+
+
 def onchip_contract_seconds(results):
     """Measure the 40q depth-4 sliced-amplitude workload as ACTUAL contract
     seconds per optimizer (the VERDICT r2 #6 column) — planner FLOPs are a
@@ -172,7 +192,8 @@ def main():
         ir = c.amplitude_before("0" * n)
         row["operands"] = len(ir.inputs)
         row["greedy"] = score(ir, "greedy", "greedy")
-        row["auto"] = score(ir, "auto", "auto")
+        row["oe_auto"] = score(ir, "auto", "oe_auto")
+        row["auto"] = score_repo_auto(ir)
         row["treesa"] = score(
             ir,
             TreeSAOptimizer(n_iters=600000, seed=7, restarts=3, size_weight=0.5),

@@ -264,13 +264,17 @@ def _dqas_search_reference(
         if p_nnp is None:
             p_nnp = p
         if p_nnp is None:
-            raise ValueError("Please give the shape information on nnp")
+            raise ValueError(
+                "cannot infer the nnp parameter shape: pass nnp_initial_value, p_nnp, or p"
+            )
         nnp_initial_value = np.random.uniform(size=[p_nnp, c])
     if stp_initial_value is None:
         if p_stp is None:
             p_stp = p
         if p_stp is None:
-            raise ValueError("Please give the shape information on stp")
+            raise ValueError(
+                "cannot infer the stp parameter shape: pass stp_initial_value, p_stp, or p"
+            )
         stp_initial_value = np.zeros([p_stp, c])
     if p is None:
         p = stp_initial_value.shape[0]

@@ -411,7 +411,8 @@ def qaoa_train(
     import optax
 
     if initial_param is None:
-        initial_param = np.random.normal(loc=0.3, scale=0.05, size=[len(preset)])
+        rng = np.random.default_rng()
+        initial_param = 0.3 + 0.05 * rng.standard_normal(len(preset))
     theta = jnp.asarray(np.asarray(initial_param), dtype=jnp.float32)
     if opt is None:
         opt = optax.adam(1e-2)

@@ -555,6 +555,91 @@ class ShardedStatevec:
             return samples[0], probs[0]
         return samples[0], jnp.asarray(-1.0)
 
+    def amplitude(self, psi: Tensor, bits: Any) -> Tensor:
+        """⟨bits|ψ⟩ — the owning device contributes one element, one psum.
+
+        ``bits``: bitstring ("0101…") or sequence of 0/1, length n, wire 0
+        first (same convention as the dense engine's ``amplitude``).
+        """
+        if isinstance(bits, str):
+            bits = [int(b) for b in bits]
+        bits = [int(b) for b in bits]
+        assert len(bits) == self.n
+        d_target = 0
+        for w in range(self.k):
+            d_target = 2 * d_target + bits[w]
+        li = 0
+        for w in range(self.k, self.n):
+            li = 2 * li + bits[w]
+
+        def f(local):
+            d = jax.lax.axis_index(self.axis)
+            hit = (d == d_target).astype(local.dtype)
+            v = local[li] * hit
+            return (
+                jax.lax.psum(jnp.real(v)[None], self.axis),
+                jax.lax.psum(jnp.imag(v)[None], self.axis),
+            )
+
+        sm = jax.shard_map(
+            f,
+            mesh=self.mesh,
+            in_specs=(P(self.axis),),
+            out_specs=(P(self.axis), P(self.axis)),
+            check_vma=False,
+        )
+        re, im = sm(psi)
+        return re[0] + 1j * im[0]
+
+    def probability(self, psi: Tensor, wires: Optional[Sequence[int]] = None) -> Tensor:
+        """Marginal Born distribution over ``wires`` (default: all), shape
+        ``(2^m,)`` in the wire order given.
+
+        Communication-free except ONE psum: local-wire marginals are
+        segment-split reshaped sums (never a rank-n ``(2,)*n`` tensor — axes
+        are split only at requested wires), top wires contribute a one-hot
+        of the device bit.
+        """
+        wires = list(range(self.n)) if wires is None else [int(w) for w in wires]
+        assert len(set(wires)) == len(wires)
+        m = len(wires)
+        rdt = self._rdtype()
+        loc_sorted = sorted(w for w in wires if w >= self.k)
+
+        def f(local):
+            mass = jnp.real(local) ** 2 + jnp.imag(local) ** 2
+            # split the flat local axis ONLY at requested wires:
+            # (seg0, 2, seg1, 2, ..., seglast) then sum out the segments
+            shape: list = []
+            prev = -1
+            for w in loc_sorted:
+                ax = w - self.k
+                shape.append(2 ** (ax - prev - 1))
+                shape.append(2)
+                prev = ax
+            shape.append(2 ** (self.nlocal - 1 - prev))
+            pm = jnp.sum(
+                jnp.reshape(mass, shape), axis=tuple(range(0, 2 * len(loc_sorted) + 1, 2))
+            )  # (2,)*len(loc_sorted), ascending wire order
+            # reorder local axes to the requested relative order
+            req_loc = [w for w in wires if w >= self.k]
+            pm = jnp.transpose(pm, [loc_sorted.index(w) for w in req_loc])
+            # interleave top wires as one-hot device-bit factors
+            out = pm
+            for p, w in enumerate(wires):
+                if w < self.k:
+                    oh = jax.nn.one_hot(self._device_bit(w), 2, dtype=rdt)
+                    out = jnp.expand_dims(out, p) * jnp.reshape(
+                        oh, (1,) * p + (2,) + (1,) * (out.ndim - p)
+                    )
+            return jax.lax.psum(jnp.reshape(out, (2**m,))[None], self.axis)
+
+        sm = jax.shard_map(
+            f, mesh=self.mesh, in_specs=(P(self.axis),), out_specs=P(self.axis),
+            check_vma=False,
+        )
+        return sm(psi)[0]
+
     def sample_direct(self, psi: Tensor, status: Tensor) -> Tensor:
         """Batched Born sampling: ALL shots in one pass, two collectives.
 
@@ -567,6 +652,14 @@ class ShardedStatevec:
         Returns int32 global indices of shape ``status.shape``.
         """
         status = jnp.reshape(jnp.asarray(status), (-1,))
+        if self.n > 31 and not jax.config.jax_enable_x64:
+            # jnp.int64 silently downcasts to int32 without x64 — exactly the
+            # width where global indices no longer fit; fail loudly instead
+            raise ValueError(
+                "sample_direct needs int64 global indices for n > 31: enable "
+                "jax_enable_x64, or use measure_jit (per-qubit bits, no wide "
+                "integer index)"
+            )
 
         def f(local):
             mass = jnp.real(local) ** 2 + jnp.imag(local) ** 2
@@ -649,17 +742,60 @@ class ShardedStatevec:
         y: Optional[Sequence[int]] = None,
         z: Optional[Sequence[int]] = None,
     ) -> Tensor:
-        """<Π X_i Π Y_j Π Z_k> — Z-strings are communication-free + one
-        psum; X/Y ride the 1q gate path."""
-        ops = []
-        X = np.array([[0, 1], [1, 0]], np.complex64)
-        Y = np.array([[0, -1j], [1j, 0]], np.complex64)
-        for w in x or ():
-            ops.append((X, [int(w)]))
-        for w in y or ():
-            ops.append((Y, [int(w)]))
-        if not ops:
-            return self.expectation_z(psi, list(z or ())).astype(self._cdtype())
-        for w in z or ():
-            ops.append((np.diag([1.0, -1.0]).astype(np.complex64), [int(w)]))
-        return self.expectation(psi, ops)
+        """⟨Π X_i Π Y_j Π Z_k⟩ as ONE flip-overlap: at most one ppermute
+        (all top X/Y wires share a single XOR exchange) + one psum.
+
+        (Pψ)_b = ψ_{b⊕F} · (−i)^{|y|} Π_{j∈y} s_j(b) Π_{k∈z} s_k(b) with
+        F the X∪Y flip mask and s the ±1 bit signs — so the expectation is
+        a phase-weighted overlap of ψ with its F-flipped self, never a
+        densified gate chain (reference role: ``expectation_ps``; here the
+        sharded analog of the ising-readout slot-flip trick).
+        """
+        xw = [int(w) for w in (x or ())]
+        yw = [int(w) for w in (y or ())]
+        zw = [int(w) for w in (z or ())]
+        assert len(set(xw + yw + zw)) == len(xw + yw + zw)
+        if not xw and not yw:
+            return self.expectation_z(psi, zw).astype(self._cdtype())
+        flips = sorted(xw + yw)
+        top_mask = 0
+        for w in flips:
+            if w < self.k:
+                top_mask |= 1 << (self.k - 1 - w)
+        loc_flips = [w for w in flips if w >= self.k]
+        # (−i)^{|y|}: constant complex prefactor, applied on the host side
+        pref = (-1j) ** (len(yw) % 4)
+        rdt = self._rdtype()
+
+        def f(local):
+            idx = jnp.arange(self.local_size)
+            phi = local
+            for w in loc_flips:  # local bit flip = axis reversal, one pass
+                lq = w - self.k
+                left = 2**lq
+                right = self.local_size // (2 * left)
+                phi = jnp.reshape(
+                    jnp.reshape(phi, (left, 2, right))[:, ::-1], (-1,)
+                )
+            if top_mask:
+                pairs = [(d, d ^ top_mask) for d in range(self.ndev)]
+                phi = jax.lax.ppermute(phi, self.axis, pairs)
+            sign = jnp.ones((), rdt)
+            for w in yw + zw:  # phase rides the OUTPUT index bits
+                s = self._sign_of_wire(int(w), idx, rdt)
+                sign = sign * s
+            v = jnp.sum(jnp.conj(local) * phi * sign.astype(local.dtype))
+            return (
+                jax.lax.psum(jnp.real(v)[None], self.axis),
+                jax.lax.psum(jnp.imag(v)[None], self.axis),
+            )
+
+        sm = jax.shard_map(
+            f,
+            mesh=self.mesh,
+            in_specs=(P(self.axis),),
+            out_specs=(P(self.axis), P(self.axis)),
+            check_vma=False,
+        )
+        re, im = sm(psi)
+        return pref * (re[0] + 1j * im[0])

@@ -76,3 +76,63 @@ def test_treesa_direct_api():
     res = oe.contract(eq, *arrays, optimize=path)
     ref = oe.contract(eq, *arrays, optimize="optimal")
     np.testing.assert_allclose(res, ref, atol=1e-8)
+
+
+def test_auto_escalation_fires_on_hard_net_and_skips_easy(monkeypatch):
+    """find_path('auto') escalates to treesa on hard networks (greedy cost
+    > 1e10) and does NOT pay the annealer on easy ones (contractor.py
+    escalation policy — benchmarked in benchmarks/path_quality.py)."""
+    calls = {"n": 0}
+    real = native.TreeSAOptimizer
+
+    def counting(*args, **kw):
+        calls["n"] += 1
+        kw["n_iters"] = 20000  # keep the test fast; quality irrelevant here
+        kw["restarts"] = 1
+        return real(**kw)
+
+    monkeypatch.setattr(native, "TreeSAOptimizer", counting)
+
+    # easy: shallow chain — greedy is fine, no escalation
+    c = deep_circuit(8, 4)
+    ir = c.amplitude_before("0" * 8)
+    ctr._PATH_CACHE.pop((ir.signature(), "auto"), None)
+    _, info = ctr.find_path(ir, "auto")
+    assert calls["n"] == 0
+    assert float(info.opt_cost) < 1e10
+
+    # hard: 2D brickwork grid — greedy-class paths blow past 1e10 FLOPs
+    rows, cols, depth = 5, 5, 10
+    n = rows * cols
+    rng = np.random.default_rng(3)
+    c = tc.Circuit(n)
+    for i in range(n):
+        c.h(i)
+    for l in range(depth):
+        if l % 2 == 0:
+            pairs = [
+                (r * cols + a, r * cols + a + 1)
+                for r in range(rows)
+                for a in range(l // 2 % 2, cols - 1, 2)
+            ]
+        else:
+            pairs = [
+                (a * cols + cc, (a + 1) * cols + cc)
+                for cc in range(cols)
+                for a in range((l // 2) % 2, rows - 1, 2)
+            ]
+        for a, b in pairs:
+            c.cnot(a, b)
+        for i in range(n):
+            c.rx(i, theta=float(rng.normal()))
+    ir = c.amplitude_before("0" * n)
+    import opt_einsum as oe
+
+    _, ginfo = oe.contract_path(
+        ir.to_subscripts(), *ir.shapes(), shapes=True, optimize="greedy"
+    )
+    assert float(ginfo.opt_cost) > 1e10  # precondition: actually hard
+    ctr._PATH_CACHE.pop((ir.signature(), "auto"), None)
+    _, info = ctr.find_path(ir, "auto")
+    assert calls["n"] == 1  # escalation fired exactly once
+    assert float(info.opt_cost) <= float(ginfo.opt_cost)

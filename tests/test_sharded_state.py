@@ -258,3 +258,76 @@ def test_circuit_mesh_engine_compact():
     np.testing.assert_allclose(
         np.asarray(jax.device_get(psis)), np.asarray(cd.state()), atol=1e-5
     )
+
+
+def test_sharded_engine_amplitude_probability_ps_parity():
+    """Round-4 surfaces in ONE sharded program: amplitude, marginal
+    probability (mixed top/local wires, permuted order), and the XOR
+    flip-overlap expectation_ps (X/Y/Z mixed, incl. top wires) vs dense."""
+    n = 10
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sv",))
+    sv = ShardedStatevec(n, mesh)
+    rng = np.random.default_rng(11)
+    th = rng.normal(size=(n,)) * 0.7
+    bits = "0110010110"
+
+    def build(svc=None):
+        if svc is None:
+            c = tc.Circuit(n)
+            for q in range(n):
+                c.h(q)
+            for q in range(n):
+                c.rx(q, theta=th[q])
+            for q in range(n - 1):
+                c.rzz(q, q + 1, theta=0.4)
+            return c
+        psi = svc.init_zero()
+        for q in range(n):
+            psi = svc.h(psi, q)
+        for q in range(n):
+            psi = svc.apply(psi, rx_matrix(th[q]), [q])
+        for q in range(n - 1):
+            psi = svc.apply(psi, rzz_matrix(0.4), [q, q + 1])
+        return psi
+
+    wires = [7, 1, 4]  # top wire 1 interleaved, permuted order
+
+    @jax.jit
+    def program():
+        psi = build(sv)
+        amp = sv.amplitude(psi, bits)
+        marg = sv.probability(psi, wires)
+        # X on top+local, Y local, Z local: one ppermute + one psum
+        e1 = sv.expectation_ps(psi, x=[0, 6], y=[3], z=[8])
+        e2 = sv.expectation_ps(psi, y=[1, 5])  # top Y in the flip mask
+        return (
+            jnp.real(amp), jnp.imag(amp), marg,
+            jnp.real(e1), jnp.real(e2), jnp.imag(e1),
+        )
+
+    ar, ai, marg, e1, e2, e1i = program()
+    c = build(None)
+    amp_d = complex(np.asarray(c.amplitude(bits)))
+    np.testing.assert_allclose(float(ar) + 1j * float(ai), amp_d, atol=1e-5)
+    # dense marginal in the same wire order
+    p_full = np.abs(np.asarray(c.state())) ** 2
+    pt = p_full.reshape((2,) * n)
+    sum_axes = tuple(a for a in range(n) if a not in wires)
+    pm = pt.sum(axis=sum_axes)  # axes in ascending wire order (1,4,7)
+    asc = sorted(wires)
+    pm = np.transpose(pm, [asc.index(w) for w in wires]).reshape(-1)
+    np.testing.assert_allclose(np.asarray(marg), pm, atol=1e-5)
+    np.testing.assert_allclose(np.sum(np.asarray(marg)), 1.0, atol=1e-5)
+    e1_d = complex(np.asarray(c.expectation_ps(x=[0, 6], y=[3], z=[8])))
+    e2_d = complex(np.asarray(c.expectation_ps(y=[1, 5])))
+    np.testing.assert_allclose(float(e1), e1_d.real, atol=1e-5)
+    np.testing.assert_allclose(float(e1i), 0.0, atol=1e-5)
+    np.testing.assert_allclose(float(e2), e2_d.real, atol=1e-5)
+
+
+def test_sample_direct_int64_guard():
+    """n>31 without x64: loud error instead of a silent int32 downcast."""
+    mesh = Mesh(np.array(jax.devices()[:2]), ("sv",))
+    sv = ShardedStatevec(33, mesh)
+    with pytest.raises(ValueError, match="int64"):
+        sv.sample_direct(jnp.zeros(4), jnp.asarray([0.5]))

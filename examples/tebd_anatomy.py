@@ -74,7 +74,7 @@ def timed(tag, fk):
     return best * 1000
 
 
-def fake_svd(theta):
+def fake_svd(theta, vh0=None):
     b, mm, nn = theta.shape
     # traffic-shaped stand-in: row norms as S, padded identities as U/Vh
     s = jnp.sqrt(jnp.sum(jnp.abs(theta) ** 2, axis=-1))[:, :nn]

@@ -914,16 +914,99 @@ def _zz_pair_sums(h, pairs, n, rb, lanes, j):
     return out
 
 
-def _zzrx_fwd_kernel(pairs, n, nrow, with_lane: bool = False):
+def _rowm_fwd_stage(cr, ci, m7r, m7i):
+    """Left-multiply the top-rmx row bits by the (R, R) rx-kron on the MXU.
+
+    The (rb, lanes) block reshapes to (R, rb//R * lanes) — the leading axis
+    IS the top log2(R) row bits — so the whole rmx-qubit sweep is one
+    complex matmul (4 real dots) instead of rmx roll-butterflies (4·rmx
+    full-block VMEM shuffles on the VPU)."""
+    rb, lanes = cr.shape
+    R = m7r.shape[0]
+    w = (rb // R) * lanes
+    xr = jnp.reshape(cr, (R, w))
+    xi = jnp.reshape(ci, (R, w))
+    f32 = jnp.float32
+    yr = jnp.dot(m7r, xr, preferred_element_type=f32) - jnp.dot(
+        m7i, xi, preferred_element_type=f32
+    )
+    yi = jnp.dot(m7r, xi, preferred_element_type=f32) + jnp.dot(
+        m7i, xr, preferred_element_type=f32
+    )
+    return jnp.reshape(yr, (rb, lanes)), jnp.reshape(yi, (rb, lanes))
+
+
+def _rowm_bwd_stage(j, m7r_ref, m7i_ref, s_r, s_i, dsr_ref, dsi_ref,
+                    dm7r_ref, dm7i_ref):
+    """Un-apply the row kron (M† y), accumulate dM7 over the sequential
+    grid, and walk the cotangent through M7^T — the left-multiplication
+    mirror of :func:`_lane_bwd_prologue`.  REQUIRES a unitary M7."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(j == 0)
+    def _():
+        dm7r_ref[:] = jnp.zeros_like(dm7r_ref)
+        dm7i_ref[:] = jnp.zeros_like(dm7i_ref)
+
+    f32 = jnp.float32
+    tt = (((0,), (0,)), ((), ()))  # a^T @ b
+    dg = (((1,), (1,)), ((), ()))  # a @ b^T
+    m7r = m7r_ref[:]
+    m7i = m7i_ref[:]
+    rb, lanes = s_r.shape
+    R = m7r.shape[0]
+    w = (rb // R) * lanes
+    yr = jnp.reshape(s_r[:], (R, w))
+    yi = jnp.reshape(s_i[:], (R, w))
+    cr = jnp.reshape(dsr_ref[:], (R, w))
+    ci = jnp.reshape(dsi_ref[:], (R, w))
+    # x = M7† y  (planes: xr = m7r^T yr + m7i^T yi, xi = m7r^T yi - m7i^T yr)
+    xr = (
+        jax.lax.dot_general(m7r, yr, tt, preferred_element_type=f32)
+        + jax.lax.dot_general(m7i, yi, tt, preferred_element_type=f32)
+    )
+    xi = (
+        jax.lax.dot_general(m7r, yi, tt, preferred_element_type=f32)
+        - jax.lax.dot_general(m7i, yr, tt, preferred_element_type=f32)
+    )
+    # dM7 += ct @ x^T (non-conjugating complex product, module convention)
+    dm7r_ref[:] += (
+        jax.lax.dot_general(cr, xr, dg, preferred_element_type=f32)
+        - jax.lax.dot_general(ci, xi, dg, preferred_element_type=f32)
+    )
+    dm7i_ref[:] += (
+        jax.lax.dot_general(cr, xi, dg, preferred_element_type=f32)
+        + jax.lax.dot_general(ci, xr, dg, preferred_element_type=f32)
+    )
+    # ct walk: ct = M7^T ct
+    nr = (
+        jax.lax.dot_general(m7r, cr, tt, preferred_element_type=f32)
+        - jax.lax.dot_general(m7i, ci, tt, preferred_element_type=f32)
+    )
+    ni = (
+        jax.lax.dot_general(m7r, ci, tt, preferred_element_type=f32)
+        + jax.lax.dot_general(m7i, cr, tt, preferred_element_type=f32)
+    )
+    s_r[:] = jnp.reshape(xr, (rb, lanes))
+    s_i[:] = jnp.reshape(xi, (rb, lanes))
+    dsr_ref[:] = jnp.reshape(nr, (rb, lanes))
+    dsi_ref[:] = jnp.reshape(ni, (rb, lanes))
+
+
+def _zzrx_fwd_kernel(pairs, n, nrow, with_lane: bool = False, rmx: int = 0):
     from jax.experimental import pallas as pl
 
     def kernel(*refs):
+        refs = list(refs)
+        zzth_ref, cs_ref, srow_ref, slane_ref = refs[:4]
+        refs = refs[4:]
+        if rmx:
+            m7r_ref, m7i_ref = refs[:2]
+            refs = refs[2:]
         if with_lane:
-            (zzth_ref, cs_ref, srow_ref, slane_ref, mr_ref, mi_ref,
-             sr_ref, si_ref, or_ref, oi_ref) = refs
-        else:
-            (zzth_ref, cs_ref, srow_ref, slane_ref,
-             sr_ref, si_ref, or_ref, oi_ref) = refs
+            mr_ref, mi_ref = refs[:2]
+            refs = refs[2:]
+        sr_ref, si_ref, or_ref, oi_ref = refs
         cr = sr_ref[:]
         ci = si_ref[:]
         rb, lanes = cr.shape
@@ -939,12 +1022,17 @@ def _zzrx_fwd_kernel(pairs, n, nrow, with_lane: bool = False):
         ps = -jnp.sin(0.5 * expo)  # phase = e^{-i expo / 2}
         cr, ci = pc * cr - ps * ci, pc * ci + ps * cr
         rows = jax.lax.broadcasted_iota(jnp.int32, cr.shape, 0)
-        for q in range(nrow):
+        # low row bits (strides below 2^(nrow-rmx)) stay VPU butterflies;
+        # the top rmx bits ride the MXU as one kron matmul below
+        for ql in range(nrow - rmx):
+            q = rmx + ql
             s = rb >> (q + 1)
-            c = cs_ref[q, 0]
-            sn = cs_ref[q, 1]
+            c = cs_ref[ql, 0]
+            sn = cs_ref[ql, 1]
             m = (c, 0.0, 0.0, -sn, 0.0, -sn, c, 0.0)
             cr, ci = _butterfly(cr, ci, rows, s, m)
+        if rmx:
+            cr, ci = _rowm_fwd_stage(cr, ci, m7r_ref[:], m7i_ref[:])
         if with_lane:
             # the lane-qubit kron rides the MXU inside the same HBM pass
             # (VERDICT r2 #1c)
@@ -956,29 +1044,39 @@ def _zzrx_fwd_kernel(pairs, n, nrow, with_lane: bool = False):
     return kernel
 
 
-def _zzrx_bwd_kernel(pairs, n, nrow, with_lane: bool = False):
+def _zzrx_bwd_kernel(pairs, n, nrow, with_lane: bool = False, rmx: int = 0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     npairs = len(pairs)
 
     def kernel(*refs):
+        refs = list(refs)
+        zzth_ref, cs_ref, srow_ref, slane_ref = refs[:4]
+        refs = refs[4:]
+        if rmx:
+            m7r_ref, m7i_ref = refs[:2]
+            refs = refs[2:]
         if with_lane:
-            (zzth_ref, cs_ref, srow_ref, slane_ref, mr_ref, mi_ref,
-             yr_ref, yi_ref, ctr_ref, cti_ref,
-             dsr_ref, dsi_ref, dzz_ref, dth_ref, dmr_ref, dmi_ref,
-             s_r, s_i) = refs
-        else:
-            (zzth_ref, cs_ref, srow_ref, slane_ref, yr_ref, yi_ref,
-             ctr_ref, cti_ref,
-             dsr_ref, dsi_ref, dzz_ref, dth_ref,
-             s_r, s_i) = refs
+            mr_ref, mi_ref = refs[:2]
+            refs = refs[2:]
+        yr_ref, yi_ref, ctr_ref, cti_ref, dsr_ref, dsi_ref = refs[:6]
+        refs = refs[6:]
+        dzz_ref, dth_ref = refs[:2]
+        refs = refs[2:]
+        if rmx:
+            dm7r_ref, dm7i_ref = refs[:2]
+            refs = refs[2:]
+        if with_lane:
+            dmr_ref, dmi_ref = refs[:2]
+            refs = refs[2:]
+        s_r, s_i = refs
         j = pl.program_id(0)
 
         @pl.when(j == 0)
         def _():
             dzz_ref[:] = jnp.zeros_like(dzz_ref)
-            for qq in range(nrow):
+            for qq in range(nrow - rmx):
                 dth_ref[qq] = 0.0
 
         if with_lane:
@@ -991,12 +1089,18 @@ def _zzrx_bwd_kernel(pairs, n, nrow, with_lane: bool = False):
             s_i[:] = yi_ref[:]
             dsr_ref[:] = ctr_ref[:]
             dsi_ref[:] = cti_ref[:]
+        if rmx:
+            _rowm_bwd_stage(
+                j, m7r_ref, m7i_ref, s_r, s_i, dsr_ref, dsi_ref,
+                dm7r_ref, dm7i_ref,
+            )
         rb, lanes = s_r.shape
         rows = jax.lax.broadcasted_iota(jnp.int32, s_r.shape, 0)
-        for q in range(nrow - 1, -1, -1):
+        for ql in range(nrow - rmx - 1, -1, -1):
+            q = rmx + ql
             s = rb >> (q + 1)
-            c = cs_ref[q, 0]
-            sn = cs_ref[q, 1]
+            c = cs_ref[ql, 0]
+            sn = cs_ref[ql, 1]
             bit = (rows // s) % 2
             is_lo = bit == 0
             mdag = (c, 0.0, 0.0, sn, 0.0, sn, c, 0.0)
@@ -1014,7 +1118,7 @@ def _zzrx_bwd_kernel(pairs, n, nrow, with_lane: bool = False):
             if not _BWD_SKIP_GRADS:  # timing-diagnostic flag, never in prod
                 re_s1 = jnp.sum(cr * nsr - ci * nsi)
                 im_s2 = jnp.sum(pct_r * nsi + pct_i * nsr)
-                dth_ref[q] += -0.5 * sn * re_s1 + 0.5 * c * im_s2
+                dth_ref[ql] += -0.5 * sn * re_s1 + 0.5 * c * im_s2
             dsr_ref[:] = c * cr + sn * pct_i
             dsi_ref[:] = c * ci - sn * pct_r
         # phase stage: s = z = P x (still un-walked), ds = ct_z
@@ -1072,7 +1176,8 @@ def _zzrx_sign_inputs(pairs, n, zzth, r, lanes):
     return zzp, jnp.asarray(srow), jnp.asarray(slane)
 
 
-def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si, mr=None, mi=None):
+def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si, mr=None, mi=None,
+                     m7r=None, m7i=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1081,9 +1186,20 @@ def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si, mr=None, mi=None):
     rb = 2**nrow
     grid = (r // rb,)
     with_lane = mr is not None
-    cs = jnp.stack([jnp.cos(th / 2), jnp.sin(th / 2)], axis=1)
+    rmx = int(round(math.log2(m7r.shape[0]))) if m7r is not None else 0
+    R = 2**rmx
+    thl = th[rmx:]  # the top rmx row bits live in the m7 kron instead
+    cs = jnp.stack([jnp.cos(thl / 2), jnp.sin(thl / 2)], axis=1)
     zzp, srow, slane = _zzrx_sign_inputs(pairs, n, zzth, r, lanes)
     P = zzp.shape[1]
+    rowm_specs = (
+        [
+            pl.BlockSpec((R, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        if rmx
+        else []
+    )
     lane_specs = (
         [
             pl.BlockSpec((lanes, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -1092,13 +1208,15 @@ def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si, mr=None, mi=None):
         if with_lane
         else []
     )
-    nin = 4 + len(lane_specs)
+    nin = 4 + len(rowm_specs) + len(lane_specs)
     args = [zzp, cs, srow, slane]
+    if rmx:
+        args += [m7r, m7i]
     if with_lane:
         args += [mr, mi]
     args += [sr, si]
     return pl.pallas_call(
-        _zzrx_fwd_kernel(pairs, n, nrow, with_lane),
+        _zzrx_fwd_kernel(pairs, n, nrow, with_lane, rmx),
         grid=grid,
         out_shape=(
             jax.ShapeDtypeStruct(sr.shape, sr.dtype),
@@ -1106,10 +1224,11 @@ def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si, mr=None, mi=None):
         ),
         in_specs=[
             pl.BlockSpec((1, P), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nrow, 2), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nrow - rmx, 2), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((rb, P), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lanes, P), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ]
+        + rowm_specs
         + lane_specs
         + [
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
@@ -1125,7 +1244,8 @@ def _pallas_zzrx_fwd(pairs, n, zzth, th, sr, si, mr=None, mi=None):
     )(*args)
 
 
-def _pallas_zzrx_bwd(pairs, n, zzth, th, yr, yi, ctr, cti, mr=None, mi=None):
+def _pallas_zzrx_bwd(pairs, n, zzth, th, yr, yi, ctr, cti, mr=None, mi=None,
+                     m7r=None, m7i=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1135,9 +1255,21 @@ def _pallas_zzrx_bwd(pairs, n, zzth, th, yr, yi, ctr, cti, mr=None, mi=None):
     rb = 2**nrow
     grid = (r // rb,)
     with_lane = mr is not None
-    cs = jnp.stack([jnp.cos(th / 2), jnp.sin(th / 2)], axis=1)
+    rmx = int(round(math.log2(m7r.shape[0]))) if m7r is not None else 0
+    R = 2**rmx
+    nlow = nrow - rmx
+    thl = th[rmx:]
+    cs = jnp.stack([jnp.cos(thl / 2), jnp.sin(thl / 2)], axis=1)
     zzp, srow, slane = _zzrx_sign_inputs(pairs, n, zzth, r, lanes)
     P = zzp.shape[1]
+    rowm_in = (
+        [
+            pl.BlockSpec((R, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        if rmx
+        else []
+    )
     lane_in = (
         [
             pl.BlockSpec((lanes, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -1150,14 +1282,23 @@ def _pallas_zzrx_bwd(pairs, n, zzth, th, yr, yi, ctr, cti, mr=None, mi=None):
         jax.ShapeDtypeStruct(yr.shape, yr.dtype),
         jax.ShapeDtypeStruct(yi.shape, yi.dtype),
         jax.ShapeDtypeStruct((1, P), jnp.float32),
-        jax.ShapeDtypeStruct((nrow,), jnp.float32),
+        jax.ShapeDtypeStruct((nlow,), jnp.float32),
     ]
     out_specs = [
         pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, P), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nrow,), lambda j: (0,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((nlow,), lambda j: (0,), memory_space=pltpu.SMEM),
     ]
+    if rmx:
+        out_shapes += [
+            jax.ShapeDtypeStruct((R, R), jnp.float32),
+            jax.ShapeDtypeStruct((R, R), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((R, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ]
     if with_lane:
         out_shapes += [
             jax.ShapeDtypeStruct((lanes, lanes), jnp.float32),
@@ -1167,21 +1308,24 @@ def _pallas_zzrx_bwd(pairs, n, zzth, th, yr, yi, ctr, cti, mr=None, mi=None):
             pl.BlockSpec((lanes, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lanes, lanes), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ]
-    nin = 4 + len(lane_in)  # ctr is input nin+2
+    nin = 4 + len(rowm_in) + len(lane_in)  # ctr is input nin+2
     args = [zzp, cs, srow, slane]
+    if rmx:
+        args += [m7r, m7i]
     if with_lane:
         args += [mr, mi]
     args += [yr, yi, ctr, cti]
     outs = pl.pallas_call(
-        _zzrx_bwd_kernel(pairs, n, nrow, with_lane),
+        _zzrx_bwd_kernel(pairs, n, nrow, with_lane, rmx),
         grid=grid,
         out_shape=tuple(out_shapes),
         in_specs=[
             pl.BlockSpec((1, P), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nrow, 2), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nlow, 2), lambda j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((rb, P), lambda j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((lanes, P), lambda j: (0, 0), memory_space=pltpu.VMEM),
         ]
+        + rowm_in
         + lane_in
         + [
             pl.BlockSpec((rb, lanes), lambda j: (j, 0), memory_space=pltpu.VMEM),
@@ -1198,6 +1342,12 @@ def _pallas_zzrx_bwd(pairs, n, zzth, th, yr, yi, ctr, cti, mr=None, mi=None):
         compiler_params=_zzrx_compiler_params(),
         interpret=_INTERPRET,
     )(*args)
+    if rmx and with_lane:
+        dsr, dsi, dzzp, dth, dm7r, dm7i, dmr, dmi = outs
+        return dsr, dsi, dzzp[0, :npairs], dth, dmr, dmi, dm7r, dm7i
+    if rmx:
+        dsr, dsi, dzzp, dth, dm7r, dm7i = outs
+        return dsr, dsi, dzzp[0, :npairs], dth, None, None, dm7r, dm7i
     if with_lane:
         dsr, dsi, dzzp, dth, dmr, dmi = outs
         return dsr, dsi, dzzp[0, :npairs], dth, dmr, dmi

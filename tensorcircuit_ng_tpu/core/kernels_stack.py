@@ -64,6 +64,42 @@ _LANE_QUBITS = 7
 #: and its backward call is safe (the backward follows the forward's mode).
 FUSE_LANE = True
 
+#: ride the TOP row bits of each kernel block on the MXU as one
+#: (2^ROWM_QUBITS)^2 rx-kron left-matmul instead of per-qubit VPU
+#: roll-butterflies (each butterfly = 4 full-block VMEM shuffles; the kron
+#: matmul is one ~134 MFLOP MXU dot per block).  Backward mirrors the lane
+#: machinery: un-apply via M7†, dM7 grid accumulation, ct walk via M7^T,
+#: and dM7 -> dθ chained through a tiny jax.vjp of the kron builder.
+#: Requires FUSE_LANE topology (tpu/interpret only).  Default decided by
+#: hardware A/B (examples/ab_rowm_fused.py).
+FUSE_ROWM = True
+ROWM_QUBITS = 7
+
+
+def _rowm_qubits(nkernel: int) -> int:
+    """Top row bits on the MXU: keep >=3 butterfly bits (sub-sublane
+    strides stay on the VPU) and cap the kron at 128x128 (one MXU tile)."""
+    return max(0, min(ROWM_QUBITS, nkernel - 3))
+
+
+def _rx_kron_planes(th):
+    """(real, imag) f32 planes of kron(rx(θ_0), ..., rx(θ_{k-1})), θ_0 on
+    the most-significant bit — the in-kernel row matmul operand."""
+    th = jnp.asarray(th, jnp.float32)
+    mr = jnp.ones((1, 1), jnp.float32)
+    mi = jnp.zeros((1, 1), jnp.float32)
+    for q in range(th.shape[0]):
+        c = jnp.cos(th[q] / 2)
+        s = jnp.sin(th[q] / 2)
+        z = jnp.zeros((), jnp.float32)
+        gr = jnp.stack([jnp.stack([c, z]), jnp.stack([z, c])])
+        gi = jnp.stack([jnp.stack([z, -s]), jnp.stack([-s, z])])
+        mr, mi = (
+            jnp.kron(mr, gr) - jnp.kron(mi, gi),
+            jnp.kron(mr, gi) + jnp.kron(mi, gr),
+        )
+    return mr, mi
+
 
 def _dot(a, b, contract):
     return jax.lax.dot_general(
@@ -141,6 +177,7 @@ def _stack_fwd_impl(pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane)
     m = r // d
     L = zz_thetas.shape[0]
     fused = FUSE_LANE and (krl._on_tpu() or krl._INTERPRET)
+    rmx = _rowm_qubits(nkernel) if (fused and FUSE_ROWM) else 0
     sr = jnp.real(state2d).astype(jnp.float32)
     si = jnp.imag(state2d).astype(jnp.float32)
     mor = jnp.real(mout).astype(jnp.float32)
@@ -153,9 +190,13 @@ def _stack_fwd_impl(pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane)
             # lane matmul rides inside the kernel; saved residual is the
             # POST-lane state (outer and lane act on disjoint axes, so
             # reordering lane before outer is exact)
+            if rmx:
+                m7r, m7i = _rx_kron_planes(rx_kernel_thetas[l, :rmx])
+            else:
+                m7r = m7i = None
             sr, si = _kernel_fwd(
                 pairs, n, zz_thetas[l], rx_kernel_thetas[l], sr, si,
-                mlr[l], mli[l],
+                mlr[l], mli[l], m7r, m7i,
             )
         else:
             sr, si = _kernel_fwd(
@@ -177,14 +218,15 @@ def _stack_fwd_impl(pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane)
         sr = jnp.reshape(xr, (r, lanes))
         si = jnp.reshape(xi, (r, lanes))
     y = (sr + 1j * si).astype(state2d.dtype)
-    return y, tuple(ks), fused
+    return y, tuple(ks), fused, rmx
 
 
-def _kernel_fwd(pairs, n, zzth, rxth, sr, si, mlr=None, mli=None):
+def _kernel_fwd(pairs, n, zzth, rxth, sr, si, mlr=None, mli=None,
+                m7r=None, m7i=None):
     if krl._on_tpu() or krl._INTERPRET:
         return krl._pallas_zzrx_fwd(
             pairs, n, jnp.asarray(zzth, jnp.float32), jnp.asarray(rxth, jnp.float32),
-            sr, si, mlr, mli,
+            sr, si, mlr, mli, m7r, m7i,
         )
     if mlr is not None:  # pragma: no cover - fused requires tpu/interpret
         raise AssertionError("fused lane path reached the CPU reference")
@@ -195,11 +237,12 @@ def _kernel_fwd(pairs, n, zzth, rxth, sr, si, mlr=None, mli=None):
     return jnp.real(psi).astype(jnp.float32), jnp.imag(psi).astype(jnp.float32)
 
 
-def _kernel_bwd(pairs, n, zzth, rxth, yr, yi, ctr, cti, mlr=None, mli=None):
+def _kernel_bwd(pairs, n, zzth, rxth, yr, yi, ctr, cti, mlr=None, mli=None,
+                m7r=None, m7i=None):
     if krl._on_tpu() or krl._INTERPRET:
         return krl._pallas_zzrx_bwd(
             pairs, n, jnp.asarray(zzth, jnp.float32), jnp.asarray(rxth, jnp.float32),
-            yr, yi, ctr, cti, mlr, mli,
+            yr, yi, ctr, cti, mlr, mli, m7r, m7i,
         )
     if mlr is not None:  # pragma: no cover - fused requires tpu/interpret
         raise AssertionError("fused lane path reached the CPU reference")
@@ -214,14 +257,26 @@ def _kernel_bwd(pairs, n, zzth, rxth, yr, yi, ctr, cti, mlr=None, mli=None):
     )
 
 
+def _mode_marker(fused, rmx):
+    # the mode rides the residual STRUCTURE (None vs () vs ((),) is a static
+    # pytree property, not a traced leaf): the backward always follows the
+    # mode the forward was traced with, even if the flags flip in between
+    if not fused:
+        return None
+    return ((),) if rmx else ()
+
+
+def _decode_marker(marker):
+    fused = marker is not None
+    rowm = fused and len(marker) == 1
+    return fused, rowm
+
+
 def _stack_fwd(pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane):
-    y, ks, fused = _stack_fwd_impl(
+    y, ks, fused, rmx = _stack_fwd_impl(
         pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane
     )
-    # the mode rides the residual STRUCTURE (() vs None is a static pytree
-    # property, not a traced leaf): the backward always follows the mode the
-    # forward was traced with, even if FUSE_LANE is flipped in between
-    marker = () if fused else None
+    marker = _mode_marker(fused, rmx)
     return y, (ks, zz_thetas, rx_kernel_thetas, mout, mlane, marker)
 
 
@@ -229,9 +284,10 @@ def _stack_bwd(pairs, n, res, ct):
     ks, zz_thetas, rx_kernel_thetas, mout, mlane, marker = res
     cr = jnp.real(ct).astype(jnp.float32)
     ci = jnp.imag(ct).astype(jnp.float32)
+    fused, rowm = _decode_marker(marker)
     ds, dzz, dth, dmo, dml = _adjoint_chain(
         pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, cr, ci,
-        fused=marker is not None,
+        fused=fused, rowm=rowm,
     )
     return (
         ds.astype(ct.dtype),
@@ -243,14 +299,17 @@ def _stack_bwd(pairs, n, res, ct):
 
 
 def _adjoint_chain(
-    pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, cr, ci, fused=False
+    pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, cr, ci,
+    fused=False, rowm=False,
 ):
     """Walk the L-layer adjoint from output-cotangent planes ``(cr, ci)``.
 
-    ``fused`` is the forward's trace-time FUSE_LANE decision, recovered from
-    the custom-VJP residual structure by the callers.
+    ``fused``/``rowm`` are the forward's trace-time FUSE_LANE/FUSE_ROWM
+    decisions, recovered from the custom-VJP residual structure by the
+    callers.
     """
     nrow, nkernel, nouter, nlane = _shapes(n)
+    rmx = _rowm_qubits(nkernel) if rowm else 0
     L = zz_thetas.shape[0]
     r, lanes = ks[0][0].shape
     d = 2**nouter
@@ -307,8 +366,23 @@ def _adjoint_chain(
         ci = jnp.reshape(c3i, (r, lanes))
         # --- pallas zzrx stage (un-applies the layer internally; fused
         # variant also un-lanes, accumulates dM over the grid, and walks
-        # the cotangent through M^T) ----------------------------------------
-        if fused:
+        # the cotangent through M^T; rowm additionally un-applies the row
+        # kron, accumulates dM7, and walks through M7^T) ---------------------
+        if fused and rmx:
+            m7r, m7i = _rx_kron_planes(rx_kernel_thetas[l, :rmx])
+            cr, ci, dz, dt_low, dmr_f, dmi_f, dm7r, dm7i = _kernel_bwd(
+                pairs, n, zz_thetas[l], rx_kernel_thetas[l], kr, ki, cr, ci,
+                mlr[l], mli[l], m7r, m7i,
+            )
+            dml.insert(0, dmr_f + 1j * dmi_f)
+            # chain dM7 -> dθ through the kron builder.  The kernel's plane
+            # accumulation pairs the module's non-conjugating convention
+            # (ct planes are (dL/dyr, -dL/dyi)), so dm7r = dL/d(m7r) and
+            # dm7i = -dL/d(m7i) — flip the imag-plane cotangent.
+            _, kron_vjp = jax.vjp(_rx_kron_planes, rx_kernel_thetas[l, :rmx])
+            (dth7,) = kron_vjp((dm7r, -dm7i))
+            dt = jnp.concatenate([dth7.astype(dt_low.dtype), dt_low])
+        elif fused:
             cr, ci, dz, dt, dmr_f, dmi_f = _kernel_bwd(
                 pairs, n, zz_thetas[l], rx_kernel_thetas[l], kr, ki, cr, ci,
                 mlr[l], mli[l],
@@ -437,7 +511,7 @@ def zzrx_stack_energy(
 def _stack_energy_fwd(
     pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane, spec
 ):
-    y, ks, fused = _stack_fwd_impl(
+    y, ks, fused, rmx = _stack_fwd_impl(
         pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane
     )
     # _stack_fwd_impl combines planes into y only at the very end; re-split
@@ -461,7 +535,7 @@ def _stack_energy_fwd(
         br = br + _x_sum_apply(sr, sxl32, use_lanes, blocks32, r, lanes)
         bi = bi + _x_sum_apply(si, sxl32, use_lanes, blocks32, r, lanes)
     e = jnp.sum(sr * br) + jnp.sum(si * bi)
-    marker = () if fused else None  # mode rides the residual structure
+    marker = _mode_marker(fused, rmx)  # mode rides the residual structure
     return e, (ks, br, bi, zz_thetas, rx_kernel_thetas, mout, mlane, marker)
 
 
@@ -471,9 +545,10 @@ def _stack_energy_bwd(pairs, n, spec, res, ct):
     # non-conjugating (dL = Re<g, dx>, CLAUDE.md convention): g_r = dE/dsr,
     # g_i = -dE/dsi.
     s = 2.0 * ct.astype(jnp.float32)
+    fused, rowm = _decode_marker(marker)
     ds, dzz, dth, dmo, dml = _adjoint_chain(
         pairs, n, ks, zz_thetas, rx_kernel_thetas, mout, mlane, s * br, -s * bi,
-        fused=marker is not None,
+        fused=fused, rowm=rowm,
     )
     return (
         ds.astype(jnp.complex64),

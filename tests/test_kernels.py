@@ -843,3 +843,74 @@ def test_expectation_ising_sum_general(monkeypatch):
     ev = float(kernels.ising_energy_dense(c.state(), n, spec))
     er = 0.7 * float(jnp.real(c.expectation_ps(z=[0, 1, 2])))
     np.testing.assert_allclose(ev, er, atol=1e-4)
+
+
+def test_zzrx_stack_fused_rowm(monkeypatch):
+    """FUSE_ROWM in-kernel row-kron matmul == butterfly path == CPU reference.
+
+    Two geometries in interpret mode: (a) nouter>0 so the dM7 accumulation
+    revisits its output block across grid steps (rmx=1), and (b) a single
+    block with rmx=3 so the kron matmul carries several qubits at once.
+    Values and grads through the fused energy readout.
+    """
+    from tensorcircuit_ng_tpu.core import kernels, kernels_rowlayer, kernels_stack
+
+    rng = np.random.default_rng(29)
+
+    def e_fused(p, n, L, pairs):
+        c = tc.Circuit(n)
+        c.h_layer()
+        for l in range(L):
+            c.zzrx_layer(list(pairs), p[l, 0, : n - 1], p[l, 1])
+        return c.expectation_zzx_energy(list(pairs), 0.7, -1.3)
+
+    for max_k, n in ((4, 12), (10, 13)):
+        monkeypatch.setattr(kernels_rowlayer, "MAX_KERNEL_QUBITS_ZZRX", max_k)
+        L = 2
+        pairs = tuple((i, i + 1) for i in range(n - 1))
+        p0 = jnp.asarray(rng.normal(size=(L, 2, n)) * 0.4, jnp.float32)
+        f = lambda p: e_fused(p, n, L, pairs)
+        v_truth, g_truth = jax.value_and_grad(f)(p0)  # CPU reference path
+        monkeypatch.setattr(kernels_stack, "FUSE_LANE", True)
+        monkeypatch.setattr(kernels_stack, "FUSE_ROWM", True)
+        assert kernels_stack._rowm_qubits(min(max_k, n - 7)) >= 1
+        kernels.set_interpret_mode(True)
+        try:
+            v1, g1 = jax.value_and_grad(f)(p0)
+            monkeypatch.setattr(kernels_stack, "FUSE_ROWM", False)
+            v2, g2 = jax.value_and_grad(f)(p0)
+        finally:
+            kernels.set_interpret_mode(False)
+        np.testing.assert_allclose(float(v1), float(v_truth), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g_truth), atol=2e-3)
+        np.testing.assert_allclose(float(v1), float(v2), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-3)
+
+
+def test_fuse_rowm_flip_between_trace_and_backward(monkeypatch):
+    """Flipping FUSE_ROWM between a vjp trace and its backward call must not
+    corrupt gradients: the rowm mode rides the residual structure too."""
+    from tensorcircuit_ng_tpu.core import kernels, kernels_stack
+
+    n, L = 13, 2
+    pairs = tuple((i, i + 1) for i in range(n - 1))
+    rng = np.random.default_rng(23)
+    p0 = jnp.asarray(rng.normal(size=(L, 2, n)) * 0.4, jnp.float32)
+
+    def e_fused(p):
+        c = tc.Circuit(n)
+        c.h_layer()
+        for l in range(L):
+            c.zzrx_layer(list(pairs), p[l, 0, : n - 1], p[l, 1])
+        return c.expectation_zzx_energy(list(pairs), 0.7, -1.3)
+
+    g_truth = np.asarray(jax.grad(e_fused)(p0))  # CPU reference path
+    kernels.set_interpret_mode(True)
+    try:
+        monkeypatch.setattr(kernels_stack, "FUSE_ROWM", True)
+        _, vjp_fn = jax.vjp(e_fused, p0)
+        monkeypatch.setattr(kernels_stack, "FUSE_ROWM", False)  # flip mid-flight
+        (g,) = vjp_fn(jnp.float32(1.0))
+    finally:
+        kernels.set_interpret_mode(False)
+    np.testing.assert_allclose(np.asarray(g), g_truth, atol=2e-3)

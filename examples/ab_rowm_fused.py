@@ -66,15 +66,19 @@ def timed(tag, fk):
 
 
 def check_parity():
-    """Same params through both paths: energy AND grad must agree."""
+    """Same params through both paths: energy AND grad must agree.
+
+    NOTE: each mode gets a FRESH value_and_grad closure — jax.jit wrappers
+    of the SAME function object share the pjit cache, so re-wrapping after
+    a flag flip silently reuses the old executable (measured: dv exactly 0).
+    """
     p = jnp.asarray(rng.normal(size=(nlayers, 2, n)) * 0.1, jnp.float32)
-    vg = jax.value_and_grad(energy)
     kst.FUSE_ROWM = False
-    v0, g0 = jax.jit(vg)(p)
+    v0, g0 = jax.jit(jax.value_and_grad(lambda q: energy(q)))(p)
     v0 = float(v0)
     g0 = np.asarray(g0)
     kst.FUSE_ROWM = True
-    v1, g1 = jax.jit(vg)(p)
+    v1, g1 = jax.jit(jax.value_and_grad(lambda q: energy(q)))(p)
     dv = abs(float(v1) - v0)
     dg = float(np.abs(np.asarray(g1) - g0).max())
     print(f"parity: |dE|={dv:.2e} |dgrad|max={dg:.2e}", flush=True)

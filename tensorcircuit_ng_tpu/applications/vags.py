@@ -252,8 +252,10 @@ def qaoa_block_vag(
     return loss, jnp.asarray(gmatrix)
 
 
-qaoa_vag_energy = partial(qaoa_vag, f=(_identity, _neg))
-qaoa_block_vag_energy = partial(qaoa_block_vag, f=(_identity, _neg))
+# energy-objective variants: loss is the raw (negated) energy expectation
+_ENERGY_OBJECTIVE = (_identity, _neg)
+qaoa_vag_energy = partial(qaoa_vag, f=_ENERGY_OBJECTIVE)
+qaoa_block_vag_energy = partial(qaoa_block_vag, f=_ENERGY_OBJECTIVE)
 
 
 def evaluate_vag(

@@ -914,25 +914,27 @@ def _zz_pair_sums(h, pairs, n, rb, lanes, j):
     return out
 
 
-def _rowm_fwd_stage(cr, ci, m7r, m7i):
-    """Left-multiply the top-rmx row bits by the (R, R) rx-kron on the MXU.
+def _rowm_dot(m, x3, transpose_m=False):
+    """Σ_j m[i,j]·x3[j,g,c] (or m[j,i] when transposed) as one dot_general.
 
-    The (rb, lanes) block reshapes to (R, rb//R * lanes) — the leading axis
-    IS the top log2(R) row bits — so the whole rmx-qubit sweep is one
-    complex matmul (4 real dots) instead of rmx roll-butterflies (4·rmx
-    full-block VMEM shuffles on the VPU)."""
+    The (R, rb//R, lanes) view of an (rb, lanes) block is LAYOUT-FREE (the
+    trailing (rb//R, lanes) axes keep whole (8,128) tiles intact), unlike
+    the (R, rb//R·lanes) merge which forces a Mosaic relayout — measured
+    0.29 ms/step of pure tile shuffling on the 2D formulation."""
+    contract = (((0,), (0,)), ((), ())) if transpose_m else (((1,), (0,)), ((), ()))
+    return jax.lax.dot_general(m, x3, contract, preferred_element_type=jnp.float32)
+
+
+def _rowm_fwd_stage(cr, ci, m7r, m7i):
+    """Left-multiply the top-rmx row bits by the (R, R) rx-kron on the MXU:
+    one complex matmul (4 real dots) instead of rmx roll-butterflies
+    (4·rmx full-block VMEM shuffles on the VPU)."""
     rb, lanes = cr.shape
     R = m7r.shape[0]
-    w = (rb // R) * lanes
-    xr = jnp.reshape(cr, (R, w))
-    xi = jnp.reshape(ci, (R, w))
-    f32 = jnp.float32
-    yr = jnp.dot(m7r, xr, preferred_element_type=f32) - jnp.dot(
-        m7i, xi, preferred_element_type=f32
-    )
-    yi = jnp.dot(m7r, xi, preferred_element_type=f32) + jnp.dot(
-        m7i, xr, preferred_element_type=f32
-    )
+    xr = jnp.reshape(cr, (R, rb // R, lanes))
+    xi = jnp.reshape(ci, (R, rb // R, lanes))
+    yr = _rowm_dot(m7r, xr) - _rowm_dot(m7i, xi)
+    yi = _rowm_dot(m7r, xi) + _rowm_dot(m7i, xr)
     return jnp.reshape(yr, (rb, lanes)), jnp.reshape(yi, (rb, lanes))
 
 
@@ -949,44 +951,33 @@ def _rowm_bwd_stage(j, m7r_ref, m7i_ref, s_r, s_i, dsr_ref, dsi_ref,
         dm7i_ref[:] = jnp.zeros_like(dm7i_ref)
 
     f32 = jnp.float32
-    tt = (((0,), (0,)), ((), ()))  # a^T @ b
-    dg = (((1,), (1,)), ((), ()))  # a @ b^T
     m7r = m7r_ref[:]
     m7i = m7i_ref[:]
     rb, lanes = s_r.shape
     R = m7r.shape[0]
-    w = (rb // R) * lanes
-    yr = jnp.reshape(s_r[:], (R, w))
-    yi = jnp.reshape(s_i[:], (R, w))
-    cr = jnp.reshape(dsr_ref[:], (R, w))
-    ci = jnp.reshape(dsi_ref[:], (R, w))
+    g = rb // R
+    yr = jnp.reshape(s_r[:], (R, g, lanes))
+    yi = jnp.reshape(s_i[:], (R, g, lanes))
+    cr = jnp.reshape(dsr_ref[:], (R, g, lanes))
+    ci = jnp.reshape(dsi_ref[:], (R, g, lanes))
     # x = M7† y  (planes: xr = m7r^T yr + m7i^T yi, xi = m7r^T yi - m7i^T yr)
-    xr = (
-        jax.lax.dot_general(m7r, yr, tt, preferred_element_type=f32)
-        + jax.lax.dot_general(m7i, yi, tt, preferred_element_type=f32)
-    )
-    xi = (
-        jax.lax.dot_general(m7r, yi, tt, preferred_element_type=f32)
-        - jax.lax.dot_general(m7i, yr, tt, preferred_element_type=f32)
-    )
-    # dM7 += ct @ x^T (non-conjugating complex product, module convention)
-    dm7r_ref[:] += (
-        jax.lax.dot_general(cr, xr, dg, preferred_element_type=f32)
-        - jax.lax.dot_general(ci, xi, dg, preferred_element_type=f32)
-    )
-    dm7i_ref[:] += (
-        jax.lax.dot_general(cr, xi, dg, preferred_element_type=f32)
-        + jax.lax.dot_general(ci, xr, dg, preferred_element_type=f32)
-    )
+    xr = _rowm_dot(m7r, yr, True) + _rowm_dot(m7i, yi, True)
+    xi = _rowm_dot(m7r, yi, True) - _rowm_dot(m7i, yr, True)
+    # dM7 += ct · x^T contracted over (g, lanes) — non-conjugating complex
+    # product (module convention).  Mosaic matmuls allow ONE contracting
+    # dim, so accumulate g-slices of 2D (R,lanes)@(R,lanes)^T dots.
+    dgdim = (((1,), (1,)), ((), ()))
+    dot2 = lambda a, b: jax.lax.dot_general(a, b, dgdim, preferred_element_type=f32)
+    acc_r = jnp.zeros_like(dm7r_ref)
+    acc_i = jnp.zeros_like(dm7i_ref)
+    for gg in range(g):
+        acc_r = acc_r + dot2(cr[:, gg, :], xr[:, gg, :]) - dot2(ci[:, gg, :], xi[:, gg, :])
+        acc_i = acc_i + dot2(cr[:, gg, :], xi[:, gg, :]) + dot2(ci[:, gg, :], xr[:, gg, :])
+    dm7r_ref[:] += acc_r
+    dm7i_ref[:] += acc_i
     # ct walk: ct = M7^T ct
-    nr = (
-        jax.lax.dot_general(m7r, cr, tt, preferred_element_type=f32)
-        - jax.lax.dot_general(m7i, ci, tt, preferred_element_type=f32)
-    )
-    ni = (
-        jax.lax.dot_general(m7r, ci, tt, preferred_element_type=f32)
-        + jax.lax.dot_general(m7i, cr, tt, preferred_element_type=f32)
-    )
+    nr = _rowm_dot(m7r, cr, True) - _rowm_dot(m7i, ci, True)
+    ni = _rowm_dot(m7r, ci, True) + _rowm_dot(m7i, cr, True)
     s_r[:] = jnp.reshape(xr, (rb, lanes))
     s_i[:] = jnp.reshape(xi, (rb, lanes))
     dsr_ref[:] = jnp.reshape(nr, (rb, lanes))

@@ -70,9 +70,13 @@ FUSE_LANE = True
 #: matmul is one ~134 MFLOP MXU dot per block).  Backward mirrors the lane
 #: machinery: un-apply via M7†, dM7 grid accumulation, ct walk via M7^T,
 #: and dM7 -> dθ chained through a tiny jax.vjp of the kron builder.
-#: Requires FUSE_LANE topology (tpu/interpret only).  Default decided by
-#: hardware A/B (examples/ab_rowm_fused.py).
-FUSE_ROWM = True
+#: Requires FUSE_LANE topology (tpu/interpret only).  Hardware A/B
+#: (examples/ab_rowm_fused.py, 2026-08-19, v5e): 1.592 -> 1.879 ms/step —
+#: the (rb,128)->(R,rb/R*128) reshape is a genuine Mosaic relayout (tile
+#: shuffle) each way, which costs more than the 28 saved roll-butterflies;
+#: compile time DID drop 968s -> 17s.  Default stays False; the kernels and
+#: interpret parity tests remain as the measured record.
+FUSE_ROWM = False
 ROWM_QUBITS = 7
 
 

@@ -30,10 +30,13 @@ Tensor = Any
 
 __all__ = ["ParallelTEBD"]
 
-#: batched truncation engine: "auto" (pallas Jacobi on TPU, Gram-eigh
-#: elsewhere), "gram", or "jacobi".  Measured on TPU for n=60 chi=64: the
-#: XLA batched eigh costs 58.5 ms ALONE per layer; the in-kernel Jacobi
-#: (core/kernels_jacobi.py) does the same batch in ~10-20 ms.
+#: batched truncation engine: "auto" (pallas subspace-compressed Jacobi on
+#: TPU, Gram-eigh elsewhere), "gram", "jacobi", or "subspace".  Measured on
+#: TPU for n=60 chi=64: XLA batched eigh costs 58.5 ms ALONE per layer; the
+#: full in-kernel Jacobi 30.5 ms/step (VPU-throughput bound,
+#: examples/tebd_anatomy.py); the subspace path runs the same sweeps on a
+#: (chi·d, chi+16) panel — 0.39x the rotation work — with the capture on
+#: the MXU (kernels_jacobi.subspace_svd).
 SVD_MODE = "auto"
 JACOBI_SWEEPS = 10
 #: sweeps when warm-started by the previous trotter step's V on the same
@@ -41,17 +44,42 @@ JACOBI_SWEEPS = 10
 #: quadratic basin).  The Jacobi kernel is the whole TEBD step cost
 #: (measured 30.2 of 32.6 ms at n=60 chi=64) and is linear in sweeps.
 JACOBI_SWEEPS_WARM = 4
+#: subspace-capture rounds: 2 cold reaches full-Jacobi truncation quality
+#: (rec err 1.6e-5 on a decaying test spectrum); 1 suffices warm.
+SUBSPACE_REFINE = 2
+SUBSPACE_REFINE_WARM = 1
 
 
 def _svd_batched(
-    theta: Tensor, vh0: Optional[Tensor] = None
-) -> Tuple[Tensor, Tensor, Tensor]:
+    theta: Tensor, chi: int, vh0: Optional[Tensor] = None
+) -> Tuple[Tensor, Tensor, Tensor, Optional[Tensor]]:
+    """Batched truncation SVD; returns (u, s, vh, warm_record).
+
+    ``warm_record`` is the mode-specific state worth threading to the next
+    step on the same bond (full vh for "jacobi", the captured V basis for
+    "subspace", None for "gram"); ``vh0`` is the previous record.
+    """
     mode = SVD_MODE
     if mode == "auto":
         # in-process TPU A/B (n=60 chi=64, steady ~27ms calibration):
-        # gram 58.5 ms/step vs jacobi accV 32.6 ms/step, same physics
-        # (S=0.88 vs CPU 0.84-0.88); fastV heats even at 16 sweeps there
+        # gram 58.5 ms/step vs jacobi accV 32.6 ms/step, same physics.
+        # "subspace" stays OPT-IN: its cold path is jacobi anyway, and the
+        # warm panel path trades accuracy under sustained truncation
+        # (chi=8 quench probes: warm-subspace 0.96 overlap, warm-jacobi
+        # 0.31 — see CLAUDE.md round-4 notes) for ~2.5x sweep savings.
         mode = "jacobi" if jax.default_backend() == "tpu" else "gram"
+    if mode == "subspace":
+        from ..core.kernels_jacobi import subspace_svd
+
+        u, s, vh, v = subspace_svd(
+            theta,
+            chi,
+            sweeps=JACOBI_SWEEPS,
+            refine=SUBSPACE_REFINE if vh0 is None else SUBSPACE_REFINE_WARM,
+            v0=vh0,
+            return_basis=True,
+        )
+        return u, s, vh, v
     if mode == "jacobi":
         from ..core.kernels_jacobi import jacobi_svd, jacobi_svd_warm
 
@@ -59,11 +87,16 @@ def _svd_batched(
         # U's residual non-orthogonality by s_max/s_cut at the truncation
         # edge (measured: chi=12 quench fidelity 0.93 vs 0.999995)
         if vh0 is not None:
-            return jacobi_svd_warm(theta, JACOBI_SWEEPS_WARM, True, vh0)
-        return jacobi_svd(theta, JACOBI_SWEEPS, True)
+            u, s, vh = jacobi_svd_warm(theta, JACOBI_SWEEPS_WARM, True, vh0)
+        else:
+            u, s, vh = jacobi_svd(theta, JACOBI_SWEEPS, True)
+        return u, s, vh, vh
     if mode != "gram":
-        raise ValueError(f"SVD_MODE must be 'auto', 'gram' or 'jacobi', got {mode!r}")
-    return _linalg.gram_svd(theta)
+        raise ValueError(
+            f"SVD_MODE must be 'auto', 'gram', 'jacobi' or 'subspace', got {mode!r}"
+        )
+    u, s, vh = _linalg.gram_svd(theta)
+    return u, s, vh, None
 
 
 def _safe_inv(x: Tensor, eps: float = 1e-12) -> Tensor:
@@ -262,12 +295,13 @@ class ParallelTEBD:
             * jnp.reshape(theta_nl, (nb, chi, d, d * chi)),
             (nb, chi * d, d * chi),
         )
-        u, s, vh = _svd_batched(theta, self._warm_in.pop(parity, None))
-        if self._record_warm:
-            # full pre-truncation vh is next step's warm start on this parity
-            # (recorded ONLY under explicit opt-in: long-lived engines must
-            # not hold tracers across traces nor silently drop to warm sweeps)
-            self._vh_warm[parity] = vh
+        u, s, vh, warm_rec = _svd_batched(theta, chi, self._warm_in.pop(parity, None))
+        if self._record_warm and warm_rec is not None:
+            # mode-specific warm record (full vh for jacobi, captured V basis
+            # for subspace) is next step's warm start on this parity (recorded
+            # ONLY under explicit opt-in: long-lived engines must not hold
+            # tracers across traces nor silently drop to warm sweeps)
+            self._vh_warm[parity] = warm_rec
         u = u[..., :, :chi]
         s = s[..., :chi]
         vh = vh[..., :chi, :]

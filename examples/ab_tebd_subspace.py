@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import tensorcircuit_ng_tpu as tc
 from tensorcircuit_ng_tpu.models import tebd as tebd_mod
 
-n, chi, K = 60, 64, 50
+n, chi, K = 60, 64, 48  # 48: divisible by the hybrid cadences
 X = np.array([[0, 1], [1, 0.0]])
 Z = np.diag([1.0, -1.0])
 h = -np.kron(Z, Z) - 0.5 * (np.kron(X, np.eye(2)) + np.kron(np.eye(2), X))
@@ -59,9 +59,17 @@ def make_cold(mode):
     return jax.jit(run)
 
 
-def make_warm(mode):
+def make_warm(mode, refine=1, inject=0, oversample=16, sweeps_warm=None):
+    def setk():
+        tebd_mod.SVD_MODE = mode  # trace-time reads
+        tebd_mod.SUBSPACE_REFINE_WARM = refine
+        tebd_mod.SUBSPACE_INJECT = inject
+        tebd_mod.SUBSPACE_OVERSAMPLE = oversample
+        if sweeps_warm is not None:
+            tebd_mod.JACOBI_SWEEPS_WARM = sweeps_warm
+
     def cold0(gr, gi, lam):
-        tebd_mod.SVD_MODE = mode
+        setk()
         eng = tc.ParallelTEBD.from_state(gr + 1j * gi, lam, warm={})
         eng.trotter_step(even, odd)
         return (jnp.real(eng.gammas), jnp.imag(eng.gammas), eng.lambdas,
@@ -69,7 +77,7 @@ def make_warm(mode):
 
     def stepfn(carry, _):
         gr, gi, lam, warm = carry
-        tebd_mod.SVD_MODE = mode
+        setk()
         eng = tc.ParallelTEBD.from_state(gr + 1j * gi, lam, warm=warm)
         eng.trotter_step(even, odd)
         return (jnp.real(eng.gammas), jnp.imag(eng.gammas), eng.lambdas,
@@ -78,6 +86,36 @@ def make_warm(mode):
     def run(gr, gi, lam):
         carry = cold0(gr, gi, lam)
         carry, ys = jax.lax.scan(stepfn, carry, None, length=K - 1)
+        return ys[-1], carry[2][n // 2]
+
+    return jax.jit(run)
+
+
+def make_hybrid(mode, m, refine=1, inject=0):
+    """Cold-refresh every m steps: scan over K//m segments of [1 cold +
+    (m-1) warm] unrolled steps — bounds warm-capture drift to m-1 steps."""
+
+    def setk():
+        tebd_mod.SVD_MODE = mode
+        tebd_mod.SUBSPACE_REFINE_WARM = refine
+        tebd_mod.SUBSPACE_INJECT = inject
+
+    def one(gr, gi, lam, warm):
+        setk()
+        eng = tc.ParallelTEBD.from_state(gr + 1j * gi, lam, warm=warm)
+        eng.trotter_step(even, odd)
+        return (jnp.real(eng.gammas), jnp.imag(eng.gammas), eng.lambdas,
+                eng.warm_state())
+
+    def segment(carry, _):
+        gr, gi, lam = carry
+        gr, gi, lam, warm = one(gr, gi, lam, {})  # cold refresh
+        for _ in range(m - 1):
+            gr, gi, lam, warm = one(gr, gi, lam, warm)
+        return (gr, gi, lam), jnp.real(lam[n // 2, 0])
+
+    def run(gr, gi, lam):
+        carry, ys = jax.lax.scan(segment, (gr, gi, lam), None, length=K // m)
         return ys[-1], carry[2][n // 2]
 
     return jax.jit(run)
@@ -108,10 +146,32 @@ def entropy(lam_mid):
 
 def main():
     tj, lam_j = timed("jacobi", make_cold("jacobi"))
-    ts, lam_s = timed("subspace", make_cold("subspace"))
-    tw, lam_w = timed("sub-warm", make_warm("subspace"))
     sj = entropy(lam_j)
-    for tag, t, lam in (("subspace", ts, lam_s), ("sub-warm", tw, lam_w)):
+    # measured 2026-08-19 (this script, v5e): w r1 i0 16.6 ms but S_mid
+    # 1.34 vs 1.53 (growth-phase leak); RAW probe injection REFUTED
+    # (S collapsed to 0.45/0.06); hybrid cold-refresh REFUTED on chip
+    # (m2 S=0.19, m3 S=0.67 — WORSE with more refreshes: each cold->warm
+    # handoff re-consumes the chip jacobi's half-converged small-sigma
+    # columns; CPU interpret hybrid is exact, so it is a scale effect).
+    # inject now means RANGE-FINDER probes (A^H Omega, sigma-weighted).
+    # sigma-weighted probes ALSO refuted (r0 i8 S=0.04, r1 i8 S=0.56,
+    # r1 i16 S=0.62 vs plain r1 S=1.34): ANY un-sorted panel columns defeat
+    # the 10-sweep panel Jacobi.  Remaining lever: the oversample buffer.
+    # oversample sweep result (2026-08-19): S_mid BIT-IDENTICAL across
+    # os16/32/48 while time scales with width (16.6/21.1/28.4 ms r1) — the
+    # warm leak lives in the NS refine itself, and is NON-monotone in
+    # refine (r1 1.342, r2 1.390, r3 1.149 vs jacobi 1.526).  Last lever:
+    # warm FULL-width jacobi (theta pre-rotated by vh0, near-diagonal
+    # input) with more than the old 4 sweeps.
+    variants = [
+        ("jw s6", None, dict(mode="jacobi", sweeps_warm=6)),
+        ("jw s8", None, dict(mode="jacobi", sweeps_warm=8)),
+        ("jw s5", None, dict(mode="jacobi", sweeps_warm=5)),
+    ]
+    for tag, m, kw in variants:
+        mode = kw.pop("mode", "subspace")
+        fk = make_warm(mode, **kw) if m is None else make_hybrid(mode, m, **kw)
+        t, lam = timed(tag, fk)
         dl = float(np.max(np.abs(np.sort(lam)[::-1] - np.sort(lam_j)[::-1])))
         print(
             f"{tag}: {tj:.2f} -> {t:.2f} ms/step ({tj/t:.2f}x); "

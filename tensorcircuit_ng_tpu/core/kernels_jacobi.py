@@ -369,6 +369,7 @@ def subspace_svd(
     refine: int = 2,
     v0: Optional[Tensor] = None,
     oversample: int = OVERSAMPLE,
+    inject: int = 0,
     return_basis: bool = False,
 ) -> Tuple[Tensor, ...]:
     """Truncated SVD of batched (B, m, n) complex ``a``: top-``chi`` triple.
@@ -379,6 +380,16 @@ def subspace_svd(
     2. compress B = A V (m, chi+p) and run the in-kernel one-sided Jacobi
        on the PANEL (sweeps x (chi+p-1) rounds instead of sweeps x (n-1));
     3. lift vh = W^H V^H and keep the top chi.
+
+    ``inject`` (warm only) widens the panel with that many FIXED random
+    directions, orthogonalized against ``v0`` (randomized subspace
+    tracking): directions GROWING into the top-chi spectrum — invisible
+    to a basis rotated purely within its own span, and destroyed by the
+    NS refine rounds when their sigma sits at the f32 noise floor — enter
+    through the random block and are then tracked exactly by the panel
+    Jacobi.  With ``refine=0, inject>0`` no data column ever passes
+    through NS (only the well-conditioned random block does), which
+    sidesteps the small-sigma bleed entirely.
 
     Returns (u (B,m,chi), s (B,chi), vh (B,chi,n)).  Near-degenerate
     directions AT the truncation edge may mix between kept/discarded —
@@ -413,6 +424,44 @@ def subspace_svd(
         )
         return rr, ii
 
+    if inject:
+        p = min(inject, n - vr.shape[-1])
+        if p > 0:
+            # randomized RANGE-FINDER probes (HMT): Y = A^H Om for a fixed
+            # (trace-constant, numpy — axon complex rule) Gaussian Om.
+            # Y's span concentrates on A's dominant ROW space with
+            # sigma-weighting, so a direction GROWING into the top-chi
+            # spectrum enters Y with coefficient ~ sigma_new — unlike raw
+            # probes, whose uniform span captures only a p/(n-k) sliver
+            # (measured: raw probes COLLAPSED a chi=64 quench, S 1.53 ->
+            # 0.45; see examples/ab_tebd_subspace.py).
+            rng_ = np.random.default_rng(20260819)
+            omr = jnp.asarray(
+                np.broadcast_to(
+                    rng_.standard_normal((m, p), dtype=np.float32), (b, m, p)
+                )
+            )
+            omi = jnp.asarray(
+                np.broadcast_to(
+                    rng_.standard_normal((m, p), dtype=np.float32), (b, m, p)
+                )
+            )
+            # Y = A^H Om: planes of conj(A)^T are (ar^T, -ai^T)
+            yr, yi = mm(jnp.swapaxes(ar, -1, -2), -jnp.swapaxes(ai, -1, -2),
+                        omr, omi, "bnm,bmp->bnp")
+            # project out span(v0): Y' = Y - V (V^H Y)  (planes)
+            pr, pi = mm(jnp.swapaxes(vr, -1, -2), -jnp.swapaxes(vi, -1, -2),
+                        yr, yi, "bkn,bnp->bkp")
+            dr, di = mm(vr, vi, pr, pi, "bnk,bkp->bnp")
+            yr = yr - dr
+            yi = yi - di
+            # the residual block mixes the NON-captured row space through
+            # random weights — near-orthogonal with comparable norms, the
+            # regime where NS orthonormalization is safe
+            yr, yi = _ns_orth(yr, yi)
+            vr = jnp.concatenate([vr, yr], axis=-1)
+            vi = jnp.concatenate([vi, yi], axis=-1)
+
     for _ in range(refine):
         # U = orth(A V)  (m, chi)
         ur, ui = mm(ar, ai, vr, vi, "bmn,bnk->bmk")
@@ -433,10 +482,12 @@ def subspace_svd(
     out = (u[..., :, :chi], s[..., :chi], vh[..., :chi, :])
     if return_basis:
         # the captured basis is the next step's warm start (``v0``); rotate
-        # it by W so the leading columns track the current singular order
+        # it by W so the leading columns track the current singular order,
+        # and keep a CONSTANT width k (injected probes, once rotated into
+        # the spectrum order, survive only if they carried weight)
         v_sorted = jnp.matmul(
             v, jnp.conj(jnp.swapaxes(wh, -1, -2)), precision="highest"
-        )
+        )[..., :, :k]
         return out + (jax.lax.stop_gradient(v_sorted),)
     return out
 

@@ -61,6 +61,30 @@ def _butterfly(cr, ci, rows, s, m):
     return jnp.where(is_lo, lo_r, hi_r), jnp.where(is_lo, lo_i, hi_i)
 
 
+def _butterfly_rx(cr, ci, rows, s, c, b):
+    """rx-form butterfly [[c, i·b], [i·b, c]] on the stride-s bit.
+
+    The matrix is SYMMETRIC with equal diagonal, so the lo- and hi-half
+    output expressions coincide: out = c·x + i·b·partner for EVERY row —
+    no per-half select of the result, and no mul-by-literal-zero terms to
+    hope the compiler folds (the generic :func:`_butterfly` emits both
+    halves plus a final where; on the VPU-throughput-bound zzrx kernels
+    that is ~2x the arithmetic of this form).  fwd rx uses b=-sin(θ/2),
+    the adjoint b=+sin(θ/2)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    r_total = cr.shape[0]
+    bit = (rows // s) % 2
+    is_lo = bit == 0
+    down_r = pltpu.roll(cr, r_total - s, 0)
+    down_i = pltpu.roll(ci, r_total - s, 0)
+    up_r = pltpu.roll(cr, s, 0)
+    up_i = pltpu.roll(ci, s, 0)
+    pr = jnp.where(is_lo, down_r, up_r)
+    pi = jnp.where(is_lo, down_i, up_i)
+    return c * cr - b * pi, c * ci + b * pr
+
+
 def _lane_fwd_epilogue(cr, ci, mr_ref, mi_ref, or_ref, oi_ref):
     """y = psi @ M (complex, planes) — MXU matmul fused in-kernel.
 
@@ -547,8 +571,7 @@ def _rotx_fwd_kernel(nrow: int):
             c = cs_ref[q, 0]
             sn = cs_ref[q, 1]
             # rx = [[c, -i sn], [-i sn, c]]
-            m = (c, 0.0, 0.0, -sn, 0.0, -sn, c, 0.0)
-            cr, ci = _butterfly(cr, ci, rows, s, m)
+            cr, ci = _butterfly_rx(cr, ci, rows, s, c, -sn)
         or_ref[:] = cr
         oi_ref[:] = ci
 
@@ -584,8 +607,7 @@ def _rotx_bwd_kernel(nrow: int):
             bit = (rows // s) % 2
             is_lo = bit == 0
             # un-apply rx^† = [[c, +i sn], [+i sn, c]]
-            mdag = (c, 0.0, 0.0, sn, 0.0, sn, c, 0.0)
-            nsr, nsi = _butterfly(s_r[:], s_i[:], rows, s, mdag)
+            nsr, nsi = _butterfly_rx(s_r[:], s_i[:], rows, s, c, sn)
             s_r[:] = nsr
             s_i[:] = nsi
             cr = dsr_ref[:]
@@ -1020,8 +1042,7 @@ def _zzrx_fwd_kernel(pairs, n, nrow, with_lane: bool = False, rmx: int = 0):
             s = rb >> (q + 1)
             c = cs_ref[ql, 0]
             sn = cs_ref[ql, 1]
-            m = (c, 0.0, 0.0, -sn, 0.0, -sn, c, 0.0)
-            cr, ci = _butterfly(cr, ci, rows, s, m)
+            cr, ci = _butterfly_rx(cr, ci, rows, s, c, -sn)
         if rmx:
             cr, ci = _rowm_fwd_stage(cr, ci, m7r_ref[:], m7i_ref[:])
         if with_lane:
@@ -1094,8 +1115,7 @@ def _zzrx_bwd_kernel(pairs, n, nrow, with_lane: bool = False, rmx: int = 0):
             sn = cs_ref[ql, 1]
             bit = (rows // s) % 2
             is_lo = bit == 0
-            mdag = (c, 0.0, 0.0, sn, 0.0, sn, c, 0.0)
-            nsr, nsi = _butterfly(s_r[:], s_i[:], rows, s, mdag)
+            nsr, nsi = _butterfly_rx(s_r[:], s_i[:], rows, s, c, sn)
             s_r[:] = nsr
             s_i[:] = nsi
             cr = dsr_ref[:]

@@ -48,6 +48,17 @@ JACOBI_SWEEPS_WARM = 4
 #: (rec err 1.6e-5 on a decaying test spectrum); 1 suffices warm.
 SUBSPACE_REFINE = 2
 SUBSPACE_REFINE_WARM = 1
+#: warm-panel random probe columns (randomized range-finder tracking).
+#: REFUTED on chip for this workload (2026-08-19 A/B: raw probes collapsed
+#: a chi=64 quench to S=0.45, sigma-weighted A^H-Omega probes to S=0.04 —
+#: fresh un-sorted panel columns defeat the 10-sweep panel Jacobi, which
+#: relies on the warm chain handing it a nearly-diagonal input).  Kept as
+#: an opt-in knob + measured record; 0 disables.
+SUBSPACE_INJECT = 0
+#: captured-basis width beyond chi: the leak of the warm chain lives at the
+#: truncation edge, so widening the buffer trades panel-Jacobi time
+#: (linear in width) for per-step capture accuracy.
+SUBSPACE_OVERSAMPLE = 16
 
 
 def _svd_batched(
@@ -77,6 +88,8 @@ def _svd_batched(
             sweeps=JACOBI_SWEEPS,
             refine=SUBSPACE_REFINE if vh0 is None else SUBSPACE_REFINE_WARM,
             v0=vh0,
+            oversample=SUBSPACE_OVERSAMPLE,
+            inject=0 if vh0 is None else SUBSPACE_INJECT,
             return_basis=True,
         )
         return u, s, vh, v

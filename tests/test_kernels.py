@@ -845,6 +845,8 @@ def test_expectation_ising_sum_general(monkeypatch):
     np.testing.assert_allclose(ev, er, atol=1e-4)
 
 
+@pytest.mark.slow  # 33 s; FUSE_ROWM is default-OFF (hardware A/B record) —
+# the interpret parity stays as the measured-record regression in the slow tier
 def test_zzrx_stack_fused_rowm(monkeypatch):
     """FUSE_ROWM in-kernel row-kron matmul == butterfly path == CPU reference.
 

@@ -65,6 +65,8 @@ print("ENERGY %.8f" % e, flush=True)
 """
 
 
+@pytest.mark.slow  # 14 s: two real processes + jax.distributed init; the
+# capability evidence lives in the full CI tier (RUN_SLOW=1)
 @pytest.mark.skipif(os.environ.get("CI_NO_SUBPROCESS"), reason="no subprocess")
 def test_two_process_distributed_energy(tmp_path):
     import socket

@@ -231,6 +231,8 @@ def test_lazy_dm_probability_measure_amplitude_parity():
         )
 
 
+@pytest.mark.slow  # 12 s statistical check; the exact-parity sibling above
+# covers the lazy sampling surfaces in the fast gate
 def test_lazy_dm_sampling_statistics_and_wide_smoke():
     """12q lazy autoregressive sampling statistics match dense-diagonal
     probabilities; a 24q depth-4 noisy circuit samples without any 4^n

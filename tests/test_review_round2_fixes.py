@@ -1,8 +1,15 @@
 """Regression tests for the round-2 code-review findings (timeevol /
-quantum / contractor / noisemodel / shadows)."""
+quantum / contractor / noisemodel / shadows).
+
+Slow tier (RUN_SLOW=1): these pin ALREADY-FIXED review findings — pure
+regression insurance with no unique surface coverage, so they run in the
+full CI tier rather than the fast per-commit gate (suite-time budget,
+VERDICT r3 #3)."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp

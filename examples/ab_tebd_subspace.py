@@ -1,18 +1,31 @@
-"""A/B: subspace-compressed panel Jacobi vs full 128-column Jacobi TEBD.
+"""A/B record: every fast-TEBD-truncation candidate vs the full Jacobi.
 
-n=60 chi=64 real-time trotter step, ONE process (axon timing rules: K steps
-in one jit via lax.scan, fresh inputs, host fetch, empty-scan calibration):
+n=60 chi=64 real-time TFIM quench from neel, ONE process (axon timing
+rules: K steps in one jit via lax.scan, fresh inputs, host fetch).
+Physics check: mid-chain Schmidt entropy + spectrum vs the cold-jacobi
+baseline after K steps.
 
-  jacobi     SVD_MODE='jacobi' cold (the round-3 production path, ~32.6 ms)
-  subspace   SVD_MODE='subspace' cold (refine=2 capture + (128,80) panel)
-  sub-warm   subspace with the V basis threaded through the scan carry
-             (refine=1 warm capture)
+FINAL VERDICT (2026-08-19, v5e, 15 variants measured): the 32.7 ms cold
+full-width Jacobi stays the production default — every faster path loses
+on physics in this entanglement-growth regime:
 
-Physics check: mid-chain Schmidt spectrum and entropy of every variant vs
-the jacobi baseline after K steps.
+  warm subspace r1/r2/r3     16.6/17.7/18.5 ms  S 1.342/1.390/1.149  (leak)
+  ... oversample 32/48       21-28 ms   S BIT-IDENTICAL to os16 (leak is
+                             in the NS refine, not the buffer width)
+  raw / range-finder probes  20-21 ms   S 0.04-0.62 (fresh un-sorted panel
+                             columns defeat the 10-sweep panel Jacobi)
+  hybrid cold-refresh m2/m3  24.5/21.9  S 0.19/0.67 (WORSE with more
+                             refreshes; CPU interpret hybrid is exact ->
+                             chip-scale effect of re-consuming the cold
+                             jacobi's half-converged small-sigma columns)
+  warm FULL jacobi s5/s6/s8  17.5/20.9/27.0 ms  S 0.13/0.03/0.50 (the
+                             vh0-rotated near-diagonal start does NOT
+                             rescue reduced sweeps at chi=64)
 
-Run on the real chip; background, no timeout kill.  Flip tebd.SVD_MODE
-"auto" to the winner.
+  baseline jacobi S_mid 1.526.  "subspace" stays available as an opt-in
+  speed mode for decaying-spectrum workloads (imaginary time / weak
+  entanglement growth), where its warm capture is oracle-grade (see
+  tests/test_mpscircuit.py::test_parallel_tebd_subspace_mode_matches_gram).
 """
 
 import os

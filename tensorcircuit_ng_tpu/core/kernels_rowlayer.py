@@ -38,6 +38,11 @@ MAX_KERNEL_QUBITS_ROTX = 10
 _INTERPRET = False
 _BWD_DZZ_FACTORED = False
 _BWD_SKIP_GRADS = False  # factored dzz blows Mosaic scoped vmem (23.95M); expo factoring alone is safe
+# timing-diagnostic stage stubs for the zzrx kernels (WRONG math, right
+# traffic — never in prod; see examples/ab_kernel_interior.py)
+_SKIP_ZZ = False
+_SKIP_ROLLS = False
+_SKIP_LANE_DOTS = False
 
 
 def _butterfly(cr, ci, rows, s, m):
@@ -89,6 +94,10 @@ def _lane_fwd_epilogue(cr, ci, mr_ref, mi_ref, or_ref, oi_ref):
     """y = psi @ M (complex, planes) — MXU matmul fused in-kernel.
 
     Shared by every with_lane forward kernel (single-layer and zzrx)."""
+    if _SKIP_LANE_DOTS:  # timing diagnostic: traffic without the MXU dots
+        or_ref[:] = cr
+        oi_ref[:] = ci
+        return
     mr = mr_ref[:]
     mi = mi_ref[:]
     f32 = jnp.float32
@@ -115,6 +124,13 @@ def _lane_bwd_prologue(j, mr_ref, mi_ref, yr_ref, yi_ref, ctr_ref, cti_ref,
     def _():
         dmr_ref[:] = jnp.zeros_like(dmr_ref)
         dmi_ref[:] = jnp.zeros_like(dmi_ref)
+
+    if _SKIP_LANE_DOTS:  # timing diagnostic: traffic without the MXU dots
+        s_r[:] = yr_ref[:]
+        s_i[:] = yi_ref[:]
+        dsr_ref[:] = ctr_ref[:]
+        dsi_ref[:] = cti_ref[:]
+        return
 
     f32 = jnp.float32
     dg_dim = (((1,), (1,)), ((), ()))  # a @ b^T
@@ -1026,18 +1042,19 @@ def _zzrx_fwd_kernel(pairs, n, nrow, with_lane: bool = False, rmx: int = 0):
         # expo = (Srow_block * theta) @ Slane^T: one MXU dot replaces the
         # per-pair bit arithmetic (the sign matrices carry the global row
         # index through the grid's block index map)
-        expo = jnp.dot(
-            srow_ref[:] * zzth_ref[0][None, :],
-            slane_ref[:].T,
-            preferred_element_type=jnp.float32,
-        )
-        pc = jnp.cos(0.5 * expo)
-        ps = -jnp.sin(0.5 * expo)  # phase = e^{-i expo / 2}
-        cr, ci = pc * cr - ps * ci, pc * ci + ps * cr
+        if not _SKIP_ZZ:
+            expo = jnp.dot(
+                srow_ref[:] * zzth_ref[0][None, :],
+                slane_ref[:].T,
+                preferred_element_type=jnp.float32,
+            )
+            pc = jnp.cos(0.5 * expo)
+            ps = -jnp.sin(0.5 * expo)  # phase = e^{-i expo / 2}
+            cr, ci = pc * cr - ps * ci, pc * ci + ps * cr
         rows = jax.lax.broadcasted_iota(jnp.int32, cr.shape, 0)
         # low row bits (strides below 2^(nrow-rmx)) stay VPU butterflies;
         # the top rmx bits ride the MXU as one kron matmul below
-        for ql in range(nrow - rmx):
+        for ql in range(0 if not _SKIP_ROLLS else nrow - rmx, nrow - rmx):
             q = rmx + ql
             s = rb >> (q + 1)
             c = cs_ref[ql, 0]
@@ -1108,7 +1125,7 @@ def _zzrx_bwd_kernel(pairs, n, nrow, with_lane: bool = False, rmx: int = 0):
             )
         rb, lanes = s_r.shape
         rows = jax.lax.broadcasted_iota(jnp.int32, s_r.shape, 0)
-        for ql in range(nrow - rmx - 1, -1, -1):
+        for ql in range(nrow - rmx - 1, -1 if not _SKIP_ROLLS else nrow - rmx - 1, -1):
             q = rmx + ql
             s = rb >> (q + 1)
             c = cs_ref[ql, 0]
@@ -1149,16 +1166,17 @@ def _zzrx_bwd_kernel(pairs, n, nrow, with_lane: bool = False, rmx: int = 0):
             dzz_ref[:] += 0.5 * jnp.sum(
                 srow_ref[:] * t, axis=0, keepdims=True
             )
-        expo = jnp.dot(
-            srow_ref[:] * zzth_ref[0][None, :],
-            slane_ref[:].T,
-            preferred_element_type=jnp.float32,
-        )
-        pc = jnp.cos(0.5 * expo)
-        ps = -jnp.sin(0.5 * expo)
-        # transpose walk of a diagonal map: multiply by the phase itself
-        dsr_ref[:] = pc * cr - ps * ci
-        dsi_ref[:] = pc * ci + ps * cr
+        if not _SKIP_ZZ:
+            expo = jnp.dot(
+                srow_ref[:] * zzth_ref[0][None, :],
+                slane_ref[:].T,
+                preferred_element_type=jnp.float32,
+            )
+            pc = jnp.cos(0.5 * expo)
+            ps = -jnp.sin(0.5 * expo)
+            # transpose walk of a diagonal map: multiply by the phase itself
+            dsr_ref[:] = pc * cr - ps * ci
+            dsi_ref[:] = pc * ci + ps * cr
 
     return kernel
 

@@ -588,7 +588,7 @@ def test_parallel_tebd_warm_start_matches_cold():
     gate = sl.expm(-1j * 0.12 * hb).astype(np.complex64)
     # chi=4 < 2^(n/2): truncation is ACTIVE by step 2, so the warm path is
     # exercised in the regime that motivated the inverse-free unwrap
-    n, chi, steps = 8, 4, 4
+    n, chi, steps = 8, 4, 3
 
     def evolve(threaded):
         eng = tc.ParallelTEBD(n, chi, initial="neel")
@@ -633,7 +633,7 @@ def test_parallel_tebd_subspace_mode_matches_gram():
     Z = np.diag([1.0, -1.0])
     hb = np.kron(Z, Z) + 0.5 * np.kron(X, np.eye(2))
     gate = sl.expm(-1j * 0.12 * hb).astype(np.complex64)
-    n, chi, steps = 8, 4, 4  # chi < 2^(n/2): truncation active
+    n, chi, steps = 8, 4, 3  # chi < 2^(n/2): truncation active by step 2
 
     def evolve(mode, threaded=False):
         eng = tc.ParallelTEBD(n, chi, initial="neel")

@@ -37,7 +37,7 @@ def test_mc_trajectories_converge_to_exact_dm():
     dmc = nm.circuit_with_noise(build(tc.DMCircuit(2)), conf)
     exact = float(np.real(np.asarray(dmc.expectation_ps(z=[0, 1]))))
 
-    nmc = 3000
+    nmc = 1200  # statistical: atol widened accordingly (suite budget)
     c = build(tc.Circuit(2))
     num = nm._mc_channel_count(c, conf)
     assert num == 3  # rx on one qubit + cnot noised on both qubits
@@ -50,7 +50,7 @@ def test_mc_trajectories_converge_to_exact_dm():
             noise_conf=conf, status=status,
         )
     )
-    np.testing.assert_allclose(mc, exact, atol=0.05)
+    np.testing.assert_allclose(mc, exact, atol=0.08)
 
 
 def test_readout_error_in_sampling():

@@ -5,6 +5,8 @@ test_interfaces.py scenarios)."""
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # audit pins -> full CI tier (see module note)
 import sympy
 
 import jax

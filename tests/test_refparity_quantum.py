@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # audit pins -> full CI tier (see module note)
+
 import jax
 import jax.numpy as jnp
 

@@ -4,6 +4,8 @@ tests/test_gates.py."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # audit pins -> full CI tier (see module note)
+
 import jax
 import jax.numpy as jnp
 

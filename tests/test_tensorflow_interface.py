@@ -57,7 +57,7 @@ def test_keras_layer_trains():
     assert grads and all(np.isfinite(np.asarray(g)).all() for g in grads)
     opt = tf.keras.optimizers.SGD(0.4)
     before = float(loss)
-    for _ in range(12):
+    for _ in range(6):  # 6 steps suffice for the <0.75x check (suite budget)
         with tf.GradientTape() as tape:
             loss = tf.reduce_sum((layer(x) + 1.0) ** 2)
         opt.apply_gradients(zip(tape.gradient(loss, layer.trainable_variables), layer.trainable_variables))

@@ -119,7 +119,7 @@ def test_adaptive_vmap():
 
 
 def test_parameter_shift_vs_ad():
-    n = 3
+    n = 2  # tracing-dominated (2 shifted circuits per param); n=2 covers the rule
 
     def loss(params):
         c = tc.Circuit(n)
@@ -128,7 +128,7 @@ def test_parameter_shift_vs_ad():
         c.cnot(0, 1)
         return jnp.real(c.expectation_ps(z=[1]))
 
-    params = jnp.asarray([0.3, 0.8, -0.4], dtype=jnp.float32)
+    params = jnp.asarray([0.3, 0.8], dtype=jnp.float32)
     g_ad = jax.grad(loss)(params)
     g_ps = experimental.parameter_shift_grad(loss)(params)
     np.testing.assert_allclose(np.asarray(g_ps), np.asarray(g_ad), atol=1e-4)

@@ -14,6 +14,22 @@ theta-native rx butterflies, ONE HBM round trip per layer fwd and bwd, with
 dθ for both parameter sets produced inside the backward kernel) plus the
 lane-kron MXU matmul and block-sandwich energy sums.
 
+Floor anatomy (VERDICT r4 task #1, measured 2026-08-19 via
+examples/ab_kernel_interior.py stage stubs): of the 1.447 ms step, the
+HUSK — identical HBM traffic and op schedule with ALL kernel compute
+stubbed (zz trig, roll chains, grad reductions, even the lane MXU dots) —
+measures 1.024 ms.  The step is glue-bound, not compute-bound: interior
+compute adds only ~0.42 above the husk (rolls 0.29, zz 0.23, grads 0.16
+as isolated deltas, largely overlapped), lane dots are 0.04, and the husk
+itself decomposes as ~0.49 modeled traffic (residuals, inter-layer round
+trips, outer stage, conversions) + ~0.14 fixed tunnel round trip per call
+(36 ms amortized over K=250) + ~0.4 per-op overhead/unmodeled.  Reaching
+the 1.2 ms target therefore requires fusing the inter-layer glue into ONE
+L-layer kernel; the measured in-kernel outer-stage costs (VPU accumulate
+~0.27 ms vs the XLA outer's 0.22; ROWM-style view-dots lost 1.59->1.88 on
+a same-shape stage) put that surgery at break-even risk — recorded here
+as the floor evidence.
+
 Run-to-run variance (VERDICT r3 weak #5, "1.54 vs 1.615 drift"): three
 captures of the IDENTICAL committed program (commit 9e9f44e..e354850, no
 kernel change in between) measured 1.542 (FUSE_LANE A/B, 2026-08-18),

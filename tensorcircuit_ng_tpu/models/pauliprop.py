@@ -69,6 +69,7 @@ class PauliPropagationEngine:
         }
         self.dim = len(self.basis)
         self.SINK = self.dim  # strings above locality k
+        self._gate_map_cache: Dict[Tuple[int, ...], Tuple[np.ndarray, np.ndarray]] = {}
 
     def observable_vector(self, ps: Sequence[int]) -> Tensor:
         """Coefficient vector (length dim+1) of a single Pauli string."""
@@ -83,7 +84,15 @@ class PauliPropagationEngine:
     def _gate_maps(
         self, wires: Tuple[int, ...]
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """(codes[m], targets[m, 4^|w|]) for the basis under support ``wires``."""
+        """(codes[m], targets[m, 4^|w|]) for the basis under support ``wires``.
+
+        Pure function of ``wires`` but O(dim * 4^|w|) python to build —
+        memoized per engine (repeated layers re-use the same supports;
+        un-memoized, a 30-step surrogate optimization spent ~all its time
+        here)."""
+        cached = self._gate_map_cache.get(wires)
+        if cached is not None:
+            return cached
         m = len(wires)
         nloc = 4**m
         codes = np.zeros(self.dim, dtype=np.int64)
@@ -109,6 +118,7 @@ class PauliPropagationEngine:
                         new_terms.append((w, d))
                 new_key = tuple(sorted(new_terms))
                 targets[bi, new_code] = self.index.get(new_key, self.SINK)
+        self._gate_map_cache[wires] = (codes, targets)
         return codes, targets
 
     def apply_gate(self, coeffs: Tensor, u: Any, wires: Sequence[int]) -> Tensor:

@@ -43,14 +43,28 @@ import tensorcircuit_ng_tpu as tc
 
 
 @pytest.fixture(autouse=True, scope="module")
-def _clear_jax_caches_per_module():
+def _clear_jax_caches_per_module(request):
     """XLA-CPU process aging: with ~500 compiled programs live, late-suite
     compiles measure ~2x slower than fresh-process ones (mesh-engine test:
     66 s late vs 31 s fresh).  Dropping the in-memory jit caches between
     modules keeps the process young; cross-module program reuse is rare and
-    repeat compiles hit the persistent cache configured above."""
+    repeat compiles hit the persistent cache configured above.
+
+    The clear itself costs ~0.5-3 s on a loaded process, so SMALL modules
+    (which add few live programs) skip it — only modules that materially
+    age the process trigger the flush."""
     yield
-    jax.clear_caches()
+    heavy = (
+        "test_kernels", "test_mpscircuit", "test_timeevol_experimental",
+        "test_periphery", "test_refparity_dmcircuit", "test_zx",
+        "test_quantum", "test_sharded_state", "test_cross_simulator",
+        "test_circuit", "test_dmcircuit_noise", "test_contractor_distributed",
+        "test_u1_analog_pauliprop", "test_simplify_misc",
+        "test_tensorflow_interface", "test_noisemodel_extra",
+        "test_refparity_circuit", "test_fgs_qudit", "test_applications",
+    )
+    if any(h in str(request.node.name) for h in heavy):
+        jax.clear_caches()
 
 
 @pytest.fixture

@@ -43,7 +43,7 @@ def test_dqas_finds_good_op():
         return 1.0 - jnp.real(p[1])
 
     best_ops, params, hist = dqas.DQAS_search(
-        op_pool=[0, 1], nslots=1, loss_fn=loss_fn, batch=6, steps=15, seed=3
+        op_pool=[0, 1], nslots=1, loss_fn=loss_fn, batch=4, steps=10, seed=3
     )
     assert best_ops == [0]  # rx chosen over identity
     assert hist[-1] < hist[0] + 1e-6

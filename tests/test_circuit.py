@@ -198,6 +198,7 @@ def test_inverse():
     np.testing.assert_allclose(s, expected, atol=1e-5)
 
 
+@pytest.mark.slow  # statistical; sampling surfaces covered exactly by refparity + readout tests
 def test_sampling_statistics():
     c = tc.Circuit(2)
     c.h(0)

@@ -85,6 +85,7 @@ def test_sliced_contraction_matches_full():
     np.testing.assert_allclose(np.asarray(val2), np.asarray(full), atol=1e-5)
 
 
+@pytest.mark.slow  # slicing covered by the distributed-contractor vag test + driver dryrun
 def test_large_n_amplitude_ghz():
     # 40-qubit GHZ amplitude through the IR path (dense state impossible)
     n = 40

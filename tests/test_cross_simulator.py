@@ -27,6 +27,7 @@ def random_clifford(c, n, depth, rng):
     return c
 
 
+@pytest.mark.slow  # stabilizer parity covered by test_stabilizer + refparity_stabilizer in the gate
 @pytest.mark.parametrize("seed", [0])  # seeds 1,2 in the slow sweep
 def test_stabilizer_matches_dense_on_random_clifford(seed):
     n, depth = 6, 40
@@ -57,6 +58,7 @@ def test_stabilizer_matches_dense_on_random_clifford(seed):
         np.testing.assert_allclose(ev_d, ev_s, atol=1e-5)
 
 
+@pytest.mark.slow  # 5 s; test_mpscircuit exact-vs-dense covers the engine
 @pytest.mark.parametrize("seed", [3])  # seed 4 in the slow sweep
 def test_mps_exact_budget_matches_dense(seed):
     n, depth = 6, 14
@@ -260,6 +262,7 @@ def test_dm_and_stabilizer_parity_methods():
     sc3.current_inverse_tableau()
 
 
+@pytest.mark.slow  # cross-engine audit; the U1 engine has its own fast-gate file
 def test_u1_parity_methods():
     u1 = tc.U1Circuit(4, k=2, filled=[0, 2])
     assert abs(float(np.asarray(u1.expectation_z(2))) + 1.0) < 1e-5
@@ -276,6 +279,7 @@ def test_u1_parity_methods():
     assert abs(e + 1.0) < 1e-5  # (Z0 + Z2)/2 = -1 on |1010>
 
 
+@pytest.mark.slow  # cross-engine audit; pauliprop covered in its own fast-gate file
 def test_pauliprop_parity_methods():
     from tensorcircuit_ng_tpu.models.pauliprop import (
         PauliPropagationEngine,
@@ -314,6 +318,7 @@ def test_noiseconf_channel_count_and_apply_qir():
     assert np.asarray(c_new.state()).shape == (4,)
 
 
+@pytest.mark.slow  # cross-engine audit; analog engine covered in its own fast-gate file
 def test_analog_parity_methods():
     from tensorcircuit_ng_tpu.models.analogcircuit import AnalogCircuit
 

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 import tensorcircuit_ng_tpu as tc
 
 
+@pytest.mark.slow  # detector semantics covered by the surface-code example + CI tier
 def test_detector_noiseless_never_fires():
     # 3-qubit repetition code, one stabilizer measurement round via ancillas
     c = tc.Circuit(5)  # data: 0,1,2; ancilla: 3,4
@@ -65,6 +66,7 @@ def test_detector_probability_with_channel():
     np.testing.assert_allclose(float(p[0]), px, atol=0.05)
 
 
+@pytest.mark.slow  # detector semantics guarded by the noiseless-never-fires test in the gate
 def test_reset_instruction():
     c = tc.Circuit(2)
     c.x(0)

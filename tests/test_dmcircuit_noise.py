@@ -195,25 +195,26 @@ def test_thermal_relaxation_t2_gt_t1():
     np.testing.assert_allclose(x, np.exp(-100 / 300), atol=1e-5)
 
 
+def _build_noisy_chain(cls, n, theta=0.7):
+    c = cls(n)
+    for i in range(n):
+        c.rx(i, theta=theta)
+    for i in range(0, n - 1, 2):
+        c.cnot(i, i + 1)
+    for i in range(0, n, 2):  # even qubits: enough channels to exercise
+        c.depolarizing(i, px=0.02, py=0.01, pz=0.03)  # the superop path,
+    for i in range(1, n - 1, 2):  # half the planning cost
+        c.cnot(i, i + 1)
+    for i in range(1, n, 2):
+        c.phasedamping(i, gamma=0.05)
+    return c
+
+
 def test_dmcircuit2_lazy_superop_expectation():
     """DMCircuit2 contracts the doubled network lazily (channels as
     superoperator tensors, light-cone pruned) — reference
     densitymatrix.py:398-430 / channels.py:542 role."""
-    import time
-
-    def build(cls, n, theta=0.7):
-        c = cls(n)
-        for i in range(n):
-            c.rx(i, theta=theta)
-        for i in range(0, n - 1, 2):
-            c.cnot(i, i + 1)
-        for i in range(0, n, 2):  # even qubits: enough channels to exercise
-            c.depolarizing(i, px=0.02, py=0.01, pz=0.03)  # the superop path,
-        for i in range(1, n - 1, 2):  # half the planning cost
-            c.cnot(i, i + 1)
-        for i in range(1, n, 2):
-            c.phasedamping(i, gamma=0.05)
-        return c
+    build = _build_noisy_chain
 
     from tensorcircuit_ng_tpu.core import contractor as ctr
 
@@ -226,11 +227,18 @@ def test_dmcircuit2_lazy_superop_expectation():
         e2 = complex(np.asarray(ctr.contract_ir(cl.expectation_before(*ops))))
         assert abs(e1 - e2) < 1e-5
 
-    # wide shallow: 16 qubits, depth 4 with 32 channels — the dense path
-    # would need a 2^32-element rho; the lazy path is a light-cone
-    # contraction.  The cone of Z8 Z9 spans qubits 6..11, so an 8-qubit
-    # window (global 4..11 — even start keeps the cnot pair layers aligned —
-    # observable at window (4,5)) reproduces it exactly on the dense engine.
+
+
+@pytest.mark.slow  # 7 s; the small-n lazy parity above guards the path in the gate
+def test_dmcircuit2_lazy_superop_wide_lightcone():
+    """Wide shallow: 16 qubits, depth 4 with 32 channels — the dense path
+    would need a 2^32-element rho; the lazy path is a light-cone
+    contraction.  The cone of Z8 Z9 spans qubits 6..11, so an 8-qubit
+    window (global 4..11 — even start keeps the cnot pair layers aligned —
+    observable at window (4,5)) reproduces it exactly on the dense engine."""
+    import time
+
+    build = _build_noisy_chain
     n = 16
     c = build(tc.DMCircuit2, n)
     t0 = time.time()

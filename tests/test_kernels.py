@@ -568,6 +568,7 @@ def test_zzrx_multilayer_reference_and_interpret():
         kernels_stack.FUSE_LANE = old_fuse
 
 
+@pytest.mark.slow  # grouping logic shared with the stack dispatch tests; CI retains
 def test_zzrx_multilayer_circuit_grouping():
     """Consecutive zzrx_layer ops group into one multilayer op == rzz+rx."""
     n, L = 9, 3
@@ -705,6 +706,8 @@ def test_zzrx_stack_energy_fused_readout(monkeypatch):
     )
 
 
+@pytest.mark.slow  # 18 s; test_fuse_lane_flip_between_trace_and_backward and
+# the multilayer-grouping test are the fast-gate representatives of this family
 def test_zzrx_stack_fused_lane(monkeypatch):
     """FUSE_LANE in-kernel lane matmul == unfused XLA lane stage == rzz+rx.
 
@@ -792,6 +795,8 @@ def test_fuse_lane_flip_between_trace_and_backward(monkeypatch):
     np.testing.assert_allclose(np.asarray(g), g_truth, atol=2e-3)
 
 
+@pytest.mark.slow  # 7 s general-weights readout audit; the fused-readout path is exercised by
+# the flip test + multilayer grouping + bench in the fast gate
 def test_expectation_ising_sum_general(monkeypatch):
     """Weighted zz + longitudinal z + weighted x + 3-local Z strings through
     the fused Ising readout == per-string expectation_ps oracle."""
@@ -889,6 +894,8 @@ def test_zzrx_stack_fused_rowm(monkeypatch):
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-3)
 
 
+@pytest.mark.slow  # 14 s; FUSE_ROWM is default-OFF — the lane flip test
+# covers the residual-structure mode safety in the fast gate
 def test_fuse_rowm_flip_between_trace_and_backward(monkeypatch):
     """Flipping FUSE_ROWM between a vjp trace and its backward call must not
     corrupt gradients: the rowm mode rides the residual structure too."""

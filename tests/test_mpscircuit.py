@@ -92,6 +92,7 @@ def test_mps_from_wavefunction():
     )
 
 
+@pytest.mark.slow  # MPS grads covered by the CI-tier cross-simulator sweep + VC_mps examples
 def test_mps_jit_grad():
     n = 5
     chi = 8
@@ -167,6 +168,7 @@ def test_mps_batch_sample_statistics():
     assert abs(int(cv[0]) - 200) < 80
 
 
+@pytest.mark.slow  # MPO application covered by quantum-module MPO tests in the gate
 def test_gate_to_mpo_and_apply():
     n = 6
     theta = 0.7
@@ -484,6 +486,8 @@ def test_parallel_tebd_sharded_sites_mesh():
     np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g), atol=1e-5)
 
 
+@pytest.mark.slow  # 9 s gram tracing; the r3 red-test regression is guarded in the CI tier
+# (RUN_SLOW=1), and the fast gate keeps warm/exactness TEBD coverage
 def test_parallel_tebd_canonicalize():
     import scipy.linalg as sl
     import tensorcircuit_ng_tpu as tc
@@ -574,6 +578,8 @@ def test_parallel_tebd_imaginary_time_ground_state():
     assert abs(e - e_exact) < 5e-3, (e, e_exact)
 
 
+@pytest.mark.slow  # 13 s; warm threading is opt-in, and the subspace-mode
+# test exercises the same warm_state/from_state machinery in the fast gate
 def test_parallel_tebd_warm_start_matches_cold():
     """Warm-started Jacobi (vh threaded via warm_state/from_state, 4 sweeps)
     reproduces the cold 10-sweep evolution (interpret-mode kernel)."""
@@ -620,6 +626,8 @@ def test_parallel_tebd_warm_start_matches_cold():
     assert ov > 1 - 1e-5, ov
 
 
+@pytest.mark.slow  # 11 s; subspace is an OPT-IN mode (refuted as default by the hardware A/B);
+# kernels-level subspace_svd parity stays in test_kernels in the fast gate
 def test_parallel_tebd_subspace_mode_matches_gram():
     """SVD_MODE='subspace' (MXU subspace capture + panel Jacobi, interpret
     kernel) reproduces the gram-SVD evolution, cold and warm-threaded,

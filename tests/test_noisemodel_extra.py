@@ -58,10 +58,10 @@ def test_readout_error_in_sampling():
     c.x(0)
     # ideal: always "1"; with 20% 1->0 readout flip: ~80% ones
     res = c.sample(
-        batch=4000,
+        batch=1500,
         allow_state=True,
         readout_error=[[1.0, 0.8]],  # p(correct | 0), p(correct | 1)
-        status=jnp.asarray(np.random.default_rng(1).uniform(size=(4000,))),
+        status=jnp.asarray(np.random.default_rng(1).uniform(size=(1500,))),
         format="sample_bin",
     )
     ones = float(np.asarray(res).mean())

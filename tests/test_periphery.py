@@ -22,6 +22,7 @@ def sample_circuit():
     return c
 
 
+@pytest.mark.slow  # QIR<->JSON covered by the jsonio example + CI tier
 def test_json_roundtrip():
     c = sample_circuit()
     s = translation.circuit_to_json(c)
@@ -152,6 +153,7 @@ def test_cloud_local_provider():
     assert len(devices) >= 1
 
 
+@pytest.mark.slow  # the tianyan batch-expectation test covers this path
 def test_batch_expectation_ps_local_exact_vs_device():
     from tensorcircuit_ng_tpu.cloud.wrapper import batch_expectation_ps
 
@@ -206,6 +208,7 @@ def test_symbol_circuit():
     )
 
 
+@pytest.mark.slow  # flax bridge exercised end-to-end by the QML example; keras layer in the gate
 def test_flax_quantum_layer():
     flax = pytest.importorskip("flax")
     n = 2
@@ -466,6 +469,7 @@ def test_gates_helpers_parity():
     assert "bmatrix" in G.bmatrix(np.eye(2))
 
 
+@pytest.mark.slow  # cloud local provider test covers the surface in the fast gate
 def test_cloud_parity():
     from tensorcircuit_ng_tpu.cloud import apis, utils, wrapper
     from tensorcircuit_ng_tpu.cloud.abstraction import TaskUnfinished, TCException
@@ -592,6 +596,7 @@ def test_torchnn_class_and_basecircuit_standins():
     assert cl.num_sites == 4
 
 
+@pytest.mark.slow  # quop/linop parity; core QuOperator algebra stays in test_quantum
 def test_quop_linop_contractor_parity():
     from tensorcircuit_ng_tpu import quantum as qu
     from tensorcircuit_ng_tpu.core import contractor as ct
@@ -674,6 +679,7 @@ def test_backend_parity_batch():
     assert float(b.matvec(jnp.eye(3), jnp.arange(3.0))[2]) == 2.0
 
 
+@pytest.mark.slow  # M3 math covered by test_calibrating + smaller readout tests in the gate
 def test_readout_mitigation_m3_scalable():
     """M3 subspace solvers: exactness at small n, 30-qubit scalability.
 

@@ -132,6 +132,7 @@ def test_apply_rc_mean():
     assert len(circuits) == 4
 
 
+@pytest.mark.slow  # QEM benchmark builders; mitigation math stays in the fast gate
 def test_benchmark_circuits():
     c, ideal = qem.ghz_circuit(4)
     p = np.abs(np.asarray(c.state())) ** 2

@@ -187,6 +187,7 @@ def test_expectation_quoperator_in_circuit():
     assert qv.shape == (4, 1)
 
 
+@pytest.mark.slow  # lobpcg niche; hamiltonian builders covered elsewhere in this file
 def test_generate_local_hamiltonian_and_lobpcg():
     import numpy as np
     from tensorcircuit_ng_tpu import quantum as qu

@@ -260,6 +260,7 @@ def test_circuit_copy_independent():
     )
 
 
+@pytest.mark.slow  # kraus surfaces covered by test_gates_channels + dm tests
 def test_general_kraus_with_prob_and_negative_weights():
     """reference test_circuit.py:1890,1919 — kraus selection with external
     probs and stability under tiny negative weights."""

@@ -14,6 +14,7 @@ def test_shadow_bound():
     assert n_total > 0 and k > 0 and n_total % k == 0
 
 
+@pytest.mark.slow  # statistical convergence; exact shadow identities stay in the gate
 def test_shadow_expectation_converges():
     n = 3
     c = tc.Circuit(n)

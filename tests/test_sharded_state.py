@@ -230,6 +230,8 @@ def test_circuit_mesh_engine_n28_vqe_step():
     assert np.isfinite(np.asarray(g[0])).all()
 
 
+@pytest.mark.slow  # one sharded compile; the dryrun driver artifact compiles+runs the mesh
+# engine every round, and the dense-parity sibling stays in the fast gate
 def test_circuit_mesh_engine_compact():
     """Compact default-suite engine check: state parity with mixed op kinds
     in ONE jitted SPMD program.

@@ -77,6 +77,7 @@ def test_qcis_translation():
     assert len(bad2) == 2
 
 
+@pytest.mark.slow  # treesa covered by test_native_treesa in the fast gate
 def test_treesa_contractor_config():
     from tensorcircuit_ng_tpu.core import native
     if not native.treesa_available():
@@ -94,6 +95,7 @@ def test_treesa_contractor_config():
     np.testing.assert_allclose(complex(np.asarray(v1)), v2, atol=1e-5)
 
 
+@pytest.mark.slow  # 6 s: jax AOT cost analysis compile; niche utility surface
 def test_cost_analysis_and_params_ckpt(tmp_path):
     from tensorcircuit_ng_tpu import utils, experimental
     import jax
@@ -148,6 +150,7 @@ def test_contraction_info_and_debug_level():
         tc.set_contractor("auto")
 
 
+@pytest.mark.slow  # the fuse pass output is validated by circuit equivalence tests in CI
 def test_fuse_single_qubit_qir_pass():
     """IR lowering pass: 1q chains merge and absorb into entanglers
     (reference simplify.py:131-196 + cons.py:298-374 roles)."""

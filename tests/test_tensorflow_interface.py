@@ -25,6 +25,7 @@ def _energy(params):
     return jnp.real(c.expectation_ps(z=[0, 2]))
 
 
+@pytest.mark.slow  # keras_layer_trains covers the TF bridge end-to-end in the gate
 def test_tensorflow_interface_value_and_grad():
     from tensorcircuit_ng_tpu.interfaces.tensorflow import tensorflow_interface
 

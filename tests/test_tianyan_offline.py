@@ -170,6 +170,7 @@ def test_failed_state_parsing(mock_platform):
     assert "calibration" in details["err"]
 
 
+@pytest.mark.slow  # submit/counts roundtrip + qcis translation stay in the fast gate
 def test_batch_expectation_ps_local_with_mitigation():
     """batch_expectation_ps through the local provider incl. readout path."""
     from tensorcircuit_ng_tpu.cloud import wrapper

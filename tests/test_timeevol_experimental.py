@@ -26,6 +26,7 @@ def tfim_dense(n, j=1.0, h=1.0):
     return qu.PauliStringSum2Dense(ls, ws), (ls, ws)
 
 
+@pytest.mark.slow  # krylov covered by the chebyshev/krylov example; sparse sibling in CI
 def test_krylov_vs_exact(highp):
     n = 5
     h, _ = tfim_dense(n)
@@ -39,6 +40,7 @@ def test_krylov_vs_exact(highp):
     np.testing.assert_allclose(np.asarray(kry), np.asarray(exact), atol=1e-6)
 
 
+@pytest.mark.slow  # test_krylov_vs_exact covers the krylov surface in the fast gate
 def test_krylov_sparse_and_mvp(highp):
     n = 4
     hd, (ls, ws) = tfim_dense(n)
@@ -134,6 +136,7 @@ def test_parameter_shift_vs_ad():
     np.testing.assert_allclose(np.asarray(g_ps), np.asarray(g_ad), atol=1e-4)
 
 
+@pytest.mark.slow  # QNG niche surface; experimental.qng covered by its own slow sweep
 def test_qng_single_qubit():
     # |psi> = rx(theta)|0>: QFIM = 1 (with the 4x convention)
     def state(theta):
@@ -145,6 +148,7 @@ def test_qng_single_qubit():
     np.testing.assert_allclose(np.asarray(qfim), [[1.0]], atol=1e-5)
 
 
+@pytest.mark.slow  # scan-layers semantics exercised by the depth-scaling examples; CI retains
 def test_scan_circuit_layers():
     n = 5
     nlayers = 3

@@ -94,6 +94,7 @@ def test_gf2_matmul():
     np.testing.assert_allclose(np.asarray(gf2_matmul(a, b)), [[0, 1], [1, 1]])
 
 
+@pytest.mark.slow  # zx semantics guarded by the exact-scalar tests in the gate
 def test_simplify_preserves_semantics_and_shrinks():
     import numpy as np
 
@@ -278,6 +279,8 @@ def test_stabilizer_t_noise_and_detectors():
     assert abs(e2 - 0.6) < 0.05
 
 
+@pytest.mark.slow  # 6 s python-side detector sampling; test_detectors.py
+# covers detector semantics in the fast gate
 def test_stabilizer_t_from_stim_str():
     from tensorcircuit_ng_tpu.zx import StabilizerTCircuit
 
@@ -290,8 +293,8 @@ DETECTOR rec[-1]
 M 0 2
 """
     c = StabilizerTCircuit.from_stim_str(stim_text)
-    det = np.asarray(c.sample_detectors(1000, seed=1))
-    assert abs(det[:, 0].mean() - 0.1) < 0.035
+    det = np.asarray(c.sample_detectors(400, seed=1))
+    assert abs(det[:, 0].mean() - 0.1) < 0.055  # 400 samples
 
 
 def test_stabilizer_t_from_circuit_and_vs_dense():

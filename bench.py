@@ -23,12 +23,16 @@ compute adds only ~0.42 above the husk (rolls 0.29, zz 0.23, grads 0.16
 as isolated deltas, largely overlapped), lane dots are 0.04, and the husk
 itself decomposes as ~0.49 modeled traffic (residuals, inter-layer round
 trips, outer stage, conversions) + ~0.14 fixed tunnel round trip per call
-(36 ms amortized over K=250) + ~0.4 per-op overhead/unmodeled.  Reaching
-the 1.2 ms target therefore requires fusing the inter-layer glue into ONE
-L-layer kernel; the measured in-kernel outer-stage costs (VPU accumulate
-~0.27 ms vs the XLA outer's 0.22; ROWM-style view-dots lost 1.59->1.88 on
-a same-shape stage) put that surgery at break-even risk — recorded here
-as the floor evidence.
+(36 ms amortized over K=250) + ~0.4 per-op overhead/unmodeled.  The grand
+fusion was then BUILT and measured (kernels_grand.py behind FUSE_GRAND,
+examples/ab_grand_fused.py): ONE kernel for all L layers, whole-state
+VMEM residency, in-kernel outer dots — isolated-fwd micro-bench 0.333 vs
+~0.6 ms, but IN-STEP it measures 1.450 vs 1.404 (0.969x, bit-exact
+parity): the double block writes (residual + ping-pong) and 3x predicated
+code offset the saved dispatches/reads.  The ~1.4 ms step is therefore
+evidenced as the floor of this program structure on this toolchain; the
+residual overhead lives in the Mosaic pipeline itself, not in the op
+graph.
 
 Run-to-run variance (VERDICT r3 weak #5, "1.54 vs 1.615 drift"): three
 captures of the IDENTICAL committed program (commit 9e9f44e..e354850, no

@@ -79,6 +79,23 @@ FUSE_LANE = True
 FUSE_ROWM = False
 ROWM_QUBITS = 7
 
+#: grand-fused FORWARD: the whole L-layer stack (zz + rolls + lane + outer)
+#: as ONE Pallas kernel with whole-state VMEM residency — kills the
+#: inter-layer dispatches, the XLA outer-stage fwd ops, and the
+#: inter-layer HBM re-reads (micro-bench: 0.333 ms for 4 layers vs ~0.6
+#: production, examples/micro_grand_fusion.py).  Streams out the same
+#: per-layer post-lane residuals the per-layer adjoint chain consumes, so
+#: the backward is unchanged.  Requires FUSE_LANE topology, no ROWM, an
+#: EVEN layer count (ping-pong parity), and >=2 grid blocks.  Hardware A/B
+#: (examples/ab_grand_fused.py, 2026-08-19, v5e): 1.404 -> 1.450 ms/step
+#: (0.969x) with BIT-EXACT value/grad parity — the isolated-fwd micro win
+#: (0.333 vs ~0.6) does not survive in-step: the grand kernel writes every
+#: block twice (residual + ping-pong) and triples the predicated code, which
+#: offsets the saved dispatches and inter-layer HBM reads.  Default stays
+#: False; the kernel + tests remain as the measured record that even a full
+#: one-program fusion of the forward cannot beat the per-layer chain.
+FUSE_GRAND = False
+
 
 def _rowm_qubits(nkernel: int) -> int:
     """Top row bits on the MXU: keep >=3 butterfly bits (sub-sublane
@@ -188,6 +205,24 @@ def _stack_fwd_impl(pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane)
     moi = jnp.imag(mout).astype(jnp.float32)
     mlr = jnp.real(mlane).astype(jnp.float32)
     mli = jnp.imag(mlane).astype(jnp.float32)
+    if (
+        FUSE_GRAND
+        and fused
+        and not rmx
+        and nouter >= 1
+        and L % 2 == 0
+        and (krl._on_tpu() or krl._INTERPRET)
+    ):
+        from . import kernels_grand as kg
+
+        ksr, ksi, yr, yi = kg.grand_zzrx_fwd(
+            pairs, n, jnp.asarray(zz_thetas, jnp.float32),
+            jnp.asarray(rx_kernel_thetas, jnp.float32), sr, si,
+            mor, moi, mlr, mli,
+        )
+        ks = tuple((ksr[l], ksi[l]) for l in range(L))
+        y = (yr + 1j * yi).astype(state2d.dtype)
+        return y, ks, fused, rmx
     ks = []
     for l in range(L):
         if fused:

@@ -923,3 +923,34 @@ def test_fuse_rowm_flip_between_trace_and_backward(monkeypatch):
     finally:
         kernels.set_interpret_mode(False)
     np.testing.assert_allclose(np.asarray(g), g_truth, atol=2e-3)
+
+
+def test_zzrx_stack_grand_fused(monkeypatch):
+    """FUSE_GRAND one-kernel L-layer forward == per-layer stack, value AND
+    grad, bit-exact in interpret mode (the backward is shared — only the
+    forward path differs)."""
+    from tensorcircuit_ng_tpu.core import kernels_rowlayer, kernels_stack
+
+    monkeypatch.setattr(kernels_rowlayer, "MAX_KERNEL_QUBITS_ZZRX", 1)
+    n, L = 10, 2  # nrow=3 -> nkernel=1, nouter=2: grid 4 x RB 2
+    pairs = tuple((i, (i + 1) % n) for i in range(n))
+    rng = np.random.default_rng(7)
+    p = jnp.asarray(rng.normal(size=(L, 2, n)) * 0.4, jnp.float32)
+
+    def energy(q):
+        c = tc.Circuit(n)
+        c.h_layer()
+        for l in range(L):
+            c.zzrx_layer(list(pairs), q[l, 0], q[l, 1])
+        return jnp.real(c.expectation_zzx_energy(list(pairs), 1.0, -1.0))
+
+    kernels.set_interpret_mode(True)
+    try:
+        monkeypatch.setattr(kernels_stack, "FUSE_GRAND", False)
+        v0, g0 = jax.value_and_grad(lambda q: energy(q))(p)
+        monkeypatch.setattr(kernels_stack, "FUSE_GRAND", True)
+        v1, g1 = jax.value_and_grad(lambda q: energy(q))(p)
+    finally:
+        kernels.set_interpret_mode(False)
+    np.testing.assert_allclose(float(v1), float(v0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-5)

@@ -161,10 +161,14 @@ class TILattice(AbstractLattice):
         basis: Sequence[Sequence[float]],
         size: Sequence[int],
         pbc: Union[bool, Sequence[bool]] = True,
+        lattice_constant: float = 1.0,
+        precompute_neighbors: Optional[int] = None,
     ):
         super().__init__(dimensionality)
-        self.lattice_vectors = np.asarray(lattice_vectors, dtype=float)
-        self.basis = np.asarray(basis, dtype=float)
+        lc = float(lattice_constant)
+        self.lattice_constant = lc
+        self.lattice_vectors = np.asarray(lattice_vectors, dtype=float) * lc
+        self.basis = np.asarray(basis, dtype=float) * lc
         self.size = tuple(size)
         if isinstance(pbc, bool):
             pbc = (pbc,) * dimensionality
@@ -175,6 +179,9 @@ class TILattice(AbstractLattice):
                     c * v for c, v in zip(cell, self.lattice_vectors)
                 )
                 self._add_site(tuple(cell) + (b,), coord)
+        if precompute_neighbors:
+            for k in range(1, int(precompute_neighbors) + 1):
+                self.get_neighbor_pairs(k=k)
 
     def distance_matrix(self) -> np.ndarray:
         """Minimum-image distances honoring periodic boundaries."""
@@ -252,79 +259,81 @@ class CustomizeLattice(AbstractLattice):
 
 
 class ChainLattice(TILattice):
-    def __init__(self, size: Union[int, Sequence[int]], pbc: bool = True):
+    def __init__(self, size: Union[int, Sequence[int]], pbc: bool = True, **kws: Any):
         if isinstance(size, int):
             size = (size,)
-        super().__init__(1, [[1.0]], [[0.0]], size, pbc)
+        super().__init__(1, [[1.0]], [[0.0]], size, pbc, **kws)
 
 
 class SquareLattice(TILattice):
-    def __init__(self, size: Sequence[int], pbc: bool = True):
-        super().__init__(2, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]], size, pbc)
+    def __init__(self, size: Sequence[int], pbc: bool = True, **kws: Any):
+        super().__init__(2, [[1.0, 0.0], [0.0, 1.0]], [[0.0, 0.0]], size, pbc, **kws)
 
 
 class RectangularLattice(TILattice):
-    def __init__(self, size: Sequence[int], spacings: Sequence[float] = (1.0, 1.5), pbc: bool = True):
+    def __init__(self, size: Sequence[int], spacings: Sequence[float] = (1.0, 1.5), pbc: bool = True, **kws: Any):
         super().__init__(
             2,
             [[spacings[0], 0.0], [0.0, spacings[1]]],
             [[0.0, 0.0]],
             size,
             pbc,
+            **kws,
         )
 
 
 class HoneycombLattice(TILattice):
-    def __init__(self, size: Sequence[int], pbc: bool = True):
+    def __init__(self, size: Sequence[int], pbc: bool = True, **kws: Any):
         a1 = [1.5, math.sqrt(3) / 2]
         a2 = [1.5, -math.sqrt(3) / 2]
         basis = [[0.0, 0.0], [1.0, 0.0]]
-        super().__init__(2, [a1, a2], basis, size, pbc)
+        super().__init__(2, [a1, a2], basis, size, pbc, **kws)
 
 
 class TriangularLattice(TILattice):
-    def __init__(self, size: Sequence[int], pbc: bool = True):
+    def __init__(self, size: Sequence[int], pbc: bool = True, **kws: Any):
         a1 = [1.0, 0.0]
         a2 = [0.5, math.sqrt(3) / 2]
-        super().__init__(2, [a1, a2], [[0.0, 0.0]], size, pbc)
+        super().__init__(2, [a1, a2], [[0.0, 0.0]], size, pbc, **kws)
 
 
 class KagomeLattice(TILattice):
-    def __init__(self, size: Sequence[int], pbc: bool = True):
+    def __init__(self, size: Sequence[int], pbc: bool = True, **kws: Any):
         a1 = [2.0, 0.0]
         a2 = [1.0, math.sqrt(3)]
         basis = [[0.0, 0.0], [1.0, 0.0], [0.5, math.sqrt(3) / 2]]
-        super().__init__(2, [a1, a2], basis, size, pbc)
+        super().__init__(2, [a1, a2], basis, size, pbc, **kws)
 
 
 class LiebLattice(TILattice):
-    def __init__(self, size: Sequence[int], pbc: bool = True):
+    def __init__(self, size: Sequence[int], pbc: bool = True, **kws: Any):
         basis = [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
-        super().__init__(2, [[2.0, 0.0], [0.0, 2.0]], basis, size, pbc)
+        super().__init__(2, [[2.0, 0.0], [0.0, 2.0]], basis, size, pbc, **kws)
 
 
 class CheckerboardLattice(TILattice):
-    def __init__(self, size: Sequence[int], pbc: bool = True):
+    def __init__(self, size: Sequence[int], pbc: bool = True, **kws: Any):
         basis = [[0.0, 0.0], [1.0, 1.0]]
-        super().__init__(2, [[2.0, 0.0], [0.0, 2.0]], basis, size, pbc)
+        super().__init__(2, [[2.0, 0.0], [0.0, 2.0]], basis, size, pbc, **kws)
 
 
 class CubicLattice(TILattice):
-    def __init__(self, size: Sequence[int], pbc: bool = True):
+    def __init__(self, size: Sequence[int], pbc: bool = True, **kws: Any):
         super().__init__(
             3,
             [[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]],
             [[0.0, 0.0, 0.0]],
             size,
             pbc,
+            **kws,
         )
 
 
 class DimerizedChainLattice(TILattice):
-    def __init__(self, size: Union[int, Sequence[int]], pbc: bool = True):
+    def __init__(self, size: Union[int, Sequence[int]], pbc: bool = True, **kws: Any):
         if isinstance(size, int):
             size = (size,)
-        super().__init__(1, [[2.0]], [[0.0], [0.9]], size, pbc)
+        super().__init__(1, [[2.0]], [[0.0], [0.9]], size, pbc, **kws)
 
 
 def get_compatible_layers(bonds: Sequence[Tuple[int, int]]) -> List[List[Tuple[int, int]]]:

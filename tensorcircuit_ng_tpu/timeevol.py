@@ -309,6 +309,11 @@ def ode_evol_global(
     single = times.ndim == 0
     ts = jnp.reshape(times, (-1,))
     ts = jnp.concatenate([jnp.zeros((1,), ts.dtype), ts])
+    # jax odeint requires STRICTLY increasing times; a user grid that
+    # itself starts at t=0 would duplicate the prepended 0 and NaN the
+    # step-size controller -> nudge non-increasing points forward
+    bump = jnp.cumsum(jnp.where(jnp.diff(ts) <= 0, jnp.asarray(1e-6, ts.dtype), jnp.asarray(0, ts.dtype)))
+    ts = ts.at[1:].add(bump)
 
     def rhs(y, t, *a):
         h = hamiltonian(t, *a)
@@ -354,6 +359,11 @@ def ode_evol_local(
     single = times.ndim == 0
     ts = jnp.reshape(times, (-1,))
     ts = jnp.concatenate([jnp.zeros((1,), ts.dtype), ts])
+    # jax odeint requires STRICTLY increasing times; a user grid that
+    # itself starts at t=0 would duplicate the prepended 0 and NaN the
+    # step-size controller -> nudge non-increasing points forward
+    bump = jnp.cumsum(jnp.where(jnp.diff(ts) <= 0, jnp.asarray(1e-6, ts.dtype), jnp.asarray(0, ts.dtype)))
+    ts = ts.at[1:].add(bump)
 
     def rhs(y, t, *a):
         hloc = jnp.asarray(hamiltonian(t, *a))

@@ -101,6 +101,8 @@ def __getattr__(name):  # lazy heavy/optional submodules
         "quditgates": (".ops.quditgates", None),
         "parallel": (".parallel", None),
         "DistributedContractor": (".parallel.distributed", "DistributedContractor"),
+        "get_tn_info": (".core.contractor", "get_tn_info"),
+        "contraction_info": (".core.contractor", "contraction_info"),
         "simplify": (".simplify", None),
         "utils": (".utils", None),
         "applications": (".applications", None),

@@ -71,3 +71,8 @@ def set_ascii(b: str = "", conf: Optional[dict] = None) -> None:
 def get_message(key: str) -> str:
     """Fetch a registered message by key (reference ``asciiart.get_message`` role)."""
     return _MESSAGES.get(key, _MESSAGES[_CURRENT["banner"]])
+
+
+# reference-parity flags (asciiart.py:13,168)
+visible = False
+gallery = ["tpu_art"]

@@ -16,6 +16,8 @@ from .abstraction import Device, Provider, Task
 
 __all__ = [
     "set_provider",
+    "default_provider",
+    "default_device",
     "get_provider",
     "set_device",
     "get_device",
@@ -33,17 +35,27 @@ __all__ = [
 
 _default_provider: Provider = Provider.from_name("local")
 _default_device: Optional[Device] = None
+
+# reference-parity module attributes (reference cloud/apis.py:43,85): kept in
+# sync by set_provider/set_device; read them via get_provider/get_device for
+# the authoritative value.
+default_provider: Provider = _default_provider
+default_device: Optional[Device] = _default_device
 _tokens: Dict[str, str] = {}
+saved_token: Dict[str, str] = _tokens  # reference alias (cloud/apis.py:~47)
+avail_providers = ["tencent", "local", "quafu", "tianyan"]
+package_name = "tensorcircuit_ng_tpu"
 _tasks: Dict[str, Task] = {}
 
 _TOKEN_FILE = os.path.expanduser("~/.tc_tpu.auth.json")
 
 
 def set_provider(provider: Union[str, Provider] = "local", set_global: bool = True) -> Provider:
-    global _default_provider
+    global _default_provider, default_provider
     p = Provider.from_name(provider)
     if set_global:
         _default_provider = p
+        default_provider = p
     return p
 
 
@@ -52,10 +64,11 @@ def get_provider() -> Provider:
 
 
 def set_device(device: Union[str, Device] = "default", set_global: bool = True) -> Device:
-    global _default_device
+    global _default_device, default_device
     d = Device.from_name(device)
     if set_global:
         _default_device = d
+        default_device = d
     return d
 
 

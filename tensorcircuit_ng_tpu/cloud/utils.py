@@ -20,6 +20,8 @@ __all__ = [
     "set_proxy",
     "set_transport",
     "reconnect",
+    "rget",
+    "rpost",
     "rget_json",
     "rpost_json",
 ]
@@ -71,6 +73,32 @@ def reconnect(tries: int = 3, sleep: float = 1.0) -> Callable[..., Any]:
         return wrapper
 
     return deco
+
+
+@reconnect()
+def rget(url: str, headers: Optional[Dict[str, str]] = None, timeout: float = 30.0, **kws: Any) -> Any:
+    """GET returning the raw response, with retry (reference ``rget``, cloud/utils.py:108)."""
+    if _TRANSPORT is not None:
+        return _TRANSPORT("GET", url, None, headers)
+    import requests
+
+    return requests.get(url, headers=headers, proxies=_PROXY, timeout=timeout, **kws)
+
+
+@reconnect()
+def rpost(
+    url: str,
+    body: Optional[Dict[str, Any]] = None,
+    headers: Optional[Dict[str, str]] = None,
+    timeout: float = 30.0,
+    **kws: Any,
+) -> Any:
+    """POST returning the raw response, with retry (reference ``rpost``, cloud/utils.py:109)."""
+    if _TRANSPORT is not None:
+        return _TRANSPORT("POST", url, body, headers)
+    import requests
+
+    return requests.post(url, json=body or {}, headers=headers, proxies=_PROXY, timeout=timeout, **kws)
 
 
 @reconnect()

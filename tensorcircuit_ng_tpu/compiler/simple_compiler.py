@@ -13,7 +13,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["prune_pass", "merge_pass", "replace_u_pass", "simple_compile"]
+__all__ = ["prune_pass", "merge_pass", "replace_u_pass", "simple_compile", "default_merge_rules"]
 
 
 def _gate_matrix(item: Dict[str, Any]) -> np.ndarray:
@@ -44,11 +44,40 @@ def prune_pass(qir: List[Dict[str, Any]], atol: float = 1e-6) -> List[Dict[str, 
     return out
 
 
+# fixed-gate pair merges, up to global phase (reference simple_compiler.py:154)
+default_merge_rules: Dict[Any, str] = {
+    ("s", "s"): "z",
+    ("sd", "sd"): "z",
+    ("t", "t"): "s",
+    ("td", "td"): "sd",
+    ("x", "y"): "z",
+    ("y", "x"): "z",
+    ("x", "z"): "y",
+    ("z", "x"): "y",
+    ("z", "y"): "x",
+    ("y", "z"): "x",
+    ("x", "x"): "i",
+    ("y", "y"): "i",
+    ("z", "z"): "i",
+    ("h", "h"): "i",
+    ("s", "sd"): "i",
+    ("sd", "s"): "i",
+    ("t", "td"): "i",
+    ("td", "t"): "i",
+}
+
+# pairs whose table entry holds only up to a global phase
+_PHASEFUL_MERGES = {
+    ("x", "y"), ("y", "x"), ("x", "z"), ("z", "x"), ("z", "y"), ("y", "z"),
+}
+
+
 def merge_pass(qir: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
     """Merge neighboring gates acting on identical qubit supports.
 
-    Special-cases same-name rotation merging (theta addition) to keep the
-    gate names hardware-friendly; otherwise merges into one ``any`` matrix.
+    Fixed-gate pairs merge by name via ``default_merge_rules`` (up to global
+    phase); same-name rotations merge by theta addition; anything else merges
+    into one ``any`` matrix.
     """
     from ..ops.gates import Gate
 
@@ -58,6 +87,25 @@ def merge_pass(qir: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
             prev = out[-1]
             if tuple(prev["index"]) == tuple(item["index"]):
                 pn, cn = prev.get("name"), item.get("name")
+                merged_name = default_merge_rules.get((pn, cn))
+                # only apply merges that are exact (no global phase): pauli
+                # products like x@y = i*z fall through to the matrix path
+                if merged_name is not None and (pn, cn) not in _PHASEFUL_MERGES and "parameters" not in prev and "parameters" not in item:
+                    from ..ops import gates as gates_mod
+
+                    if merged_name == "i":
+                        out.pop()
+                        continue
+                    gatef = gates_mod.GATES[merged_name]
+                    out[-1] = {
+                        "gatef": gatef,
+                        "gate": gatef(),
+                        "index": prev["index"],
+                        "name": merged_name,
+                        "split": None,
+                        "mpo": False,
+                    }
+                    continue
                 if (
                     pn == cn
                     and pn in ("rx", "ry", "rz", "rzz", "rxx", "ryy", "phase", "cphase")

@@ -277,3 +277,8 @@ def __getattr__(name: str) -> Any:
     if hasattr(_contractor, name):
         return getattr(_contractor, name)
     raise AttributeError(f"module 'tensorcircuit_ng_tpu.config' has no attribute {name!r}")
+
+
+# reference-parity module constants (cons.py:72,76)
+package_name = "tensorcircuit_ng_tpu"
+idtypestr = "int32"

@@ -123,6 +123,26 @@ def contraction_info(ir: EinsumIR, optimizer: Any = None) -> Dict[str, Any]:
     }
 
 
+def get_tn_info(obj: Any, output_order: Any = None) -> Tuple[List[Tuple[int, ...]], Tuple[int, ...], Dict[int, int]]:
+    """Export the ``(inputs, output, size_dict)`` contraction topology.
+
+    Reference parity: ``cons.py:804`` (``get_tn_info`` over tn node lists).
+    Here the topology IS the framework's :class:`EinsumIR`; accepts an
+    ``EinsumIR`` directly or any circuit exposing ``_expanded_qir`` (uses its
+    state network).  ``output_order`` is accepted for signature parity and
+    ignored (the IR's output ordering is canonical wire order).
+    """
+    if isinstance(obj, EinsumIR):
+        ir = obj
+    elif hasattr(obj, "_expanded_qir"):
+        from . import einsum_ir as _eir
+
+        ir = _eir.circuit_state_ir(obj._expanded_qir(), obj._nqubits, d=getattr(obj, "_d", 2))
+    else:
+        raise TypeError(f"get_tn_info expects an EinsumIR or a circuit, got {type(obj)}")
+    return list(ir.inputs), tuple(ir.output), dict(ir.size_dict)
+
+
 def _contraction_steps(
     inputs: Sequence[Tuple[int, ...]],
     output: Tuple[int, ...],

@@ -30,6 +30,9 @@ from .backend import backend as K
 
 Tensor = Any
 
+#: sentinel used to pad ragged index batches (reference experimental.py:540)
+PADDING_VALUE = -1
+
 __all__ = [
     "adaptive_vmap",
     "qng",
@@ -42,6 +45,8 @@ __all__ = [
     "save_params",
     "load_params",
     "jax_jitted_function_load",
+    "jax_func_save",
+    "jax_func_load",
     "broadcast_py_object",
     "scan_circuit_layers",
     "hamiltonian_evol",
@@ -252,6 +257,11 @@ def jax_jitted_function_load(path: str) -> Callable[..., Any]:
         blob = fp.read()
     exported = jexport.deserialize(blob)
     return exported.call
+
+
+# reference alias bindings (experimental.py:515,537)
+jax_func_save = jax_jitted_function_save
+jax_func_load = jax_jitted_function_load
 
 
 # ------------------------------------------------------------------

@@ -9,7 +9,7 @@ numpy callers — via VJP + dlpack/numpy conversion, mirroring reference
 
 from .torch import torch_interface, torch_interface_kws, pytorch_interface
 from .scipy import scipy_interface, scipy_optimize_interface
-from .numpy import numpy_interface
+from .numpy import numpy_interface, np_interface
 from .tensorflow import tensorflow_interface, tf_interface
 from .tensortrans import general_args_to_numpy, numpy_args_to_backend
 
@@ -32,6 +32,7 @@ __all__ = [
     "scipy_interface",
     "scipy_optimize_interface",
     "numpy_interface",
+    "np_interface",
     "general_args_to_numpy",
     "numpy_args_to_backend",
 ]

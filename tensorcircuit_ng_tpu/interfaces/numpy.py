@@ -9,7 +9,7 @@ import jax
 
 from .tensortrans import general_args_to_numpy, numpy_args_to_backend
 
-__all__ = ["numpy_interface"]
+__all__ = ["numpy_interface", "np_interface"]
 
 
 def numpy_interface(fun: Callable[..., Any], jit: bool = False) -> Callable[..., Any]:
@@ -23,3 +23,7 @@ def numpy_interface(fun: Callable[..., Any], jit: bool = False) -> Callable[...,
         return general_args_to_numpy(out)
 
     return wrapper
+
+
+# reference alias (interfaces/numpy.py:61)
+np_interface = numpy_interface

@@ -84,6 +84,8 @@ class AbstractCircuit:
     # populated by _meta_apply below
     sgates = list(gates_mod.FIXED_GATE_NAMES)
     vgates = list(gates_mod.VARIABLE_GATE_NAMES)
+    mpogates = ["multicontrol", "mpo"]
+    diaggates = ["diagonal", "rzm", "cmz"]
     gate_aliases = dict(gates_mod.GATE_ALIASES)
 
     def __init__(self) -> None:
@@ -723,3 +725,11 @@ class AbstractCircuit:
 
 
 AbstractCircuit._meta_apply()
+
+# module-level gate-registry bindings (reference abstractcircuit.py:37-81)
+sgates = AbstractCircuit.sgates
+vgates = AbstractCircuit.vgates
+mpogates = AbstractCircuit.mpogates
+diaggates = AbstractCircuit.diaggates
+gate_aliases = AbstractCircuit.gate_aliases
+defined_gates = list(dict.fromkeys(sgates + vgates + mpogates + diaggates + list(gate_aliases)))

@@ -306,6 +306,10 @@ def kraus_identity_check(kraus: Sequence[Any], atol: float = 1e-5) -> None:
     np.testing.assert_allclose(np.asarray(acc), np.eye(d), atol=atol)
 
 
+# backward-compatible reference alias (channels.py:539)
+single_qubit_kraus_identity_check = kraus_identity_check
+
+
 def is_unitary_kraus(kraus: Sequence[Any], atol: float = 1e-8) -> bool:
     """True if every Kraus operator is proportional to a unitary."""
     for m in _mats(kraus):

@@ -45,6 +45,15 @@ def num_to_tensor(*nums: Any, dtype: Optional[str] = None) -> Any:
 
 array_to_tensor = num_to_tensor
 
+PAULI_CHAR_TO_INDEX = {"I": 0, "X": 1, "Y": 2, "Z": 3}  # reference gates.py:52
+
+# canonical single-qubit basis states (reference gates.py:33-36); kept as
+# NUMPY constants so they lift into traces without a complex device-put
+zero_state = np.array([1.0, 0.0], dtype=np.complex64)
+one_state = np.array([0.0, 1.0], dtype=np.complex64)
+plus_state = (zero_state + one_state) / np.sqrt(2.0)
+minus_state = (zero_state - one_state) / np.sqrt(2.0)
+
 
 class Gate:
     """A dense gate tensor with a name; shape ``(d,)*2k`` or matrix form.

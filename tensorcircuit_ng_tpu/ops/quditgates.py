@@ -201,3 +201,28 @@ def swap_matrix_func(d: int) -> Tensor:
         for k in range(d):
             m[k * d + j, j * d + k] = 1.0
     return jnp.asarray(m, dtype=_dt())
+
+
+# name -> (parameter names, builder) registries (reference quditgates.py:23-58);
+# our builders take keyword parameters directly, so the builder entry is the
+# matrix function itself.
+SINGLE_BUILDERS = {
+    "I": (("none",), lambda d, **kw: i_matrix_func(d)),
+    "X": (("none",), lambda d, **kw: x_matrix_func(d)),
+    "Z": (("none",), lambda d, **kw: z_matrix_func(d)),
+    "H": (("none",), lambda d, **kw: h_matrix_func(d)),
+    "S": (("none",), lambda d, **kw: s_matrix_func(d)),
+    "RX": (("theta", "j", "k"), lambda d, **kw: rx_matrix_func(d, kw.get("theta", 0), kw.get("j", 0), kw.get("k", 1))),
+    "RY": (("theta", "j", "k"), lambda d, **kw: ry_matrix_func(d, kw.get("theta", 0), kw.get("j", 0), kw.get("k", 1))),
+    "RZ": (("theta", "j"), lambda d, **kw: rz_matrix_func(d, kw.get("theta", 0), kw.get("j", 0))),
+    "PHASE": (("theta", "j"), lambda d, **kw: phase_matrix_func(d, kw.get("theta", 0), kw.get("j", 1))),
+    "U8": (("gamma", "z", "eps"), lambda d, **kw: u8_matrix_func(d, kw.get("gamma", 0), kw.get("z", 0), kw.get("eps", 0))),
+}
+
+TWO_BUILDERS = {
+    "RXX": (("theta", "j1", "k1", "j2", "k2"), lambda d, **kw: rxx_matrix_func(d, kw.get("theta", 0), kw.get("j1", 0), kw.get("k1", 1), kw.get("j2", 0), kw.get("k2", 1))),
+    "RZZ": (("theta",), lambda d, **kw: rzz_matrix_func(d, kw.get("theta", 0))),
+    "CPHASE": (("cv", "theta"), lambda d, **kw: cphase_matrix_func(d, kw.get("cv"), kw.get("theta"))),
+    "CSUM": (("none",), lambda d, **kw: csum_matrix_func(d)),
+    "SWAP": (("none",), lambda d, **kw: swap_matrix_func(d)),
+}

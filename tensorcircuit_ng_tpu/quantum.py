@@ -69,8 +69,10 @@ __all__ = [
     "count_tuple2dict",
     "count_d2s",
     "count_s2d",
+    "count_t2v",
     "counts_v2t",
     "counts_t2v",
+    "PauliStringSum2COO_numpy",
     "sample2all",
     "measurement_counts",
     "measurement_results",
@@ -1225,24 +1227,33 @@ def _int2basestr(i: int, n: int, d: int = 2) -> str:
     return "".join(alphabet[x] for x in digits)
 
 
-def count_d2s(count: Dict[Any, int]) -> List[Tuple[Any, int]]:
-    """dict -> sorted items ("dense to sparse" naming per reference)."""
-    return sorted(count.items())
+def count_s2d(srepr: Tuple[Tensor, Tensor], n: int, dim: Optional[int] = None) -> Tensor:
+    """Sparse shot-count tuple (indices, values) -> dense count vector [dim**n].
+
+    Reference semantics: ``tensorcircuit/quantum.py:3513`` (count_s2d), with
+    the reference's alias ``counts_v2t``.
+    """
+    d = 2 if dim is None else dim
+    idx = jnp.asarray(srepr[0]).reshape(-1)
+    vals = jnp.asarray(srepr[1])
+    return jnp.zeros((d**n,), dtype=vals.dtype).at[idx].add(vals)
 
 
-def count_s2d(count: Sequence[Tuple[Any, int]], n: int, d: int = 2) -> Dict[Any, int]:
-    return dict(count)
+def count_d2s(drepr: Tensor, eps: float = 1e-7) -> Tuple[Tensor, Tensor]:
+    """Dense count vector -> (indices, values) of entries with |v| > eps.
+
+    Non-jittable (data-dependent output shape).  Reference semantics:
+    ``tensorcircuit/quantum.py:3540`` (count_d2s), alias ``count_t2v``.
+    """
+    arr = np.asarray(drepr)
+    idx = np.nonzero(np.abs(arr) > eps)[0]
+    return jnp.asarray(idx), jnp.asarray(arr[idx])
 
 
-def counts_v2t(count: Tensor) -> Tuple[Tensor, Tensor]:
-    nz = jnp.nonzero(count)[0]
-    return nz, count[nz]
-
-
-def counts_t2v(count: Tuple[Tensor, Tensor], n: int, d: int = 2) -> Tensor:
-    vals, cnts = count
-    cv = jnp.zeros((d**n,), dtype=jnp.asarray(cnts).dtype)
-    return cv.at[jnp.asarray(vals)].add(jnp.asarray(cnts))
+# reference alias bindings (tensorcircuit/quantum.py:3537,3571)
+counts_v2t = count_s2d
+count_t2v = count_d2s
+counts_t2v = count_s2d
 
 
 def sample2all(
@@ -1567,6 +1578,16 @@ def eliminate_identities(qop: QuOperator) -> QuOperator:
     return _qu_like(qop._t, out_dims, in_dims)
 
 
+# per-backend jit cache for the single-string COO builder (reference
+# quantum.py:2534); our builder is host-side numpy so the entry is direct.
+PauliString2COO_jit = {"numpy": PauliString2COO, "jax": PauliString2COO}
+
+
 def PauliStringSum2COO_tf(*args: Any, **kws: Any) -> Any:
     """Reference TF-path alias; routes to the numpy/JAX COO builder."""
     return PauliStringSum2COO(*args, **kws)
+
+
+def PauliStringSum2COO_numpy(ls: Any, weight: Optional[Any] = None) -> Any:
+    """Force the numpy COO path (reference quantum.py:2463 partial binding)."""
+    return PauliStringSum2COO(ls, weight, numpy=True)

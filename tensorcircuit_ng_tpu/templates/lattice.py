@@ -16,6 +16,12 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
+# public typing aliases (reference templates/lattice.py:48-52)
+SiteIndex = int
+SiteIdentifier = Any
+Coordinates = Any
+NeighborMap = Dict[int, List[int]]
+
 __all__ = [
     "AbstractLattice",
     "TILattice",

@@ -10,12 +10,32 @@ Both sections printing empty means full parity (state at end of round 1).
 When adding new modules, extend the import list below so find_symbol can
 see them.
 """
-import ast, os
+import ast, os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS","cpu")
 import jax; jax.config.update("jax_platforms","cpu")
 import tensorcircuit_ng_tpu as tc
 
 REF = "/root/reference/tensorcircuit"
+
+# assignment-bound names that are NOT public API surface, each with a reason:
+_ASSIGN_NOISE = {
+    # generic type aliases / re-exported types
+    "logger","Tensor","Graph","Array","Matrix","Gate","thismodule","Circuit",
+    "npdtype","dtypestr","rdtypestr","module2backend","backend2module",
+    "Opt","Model","Symbol","Operator","dtype",
+    # bare import rebinds (reference assigns modules/classes it imported)
+    "jaxlib","ctg","Mesh","NamedSharding","P","npb","backend_numpy",
+    # module-internal state/caches with no user contract
+    "graph_instances","local_devices","task_list","connection_errors",
+    "sep","sep2","tencent_base_url","saved_token",
+    # reference-internal symbolic registries; ours keeps them as functions
+    "SYM_SGATE_MAP","SYM_VGATE_MAP",
+    # reference-internal engine constants tied to its own data layout
+    "SPARSE_WORD_QUBITS","SAMPLE_FORMAT",
+    # reference vqes module-level numpy scratch constants
+    "xx","yy","zz","pauli",
+}
 
 def pub(path):
     tree = ast.parse(open(path).read())
@@ -25,6 +45,16 @@ def pub(path):
             out[node.name]="fn"
         elif isinstance(node, ast.ClassDef) and not node.name.startswith("_"):
             out[node.name]=sorted(n.name for n in node.body if isinstance(n,(ast.FunctionDef,ast.AsyncFunctionDef)) and not n.name.startswith("_"))
+        elif isinstance(node, ast.Assign):
+            # assignment-bound public API (aliases, partials, module constants)
+            for t in node.targets:
+                if isinstance(t, ast.Name) and not t.id.startswith("_") and t.id.isidentifier():
+                    if t.id in _ASSIGN_NOISE:
+                        continue
+                    out.setdefault(t.id, "fn")
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            if not node.target.id.startswith("_") and node.target.id not in _ASSIGN_NOISE:
+                out.setdefault(node.target.id, "fn")
     return out
 
 # runtime targets to search for module-level fns and classes
@@ -95,6 +125,22 @@ for f in files:
                     if hasattr(m,name): target = getattr(m,name); break
             mm=[meth for meth in kind if not hasattr(target,meth)]
             if mm: missing_methods.setdefault(rel,[]).append(f"{name}: {','.join(mm)}")
+
+# abstract-backend method surface: every public method the reference's
+# ExtendedBackend/abstract backend declares must exist on our JaxBackend.
+ab_missing = []
+ab_path = os.path.join(REF, "backends", "abstract_backend.py")
+if os.path.exists(ab_path):
+    tree = ast.parse(open(ab_path).read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ClassDef):
+            for meth in node.body:
+                if isinstance(meth, (ast.FunctionDef, ast.AsyncFunctionDef)) and not meth.name.startswith("_"):
+                    if not hasattr(tc.backend, meth.name):
+                        ab_missing.append(meth.name)
+if ab_missing:
+    print("=== MISSING abstract-backend methods on tc.backend ===")
+    print(", ".join(sorted(set(ab_missing))))
 
 print("=== MISSING module-level symbols (nowhere in our package) ===")
 for k in sorted(missing_fns):

@@ -137,6 +137,11 @@ def bench_tebd() -> float:
 
 V5E_HBM_GBPS = 819.0  # v5e peak HBM bandwidth
 
+# best-engineered per-gate A100 competitor (cuStateVec + CUDA graphs,
+# L2-resident state): ~700 state-touching kernels x 16.8 MB at ~5 TB/s L2
+# + ~1 us graph-replay per node ≈ 2.9 ms.  Scenarios + sources: BASELINE.md.
+A100_ESTIMATE_MS = 2.9
+
 
 def _vqe_roofline(n: int, nlayers: int, step_ms: float) -> dict:
     """Model the minimal HBM traffic of one fused VQE step and compare.
@@ -231,6 +236,21 @@ def main() -> None:
         best = min(best, (time.time() - t0) / K)
     step_ms = best * 1000.0
 
+    # empty-scan calibration (VERDICT r4 #10): the fixed dispatch+scan floor
+    # that silently sits inside every per-step number at this K
+    def _empty_body(x, _):
+        return x + 1e-7, x[0, 0, 0]
+
+    fe = jax.jit(lambda p: jax.lax.scan(_empty_body, p, None, length=K))
+    _ = float(fe(p0)[1][-1])  # compile
+    cal = float("inf")
+    for _ in range(3):
+        p = jnp.asarray(rng.normal(size=(nlayers, 2, n)) * 0.1, dtype=jnp.float32)
+        t0 = time.time()
+        _ = float(fe(p)[1][-1])
+        cal = min(cal, (time.time() - t0) / K)
+    calibration_ms = cal * 1000.0
+
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
     )
@@ -258,6 +278,12 @@ def main() -> None:
         "value": round(step_ms, 3),
         "unit": "ms/step",
         "vs_baseline": round(baseline_ms / step_ms, 3),
+        # external competitor estimate: best-engineered per-gate A100 path
+        # (cuStateVec + CUDA graphs, L2-resident state) = 2.9 ms/step —
+        # full derivation + scenarios in BASELINE.md "A100 external estimate"
+        "vs_a100_estimate": round(A100_ESTIMATE_MS / step_ms, 3),
+        # fixed dispatch+scan floor inside every per-step number at this K
+        "calibration_empty_scan_ms": round(calibration_ms, 4),
         # judge perf against physics, not only vs_baseline (VERDICT r2 #1)
         "roofline": _vqe_roofline(n, nlayers, step_ms),
     }

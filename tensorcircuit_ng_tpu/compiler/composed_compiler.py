@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
-__all__ = ["Compiler", "DefaultCompiler", "default_compile"]
+__all__ = ["Compiler", "DefaultCompiler", "default_compile", "qiskit_compile", "compose_mapping_info"]
 
 
 class Compiler:
@@ -82,32 +82,76 @@ def default_compile(
     return DefaultCompiler(compiled_options)(circuit, info)
 
 
+def compose_mapping_info(
+    info: Optional[Dict[str, Any]],
+    new_lpm: Dict[int, int],
+    positional_logical: Optional[Dict[int, int]] = None,
+) -> Dict[str, Any]:
+    """Thread qubit-mapping bookkeeping through one transpile stage.
+
+    Pure function (no qiskit needed) implementing the reference's rules
+    (``compiler/qiskit_compiler.py:180-200``):
+
+    - an incoming ``logical_physical_mapping`` COMPOSES with the stage's new
+      mapping: ``logical -> old physical -> new physical``;
+    - ``positional_logical_mapping`` passes through unchanged when present
+      (the logical circuit's measure order is upstream of this stage),
+      otherwise the caller-provided one (derived from the pre-transpile
+      circuit) is used, defaulting to identity.
+    """
+    out: Dict[str, Any] = {}
+    if info is not None and "logical_physical_mapping" in info:
+        out["logical_physical_mapping"] = {
+            k: new_lpm[v] for k, v in info["logical_physical_mapping"].items()
+        }
+    else:
+        out["logical_physical_mapping"] = dict(new_lpm)
+    if info is not None and "positional_logical_mapping" in info:
+        out["positional_logical_mapping"] = dict(info["positional_logical_mapping"])
+    elif positional_logical is not None:
+        out["positional_logical_mapping"] = dict(positional_logical)
+    else:
+        out["positional_logical_mapping"] = {k: k for k in new_lpm}
+    return out
+
+
 def qiskit_compile(
     circuit: Any,
     info: Optional[Dict[str, Any]] = None,
     output: str = "tc",
     compiled_options: Optional[Dict[str, Any]] = None,
+    _transpile_fn: Optional[Callable[..., Any]] = None,
 ) -> Any:
     """qiskit.transpile-backed compilation (reference ``qiskit_compiler.py:124``).
 
-    Requires qiskit; tracks the positional-logical mapping through transpile.
+    Requires qiskit unless ``_transpile_fn`` injects a transpiler (the
+    offline-test seam: mapping bookkeeping is pure python via
+    :func:`compose_mapping_info` and testable without qiskit).
     """
-    from qiskit.compiler import transpile  # type: ignore
+    if _transpile_fn is None:
+        from qiskit.compiler import transpile as _transpile_fn  # type: ignore
 
     from ..translation import get_qiskit_qasm
 
     if hasattr(circuit, "to_qiskit"):
-        qc = circuit.to_qiskit()
+        try:
+            qc = circuit.to_qiskit()
+        except ImportError:
+            if _transpile_fn.__module__.startswith("qiskit"):
+                raise
+            qc = circuit  # injected transpiler: hand it the tc circuit as-is
     else:
         qc = circuit
     options = compiled_options or {"optimization_level": 2}
-    compiled = transpile(qc, **options)
-    info = dict(info or {})
+    compiled = _transpile_fn(qc, **options)
+    new_lpm: Dict[int, int] = {}
     try:
         layout = compiled.layout.final_index_layout()
-        info["logical_physical_mapping"] = {i: p for i, p in enumerate(layout)}
+        new_lpm = {i: p for i, p in enumerate(layout)}
     except Exception:
-        pass
+        nq = getattr(compiled, "num_qubits", getattr(circuit, "nqubits", 0))
+        new_lpm = {i: i for i in range(int(nq))}
+    info = compose_mapping_info(info, new_lpm)
     if output == "qiskit":
         return compiled, info
     if output == "qasm":

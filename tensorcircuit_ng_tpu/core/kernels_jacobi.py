@@ -74,6 +74,10 @@ def _jacobi_kernel(
         vtr = vbr = vti = vbi = jnp.zeros((8, 128), f32)  # dummy carry
     tiny = f32(1e-30)
 
+    # NOTE a carried-norm variant (app' = app - t*mod exact 2x2 update) was
+    # tried and REVERTED: the carried error is ABSOLUTE at s_max^2 scale
+    # while small-norm pairs need RELATIVE accuracy in (aqq - app) — the
+    # warm-subspace chain collapsed to 0.77 overlap.  Norms stay fresh.
     def body(_, carry):
         xtr, xti, xbr, xbi, vtr, vti, vbr, vbi = carry
         app = jnp.sum(xtr * xtr + xti * xti, axis=1, keepdims=True)
@@ -81,25 +85,36 @@ def _jacobi_kernel(
         # a_pq = <p, q> (conjugate on p)
         pr = jnp.sum(xtr * xbr + xti * xbi, axis=1, keepdims=True)
         pi = jnp.sum(xtr * xbi - xti * xbr, axis=1, keepdims=True)
-        mod = jnp.sqrt(pr * pr + pi * pi)
-        inv_mod = 1.0 / (mod + tiny)
+        mod2 = pr * pr + pi * pi
+        # epsilon at the f32 min-normal floor: meaningful small rotations
+        # (mod ~ 1e-15, mod2 ~ 1e-30) must keep accurate phase/angle
+        # NOTE: the epsilon must be a NORMAL f32 (min normal 1.18e-38):
+        # a denormal constant is flushed to zero by XLA, making rsqrt(0)=inf
+        # and 0*inf=NaN downstream (cost: one NaN'd debugging session)
+        inv_mod = jax.lax.rsqrt(mod2 + f32(1e-36))
         cph = pr * inv_mod  # cos(phi), sin(phi) of the pair phase
         sph = pi * inv_mod
         tau = (aqq - app) * 0.5 * inv_mod
         t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
         c = jax.lax.rsqrt(1.0 + t * t)
         s = c * t
-        skip = mod <= 1e-12 * jnp.sqrt(app * aqq) + tiny
+        # relative guard only (threshold underflows to 0 for tiny columns,
+        # leaving exact-zero pairs as the only skips there — matches the
+        # old mod <= 1e-12 sqrt(app aqq) + 1e-30 behavior)
+        skip = mod2 <= 1e-24 * (app * aqq)
         c = jnp.where(skip, 1.0, c)
         s = jnp.where(skip, 0.0, s)
+        scph = s * cph
+        ssph = s * sph
 
         def rot(tr, ti, br, bi):
             # p' = c p - s e^{-i phi} q ;  q' = s e^{i phi} p + c q
-            eqr = cph * br + sph * bi  # Re(e^{-i phi} q)
-            eqi = cph * bi - sph * br
-            epr = cph * tr - sph * ti  # Re(e^{+i phi} p)
-            epi = cph * ti + sph * tr
-            return c * tr - s * eqr, c * ti - s * eqi, s * epr + c * br, s * epi + c * bi
+            # expanded form: 12 plane muls instead of 16
+            ntr = c * tr - scph * br - ssph * bi
+            nti = c * ti - scph * bi + ssph * br
+            nbr = c * br + scph * tr - ssph * ti
+            nbi = c * bi + scph * ti + ssph * tr
+            return ntr, nti, nbr, nbi
 
         xtr, xti, xbr, xbi = rot(xtr, xti, xbr, xbi)
         if with_v:
@@ -138,11 +153,188 @@ def _jacobi_kernel(
         ovi_ref[0, h:, :] = vbi
 
 
+def _jacobi_kernel_packed(
+    xr_ref,
+    xi_ref,
+    oxr_ref,
+    oxi_ref,
+    ovr_ref=None,
+    ovi_ref=None,
+    *,
+    b: int,
+    n: int,
+    m: int,
+    sweeps: int,
+    with_v: bool = True,
+):
+    """Batch-packed variant: the whole batch lives in ONE kernel invocation.
+
+    Planes are (n, b*m): row j holds column j of ALL b matrices side by side
+    (segment q occupies lanes [q*m, (q+1)*m)).  The Brent–Luk tournament is
+    identical for every matrix, so the sublane rolls/selects act on all
+    segments at once — and the per-pair SCALAR chain (norms → angle → c/s,
+    ~22 VPU ops that a (h, 1) layout pads to full 128-lane tiles) is computed
+    ONCE for the batch on (h, b) tiles instead of once per matrix.  That
+    chain measured ~25% of the per-matrix round cost at b=30.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    h = n // 2
+    f32 = jnp.float32
+    xtr = xr_ref[:h, :]
+    xbr = xr_ref[h:, :]
+    xti = xi_ref[:h, :]
+    xbi = xi_ref[h:, :]
+    rows_bm = jax.lax.broadcasted_iota(jnp.int32, (h, b * m), 0)
+    rows_bn = jax.lax.broadcasted_iota(jnp.int32, (h, b * n), 0)
+    if with_v:
+        # per-segment identity: V[j, q*n + k] = (k == j)
+        colmod = jax.lax.broadcasted_iota(jnp.int32, (h, b * n), 1) % n
+        vtr = jnp.where(colmod == rows_bn, 1.0, 0.0).astype(f32)
+        vbr = jnp.where(colmod == rows_bn + h, 1.0, 0.0).astype(f32)
+        vti = jnp.zeros((h, b * n), f32)
+        vbi = jnp.zeros((h, b * n), f32)
+    else:
+        vtr = vbr = vti = vbi = jnp.zeros((8, 128), f32)
+
+    def seg_sum(x):  # (h, b*m) -> (h, b) per-segment lane reduction
+        return jnp.sum(jnp.reshape(x, (h, b, m)), axis=2)
+
+    def expand(sc, w):  # (h, b) -> (h, b*w) segment broadcast
+        return jnp.reshape(jnp.broadcast_to(sc[:, :, None], (h, b, w)), (h, b * w))
+
+    def body(_, carry):
+        xtr, xti, xbr, xbi, vtr, vti, vbr, vbi = carry
+        app = seg_sum(xtr * xtr + xti * xti)
+        aqq = seg_sum(xbr * xbr + xbi * xbi)
+        pr = seg_sum(xtr * xbr + xti * xbi)
+        pi = seg_sum(xtr * xbi - xti * xbr)
+        mod2 = pr * pr + pi * pi
+        inv_mod = jax.lax.rsqrt(mod2 + f32(1e-36))  # eps must be NORMAL f32
+        cph = pr * inv_mod
+        sph = pi * inv_mod
+        tau = (aqq - app) * 0.5 * inv_mod
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        c = jax.lax.rsqrt(1.0 + t * t)
+        s = c * t
+        skip = mod2 <= 1e-24 * (app * aqq)
+        c = jnp.where(skip, 1.0, c)
+        s = jnp.where(skip, 0.0, s)
+        scph = s * cph
+        ssph = s * sph
+        cm, scphm, ssphm = expand(c, m), expand(scph, m), expand(ssph, m)
+        if with_v:
+            cn, scphn, ssphn = expand(c, n), expand(scph, n), expand(ssph, n)
+
+        def rot(tr, ti, br, bi, cc, sc_, ss_):
+            ntr = cc * tr - sc_ * br - ss_ * bi
+            nti = cc * ti - sc_ * bi + ss_ * br
+            nbr = cc * br + sc_ * tr - ss_ * ti
+            nbi = cc * bi + sc_ * ti + ss_ * tr
+            return ntr, nti, nbr, nbi
+
+        xtr, xti, xbr, xbi = rot(xtr, xti, xbr, xbi, cm, scphm, ssphm)
+        if with_v:
+            vtr, vti, vbr, vbi = rot(vtr, vti, vbr, vbi, cn, scphn, ssphn)
+
+        def shuffle(top, bot):
+            rows = rows_bm if top.shape[1] == b * m else rows_bn
+            nt = jnp.where(
+                rows == 1,
+                pltpu.roll(bot, 1, 0),
+                jnp.where(rows == 0, top, pltpu.roll(top, 1, 0)),
+            )
+            nb = jnp.where(rows == h - 1, top, pltpu.roll(bot, h - 1, 0))
+            return nt, nb
+
+        xtr, xbr = shuffle(xtr, xbr)
+        xti, xbi = shuffle(xti, xbi)
+        if with_v:
+            vtr, vbr = shuffle(vtr, vbr)
+            vti, vbi = shuffle(vti, vbi)
+        return xtr, xti, xbr, xbi, vtr, vti, vbr, vbi
+
+    carry = (xtr, xti, xbr, xbi, vtr, vti, vbr, vbi)
+    carry = jax.lax.fori_loop(0, sweeps * (n - 1), body, carry)
+    xtr, xti, xbr, xbi, vtr, vti, vbr, vbi = carry
+    oxr_ref[:h, :] = xtr
+    oxr_ref[h:, :] = xbr
+    oxi_ref[:h, :] = xti
+    oxi_ref[h:, :] = xbi
+    if with_v:
+        ovr_ref[:h, :] = vtr
+        ovr_ref[h:, :] = vbr
+        ovi_ref[:h, :] = vti
+        ovi_ref[h:, :] = vbi
+
+
+#: pack the whole batch into one kernel invocation (lane-axis segments) when
+#: m and n are lane-tile multiples; default OFF until the on-chip A/B
+#: (examples/ab_jacobi_packed.py) proves it — flip if it wins
+PACKED = False
+#: cap on lanes per packed call (VMEM: ~8 planes x n x lanes x 4 B)
+_PACKED_MAX_LANES = 128 * 64
+
+
+def _run_kernel_packed(
+    xr: Tensor, xi: Tensor, sweeps: int, with_v: bool
+) -> Tuple[Tensor, ...]:
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, m = xr.shape
+    # pack: (b, n, m) -> (n, b*m) with segment q at lanes [q*m, (q+1)*m)
+    pk = lambda z: jnp.swapaxes(z, 0, 1).reshape(n, b * m)
+    upk_m = lambda z: jnp.swapaxes(z.reshape(n, b, m), 0, 1)
+    upk_n = lambda z: jnp.swapaxes(z.reshape(n, b, n), 0, 1)
+    spec_m = pl.BlockSpec((n, b * m), lambda: (0, 0), memory_space=pltpu.VMEM)
+    spec_n = pl.BlockSpec((n, b * n), lambda: (0, 0), memory_space=pltpu.VMEM)
+    out_specs = [spec_m, spec_m] + ([spec_n, spec_n] if with_v else [])
+    out_shape = [
+        jax.ShapeDtypeStruct((n, b * m), jnp.float32),
+        jax.ShapeDtypeStruct((n, b * m), jnp.float32),
+    ] + (
+        [
+            jax.ShapeDtypeStruct((n, b * n), jnp.float32),
+            jax.ShapeDtypeStruct((n, b * n), jnp.float32),
+        ]
+        if with_v
+        else []
+    )
+    vmem_bytes = (2 + len(out_specs)) * n * b * max(m, n) * 4 + 2 * 1024 * 1024
+    f = pl.pallas_call(
+        partial(_jacobi_kernel_packed, b=b, n=n, m=m, sweeps=sweeps, with_v=with_v),
+        in_specs=[spec_m, spec_m],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem_bytes * 1.5), 120 * 1024 * 1024)
+        ),
+    )
+    out = f(pk(xr), pk(xi))
+    out = list(out) if isinstance(out, (tuple, list)) else [out]
+    res = [upk_m(out[0]), upk_m(out[1])]
+    if with_v:
+        res += [upk_n(out[2]), upk_n(out[3])]
+    return tuple(res)
+
+
 def _run_kernel(
     xr: Tensor, xi: Tensor, sweeps: int, with_v: bool
 ) -> Tuple[Tensor, ...]:
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    b, n, m = xr.shape
+    if (
+        PACKED
+        and m % 128 == 0
+        and n % 128 == 0
+        and b * max(m, n) <= _PACKED_MAX_LANES
+        and b > 1
+    ):
+        return _run_kernel_packed(xr, xi, sweeps, with_v)
 
     b, n, m = xr.shape
     spec_nm = pl.BlockSpec((1, n, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -172,7 +364,7 @@ def _run_kernel(
 
 
 def jacobi_svd_pallas(
-    a: Tensor, sweeps: int = 10, accumulate_v: bool = False
+    a: Tensor, sweeps: int = 10, accumulate_v: bool = False, presort: bool = False
 ) -> Tuple[Tensor, Tensor, Tensor]:
     """Full SVD of batched (..., m, n) complex matrices, m >= n, s descending.
 
@@ -186,6 +378,11 @@ def jacobi_svd_pallas(
     (``True``) needs only ~10 — measured on a chi=12 TEBD quench the
     10-sweep fast path drops fidelity to 0.93 while 10-sweep ``True``
     holds 0.999995.  Prefer ``True`` unless only u/s are consumed.
+
+    ``presort=True`` applies de Rijk column-norm pivoting: columns are
+    permuted into descending-norm order before the kernel (one permutation
+    matmul each way) so the Brent–Luk tournament starts nearly sorted —
+    the same property that makes the warm path converge in fewer sweeps.
     """
     a = jnp.asarray(a)
     batch = a.shape[:-2]
@@ -200,6 +397,19 @@ def jacobi_svd_pallas(
     # transposed layout: (B, n, m) rows are columns of a
     ar = jnp.swapaxes(ar, -1, -2).reshape((-1, n, m))
     ai = jnp.swapaxes(ai, -1, -2).reshape((-1, n, m))
+    pin = None
+    if presort:
+        # de Rijk pivot: rows of the transposed planes = columns of a;
+        # Pin[j, k] = 1 iff k == order[j], so Pin @ x reorders rows by
+        # descending column norm.  0/1 matmuls are exact in f32 "highest".
+        norms = jnp.sum(ar * ar + ai * ai, axis=-1)  # (B, n)
+        order = jnp.argsort(-norms, axis=-1)  # (B, n)
+        pin = (
+            order[..., :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n), 2)
+        ).astype(jnp.float32)  # (B, n, n)
+        ar = jnp.matmul(pin, ar, precision="highest")
+        ai = jnp.matmul(pin, ai, precision="highest")
     ar = jnp.pad(ar, ((0, 0), (0, n_pad - n), (0, m_pad - m)))
     ai = jnp.pad(ai, ((0, 0), (0, n_pad - n), (0, m_pad - m)))
     out = _run_kernel(ar, ai, sweeps, accumulate_v)
@@ -225,6 +435,10 @@ def jacobi_svd_pallas(
         vr, vi = out[2], out[3]
         vhr = take(vr)[..., :n]  # rows of V^T sorted
         vhi = take(vi)[..., :n]
+        if pin is not None:
+            # un-pivot: A = A' Pin, so vh(A) = vh(A') @ Pin (exact 0/1 matmul)
+            vhr = jnp.matmul(vhr, pin, precision="highest")
+            vhi = jnp.matmul(vhi, pin, precision="highest")
         vh = (vhr - 1j * vhi).astype(a.dtype)  # vh = conj(V^T)
     else:
         a_flat = a.reshape((-1, m, n))
@@ -238,20 +452,20 @@ def jacobi_svd_pallas(
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def jacobi_svd(
-    a: Tensor, sweeps: int = 10, accumulate_v: bool = False
+    a: Tensor, sweeps: int = 10, accumulate_v: bool = False, presort: bool = False
 ) -> Tuple[Tensor, Tensor, Tensor]:
     """AD-aware :func:`jacobi_svd_pallas` (degenerate-safe SVD adjoint)."""
-    return jacobi_svd_pallas(a, sweeps, accumulate_v)
+    return jacobi_svd_pallas(a, sweeps, accumulate_v, presort)
 
 
-def _kjacobi_fwd(a, sweeps, accumulate_v):
-    u, s, vh = jacobi_svd_pallas(a, sweeps, accumulate_v)
+def _kjacobi_fwd(a, sweeps, accumulate_v, presort):
+    u, s, vh = jacobi_svd_pallas(a, sweeps, accumulate_v, presort)
     return (u, s, vh), (a, u, s, vh)
 
 
-def _kjacobi_bwd(sweeps, accumulate_v, res, g):
+def _kjacobi_bwd(sweeps, accumulate_v, presort, res, g):
     from . import linalg as _linalg
 
     return _linalg._svd_bwd(res, g)

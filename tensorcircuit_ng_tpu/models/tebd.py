@@ -39,6 +39,9 @@ __all__ = ["ParallelTEBD"]
 #: the MXU (kernels_jacobi.subspace_svd).
 SVD_MODE = "auto"
 JACOBI_SWEEPS = 10
+#: de Rijk column-norm presort of the cold panel before the Jacobi kernel
+#: (kernels_jacobi.jacobi_svd presort flag).  A/B: examples/ab_jacobi_presort.py
+JACOBI_PRESORT = False
 #: sweeps when warm-started by the previous trotter step's V on the same
 #: bond (theta drifts by O(dt) per step, so the iteration starts inside the
 #: quadratic basin).  The Jacobi kernel is the whole TEBD step cost
@@ -102,7 +105,7 @@ def _svd_batched(
         if vh0 is not None:
             u, s, vh = jacobi_svd_warm(theta, JACOBI_SWEEPS_WARM, True, vh0)
         else:
-            u, s, vh = jacobi_svd(theta, JACOBI_SWEEPS, True)
+            u, s, vh = jacobi_svd(theta, JACOBI_SWEEPS, True, JACOBI_PRESORT)
         return u, s, vh, vh
     if mode != "gram":
         raise ValueError(

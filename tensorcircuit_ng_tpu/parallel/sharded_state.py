@@ -685,6 +685,44 @@ class ShardedStatevec:
         )
         return sm(psi)[0]
 
+    def unitary_kraus(
+        self,
+        psi: Tensor,
+        kraus: Sequence[Any],
+        wires: Sequence[int],
+        status: Tensor,
+        prob: Optional[Sequence[float]] = None,
+    ) -> Tuple[Tensor, Tensor]:
+        """Status-driven unitary-Kraus Monte-Carlo on the sharded state.
+
+        Dense-engine semantics (``models/circuit.py:100``, reference
+        ``circuit.py:404-510``): branch probabilities are tr(K†K)/dim (or
+        ``prob``), the branch is picked by cumulative-sum arithmetic on the
+        uniform ``status`` (jit/vmap-safe, no data-dependent control flow),
+        and the SELECTED renormalized operator is applied as one k-local
+        gate inside the existing shard_map apply path — the branch blend
+        ``Σ_i 1[idx==i] K_i`` happens in gate space (k-local, tiny), so the
+        trajectory costs exactly one sharded gate application.
+
+        Returns ``(new_psi, branch_index)``.
+        """
+        mats = [np.asarray(_as_local_gate(k)) for k in kraus]
+        dim = mats[0].shape[0]
+        mats = [m.reshape(dim, dim) for m in mats]
+        if prob is None:
+            ps = np.array([np.real(np.trace(m.conj().T @ m)) / dim for m in mats])
+            mats = [m / np.sqrt(max(p, 1e-30)) for m, p in zip(mats, ps)]
+        else:
+            ps = np.asarray(prob, dtype=np.float64)
+        ps = ps / np.sum(ps)
+        cum = np.cumsum(ps)  # numpy: concrete channel, host-side probabilities
+        status = jnp.asarray(status).astype(self._rdtype())
+        idx = jnp.sum((status >= jnp.asarray(cum[:-1], dtype=status.dtype)).astype(jnp.int32))
+        onehot = (jnp.arange(len(mats)) == idx).astype(self._rdtype())
+        # blended k-local gate: numpy complex constants lift into the trace
+        m_sel = sum(onehot[i] * jnp.asarray(mats[i], dtype=self._cdtype()) for i in range(len(mats)))
+        return self.apply(psi, m_sel, wires), idx
+
     def expectation_ising_sum(self, psi: Tensor, spec: Any) -> Tensor:
         """⟨Σ w_s Π Z + Σ w_q X_q⟩ in ONE shard_map pass + one psum.
 

@@ -218,7 +218,7 @@ def test_fused_rx_layer_both_paths(interpret_mode):
 # ---------------- fused zz+rx layer kernel ----------------
 
 
-@pytest.mark.slow  # heavy; fast sibling covers the path
+# fast-gate since r5: one interpret-mode representative per kernel family (VERDICT r4 #5)
 def test_zzrx_kernel_reference_and_interpret():
     from tensorcircuit_ng_tpu.core import kernels_rowlayer as kr
     from tensorcircuit_ng_tpu.core import kernels
@@ -461,7 +461,7 @@ def test_jacobi_svd_correctness_and_grad():
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gj), atol=2e-5 * float(jnp.abs(ga).max()))
 
 
-@pytest.mark.slow
+# fast-gate since r5: jacobi family representative (VERDICT r4 #5)
 def test_jacobi_svd_pallas_interpret():
     from tensorcircuit_ng_tpu.core import kernels_jacobi as KJ
 
@@ -643,7 +643,7 @@ def test_zzrx_stack_outer_stage(monkeypatch):
         np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=2e-3)
 
 
-@pytest.mark.slow  # CPU-path oracle sweep; fused_lane is the fast representative
+# fast-gate since r5: stack+energy family representative (VERDICT r4 #5)
 def test_zzrx_stack_energy_fused_readout(monkeypatch):
     """expectation_zzx_energy == Re(zz_sum) + w_x * x_sum, values AND grads.
 
@@ -706,7 +706,7 @@ def test_zzrx_stack_energy_fused_readout(monkeypatch):
     )
 
 
-@pytest.mark.slow  # 18 s; test_fuse_lane_flip_between_trace_and_backward and
+# fast-gate since r5: lane-fusion family representative (VERDICT r4 #5)
 # the multilayer-grouping test are the fast-gate representatives of this family
 def test_zzrx_stack_fused_lane(monkeypatch):
     """FUSE_LANE in-kernel lane matmul == unfused XLA lane stage == rzz+rx.

@@ -333,3 +333,58 @@ def test_sample_direct_int64_guard():
     sv = ShardedStatevec(33, mesh)
     with pytest.raises(ValueError, match="int64"):
         sv.sample_direct(jnp.zeros(4), jnp.asarray([0.5]))
+
+
+def test_sharded_unitary_kraus_matches_dense_mc():
+    """Status-driven unitary_kraus MC inside shard_map == dense MC trajectory
+    (same statuses => same branch picks => identical final states), and the
+    branch statistics follow tr(K†K)/dim (VERDICT r4 #9)."""
+    from tensorcircuit_ng_tpu.ops import channels
+
+    n = 12
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sv",))
+    sv = ShardedStatevec(n, mesh)
+    rng = np.random.default_rng(7)
+    th = rng.normal(size=(n,)) * 0.5
+    statuses = rng.uniform(size=(4,)).astype(np.float32)
+    dep = channels.depolarizingchannel(0.05, 0.03, 0.08)
+    kraus_sets = [
+        ([np.asarray(k.tensor if hasattr(k, "tensor") else k).reshape(2, 2) for k in dep], [1, 4, 9, 2]),
+    ]
+
+    @jax.jit
+    def program(sts):
+        psi = sv.init_zero()
+        for q in range(n):
+            psi = sv.h(psi, q)
+        for q in range(n):
+            psi = sv.apply(psi, rx_matrix(th[q]), [q])
+        idxs = []
+        ks, qs = kraus_sets[0]
+        for s_i, q in zip(sts, qs):
+            psi, idx = sv.unitary_kraus(psi, ks, [q], s_i)
+            idxs.append(idx)
+        return sv.gather(psi), jnp.stack(idxs)
+
+    psi_sh, idxs_sh = program(jnp.asarray(statuses))
+
+    # dense oracle with the same statuses
+    c = tc.Circuit(n)
+    for q in range(n):
+        c.h(q)
+    for q in range(n):
+        c.rx(q, theta=th[q])
+    ks, qs = kraus_sets[0]
+    idxs_d = []
+    for s_i, q in zip(statuses, qs):
+        idxs_d.append(int(c.unitary_kraus(ks, q, status=float(s_i))))
+    np.testing.assert_array_equal(np.asarray(idxs_sh), np.asarray(idxs_d))
+    psi_d = np.asarray(c.state()).reshape(-1)
+    np.testing.assert_allclose(np.asarray(psi_sh).reshape(-1), psi_d, atol=1e-5)
+
+    # statistics: identity branch of a depolarizing channel has prob 1-3p
+    many = np.linspace(0.001, 0.999, 97).astype(np.float32)
+    pick_one = jax.jit(lambda s: sv.unitary_kraus(sv.init_zero(), ks, [0], s)[1])
+    picks = [int(pick_one(jnp.asarray(s_i))) for s_i in many]
+    frac_id = np.mean(np.asarray(picks) == 0)
+    assert abs(frac_id - (1 - 0.05 - 0.03 - 0.08)) < 0.03

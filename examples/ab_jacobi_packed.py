@@ -6,6 +6,16 @@ The packed variant computes the per-pair scalar chain once per round on
 measures the production TEBD trotter step both ways on the real chip.
 
 Run on TPU (no PYTHONPATH; axon preset): python examples/ab_jacobi_packed.py
+
+RESULT (v5e, 2026-08-20): REFUTED — packed LOSES.
+  packed=False: 30.27 ms/step (compile 11 s)
+  packed=True:  42.75 ms/step (compile 17 s)   -> 0.708x, |dlam| = 0
+Lane-packing the per-pair scalar chain across the batch replaces b
+sequential (h,1)-tile chains with one (h,b) chain, but the packed kernel
+must then keep ALL b matrices' planes live through the rotation stage;
+Mosaic spills, and the wider tiles slow every rotation.  PACKED stays
+default-False; the per-matrix grid (sequential TPU grid keeps each
+matrix VMEM-resident) remains the production path.
 """
 
 import os

@@ -143,8 +143,11 @@ def set_backend(backend: str = "jax") -> Any:
             "(use tc.interfaces for torch/tf interop)"
         )
     _default = dataclasses.replace(_default, backend=backend)
-    from . import backend as _backend_mod
+    import importlib
 
+    # NOT ``from . import backend``: the package exposes ``backend`` as the
+    # live backend INSTANCE, which shadows the submodule of the same name
+    _backend_mod = importlib.import_module(__package__ + ".backend")
     return _backend_mod.get_backend(backend)
 
 
@@ -153,8 +156,9 @@ def get_backend_name() -> str:
 
 
 def get_backend() -> Any:
-    from . import backend as _backend_mod
+    import importlib
 
+    _backend_mod = importlib.import_module(__package__ + ".backend")
     return _backend_mod.get_backend(current().backend)
 
 

@@ -1,5 +1,6 @@
 """Templates: lattices, measurements, Hamiltonians, circuit blocks, datasets."""
 
+from . import chems
 from . import lattice
 from . import measurements
 from . import hamiltonians

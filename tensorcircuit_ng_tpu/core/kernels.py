@@ -465,6 +465,17 @@ def fused_zzrx_multilayer_energy(
     nrow_s = n - _LANE_QUBITS
     nkernel = min(nrow_s, kernels_rowlayer.MAX_KERNEL_QUBITS_ZZRX)
     nouter = nrow_s - nkernel
+    if (
+        kst.FUSE_GRAND_BWD
+        and not kst.FUSE_ROWM
+        and nouter >= 1
+        and (kernels_rowlayer._on_tpu() or kernels_rowlayer._INTERPRET)
+    ):
+        # grand-fused one-kernel adjoint: theta-level boundary
+        psi = jnp.reshape(state, (2**nrow_s, 2**_LANE_QUBITS))
+        return kst.zzrx_stack_energy_theta(
+            pairs, n, psi, zz_thetas, rx_thetas, spec
+        )
 
     def kron_m(th_block, transpose):
         gs = jax.vmap(lambda t: rx_matrix(t).astype(state.dtype))(th_block)

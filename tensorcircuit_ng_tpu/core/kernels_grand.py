@@ -36,7 +36,7 @@ from . import kernels_rowlayer as krl
 
 Tensor = Any
 
-__all__ = ["grand_zzrx_fwd"]
+__all__ = ["grand_zzrx_fwd", "grand_zzrx_bwd"]
 
 
 def _grand_fwd_kernel(pairs, n, nkernel, L, G):
@@ -204,3 +204,259 @@ def grand_zzrx_fwd(pairs, n, zzth, th, sr, si, mor, moi, mlr, mli):
         compiler_params=krl._zzrx_compiler_params(),
         interpret=krl._INTERPRET,
     )(zzp_all, cs, srow, slane, mlr, mli, mor, moi, sr, si)
+
+
+# ======================================================================
+# grand-fused L-layer BACKWARD (VERDICT r4 #1: the "+bwd" sub-step the
+# forward-only FUSE_GRAND A/B left untried)
+# ======================================================================
+#
+# ONE Pallas kernel walks the whole L-layer adjoint with the cotangent
+# VMEM-resident: grid (L, G) with layers processed in REVERSE
+# (l = L-1-li).  Per layer:
+#
+#   stage 0 (j == 0)  outer-stage adjoint on the WHOLE cotangent — the
+#       transpose walk ct <- mo^T ct as one leading-axis (D,D)x(D,RB,C)
+#       dot (Mosaic-legal: one contracting dim), plus the outer-qubit
+#       theta gradients computed DIRECTLY.  Mosaic rejects the dmo dot
+#       (two contracting dims), but for the rx-kron outer unitary
+#       d(mout)/dθ_q = mout·(-i/2 X_q), so
+#         dθ_q = Re Σ dmo ⊙ ∂mout/∂θ_q
+#              = Re Σ_{m,b,c} w[m]·(-i/2)·k[m ^ dq]
+#              = 0.5 Σ (w_r·k_i^(q) + w_i·k_r^(q)),
+#       with w = mo^T ct the walk result we need anyway and k^(q) the
+#       residual with outer bit q's partner blocks swapped — D·nouter
+#       slice mul-reduces on resident data instead of a 2-contract dot.
+#   every j        block-local adjoint of the fused layer — identical
+#       math to kernels_rowlayer._zzrx_bwd_kernel (un-lane + dM
+#       accumulation + M^T walk, rx roll-butterflies with dθ, zz stage
+#       with dzz) on the resident cotangent block.
+#
+# The cotangent ping-pongs between the two slots of ONE (2, r, lanes)
+# scratch indexed by the traced layer parity — no per-parity code
+# duplication (the grand forward's "3x predicated code" cost).  Per-layer
+# grads (dzz/dθ/dM) ride l-indexed output blocks, zero-initialised at
+# each layer's first grid step (the sequential TPU grid keeps revisited
+# blocks resident).
+#
+# This boundary is THETA-level (gradients for the outer/lane rx angles
+# are produced here, not as matrix cotangents), so it pairs with
+# kernels_stack.zzrx_stack_energy_theta rather than the matrix-interface
+# stack VJP.  Reference role: reverse-mode AD through the reference's
+# jitted einsum chain (reference cons.py:937-950).
+
+
+def _grand_bwd_kernel(pairs, n, nkernel, nouter, L, G):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D = 2**nouter
+
+    def kernel(zzp_ref, cs_ref, srow_ref, slane_ref, mor_ref, moi_ref,
+               mlr_ref, mli_ref, ksr_ref, ksi_ref, ctr_ref, cti_ref,
+               dsr_ref, dsi_ref, dzz_ref, dth_ref, dtho_ref,
+               dmlr_ref, dmli_ref,
+               bufr, bufi, wsr, wsi, wcr, wci):
+        li = pl.program_id(0)
+        j = pl.program_id(1)
+        l = (L - 1) - li
+        p = jax.lax.rem(li, 2)
+        r, lanes = bufr.shape[1], bufr.shape[2]
+        RB = r // G
+        f32 = jnp.float32
+        cdim_t = (((0,), (0,)), ((), ()))  # mo^T @ x on the leading axis
+        dg_dim = (((1,), (1,)), ((), ()))  # a @ b^T
+        dt_dim = (((0,), (0,)), ((), ()))  # a^T @ b
+        dot = lambda a, b, dims: jax.lax.dot_general(
+            a, b, dims, preferred_element_type=f32
+        )
+
+        # ---- stage 0: layer init + whole-cotangent outer adjoint --------
+        @pl.when(j == 0)
+        def _():
+            dzz_ref[:] = jnp.zeros_like(dzz_ref)
+            for q in range(nkernel):
+                dth_ref[0, q] = 0.0
+            dmlr_ref[:] = jnp.zeros_like(dmlr_ref)
+            dmli_ref[:] = jnp.zeros_like(dmli_ref)
+
+            # seed: the incoming cotangent lands in slot 1 (= 1 - p at
+            # li == 0), so the branch-free prev-slot read below covers it
+            @pl.when(li == 0)
+            def _():
+                bufr[1] = ctr_ref[:]
+                bufi[1] = cti_ref[:]
+
+            pr3 = jnp.reshape(bufr[1 - p], (D, RB, lanes))
+            pi3 = jnp.reshape(bufi[1 - p], (D, RB, lanes))
+            mr = mor_ref[l]
+            mi = moi_ref[l]
+            w3r = dot(mr, pr3, cdim_t) - dot(mi, pi3, cdim_t)
+            w3i = dot(mr, pi3, cdim_t) + dot(mi, pr3, cdim_t)
+            # direct outer-theta grads against the resident residual
+            k3r = jnp.reshape(ksr_ref[0], (D, RB, lanes))
+            k3i = jnp.reshape(ksi_ref[0], (D, RB, lanes))
+            for q in range(nouter):
+                dq = D >> (q + 1)
+                acc = jnp.float32(0.0)
+                for m in range(D):
+                    mp = m ^ dq
+                    acc = acc + jnp.sum(w3r[m] * k3i[mp]) + jnp.sum(
+                        w3i[m] * k3r[mp]
+                    )
+                dtho_ref[0, q] = 0.5 * acc
+            bufr[p] = jnp.reshape(w3r, (r, lanes))
+            bufi[p] = jnp.reshape(w3i, (r, lanes))
+
+        # ---- block stage: fused-layer adjoint on the resident block -----
+        mrl = mlr_ref[0]
+        mil = mli_ref[0]
+        yr = ksr_ref[0, pl.ds(j * RB, RB), :]
+        yi = ksi_ref[0, pl.ds(j * RB, RB), :]
+        cr0 = bufr[p, pl.ds(j * RB, RB), :]
+        ci0 = bufi[p, pl.ds(j * RB, RB), :]
+        # un-lane the residual (M unitary): psi = y @ conj(M)^T
+        sr0 = dot(yr, mrl, dg_dim) + dot(yi, mil, dg_dim)
+        si0 = dot(yi, mrl, dg_dim) - dot(yr, mil, dg_dim)
+        # dM += psi^T @ ct (non-conjugating complex product)
+        dmlr_ref[:] += dot(sr0, cr0, dt_dim) - dot(si0, ci0, dt_dim)
+        dmli_ref[:] += dot(sr0, ci0, dt_dim) + dot(si0, cr0, dt_dim)
+        wsr[:] = sr0
+        wsi[:] = si0
+        # ct walk: ct <- ct @ M^T
+        wcr[:] = dot(cr0, mrl, dg_dim) - dot(ci0, mil, dg_dim)
+        wci[:] = dot(cr0, mil, dg_dim) + dot(ci0, mrl, dg_dim)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (RB, lanes), 0)
+        for ql in range(nkernel - 1, -1, -1):
+            s = RB >> (ql + 1)
+            c = cs_ref[l, ql, 0]
+            sn = cs_ref[l, ql, 1]
+            bit = (rows // s) % 2
+            is_lo = bit == 0
+            nsr, nsi = krl._butterfly_rx(wsr[:], wsi[:], rows, s, c, sn)
+            wsr[:] = nsr
+            wsi[:] = nsi
+            cr = wcr[:]
+            ci = wci[:]
+            pct_r = jnp.where(
+                is_lo, pltpu.roll(cr, RB - s, 0), pltpu.roll(cr, s, 0)
+            )
+            pct_i = jnp.where(
+                is_lo, pltpu.roll(ci, RB - s, 0), pltpu.roll(ci, s, 0)
+            )
+            re_s1 = jnp.sum(cr * nsr - ci * nsi)
+            im_s2 = jnp.sum(pct_r * nsi + pct_i * nsr)
+            dth_ref[0, ql] += -0.5 * sn * re_s1 + 0.5 * c * im_s2
+            wcr[:] = c * cr + sn * pct_i
+            wci[:] = c * ci - sn * pct_r
+        # zz stage: dzz + diagonal-phase transpose walk
+        zr = wsr[:]
+        zi = wsi[:]
+        cr = wcr[:]
+        ci = wci[:]
+        h = cr * zi + ci * zr
+        t = jnp.dot(h, slane_ref[:], preferred_element_type=f32)
+        # dzz block is (1, 8, P): row 0 carries the sum (the 8-row padding
+        # satisfies the (8, 128) tiling rule a (1, P) block would violate)
+        dzz_ref[0, 0:1, :] += 0.5 * jnp.sum(
+            srow_ref[:] * t, axis=0, keepdims=True
+        )
+        expo = jnp.dot(
+            srow_ref[:] * zzp_ref[l][None, :],
+            slane_ref[:].T,
+            preferred_element_type=f32,
+        )
+        pc = jnp.cos(0.5 * expo)
+        ps = -jnp.sin(0.5 * expo)
+        ncr = pc * cr - ps * ci
+        nci = pc * ci + ps * cr
+        bufr[p, pl.ds(j * RB, RB), :] = ncr
+        bufi[p, pl.ds(j * RB, RB), :] = nci
+
+        @pl.when(li == L - 1)
+        def _():
+            dsr_ref[pl.ds(j * RB, RB), :] = ncr
+            dsi_ref[pl.ds(j * RB, RB), :] = nci
+
+    return kernel
+
+
+def grand_zzrx_bwd(pairs, n, zzth, th, ksr, ksi, ctr, cti, mor, moi, mlr, mli):
+    """One-kernel L-layer stack adjoint (theta-level, FUSE_LANE topology).
+
+    ``ksr/ksi`` (L, r, lanes) post-lane residual planes; ``ctr/cti``
+    (r, lanes) seed cotangent planes; ``mor/moi`` (L, D, D) outer rx-kron
+    planes (MUST be rx krons: dθ_outer uses their derivative structure);
+    ``mlr/mli`` (L, lanes, lanes) lane-kron planes (must be unitary).
+    Returns ``(dsr, dsi, dzz (L, npairs), dth (L, nkernel),
+    dtho (L, nouter), dmlr, dmli)`` — lane-matrix cotangents in the plane
+    convention of :func:`kernels_rowlayer._lane_bwd_prologue`
+    (``dmlr = dL/d(mlr)``, ``dmli = -dL/d(mli)``).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, nkernel = th.shape
+    npairs = zzth.shape[1]
+    r, lanes = ctr.shape
+    RB = 2**nkernel
+    G = r // RB
+    D = mor.shape[1]
+    nouter = int(round(math.log2(D)))
+    assert D == G and G >= 2
+    cs = jnp.stack([jnp.cos(th / 2), jnp.sin(th / 2)], axis=-1)
+    zzp, srow, slane = krl._zzrx_sign_inputs(pairs, n, zzth[0], r, lanes)
+    P = zzp.shape[1]
+    zzp_all = jnp.zeros((L, P), jnp.float32).at[:, :npairs].set(
+        jnp.asarray(zzth, jnp.float32)
+    )
+    rev = lambda li, j: ((L - 1) - li, 0, 0)
+    kernel = _grand_bwd_kernel(pairs, n, nkernel, nouter, L, G)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(L, G),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((r, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((L, 8, P), jnp.float32),
+            jax.ShapeDtypeStruct((L, nkernel), jnp.float32),
+            jax.ShapeDtypeStruct((L, nouter), jnp.float32),
+            jax.ShapeDtypeStruct((L, lanes, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((L, lanes, lanes), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((L, P), lambda li, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, nkernel, 2), lambda li, j: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((RB, P), lambda li, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lanes, P), lambda li, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, G, G), lambda li, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, G, G), lambda li, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes, lanes), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes, lanes), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, lanes), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, lanes), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, lanes), lambda li, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, lanes), lambda li, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((r, lanes), lambda li, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, lanes), lambda li, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, P), lambda li, j: ((L - 1) - li, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nkernel), lambda li, j: ((L - 1) - li, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nouter), lambda li, j: ((L - 1) - li, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, lanes, lanes), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lanes, lanes), rev, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, r, lanes), jnp.float32),
+            pltpu.VMEM((2, r, lanes), jnp.float32),
+            pltpu.VMEM((RB, lanes), jnp.float32),
+            pltpu.VMEM((RB, lanes), jnp.float32),
+            pltpu.VMEM((RB, lanes), jnp.float32),
+            pltpu.VMEM((RB, lanes), jnp.float32),
+        ],
+        compiler_params=krl._zzrx_compiler_params(),
+        interpret=krl._INTERPRET,
+    )(zzp_all, cs, srow, slane, mor, moi, mlr, mli, ksr, ksi, ctr, cti)
+    dsr, dsi, dzzp, dth, dtho, dmlr, dmli = outs
+    return dsr, dsi, dzzp[:, 0, :npairs], dth, dtho, dmlr, dmli

@@ -96,6 +96,17 @@ ROWM_QUBITS = 7
 #: one-program fusion of the forward cannot beat the per-layer chain.
 FUSE_GRAND = False
 
+#: grand-fused BACKWARD (VERDICT r4 #1 "+bwd" sub-step): the whole L-layer
+#: adjoint as ONE Pallas kernel with the cotangent VMEM-resident across
+#: layers — kills the per-layer backward dispatches, the XLA outer-stage
+#: adjoint ops, and the inter-layer cotangent HBM round trips
+#: (kernels_grand.grand_zzrx_bwd).  Theta-level: routes through
+#: :func:`zzrx_stack_energy_theta` (gradients for outer/lane rx angles are
+#: produced directly, so the boundary's inputs are angles, not matrices).
+#: Forward stays per-layer unless FUSE_GRAND is also on.  Requires
+#: FUSE_LANE topology, no ROWM, nouter >= 1, tpu/interpret.
+FUSE_GRAND_BWD = False
+
 
 def _rowm_qubits(nkernel: int) -> int:
     """Top row bits on the MXU: keep >=3 butterfly bits (sub-sublane
@@ -599,3 +610,100 @@ def _stack_energy_bwd(pairs, n, spec, res, ct):
 
 
 zzrx_stack_energy.defvjp(_stack_energy_fwd, _stack_energy_bwd)
+
+
+# ======================================================================
+# theta-level stack + energy boundary for the grand-fused backward
+# ======================================================================
+#
+# The matrix-interface boundary above returns dmo/dml matrix cotangents
+# and lets XLA AD chain them through the kron builders.  The grand
+# backward kernel cannot produce dmo (Mosaic rejects the two-contracting-
+# dim dot) but computes dθ_outer DIRECTLY from the rx-kron derivative
+# structure, so its natural boundary takes the (L, n) rx angles
+# themselves.  dθ_lane is chained from the kernel's dM planes through a
+# tiny jax.vjp of the lane kron builder (128x128, trivial XLA work).
+
+
+def _lane_kron_planes_T(th):
+    """Planes of kron(rx(θ_0), ..).T — the lane right-mul convention."""
+    mr, mi = _rx_kron_planes(th)
+    return mr.T, mi.T
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 5))
+def zzrx_stack_energy_theta(
+    pairs: Any,
+    n: int,
+    state2d: Tensor,
+    zz_thetas: Tensor,
+    rx_thetas: Tensor,
+    spec: Any = ((), ()),
+) -> Tensor:
+    """Real f32 ⟨H⟩ after L stacked zzrx layers, theta-level boundary.
+
+    ``rx_thetas`` is the FULL (L, n) angle grid (outer + kernel + lane
+    qubits); the backward runs the grand-fused one-kernel adjoint
+    (:func:`kernels_grand.grand_zzrx_bwd`).  Caller must guarantee the
+    fused-lane topology (tpu/interpret, complex64, nouter >= 1, G >= 2).
+    """
+    return _theta_fwd(pairs, n, state2d, zz_thetas, rx_thetas, spec)[0]
+
+
+def _theta_kron_mats(n, rx_thetas):
+    nrow, nkernel, nouter, nlane = _shapes(n)
+    mor, moi = jax.vmap(_rx_kron_planes)(rx_thetas[:, :nouter])
+    mlr, mli = jax.vmap(_lane_kron_planes_T)(rx_thetas[:, nrow:])
+    return mor, moi, mlr, mli
+
+
+def _theta_fwd(pairs, n, state2d, zz_thetas, rx_thetas, spec):
+    nrow, nkernel, nouter, nlane = _shapes(n)
+    mor, moi, mlr, mli = _theta_kron_mats(n, rx_thetas)
+    e, (ks, br, bi, _, _, _, _, marker) = _stack_energy_fwd(
+        pairs, n, state2d, zz_thetas, rx_thetas[:, nouter:nrow],
+        (mor + 1j * moi).astype(jnp.complex64),
+        (mlr + 1j * mli).astype(jnp.complex64), spec,
+    )
+    fused, rowm = _decode_marker(marker)
+    assert fused and not rowm, "grand bwd requires the fused-lane topology"
+    return e, (ks, br, bi, zz_thetas, rx_thetas)
+
+
+def _theta_bwd(pairs, n, spec, res, ct):
+    from . import kernels_grand as kg
+
+    ks, br, bi, zz_thetas, rx_thetas = res
+    nrow, nkernel, nouter, nlane = _shapes(n)
+    s = 2.0 * ct.astype(jnp.float32)
+    mor, moi, mlr, mli = _theta_kron_mats(n, rx_thetas)
+    ksr = jnp.stack([k[0] for k in ks])
+    ksi = jnp.stack([k[1] for k in ks])
+    th_kernel = jnp.asarray(rx_thetas[:, nouter:nrow], jnp.float32)
+    dsr, dsi, dzz, dthk, dtho, dmlr, dmli = kg.grand_zzrx_bwd(
+        pairs, n, jnp.asarray(zz_thetas, jnp.float32), th_kernel,
+        ksr, ksi, s * br, -s * bi, mor, moi, mlr, mli,
+    )
+
+    # lane chain: kernel dM planes are (dL/dmr, -dL/dmi) — flip the imag
+    # cotangent into the kron builder's vjp (same rule as the rowm chain)
+    def lane_chain(th_l, gr, gi):
+        _, vjp_fn = jax.vjp(_lane_kron_planes_T, th_l)
+        (d,) = vjp_fn((gr, -gi))
+        return d
+
+    dthl = jax.vmap(lane_chain)(rx_thetas[:, nrow:], dmlr, dmli)
+    rx_dt = jnp.asarray(rx_thetas).dtype
+    dth_full = jnp.concatenate(
+        [dtho.astype(rx_dt), dthk.astype(rx_dt), dthl.astype(rx_dt)], axis=1
+    )
+    return (
+        (dsr + 1j * dsi).astype(jnp.complex64),
+        dzz.astype(jnp.asarray(zz_thetas).dtype),
+        dth_full,
+    )
+
+
+zzrx_stack_energy_theta.defvjp(_theta_fwd, _theta_bwd)
+
+__all__ += ["zzrx_stack_energy_theta"]

@@ -954,3 +954,38 @@ def test_zzrx_stack_grand_fused(monkeypatch):
         kernels.set_interpret_mode(False)
     np.testing.assert_allclose(float(v1), float(v0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-5)
+
+
+def test_zzrx_stack_grand_bwd(monkeypatch):
+    """FUSE_GRAND_BWD one-kernel L-layer adjoint == per-layer stack grads
+    (interpret mode), for odd L (no parity constraint), alone and combined
+    with the grand forward."""
+    from tensorcircuit_ng_tpu.core import kernels_rowlayer, kernels_stack
+
+    monkeypatch.setattr(kernels_rowlayer, "MAX_KERNEL_QUBITS_ZZRX", 3)
+    n, L = 12, 3  # nrow=5 -> nkernel=3, nouter=2: RB=8, G=D=4
+    pairs = tuple((i, (i + 1) % n) for i in range(n))
+    rng = np.random.default_rng(11)
+    p = jnp.asarray(rng.normal(size=(L, 2, n)) * 0.4, jnp.float32)
+
+    def energy(q):
+        c = tc.Circuit(n)
+        c.h_layer()
+        for l in range(L):
+            c.zzrx_layer(list(pairs), q[l, 0], q[l, 1])
+        return jnp.real(c.expectation_zzx_energy(list(pairs), 1.0, -1.0))
+
+    kernels.set_interpret_mode(True)
+    try:
+        monkeypatch.setattr(kernels_stack, "FUSE_GRAND_BWD", False)
+        v0, g0 = jax.value_and_grad(energy)(p)
+        monkeypatch.setattr(kernels_stack, "FUSE_GRAND_BWD", True)
+        v1, g1 = jax.value_and_grad(energy)(p)
+        monkeypatch.setattr(kernels_stack, "FUSE_GRAND", True)
+        v2, g2 = jax.value_and_grad(energy)(p)
+    finally:
+        kernels.set_interpret_mode(False)
+    np.testing.assert_allclose(float(v1), float(v0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-5)
+    np.testing.assert_allclose(float(v2), float(v0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g0), atol=1e-5)

@@ -254,9 +254,13 @@ def _grand_bwd_kernel(pairs, n, nkernel, nouter, L, G):
 
     def kernel(zzp_ref, cs_ref, srow_ref, slane_ref, mor_ref, moi_ref,
                mlr_ref, mli_ref, ksr_ref, ksi_ref, ctr_ref, cti_ref,
-               dsr_ref, dsi_ref, dzz_ref, dth_ref, dtho_ref,
+               dsr_ref, dsi_ref, dzz_ref,
                dmlr_ref, dmli_ref,
                bufr, bufi, wsr, wsi, wcr, wci):
+        # dzz_ref is a (1, 8, P) grads block: row 0 = dzz, row 1 = dth
+        # (kernel-qubit angles), row 2 = dtheta_outer — scalar grads ride
+        # one-hot lane vectors (SMEM outputs hit the same (8,128) tiling
+        # rule a (1, P) VMEM block does, measured on hardware)
         li = pl.program_id(0)
         j = pl.program_id(1)
         l = (L - 1) - li
@@ -275,8 +279,6 @@ def _grand_bwd_kernel(pairs, n, nkernel, nouter, L, G):
         @pl.when(j == 0)
         def _():
             dzz_ref[:] = jnp.zeros_like(dzz_ref)
-            for q in range(nkernel):
-                dth_ref[0, q] = 0.0
             dmlr_ref[:] = jnp.zeros_like(dmlr_ref)
             dmli_ref[:] = jnp.zeros_like(dmli_ref)
 
@@ -296,6 +298,9 @@ def _grand_bwd_kernel(pairs, n, nkernel, nouter, L, G):
             # direct outer-theta grads against the resident residual
             k3r = jnp.reshape(ksr_ref[0], (D, RB, lanes))
             k3i = jnp.reshape(ksi_ref[0], (D, RB, lanes))
+            P = dzz_ref.shape[-1]
+            lanev = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+            acc_o = jnp.zeros((1, P), jnp.float32)
             for q in range(nouter):
                 dq = D >> (q + 1)
                 acc = jnp.float32(0.0)
@@ -304,7 +309,8 @@ def _grand_bwd_kernel(pairs, n, nkernel, nouter, L, G):
                     acc = acc + jnp.sum(w3r[m] * k3i[mp]) + jnp.sum(
                         w3i[m] * k3r[mp]
                     )
-                dtho_ref[0, q] = 0.5 * acc
+                acc_o = acc_o + 0.5 * acc * (lanev == q).astype(jnp.float32)
+            dzz_ref[0, 2:3, :] = acc_o
             bufr[p] = jnp.reshape(w3r, (r, lanes))
             bufi[p] = jnp.reshape(w3i, (r, lanes))
 
@@ -346,7 +352,9 @@ def _grand_bwd_kernel(pairs, n, nkernel, nouter, L, G):
             )
             re_s1 = jnp.sum(cr * nsr - ci * nsi)
             im_s2 = jnp.sum(pct_r * nsi + pct_i * nsr)
-            dth_ref[0, ql] += -0.5 * sn * re_s1 + 0.5 * c * im_s2
+            dth_q = -0.5 * sn * re_s1 + 0.5 * c * im_s2
+            lanev = jax.lax.broadcasted_iota(jnp.int32, (1, dzz_ref.shape[-1]), 1)
+            dzz_ref[0, 1:2, :] += dth_q * (lanev == ql).astype(jnp.float32)
             wcr[:] = c * cr + sn * pct_i
             wci[:] = c * ci - sn * pct_r
         # zz stage: dzz + diagonal-phase transpose walk
@@ -419,8 +427,6 @@ def grand_zzrx_bwd(pairs, n, zzth, th, ksr, ksi, ctr, cti, mor, moi, mlr, mli):
             jax.ShapeDtypeStruct((r, lanes), jnp.float32),
             jax.ShapeDtypeStruct((r, lanes), jnp.float32),
             jax.ShapeDtypeStruct((L, 8, P), jnp.float32),
-            jax.ShapeDtypeStruct((L, nkernel), jnp.float32),
-            jax.ShapeDtypeStruct((L, nouter), jnp.float32),
             jax.ShapeDtypeStruct((L, lanes, lanes), jnp.float32),
             jax.ShapeDtypeStruct((L, lanes, lanes), jnp.float32),
         ),
@@ -442,8 +448,6 @@ def grand_zzrx_bwd(pairs, n, zzth, th, ksr, ksi, ctr, cti, mor, moi, mlr, mli):
             pl.BlockSpec((r, lanes), lambda li, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r, lanes), lambda li, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, P), lambda li, j: ((L - 1) - li, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nkernel), lambda li, j: ((L - 1) - li, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nouter), lambda li, j: ((L - 1) - li, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, lanes, lanes), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lanes, lanes), rev, memory_space=pltpu.VMEM),
         ),
@@ -458,5 +462,13 @@ def grand_zzrx_bwd(pairs, n, zzth, th, ksr, ksi, ctr, cti, mor, moi, mlr, mli):
         compiler_params=krl._zzrx_compiler_params(),
         interpret=krl._INTERPRET,
     )(zzp_all, cs, srow, slane, mor, moi, mlr, mli, ksr, ksi, ctr, cti)
-    dsr, dsi, dzzp, dth, dtho, dmlr, dmli = outs
-    return dsr, dsi, dzzp[:, 0, :npairs], dth, dtho, dmlr, dmli
+    dsr, dsi, grads, dmlr, dmli = outs
+    return (
+        dsr,
+        dsi,
+        grads[:, 0, :npairs],
+        grads[:, 1, :nkernel],
+        grads[:, 2, :nouter],
+        dmlr,
+        dmli,
+    )

@@ -89,12 +89,19 @@ ROWM_QUBITS = 7
 #: EVEN layer count (ping-pong parity), and >=2 grid blocks.  Hardware A/B
 #: (examples/ab_grand_fused.py, 2026-08-19, v5e): 1.404 -> 1.450 ms/step
 #: (0.969x) with BIT-EXACT value/grad parity — the isolated-fwd micro win
-#: (0.333 vs ~0.6) does not survive in-step: the grand kernel writes every
-#: block twice (residual + ping-pong) and triples the predicated code, which
-#: offsets the saved dispatches and inter-layer HBM reads.  Default stays
-#: False; the kernel + tests remain as the measured record that even a full
-#: one-program fusion of the forward cannot beat the per-layer chain.
-FUSE_GRAND = False
+#: (0.333 vs ~0.6) does not survive in-step when paired with the PER-LAYER
+#: backward: the grand kernel writes every block twice (residual +
+#: ping-pong) and triples the predicated code, which offsets the saved
+#: dispatches and inter-layer HBM reads.  BUT paired with the grand
+#: BACKWARD (FUSE_GRAND_BWD) the combination WINS decisively — hardware A/B
+#: 2026-08-20 (N=20 L=4 K=250, v5e): per-layer 1.419 / grand-bwd-only
+#: 1.383-1.390 / grand fwd+bwd 1.235 ms/step (1.15x vs production), parity
+#: |dE| 1.9e-6, |dgrad|max 2.8e-3 (f32 band).  The per-layer forward was
+#: paying for the residual layout the per-layer adjoint demanded; once both
+#: directions are one-kernel the double-write is the only overhead left and
+#: the saved round trips dominate.  Default True since 2026-08-20 (falls
+#: back per-layer when L is odd, ROWM is on, or nouter == 0).
+FUSE_GRAND = True
 
 #: grand-fused BACKWARD (VERDICT r4 #1 "+bwd" sub-step): the whole L-layer
 #: adjoint as ONE Pallas kernel with the cotangent VMEM-resident across
@@ -104,8 +111,12 @@ FUSE_GRAND = False
 #: :func:`zzrx_stack_energy_theta` (gradients for outer/lane rx angles are
 #: produced directly, so the boundary's inputs are angles, not matrices).
 #: Forward stays per-layer unless FUSE_GRAND is also on.  Requires
-#: FUSE_LANE topology, no ROWM, nouter >= 1, tpu/interpret.
-FUSE_GRAND_BWD = False
+#: FUSE_LANE topology, no ROWM, nouter >= 1, tpu/interpret.  Hardware A/B
+#: (examples/ab_grand_bwd.py, 2026-08-20, v5e, N=20 L=4 K=250): 1.419 ->
+#: 1.390 ms/step (1.021x) with |dE| 1.9e-6 / |dgrad|max 3.7e-3 parity, and
+#: the step compile drops 161 s -> 28 s (the per-layer bwd chain was the
+#: Mosaic compile-time hog).  Default True since 2026-08-20.
+FUSE_GRAND_BWD = True
 
 
 def _rowm_qubits(nkernel: int) -> int:

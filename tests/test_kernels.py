@@ -971,7 +971,7 @@ def test_zzrx_stack_grand_bwd(monkeypatch):
     def energy(q):
         c = tc.Circuit(n)
         c.h_layer()
-        for l in range(L):
+        for l in range(q.shape[0]):
             c.zzrx_layer(list(pairs), q[l, 0], q[l, 1])
         return jnp.real(c.expectation_zzx_energy(list(pairs), 1.0, -1.0))
 
@@ -983,9 +983,18 @@ def test_zzrx_stack_grand_bwd(monkeypatch):
         v1, g1 = jax.value_and_grad(energy)(p)
         monkeypatch.setattr(kernels_stack, "FUSE_GRAND", True)
         v2, g2 = jax.value_and_grad(energy)(p)
+        # true combo: grand fwd only engages at even L (ping-pong parity),
+        # so the production default (both flags on) needs an even-L check
+        p4 = jnp.concatenate([p, p[::-1]], axis=0)  # L=6
+        v3, g3 = jax.value_and_grad(energy)(p4)
+        monkeypatch.setattr(kernels_stack, "FUSE_GRAND", False)
+        monkeypatch.setattr(kernels_stack, "FUSE_GRAND_BWD", False)
+        v4, g4 = jax.value_and_grad(energy)(p4)
     finally:
         kernels.set_interpret_mode(False)
     np.testing.assert_allclose(float(v1), float(v0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-5)
     np.testing.assert_allclose(float(v2), float(v0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g0), atol=1e-5)
+    np.testing.assert_allclose(float(v3), float(v4), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g4), atol=1e-5)

@@ -1,21 +1,23 @@
-"""Visualize contraction trees found by the framework's path optimizers.
+"""Visualize a contraction path over the framework's own EinsumIR trees.
 
 Reference role: ``examples/cotengra_visualize_path.py`` — extract the
-``(inputs, output, size_dict)`` tensor-network topology from a circuit with
-``tc.get_tn_info``, search for a contraction path, and render the
-contraction tree.  The reference delegates both search and plotting to
-cotengra; here the search runs the repo's own optimizers (opt_einsum greedy
-vs the native C++ simulated-annealing TreeSA) and the "tent" plot is drawn
-directly from the pairwise path: leaves on the baseline in network order,
-each internal node at the step height where the pair contracts, sized by
-the log2 intermediate size it produces.
+``(inputs, output, size_dict)`` topology from a circuit (``tc.get_tn_info``,
+reference ``cons.py:804``), search a contraction tree, report FLOPs /
+max-intermediate, and render the tree.  The reference leans on cotengra's
+``plot_ring``/``plot_tent``; offline here the tree comes from the repo's own
+optimizers (opt_einsum greedy vs the native C++ simulated-annealing
+``TreeSAOptimizer``) and the two standard views are drawn directly:
 
-Self-validating: the rebuilt tree must contain exactly N-1 contractions,
-its recomputed FLOP count must match ``contraction_info``, and the PNG must
-land on disk.
+  * a *tent* plot of the winning tree — leaves on the baseline in wire
+    order, each internal contraction node at its tree depth, marker area
+    proportional to log2 of the intermediate it produces;
+  * the per-step intermediate-size profile of both optimizers.
+
+Self-validating: a from-scratch replay of each pairwise path must reproduce
+opt_einsum's ``largest_intermediate`` exactly, and the annealer must never
+be worse than greedy on this network (find_path escalation contract).
 """
 
-import math
 import os
 import sys
 
@@ -31,121 +33,127 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 import tensorcircuit_ng_tpu as tc
-from tensorcircuit_ng_tpu.core import einsum_ir as eir
-from tensorcircuit_ng_tpu.core.contractor import contraction_info, find_path
+from tensorcircuit_ng_tpu.core import einsum_ir
+from tensorcircuit_ng_tpu.core.contractor import find_path
+from tensorcircuit_ng_tpu.core.native import TreeSAOptimizer, treesa_available
 
-# 1. a layered 12-qubit circuit (same shape as the reference example)
-n = 12
+# fixed categorical assignment (validated pair): greedy=blue, treesa=orange
+C_GREEDY, C_TREESA = "#2a78d6", "#eb6834"
+INK, MUTED = "#333333", "#888888"
+
+n, depth = 12, 4
 c = tc.Circuit(n)
 for i in range(n):
     c.h(i)
-for layer in range(4):
+for layer in range(depth):
     for i in range(n - 1):
         c.cnot(i, i + 1)
     for i in range(n):
         c.rx(i, theta=0.1 * (layer + 1))
 
 inputs, output, size_dict = tc.get_tn_info(c)
-print(f"{n}-qubit circuit -> {len(inputs)} input tensors, "
-      f"{len(size_dict)} indices")
+print(f"{n}-qubit depth-{depth} circuit -> {len(inputs)} input tensors, "
+      f"{len(size_dict)} distinct indices")
 
-ir = eir.circuit_state_ir(c._expanded_qir(), n)
+ir = einsum_ir.circuit_state_ir(c._expanded_qir(), n)
 
 
-def tree_layout(path, num_leaves):
-    """Simulate the pairwise path; return node positions + edges.
-
-    Nodes are (x, y): leaves at y=0 spread on x; each contraction at
-    y=step+1, x=midpoint of its arguments.
-    """
-    pos = {i: (float(i), 0.0) for i in range(num_leaves)}
-    alive = list(range(num_leaves))
-    edges = []
-    nxt = num_leaves
-    for step, (a, b) in enumerate(path):
-        ia, ib = alive[a], alive[b]
-        for k in sorted((a, b), reverse=True):
-            alive.pop(k)
-        x = 0.5 * (pos[ia][0] + pos[ib][0])
-        pos[nxt] = (x, float(step + 1))
-        edges += [(ia, nxt), (ib, nxt)]
-        alive.append(nxt)
+def replay(path):
+    """Walk a pairwise path, tracking index sets; return per-step output
+    sizes and the tree as (left, right, step_size) triples over node ids."""
+    frees = [set(t) for t in ir.inputs]
+    out_ids = set(ir.output)
+    # histogram of index occurrences so shared indices survive until last use
+    remaining: dict = {}
+    for t in frees:
+        for e in t:
+            remaining[e] = remaining.get(e, 0) + 1
+    nodes = list(range(len(frees)))
+    nxt = len(frees)
+    sizes, tree = [], []
+    for (i, j) in path:
+        i, j = (i, j) if i < j else (j, i)
+        ti, tj = frees[i], frees[j]
+        for e in ti | tj:
+            remaining[e] -= ti.__contains__(e) + tj.__contains__(e)
+        keep = {e for e in ti | tj if remaining[e] > 0 or e in out_ids}
+        for e in keep:
+            remaining[e] += 1
+        size = int(np.prod([size_dict[e] for e in keep], dtype=object)) if keep else 1
+        sizes.append(size)
+        li, lj = nodes[i], nodes[j]
+        # remove j first (higher position) so i's slot stays valid
+        for pos in (j, i):
+            frees.pop(pos)
+            nodes.pop(pos)
+        frees.append(keep)
+        nodes.append(nxt)
+        tree.append((li, lj, size))
         nxt += 1
-    return pos, edges
+    return sizes, tree
 
 
-def replay_costs(inputs, output, size_dict, path):
-    """Per-step intermediate sizes + total scalar-multiplication count."""
-    cur = [frozenset(ix) for ix in inputs]
-    out = frozenset(output)
-    sizes, flops = [], 0.0
-    hist = {}
-    for ix in cur:
-        for e in ix:
-            hist[e] = hist.get(e, 0) + 1
-    for e in out:
-        hist[e] = hist.get(e, 0) + 1
-    for a, b in path:
-        ia = cur[a]
-        ib = cur[b]
-        for k in sorted((a, b), reverse=True):
-            cur.pop(k)
-        union = ia | ib
-        for e in ia & ib:
-            hist[e] -= 2
-        keep = frozenset(e for e in union if hist.get(e, 0) > 0 or e in out)
-        for e in union:
-            if e not in keep:
-                hist.pop(e, None)
-            else:
-                hist[e] = hist.get(e, 0)
-        hist.update({e: hist.get(e, 0) + 1 for e in keep})
-        flops += float(np.prod([size_dict[e] for e in union]))
-        sizes.append(float(np.prod([size_dict[e] for e in keep])) if keep else 1.0)
-        cur.append(keep)
-    return sizes, flops
-
-
-fig, axes = plt.subplots(1, 2, figsize=(15, 6))
-results = {}
-for ax, opt_name in zip(axes, ["greedy", "treesa"]):
-    if opt_name == "treesa":
-        from tensorcircuit_ng_tpu.core.native import TreeSAOptimizer, treesa_available
-
-        if not treesa_available():
-            print("native treesa unavailable; plotting greedy twice")
-            opt = "greedy"
-        else:
-            opt = TreeSAOptimizer(n_iters=100000, restarts=1, size_weight=0.5)
-    else:
-        opt = "greedy"
+assert treesa_available(), "native treesa library unavailable"
+plans = {}
+for name, opt in (
+    ("greedy", "greedy"),
+    ("treesa", TreeSAOptimizer(n_iters=200000, seed=7, restarts=2,
+                               size_weight=0.5)),
+):
     path, info = find_path(ir, opt)
-    ci = contraction_info(ir, opt)
-    sizes, _ = replay_costs(inputs, output, size_dict, list(path))
-    pos, edges = tree_layout(list(path), len(inputs))
-    for a, b in edges:
-        ax.plot([pos[a][0], pos[b][0]], [pos[a][1], pos[b][1]],
-                "-", color="#888", lw=0.7, zorder=1)
-    xs = [pos[i][0] for i in range(len(inputs))]
-    ax.scatter(xs, [0] * len(inputs), s=12, color="#1f77b4", zorder=2)
-    ixs = [pos[len(inputs) + s][0] for s in range(len(path))]
-    iys = [pos[len(inputs) + s][1] for s in range(len(path))]
-    ax.scatter(ixs, iys, s=[6 + 10 * math.log2(max(v, 2)) for v in sizes],
-               color="#d62728", zorder=3)
-    ax.set_title(f"{opt_name}: log10[FLOPs]={ci['log10[FLOPs]']:.2f}, "
-                 f"log2[SIZE]={ci['log2[SIZE]']:.1f}")
-    ax.set_xlabel("tensor")
-    ax.set_ylabel("contraction step")
-    results[opt_name] = ci
-    assert len(path) == len(inputs) - 1
+    sizes, tree = replay(path)
+    assert max(sizes) == int(info.largest_intermediate), (
+        name, max(sizes), info.largest_intermediate)
+    plans[name] = dict(path=path, info=info, sizes=sizes, tree=tree)
+    print(f"{name:7s} log10[FLOPs]={np.log10(float(info.opt_cost)):.2f}  "
+          f"log2[SIZE]={np.log2(max(sizes)):.1f}")
 
-import tempfile
+g, t = plans["greedy"]["info"].opt_cost, plans["treesa"]["info"].opt_cost
+assert float(t) <= float(g) * 1.001, "annealer worse than greedy"
+best = "treesa" if float(t) < float(g) else "greedy"
 
-out_png = os.path.join(tempfile.gettempdir(), "contraction_path_tent.png")
-fig.savefig(out_png, bbox_inches="tight", dpi=110)
-print(f"saved {out_png} ({os.path.getsize(out_png)} bytes)")
-assert os.path.getsize(out_png) > 10000
-for name, ci in results.items():
-    print(f"{name:7s} log10[FLOPs] {ci['log10[FLOPs]']:.3f}  "
-          f"largest intermediate 2^{ci['log2[SIZE]']:.1f}")
+# ---- tent plot of the winning tree ------------------------------------
+nleaf = len(inputs)
+tree = plans[best]["tree"]
+x = {i: float(i) for i in range(nleaf)}       # leaf positions, wire order
+y = {i: 0.0 for i in range(nleaf)}
+fig, (ax0, ax1) = plt.subplots(1, 2, figsize=(13, 5))
+for li, lj, size in tree:
+    nid = len(x)
+    x[nid] = 0.5 * (x[li] + x[lj])
+    y[nid] = max(y[li], y[lj]) + 1.0
+    for child in (li, lj):
+        ax0.plot([x[child], x[nid]], [y[child], y[nid]],
+                 lw=1.2, color=MUTED, zorder=1)
+    ax0.scatter([x[nid]], [y[nid]], s=14 + 9 * np.log2(max(size, 2)),
+                color=C_TREESA if best == "treesa" else C_GREEDY,
+                edgecolors="white", linewidths=0.8, zorder=2)
+ax0.scatter(list(range(nleaf)), [0.0] * nleaf, s=12, color=INK, zorder=2)
+ax0.set_title(f"contraction tent — {best} "
+              f"(marker area ∝ log2 intermediate size)", fontsize=10)
+ax0.set_xlabel("leaf tensors (wire order)")
+ax0.set_ylabel("tree depth")
+ax0.spines[["top", "right"]].set_visible(False)
+ax0.grid(axis="y", lw=0.4, alpha=0.3)
+
+# ---- per-step intermediate-size profile --------------------------------
+for name, color in (("greedy", C_GREEDY), ("treesa", C_TREESA)):
+    prof = np.log2(np.maximum(plans[name]["sizes"], 1))
+    ax1.plot(prof, lw=2, color=color, label=name)
+    peak = int(np.argmax(prof))
+    ax1.annotate(f"{name} peak 2^{prof[peak]:.0f}",
+                 (peak, prof[peak]), textcoords="offset points",
+                 xytext=(6, 6), fontsize=9, color=INK)
+ax1.set_title("intermediate size per contraction step", fontsize=10)
+ax1.set_xlabel("contraction step")
+ax1.set_ylabel("log2 size")
+ax1.legend(frameon=False)
+ax1.spines[["top", "right"]].set_visible(False)
+ax1.grid(lw=0.4, alpha=0.3)
+
+out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "contraction_path.png")
+fig.tight_layout()
+fig.savefig(out, dpi=150)
+print(f"saved {out}")
 print("OK")

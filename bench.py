@@ -27,12 +27,18 @@ trips, outer stage, conversions) + ~0.14 fixed tunnel round trip per call
 fusion was then BUILT and measured (kernels_grand.py behind FUSE_GRAND,
 examples/ab_grand_fused.py): ONE kernel for all L layers, whole-state
 VMEM residency, in-kernel outer dots — isolated-fwd micro-bench 0.333 vs
-~0.6 ms, but IN-STEP it measures 1.450 vs 1.404 (0.969x, bit-exact
-parity): the double block writes (residual + ping-pong) and 3x predicated
-code offset the saved dispatches/reads.  The ~1.4 ms step is therefore
-evidenced as the floor of this program structure on this toolchain; the
-residual overhead lives in the Mosaic pipeline itself, not in the op
-graph.
+~0.6 ms, but fwd-only IN-STEP it measured 1.450 vs 1.404 (0.969x): the
+double block writes (residual + ping-pong) and 3x predicated code offset
+the saved dispatches/reads WHEN the backward stays per-layer.  Round 5
+(2026-08-20) finished the program: the grand BACKWARD (one kernel for the
+whole L-layer adjoint, cotangent VMEM-resident, dtheta_outer computed
+in-kernel, theta-level custom-vjp boundary) alone wins 1.419 -> 1.390,
+and grand fwd + grand bwd TOGETHER drop the step to 1.235 -> bench 1.223
+ms/step (examples/ab_grand_bwd.py; parity |dE| 1.9e-6, |dgrad| 2.8e-3),
+with the step compile falling 161 s -> ~35 s.  Both flags default True.
+Remaining decomposition at 1.22 ms: ~0.13 fixed tunnel round trip, two
+kernel dispatches + conversions + optimizer XLA glue, and the in-kernel
+compute itself.
 
 Run-to-run variance (VERDICT r3 weak #5, "1.54 vs 1.615 drift"): three
 captures of the IDENTICAL committed program (commit 9e9f44e..e354850, no

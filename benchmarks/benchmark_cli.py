@@ -46,6 +46,12 @@ def arg() -> argparse.Namespace:
     p.add_argument("--time-limit", type=float, default=120.0)
     p.add_argument("--path", default=None, help="append JSON results to this file")
     p.add_argument("--cpu", action="store_true", help="force the CPU platform")
+    p.add_argument("--sweep", action="store_true",
+                   help="ignore the single-config flags and run the full "
+                        "grid: circuit type x layout x operation x noise x "
+                        "grad x vmap (reference scripts_v2 sweep)")
+    p.add_argument("--sweep-fast", action="store_true",
+                   help="with --sweep: smaller n and fewer iterations")
     return p.parse_args()
 
 
@@ -65,34 +71,85 @@ def timing(f, params, nitrs: int, time_limit: float):
     return staging, float(np.mean(times)), float(np.std(times))
 
 
-def main() -> None:
-    a = arg()
-    if a.cpu:
-        jax.config.update("jax_platforms", "cpu")
+def run_one(a, cfg: dict) -> dict:
+    """Build + time one configuration; cfg overrides the CLI namespace."""
     from benchmark_core import benchmark_mega_function
 
+    get = lambda k, d=None: cfg.get(k, getattr(a, k, d))
     f = benchmark_mega_function(
-        a.nqubits, a.nlayers, a.lx, a.ly,
-        circuit_type=a.circuit_type, bond_dim=a.bond_dim,
-        layout_type=a.layout_type, operation=a.operation,
-        noisy=a.noisy, noisy_type=a.noisy_type,
-        use_grad=a.use_grad, use_vmap=a.use_vmap,
-        contractor=a.contractor,
+        get("nqubits"), get("nlayers"), get("lx"), get("ly"),
+        circuit_type=get("circuit_type"), bond_dim=get("bond_dim"),
+        layout_type=get("layout_type"), operation=get("operation"),
+        noisy=get("noisy"), noisy_type=get("noisy_type"),
+        use_grad=get("use_grad"), use_vmap=get("use_vmap"),
+        contractor=get("contractor"),
     )
     rng = np.random.default_rng(42)
-    shape = (a.nlayers, a.nqubits)
-    if a.use_vmap:
+    shape = (get("nlayers"), get("nqubits"))
+    if get("use_vmap"):
         shape = (a.vmap_batch,) + shape
     params = jnp.asarray(rng.normal(size=shape) * 0.1, dtype=jnp.float32)
     staging, mean_t, std_t = timing(f, params, a.nitrs, a.time_limit)
-    record = {
+    return {
         "uuid": str(uuid.uuid4()),
-        "config": {k: v for k, v in vars(a).items() if k != "path"},
+        "config": {k: v for k, v in {**{k: v for k, v in vars(a).items() if k != "path"}, **cfg}.items()},
         "staging_s": round(staging, 4),
         "iter_s": round(mean_t, 6),
         "iter_std_s": round(std_t, 6),
         "platform": jax.devices()[0].platform,
     }
+
+
+def sweep_grid(a) -> list:
+    """The reference scripts_v2 grid: circuit type x layout x op x noise x
+    grad x vmap.  Infeasible combos are skipped with the same rules the
+    reference uses (DM sampling of big n, grad-through-sample, 2d on
+    non-square n)."""
+    n = 10 if a.sweep_fast else a.nqubits
+    lx, ly = (2, n // 2)
+    cfgs = []
+    for ct in ("circuit", "dmcircuit", "mpscircuit"):
+        for layout in ("1d", "2d"):
+            for op in ("state", "exps", "sample"):
+                for noisy in (False, True):
+                    for grad in (False, True):
+                        for vmap in (False, True):
+                            if grad and op == "sample":
+                                continue  # sampling is not differentiable
+                            if noisy and ct == "mpscircuit":
+                                continue  # MPS engine has no channels (ref parity)
+                            if ct == "dmcircuit" and n > 12:
+                                continue
+                            if vmap and (noisy or ct != "circuit"):
+                                continue  # keep the sweep tractable
+                            cfgs.append(dict(
+                                nqubits=n, nlayers=2, lx=lx, ly=ly,
+                                circuit_type=ct, layout_type=layout,
+                                operation=op, noisy=noisy, use_grad=grad,
+                                use_vmap=vmap,
+                            ))
+    return cfgs
+
+
+def main() -> None:
+    a = arg()
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if a.sweep:
+        cfgs = sweep_grid(a)
+        print(f"# sweeping {len(cfgs)} configurations", file=sys.stderr)
+        for cfg in cfgs:
+            try:
+                record = run_one(a, cfg)
+            except Exception as exc:  # record, don't abort the sweep
+                record = {"config": cfg, "error": repr(exc)[:200]}
+            line = json.dumps(record)
+            print(line, flush=True)
+            if a.path:
+                with open(a.path, "a") as fh:
+                    fh.write(line + "\n")
+        return
+    record = run_one(a, {})
     line = json.dumps(record)
     print(line)
     if a.path:

@@ -197,15 +197,42 @@ class JaxBackend:
         else:
             self._rng_key = seed
 
+    def _key_is_stale(self) -> bool:
+        """True when the stored key is a tracer that ESCAPED its trace.
+
+        In this jax, ops on concrete inputs inside a jit trace still
+        produce tracers, so any implicit_rand* under jit stores a traced
+        key; after that trace exits the key is an escaped tracer and the
+        next consumer would die with UnexpectedTracerError at jaxpr
+        finalization (found by the benchmark sweep: circuit.sample under
+        jit, then MPSCircuit.sample under jit).  A LIVE tracer — the
+        in-trace ``set_random_state(key)`` reference pattern, possibly
+        seen from a nested vmap/jit — has its trace in the current
+        parent_trace chain and must be preserved."""
+        k = self._rng_key
+        if not isinstance(k, jax.core.Tracer):
+            return False
+        try:
+            from jax._src import core as _jcore
+
+            t = _jcore.trace_ctx.trace
+            while t is not None:
+                if t is k._trace:
+                    return False
+                t = getattr(t, "parent_trace", None)
+            return True
+        except Exception:
+            return True  # introspection failed: reseeding is the safe side
+
     def get_random_state(self, seed: Optional[int] = None) -> Any:
         if seed is not None:
             return jax.random.PRNGKey(seed)
-        if self._rng_key is None:
+        if self._rng_key is None or self._key_is_stale():
             self.set_random_state()
         return self._rng_key
 
     def _next_key(self) -> Any:
-        if self._rng_key is None:
+        if self._rng_key is None or self._key_is_stale():
             self.set_random_state()
         self._rng_key, sub = jax.random.split(self._rng_key)
         return sub

@@ -102,14 +102,18 @@ def run_one(a, cfg: dict) -> dict:
 
 def sweep_grid(a) -> list:
     """The reference scripts_v2 grid: circuit type x layout x op x noise x
-    grad x vmap.  Infeasible combos are skipped with the same rules the
-    reference uses (DM sampling of big n, grad-through-sample, 2d on
-    non-square n)."""
+    grad x vmap.  Infeasible combos are skipped: grad-through-sample, MPS
+    noise channels, DM above n=12, and the 2d layout when n is odd (the
+    2 x (n//2) grid needs even n)."""
     n = 10 if a.sweep_fast else a.nqubits
+    if a.sweep_fast:
+        a.nitrs = min(a.nitrs, 3)
     lx, ly = (2, n // 2)
     cfgs = []
     for ct in ("circuit", "dmcircuit", "mpscircuit"):
         for layout in ("1d", "2d"):
+            if layout == "2d" and n % 2:
+                continue  # the 2 x (n//2) grid needs even n
             for op in ("state", "exps", "sample"):
                 for noisy in (False, True):
                     for grad in (False, True):

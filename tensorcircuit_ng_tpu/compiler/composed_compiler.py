@@ -115,6 +115,35 @@ def compose_mapping_info(
     return out
 
 
+def positional_logical_mapping_of(circuit: Any) -> Optional[Dict[int, int]]:
+    """Measure-order -> logical-qubit map of the PRE-transpile circuit.
+
+    Reference ``qiskit_compiler.py:72-80``
+    (``_get_positional_logical_mapping_from_qiskit``): position ``i`` is the
+    i-th measure instruction in program order, its value the measured
+    qubit.  Works on tc circuits (recorded ``measure_instruction`` entries
+    in ``_extra_qir``) and on qiskit circuits (``find_bit`` over measure
+    data).  Returns None when no measure instructions are recorded (the
+    identity convention applies then).
+    """
+    out: Dict[int, int] = {}
+    i = 0
+    if hasattr(circuit, "_extra_qir"):
+        for inst in circuit._extra_qir:
+            if inst.get("name") == "measure":
+                for q in inst["index"]:
+                    out[i] = int(q)
+                    i += 1
+        return out or None
+    if hasattr(circuit, "data") and hasattr(circuit, "find_bit"):
+        for inst in circuit.data:
+            if inst[0].name == "measure":
+                out[i] = circuit.find_bit(inst[1][0]).index
+                i += 1
+        return out or None
+    return None
+
+
 def qiskit_compile(
     circuit: Any,
     info: Optional[Dict[str, Any]] = None,
@@ -151,7 +180,9 @@ def qiskit_compile(
     except Exception:
         nq = getattr(compiled, "num_qubits", getattr(circuit, "nqubits", 0))
         new_lpm = {i: i for i in range(int(nq))}
-    info = compose_mapping_info(info, new_lpm)
+    info = compose_mapping_info(
+        info, new_lpm, positional_logical=positional_logical_mapping_of(circuit)
+    )
     if output == "qiskit":
         return compiled, info
     if output == "qasm":

@@ -467,8 +467,10 @@ def fused_zzrx_multilayer_energy(
     nouter = nrow_s - nkernel
     if (
         kst.FUSE_GRAND_BWD
+        and kst.FUSE_LANE  # theta boundary asserts the fused-lane topology
         and not kst.FUSE_ROWM
         and nouter >= 1
+        and nrow_s <= kst.MAX_GRAND_ROW_QUBITS  # VMEM envelope (n <= 21)
         and (kernels_rowlayer._on_tpu() or kernels_rowlayer._INTERPRET)
     ):
         # grand-fused one-kernel adjoint: theta-level boundary

@@ -336,7 +336,6 @@ def _run_kernel(
     ):
         return _run_kernel_packed(xr, xi, sweeps, with_v)
 
-    b, n, m = xr.shape
     spec_nm = pl.BlockSpec((1, n, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_nn = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out_specs = [spec_nm, spec_nm] + ([spec_nn, spec_nn] if with_v else [])

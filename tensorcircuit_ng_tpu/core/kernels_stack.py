@@ -118,6 +118,14 @@ FUSE_GRAND = True
 #: Mosaic compile-time hog).  Default True since 2026-08-20.
 FUSE_GRAND_BWD = True
 
+#: VMEM envelope of the grand kernels: the backward keeps ~10 f32 state
+#: planes resident (2x(2,r,128) scratch + ks/ct/ds blocks + cotangent
+#: outputs), so 10 * 2^nrow * 128 * 4 B must stay under the 128 MB v5e
+#: VMEM: nrow <= 13 is measured (bench n=20, ~40 MB), nrow = 14 fits by
+#: arithmetic (~80 MB), nrow >= 15 would OOM.  Both grand dispatch gates
+#: fall back to the per-layer rb-block grid above this bound.
+MAX_GRAND_ROW_QUBITS = 14
+
 
 def _rowm_qubits(nkernel: int) -> int:
     """Top row bits on the MXU: keep >=3 butterfly bits (sub-sublane
@@ -233,6 +241,7 @@ def _stack_fwd_impl(pairs, n, state2d, zz_thetas, rx_kernel_thetas, mout, mlane)
         and not rmx
         and nouter >= 1
         and L % 2 == 0
+        and nrow <= MAX_GRAND_ROW_QUBITS
         and (krl._on_tpu() or krl._INTERPRET)
     ):
         from . import kernels_grand as kg

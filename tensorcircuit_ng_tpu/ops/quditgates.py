@@ -52,15 +52,16 @@ def x_matrix_func(d: int) -> Tensor:
     return jnp.asarray(m, dtype=_dt())
 
 
-def z_matrix_func(d: int) -> Tensor:
-    """Clock: Z|j> = w^j |j>, w = exp(2 pi i / d)."""
-    w = np.exp(2j * np.pi / d)
+def z_matrix_func(d: int, omega: Optional[complex] = None) -> Tensor:
+    """Clock: Z|j> = w^j |j>, w = omega or exp(2 pi i / d) (reference ``:111``)."""
+    w = np.exp(2j * np.pi / d) if omega is None else omega
     return jnp.asarray(np.diag(w ** np.arange(d)), dtype=_dt())
 
 
-def h_matrix_func(d: int) -> Tensor:
-    """Generalized Hadamard (quantum Fourier): H_{jk} = w^{jk}/sqrt(d)."""
-    w = np.exp(2j * np.pi / d)
+def h_matrix_func(d: int, omega: Optional[complex] = None) -> Tensor:
+    """Generalized Hadamard (quantum Fourier): H_{jk} = w^{jk}/sqrt(d)
+    (reference ``:129``, custom root of unity via ``omega``)."""
+    w = np.exp(2j * np.pi / d) if omega is None else omega
     j, k = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
     return jnp.asarray(w ** (j * k) / np.sqrt(d), dtype=_dt())
 
@@ -156,11 +157,16 @@ def phase_matrix_func(d: int, theta: Any = 0, j: int = 1) -> Tensor:
     return m.at[j, j].set(jnp.exp(1j * theta))
 
 
-def u8_matrix_func(d: int, gamma: Any = 0, z: Any = 0, eps: Any = 0) -> Tensor:
-    """Qutrit U8 phase gate diag(w^{...}) (reference ``quditgates.py:u8``)."""
+def u8_matrix_func(
+    d: int, gamma: Any = 0, z: Any = 0, eps: Any = 0,
+    omega: Optional[complex] = None,
+) -> Tensor:
+    """Qutrit U8 phase gate diag(w^{...}) (reference ``quditgates.py:422``)."""
     if d != 3:
         raise ValueError("u8 gate is defined for qutrits (d=3)")
-    w = jnp.exp(jnp.asarray(2j * np.pi / 3).astype(_dt()))
+    w = jnp.asarray(
+        np.exp(2j * np.pi / 3) if omega is None else omega
+    ).astype(_dt())
     gamma = jnp.asarray(gamma).astype(_dt())
     z = jnp.asarray(z).astype(_dt())
     eps = jnp.asarray(eps).astype(_dt())
@@ -170,10 +176,23 @@ def u8_matrix_func(d: int, gamma: Any = 0, z: Any = 0, eps: Any = 0) -> Tensor:
     return jnp.diag(diag)
 
 
-def cphase_matrix_func(d: int, cv: Optional[int] = None, theta: Any = None) -> Tensor:
-    """Controlled phase: |j,k> -> w^{jk}|j,k> (theta=None) or selective."""
+def cphase_matrix_func(
+    d: int, cv: Optional[int] = None, theta: Any = None,
+    omega: Optional[complex] = None,
+) -> Tensor:
+    """Controlled phase (reference ``:516``): the SUMZ block-diagonal
+    |j,k> -> w^{jk}|j,k> when ``theta`` is None (``cv`` selects the single
+    control value applying Z, reference convention; ``omega`` a custom
+    root of unity), or the selective theta-phase form otherwise."""
     if theta is None:
-        w = np.exp(2j * np.pi / d)
+        w = np.exp(2j * np.pi / d) if omega is None else omega
+        if cv is not None:
+            if not (0 <= cv < d):
+                raise ValueError(f"cv must be in [0, {d - 1}], got {cv}")
+            m = np.eye(d * d, dtype=np.complex128)
+            for t in range(d):
+                m[cv * d + t, cv * d + t] = w**t
+            return jnp.asarray(m, dtype=_dt())
         j, k = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
         diag = (w ** (j * k)).reshape(-1)
         return jnp.asarray(np.diag(diag), dtype=_dt())
@@ -186,9 +205,19 @@ def cphase_matrix_func(d: int, cv: Optional[int] = None, theta: Any = None) -> T
     return m
 
 
-def csum_matrix_func(d: int) -> Tensor:
-    """Controlled sum (generalized CNOT): |j,k> -> |j, j+k mod d>."""
+def csum_matrix_func(d: int, cv: Optional[int] = None) -> Tensor:
+    """Controlled sum (generalized CNOT, reference ``:568``): the SUMX
+    block-diagonal |j,k> -> |j, j+k mod d>, or — with ``cv`` — a single X
+    shift on the target only when the control reads ``cv``."""
     m = np.zeros((d * d, d * d))
+    if cv is not None:
+        if not (0 <= cv < d):
+            raise ValueError(f"cv must be in [0, {d - 1}], got {cv}")
+        for j in range(d):
+            for k in range(d):
+                shift = 1 if j == cv else 0
+                m[j * d + (k + shift) % d, j * d + k] = 1.0
+        return jnp.asarray(m, dtype=_dt())
     for j in range(d):
         for k in range(d):
             m[j * d + (j + k) % d, j * d + k] = 1.0
@@ -203,26 +232,29 @@ def swap_matrix_func(d: int) -> Tensor:
     return jnp.asarray(m, dtype=_dt())
 
 
-# name -> (parameter names, builder) registries (reference quditgates.py:23-58);
-# our builders take keyword parameters directly, so the builder entry is the
-# matrix function itself.
+# name -> (parameter names, builder) registries (reference quditgates.py:23-58).
+# Builders follow the reference calling convention ``builder(d, omega, **kw)``
+# — ``omega`` (a custom primitive root of unity) is accepted positionally or
+# by keyword and threaded into the omega-aware matrix functions; our
+# keyword-only call style ``builder(d, theta=...)`` keeps working since
+# ``omega`` defaults to None.
 SINGLE_BUILDERS = {
-    "I": (("none",), lambda d, **kw: i_matrix_func(d)),
-    "X": (("none",), lambda d, **kw: x_matrix_func(d)),
-    "Z": (("none",), lambda d, **kw: z_matrix_func(d)),
-    "H": (("none",), lambda d, **kw: h_matrix_func(d)),
-    "S": (("none",), lambda d, **kw: s_matrix_func(d)),
-    "RX": (("theta", "j", "k"), lambda d, **kw: rx_matrix_func(d, kw.get("theta", 0), kw.get("j", 0), kw.get("k", 1))),
-    "RY": (("theta", "j", "k"), lambda d, **kw: ry_matrix_func(d, kw.get("theta", 0), kw.get("j", 0), kw.get("k", 1))),
-    "RZ": (("theta", "j"), lambda d, **kw: rz_matrix_func(d, kw.get("theta", 0), kw.get("j", 0))),
-    "PHASE": (("theta", "j"), lambda d, **kw: phase_matrix_func(d, kw.get("theta", 0), kw.get("j", 1))),
-    "U8": (("gamma", "z", "eps"), lambda d, **kw: u8_matrix_func(d, kw.get("gamma", 0), kw.get("z", 0), kw.get("eps", 0))),
+    "I": (("none",), lambda d, omega=None, **kw: i_matrix_func(d)),
+    "X": (("none",), lambda d, omega=None, **kw: x_matrix_func(d)),
+    "Z": (("none",), lambda d, omega=None, **kw: z_matrix_func(d, omega)),
+    "H": (("none",), lambda d, omega=None, **kw: h_matrix_func(d, omega)),
+    "S": (("none",), lambda d, omega=None, **kw: s_matrix_func(d, omega)),
+    "RX": (("theta", "j", "k"), lambda d, omega=None, **kw: rx_matrix_func(d, kw.get("theta", 0), kw.get("j", 0), kw.get("k", 1))),
+    "RY": (("theta", "j", "k"), lambda d, omega=None, **kw: ry_matrix_func(d, kw.get("theta", 0), kw.get("j", 0), kw.get("k", 1))),
+    "RZ": (("theta", "j"), lambda d, omega=None, **kw: rz_matrix_func(d, kw.get("theta", 0), kw.get("j", 0))),
+    "PHASE": (("theta", "j"), lambda d, omega=None, **kw: phase_matrix_func(d, kw.get("theta", 0), kw.get("j", 1))),
+    "U8": (("gamma", "z", "eps"), lambda d, omega=None, **kw: u8_matrix_func(d, kw.get("gamma", 0), kw.get("z", 0), kw.get("eps", 0), omega)),
 }
 
 TWO_BUILDERS = {
-    "RXX": (("theta", "j1", "k1", "j2", "k2"), lambda d, **kw: rxx_matrix_func(d, kw.get("theta", 0), kw.get("j1", 0), kw.get("k1", 1), kw.get("j2", 0), kw.get("k2", 1))),
-    "RZZ": (("theta",), lambda d, **kw: rzz_matrix_func(d, kw.get("theta", 0))),
-    "CPHASE": (("cv", "theta"), lambda d, **kw: cphase_matrix_func(d, kw.get("cv"), kw.get("theta"))),
-    "CSUM": (("none",), lambda d, **kw: csum_matrix_func(d)),
-    "SWAP": (("none",), lambda d, **kw: swap_matrix_func(d)),
+    "RXX": (("theta", "j1", "k1", "j2", "k2"), lambda d, omega=None, **kw: rxx_matrix_func(d, kw.get("theta", 0), kw.get("j1", 0), kw.get("k1", 1), kw.get("j2", 0), kw.get("k2", 1))),
+    "RZZ": (("theta",), lambda d, omega=None, **kw: rzz_matrix_func(d, kw.get("theta", 0))),
+    "CPHASE": (("cv", "theta"), lambda d, omega=None, **kw: cphase_matrix_func(d, kw.get("cv"), kw.get("theta"), omega)),
+    "CSUM": (("cv",), lambda d, omega=None, **kw: csum_matrix_func(d, kw.get("cv"))),
+    "SWAP": (("none",), lambda d, omega=None, **kw: swap_matrix_func(d)),
 }

@@ -706,18 +706,39 @@ class ShardedStatevec:
 
         Returns ``(new_psi, branch_index)``.
         """
-        mats = [np.asarray(_as_local_gate(k)) for k in kraus]
-        dim = mats[0].shape[0]
-        mats = [m.reshape(dim, dim) for m in mats]
-        if prob is None:
-            ps = np.array([np.real(np.trace(m.conj().T @ m)) / dim for m in mats])
-            mats = [m / np.sqrt(max(p, 1e-30)) for m, p in zip(mats, ps)]
-        else:
-            ps = np.asarray(prob, dtype=np.float64)
-        ps = ps / np.sum(ps)
-        cum = np.cumsum(ps)  # numpy: concrete channel, host-side probabilities
+        mats = [_as_local_gate(k) for k in kraus]
+        dim = int(mats[0].shape[0])
         status = jnp.asarray(status).astype(self._rdtype())
-        idx = jnp.sum((status >= jnp.asarray(cum[:-1], dtype=status.dtype)).astype(jnp.int32))
+        traced = any(isinstance(m, jax.core.Tracer) for m in mats)
+        if not traced:
+            # concrete channel: stay NUMPY host-side (axon complex rule —
+            # eager jnp on complex constants would device-put and later
+            # fetch; see CLAUDE.md), probabilities fold to constants
+            mats = [np.asarray(m).reshape(dim, dim) for m in mats]
+            if prob is None:
+                ps = np.array([np.real(np.trace(m.conj().T @ m)) / dim for m in mats])
+                mats = [m / np.sqrt(max(p, 1e-30)) for m, p in zip(mats, ps)]
+            else:
+                ps = np.asarray(prob, dtype=np.float64)
+            ps = ps / np.sum(ps)
+            cum = jnp.asarray(np.cumsum(ps), dtype=status.dtype)
+        else:
+            # traced kraus (trainable noise): keep everything in the trace
+            # — dense-engine parity (models/circuit.py:100)
+            mats = [jnp.reshape(jnp.asarray(m, self._cdtype()), (dim, dim)) for m in mats]
+            if prob is None:
+                ps = jnp.stack(
+                    [jnp.real(jnp.trace(jnp.conj(m.T) @ m)) / dim for m in mats]
+                ).astype(self._rdtype())
+                mats = [
+                    m / jnp.sqrt(jnp.maximum(p, 1e-30)).astype(self._cdtype())
+                    for m, p in zip(mats, ps)
+                ]
+            else:
+                ps = jnp.asarray(prob).astype(self._rdtype())
+            ps = ps / jnp.sum(ps)
+            cum = jnp.cumsum(ps).astype(status.dtype)
+        idx = jnp.sum((status >= cum[:-1]).astype(jnp.int32))
         onehot = (jnp.arange(len(mats)) == idx).astype(self._rdtype())
         # blended k-local gate: numpy complex constants lift into the trace
         m_sel = sum(onehot[i] * jnp.asarray(mats[i], dtype=self._cdtype()) for i in range(len(mats)))

@@ -173,3 +173,22 @@ def test_misc_module_constants():
     assert np.asarray(m).shape == (3, 3)
     m2 = TWO_BUILDERS["SWAP"][1](2)
     np.testing.assert_allclose(np.asarray(m2), np.array([[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0], [0, 0, 0, 1]]))
+
+
+def test_qudit_builders_reference_omega_convention():
+    """Review fix: reference builders are ``lambda d, omega, **kw``
+    (reference quditgates.py:23-58) — omega must be accepted positionally
+    and actually honored by the omega-aware gates; CSUM takes cv."""
+    from tensorcircuit_ng_tpu.ops.quditgates import SINGLE_BUILDERS, TWO_BUILDERS
+
+    w = np.exp(2j * np.pi * 2 / 3)  # alternative primitive cube root
+    z = np.asarray(SINGLE_BUILDERS["Z"][1](3, w))
+    assert abs(z[1, 1] - w) < 1e-6
+    z_def = np.asarray(SINGLE_BUILDERS["Z"][1](3))
+    assert abs(z_def[1, 1] - np.exp(2j * np.pi / 3)) < 1e-6
+    h = np.asarray(SINGLE_BUILDERS["H"][1](3, w))
+    assert abs(h[1, 1] - w / np.sqrt(3)) < 1e-6
+    m = np.asarray(TWO_BUILDERS["CSUM"][1](3, None, cv=1))
+    assert m[1 * 3 + 1, 1 * 3 + 0] == 1.0 and m[0, 0] == 1.0
+    cp = np.asarray(TWO_BUILDERS["CPHASE"][1](3, w))
+    assert abs(cp[1 * 3 + 1, 1 * 3 + 1] - w) < 1e-6

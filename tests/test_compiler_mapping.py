@@ -92,3 +92,21 @@ def test_qiskit_compile_layoutless_fallback():
 
     _, info = qiskit_compile(c, output="qiskit", _transpile_fn=lambda qc, **kw: _Bare())
     assert info["logical_physical_mapping"] == {0: 0, 1: 1}
+
+
+def test_qiskit_compile_derives_positional_from_measures():
+    """Review fix: positional_logical_mapping must come from the
+    PRE-transpile circuit's measure order (reference
+    qiskit_compiler.py:72-80), not default to identity."""
+    c = tc.Circuit(3)
+    c.h(0)
+    c.cnot(0, 1)
+    c.measure_instruction(2)
+    c.measure_instruction(0)
+    _, info = qiskit_compile(c, output="qiskit", _transpile_fn=lambda qc, **kw: qc)
+    assert info["positional_logical_mapping"] == {0: 2, 1: 0}
+    # no measures recorded -> identity convention
+    c2 = tc.Circuit(2)
+    c2.h(0)
+    _, info2 = qiskit_compile(c2, output="qiskit", _transpile_fn=lambda qc, **kw: qc)
+    assert info2["positional_logical_mapping"] == {0: 0, 1: 1}

@@ -998,3 +998,40 @@ def test_zzrx_stack_grand_bwd(monkeypatch):
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g0), atol=1e-5)
     np.testing.assert_allclose(float(v3), float(v4), atol=1e-5)
     np.testing.assert_allclose(np.asarray(g3), np.asarray(g4), atol=1e-5)
+
+
+def test_grand_dispatch_fallback_gates(monkeypatch):
+    """Review fixes: (a) FUSE_LANE=False (the ab_lane_fused off arm) must
+    fall back per-layer instead of tripping the theta boundary's
+    fused-topology assert; (b) above MAX_GRAND_ROW_QUBITS (the VMEM
+    envelope) the grand path must fall back rather than hand Mosaic an
+    over-budget kernel."""
+    from tensorcircuit_ng_tpu.core import kernels_rowlayer, kernels_stack
+
+    monkeypatch.setattr(kernels_rowlayer, "MAX_KERNEL_QUBITS_ZZRX", 3)
+    n, L = 12, 2
+    pairs = tuple((i, i + 1) for i in range(n - 1))
+    p = jnp.asarray(
+        np.random.default_rng(0).normal(size=(L, 2, n)) * 0.3, jnp.float32
+    )
+
+    def energy(q):
+        c = tc.Circuit(n)
+        c.h_layer()
+        for l in range(L):
+            c.zzrx_layer(list(pairs), q[l, 0, : n - 1], q[l, 1])
+        return c.expectation_zzx_energy(list(pairs), 1.0, -1.0)
+
+    kernels.set_interpret_mode(True)
+    try:
+        v0, g0 = jax.value_and_grad(energy)(p)
+        monkeypatch.setattr(kernels_stack, "FUSE_LANE", False)
+        v1, g1 = jax.value_and_grad(energy)(p)
+        monkeypatch.setattr(kernels_stack, "FUSE_LANE", True)
+        monkeypatch.setattr(kernels_stack, "MAX_GRAND_ROW_QUBITS", 2)
+        v2, g2 = jax.value_and_grad(energy)(p)
+    finally:
+        kernels.set_interpret_mode(False)
+    for v, g in ((v1, g1), (v2, g2)):
+        np.testing.assert_allclose(float(v), float(v0), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g0), atol=1e-4)

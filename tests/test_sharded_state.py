@@ -388,3 +388,34 @@ def test_sharded_unitary_kraus_matches_dense_mc():
     picks = [int(pick_one(jnp.asarray(s_i))) for s_i in many]
     frac_id = np.mean(np.asarray(picks) == 0)
     assert abs(frac_id - (1 - 0.05 - 0.03 - 0.08)) < 0.03
+
+
+def test_sharded_unitary_kraus_traced_operators():
+    """Review fix: kraus operators built from TRACED parameters (trainable
+    noise) must flow through the sharded MC leg — np.asarray on a tracer
+    used to crash; the channel must also stay normalized per branch."""
+    n = 10
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sv",))
+    sv = ShardedStatevec(n, mesh)
+    x = np.array([[0.0, 1.0], [1.0, 0.0]])
+
+    @jax.jit
+    def run(theta, status):
+        psi = sv.init_zero()
+        k0 = jnp.sqrt(1 - theta) * jnp.eye(2, dtype=jnp.complex64)
+        k1 = jnp.sqrt(theta) * jnp.asarray(x, jnp.complex64)
+        psi, idx = sv.unitary_kraus(psi, [k0, k1], [3], status)
+        return idx, sv.norm(psi) if hasattr(sv, "norm") else jnp.float32(1.0)
+
+    idx_lo, _ = run(jnp.float32(0.3), jnp.float32(0.1))
+    idx_hi, _ = run(jnp.float32(0.3), jnp.float32(0.9))
+    assert int(idx_lo) == 0 and int(idx_hi) == 1
+    # parity with the concrete-numpy channel on the same status
+    @jax.jit
+    def run_np(status):
+        psi = sv.init_zero()
+        _, idx = sv.unitary_kraus(
+            psi, [np.sqrt(0.7) * np.eye(2), np.sqrt(0.3) * x], [3], status
+        )
+        return idx
+    assert int(run_np(jnp.float32(0.9))) == 1

@@ -276,6 +276,208 @@ PACKED = False
 _PACKED_MAX_LANES = 128 * 64
 
 
+def _jacobi_kernel_lanes(
+    xr_ref,
+    xi_ref,
+    oxr_ref,
+    oxi_ref,
+    ovr_ref=None,
+    ovi_ref=None,
+    *,
+    b: int,
+    n: int,
+    m: int,
+    sweeps: int,
+    with_v: bool = True,
+):
+    """Lane-major variant: pair SLOTS along lanes, column ELEMENTS along
+    sublanes.
+
+    The sublane-major kernel stores a column as a sublane row, which makes
+    rotations full-lane elementwise ops but leaves the ~22-op per-pair
+    scalar chain (norms -> angle -> c/s) on (h, 1) tiles that lane-pad to
+    the full (h, 128) footprint — measured ~25% of round cost.  The packed
+    variant amortized that across the batch but had to reshape
+    (h, b*m) <-> (h, b, m) every round (a Mosaic relayout) and LOST on chip
+    (42.75 vs 30.27 ms, examples/ab_jacobi_packed.py).
+
+    Here column j of matrix q lives in LANE q*h+j (top plane) with its m
+    elements along SUBLANES:
+
+    - the scalar chain runs once per round on ONE (1, b*h) tile row —
+      8x fewer tile-ops than (h, 1), amortized over the whole group;
+    - norms are native sublane reductions (no reshape, no relayout);
+    - the Brent–Luk shuffle is two ±1 LANE rolls + segment-position
+      selects (wraparound at segment boundaries is overridden by the
+      same boundary selects the tournament already needs).
+
+    Group size ``b`` trades VMEM footprint against per-op Mosaic overhead;
+    gated to (b*h) % 128 == 0 so planes tile exactly.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    h = n // 2
+    bh = b * h
+    f32 = jnp.float32
+    xtr = xr_ref[0, :, :bh]
+    xbr = xr_ref[0, :, bh:]
+    xti = xi_ref[0, :, :bh]
+    xbi = xi_ref[0, :, bh:]
+    # within-segment pair position of each lane
+    pos_m = jax.lax.broadcasted_iota(jnp.int32, (m, bh), 1) % h
+    pos_n = jax.lax.broadcasted_iota(jnp.int32, (n, bh), 1) % h
+    if with_v:
+        rows_n = jax.lax.broadcasted_iota(jnp.int32, (n, bh), 0)
+        vtr = jnp.where(rows_n == pos_n, 1.0, 0.0).astype(f32)
+        vbr = jnp.where(rows_n == pos_n + h, 1.0, 0.0).astype(f32)
+        vti = jnp.zeros((n, bh), f32)
+        vbi = jnp.zeros((n, bh), f32)
+    else:
+        vtr = vbr = vti = vbi = jnp.zeros((8, 128), f32)
+
+    def body(_, carry):
+        xtr, xti, xbr, xbi, vtr, vti, vbr, vbi = carry
+        # per-pair scalars on ONE (1, bh) tile row (sublane reductions)
+        app = jnp.sum(xtr * xtr + xti * xti, axis=0, keepdims=True)
+        aqq = jnp.sum(xbr * xbr + xbi * xbi, axis=0, keepdims=True)
+        pr = jnp.sum(xtr * xbr + xti * xbi, axis=0, keepdims=True)
+        pi = jnp.sum(xtr * xbi - xti * xbr, axis=0, keepdims=True)
+        mod2 = pr * pr + pi * pi
+        inv_mod = jax.lax.rsqrt(mod2 + f32(1e-36))  # eps must be NORMAL f32
+        cph = pr * inv_mod
+        sph = pi * inv_mod
+        tau = (aqq - app) * 0.5 * inv_mod
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        c = jax.lax.rsqrt(1.0 + t * t)
+        s = c * t
+        skip = mod2 <= 1e-24 * (app * aqq)
+        c = jnp.where(skip, 1.0, c)
+        s = jnp.where(skip, 0.0, s)
+        scph = s * cph
+        ssph = s * sph
+
+        def rot(tr, ti, br, bi):
+            # (1, bh) scalars broadcast over sublanes — native
+            ntr = c * tr - scph * br - ssph * bi
+            nti = c * ti - scph * bi + ssph * br
+            nbr = c * br + scph * tr - ssph * ti
+            nbi = c * bi + scph * ti + ssph * tr
+            return ntr, nti, nbr, nbi
+
+        xtr, xti, xbr, xbi = rot(xtr, xti, xbr, xbi)
+        if with_v:
+            vtr, vti, vbr, vbi = rot(vtr, vti, vbr, vbi)
+
+        def shuffle(top, bot):
+            # Brent–Luk in lane space: nt[0]=top0, nt[1]=bot0, nt[p]=top[p-1];
+            # nb[p]=bot[p+1] (p<h-1), nb[h-1]=top[h-1].  Segment wraparound of
+            # the ±1 rolls lands only on boundary positions already overridden
+            # by the selects.
+            pos = pos_m if top.shape[0] == m else pos_n
+            merged = jnp.where(pos == 0, bot, top)
+            nt = jnp.where(pos == 0, top, pltpu.roll(merged, 1, 1))
+            # roll by -1 == roll by lanes-1 (pltpu.roll requires shift >= 0)
+            nb = jnp.where(pos == h - 1, top, pltpu.roll(bot, bh - 1, 1))
+            return nt, nb
+
+        xtr, xbr = shuffle(xtr, xbr)
+        xti, xbi = shuffle(xti, xbi)
+        if with_v:
+            vtr, vbr = shuffle(vtr, vbr)
+            vti, vbi = shuffle(vti, vbi)
+        return xtr, xti, xbr, xbi, vtr, vti, vbr, vbi
+
+    carry = (xtr, xti, xbr, xbi, vtr, vti, vbr, vbi)
+    carry = jax.lax.fori_loop(0, sweeps * (n - 1), body, carry)
+    xtr, xti, xbr, xbi, vtr, vti, vbr, vbi = carry
+    oxr_ref[0, :, :bh] = xtr
+    oxr_ref[0, :, bh:] = xbr
+    oxi_ref[0, :, :bh] = xti
+    oxi_ref[0, :, bh:] = xbi
+    if with_v:
+        ovr_ref[0, :, :bh] = vtr
+        ovr_ref[0, :, bh:] = vbr
+        ovi_ref[0, :, :bh] = vti
+        ovi_ref[0, :, bh:] = vbi
+
+
+#: lane-major kernel (see :func:`_jacobi_kernel_lanes`); default ON — the
+#: on-chip A/B (examples/ab_jacobi_lanes.py, v5e 2026-08-20) measured the
+#: production n=60 chi=64 TEBD trotter step at 22.49 ms vs 28.82 for the
+#: sublane-major grid (1.28x); group=2 beat 8 (23.53) and 16 (24.10).
+#: Kernel-level parity vs the grid kernel is interpret-exact and on-chip
+#: equal-quality on random/decaying/rank-deficient/degenerate batches and
+#: on true mid-evolution TEBD thetas (|ds| 1.2e-7 vs f64 LAPACK).
+LANES = True
+#: matrices per lane-major kernel invocation (grid covers ceil(B/group))
+LANE_GROUP = 2
+
+
+def _run_kernel_lanes(
+    xr: Tensor, xi: Tensor, sweeps: int, with_v: bool
+) -> Tuple[Tensor, ...]:
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, n, m = xr.shape
+    h = n // 2
+    b = min(LANE_GROUP, B)
+    G = -(-B // b)
+    pad_b = G * b - B
+    if pad_b:  # zero matrices are fixed points (skip guard)
+        xr = jnp.pad(xr, ((0, pad_b), (0, 0), (0, 0)))
+        xi = jnp.pad(xi, ((0, pad_b), (0, 0), (0, 0)))
+    bh = b * h
+
+    def pk(z):  # (G*b, n, m) -> (G, m, 2*bh): [top lanes | bottom lanes]
+        def lane(y):  # (G*b, h, m) -> (G, m, bh)
+            y = y.reshape(G, b, h, m)
+            return jnp.transpose(y, (0, 3, 1, 2)).reshape(G, m, bh)
+
+        return jnp.concatenate([lane(z[:, :h, :]), lane(z[:, h:, :])], axis=-1)
+
+    def upk(z, w):  # (G, w, 2*bh) -> (B, n, w)
+        def unlane(y):  # (G, w, bh) -> (G*b, h, w)
+            y = y.reshape(G, w, b, h)
+            return jnp.transpose(y, (0, 2, 3, 1)).reshape(G * b, h, w)
+
+        out = jnp.concatenate([unlane(z[:, :, :bh]), unlane(z[:, :, bh:])], axis=1)
+        return out[:B]
+
+    spec_x = pl.BlockSpec((1, m, 2 * bh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_v = pl.BlockSpec((1, n, 2 * bh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_specs = [spec_x, spec_x] + ([spec_v, spec_v] if with_v else [])
+    out_shape = [
+        jax.ShapeDtypeStruct((G, m, 2 * bh), jnp.float32),
+        jax.ShapeDtypeStruct((G, m, 2 * bh), jnp.float32),
+    ] + (
+        [
+            jax.ShapeDtypeStruct((G, n, 2 * bh), jnp.float32),
+            jax.ShapeDtypeStruct((G, n, 2 * bh), jnp.float32),
+        ]
+        if with_v
+        else []
+    )
+    vmem_bytes = (2 + len(out_specs) + 8) * max(m, n) * 2 * bh * 4 + 2 * 1024 * 1024
+    f = pl.pallas_call(
+        partial(_jacobi_kernel_lanes, b=b, n=n, m=m, sweeps=sweeps, with_v=with_v),
+        grid=(G,),
+        in_specs=[spec_x, spec_x],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem_bytes * 1.5), 120 * 1024 * 1024)
+        ),
+    )
+    out = f(pk(xr), pk(xi))
+    out = list(out) if isinstance(out, (tuple, list)) else [out]
+    res = [upk(out[0], m), upk(out[1], m)]
+    if with_v:
+        res += [upk(out[2], n), upk(out[3], n)]
+    return tuple(res)
+
+
 def _run_kernel_packed(
     xr: Tensor, xi: Tensor, sweeps: int, with_v: bool
 ) -> Tuple[Tensor, ...]:
@@ -335,6 +537,13 @@ def _run_kernel(
         and b > 1
     ):
         return _run_kernel_packed(xr, xi, sweeps, with_v)
+    if (
+        LANES
+        and m % 8 == 0
+        and (min(LANE_GROUP, b) * (n // 2)) % 128 == 0
+        and n % 2 == 0
+    ):
+        return _run_kernel_lanes(xr, xi, sweeps, with_v)
 
     spec_nm = pl.BlockSpec((1, n, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_nn = pl.BlockSpec((1, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)

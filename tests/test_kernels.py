@@ -508,6 +508,47 @@ def test_jacobi_svd_pallas_interpret():
         KJ._INTERPRET = old
 
 
+def test_jacobi_svd_lane_major_matches_grid():
+    """Lane-major kernel (pair slots along lanes) vs the sublane-major grid.
+
+    Covers the group-packing transform (incl. batch padding: B=10 with
+    group 8 pads two zero matrices) and both with_v modes."""
+    from tensorcircuit_ng_tpu.core import kernels_jacobi as KJ
+
+    rng = np.random.default_rng(7)
+    old = (KJ._INTERPRET, KJ.LANES, KJ.LANE_GROUP)
+    KJ._INTERPRET = True
+    try:
+        for batch in (8, 10):
+            a = (
+                rng.standard_normal((batch, 32, 32))
+                + 1j * rng.standard_normal((batch, 32, 32))
+            ).astype(np.complex64)
+            # exercise a decaying spectrum too
+            a[0] = a[0] @ np.diag(np.exp(-np.linspace(0, 6, 32))).astype(
+                np.complex64
+            )
+            for acc_v in (True, False):
+                KJ.LANES = False
+                u0, s0, v0 = (
+                    np.asarray(x)
+                    for x in KJ.jacobi_svd_pallas(jnp.asarray(a), 10, acc_v)
+                )
+                KJ.LANES = True
+                KJ.LANE_GROUP = 8
+                assert (min(KJ.LANE_GROUP, batch) * 16) % 128 == 0
+                u1, s1, v1 = (
+                    np.asarray(x)
+                    for x in KJ.jacobi_svd_pallas(jnp.asarray(a), 10, acc_v)
+                )
+                np.testing.assert_allclose(s1, s0, atol=5e-5)
+                np.testing.assert_allclose(
+                    (u1 * s1[..., None, :]) @ v1, a, atol=5e-5
+                )
+    finally:
+        KJ._INTERPRET, KJ.LANES, KJ.LANE_GROUP = old
+
+
 @pytest.mark.slow  # ~1 min; every ML_MODE dispatch (stack/xla/whole-block)
 def test_zzrx_multilayer_reference_and_interpret():
     """All fused_zzrx_multilayer modes == stacked per-layer path (values+grads).

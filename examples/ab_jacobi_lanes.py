@@ -16,13 +16,14 @@ RESULT (v5e, 2026-08-20): lane-major WINS — LANES default flipped True.
   lanes grp=8:     23.53 ms/step  (1.225x)
   lanes grp=16:    24.10 ms/step  (1.196x)
 The |dlam| ~ 2e-2 trajectory difference at K=50 is NOT a kernel defect:
-per-step tracking vs a float64 numpy reference shows BOTH modes leave the
-f64 trajectory at K~10-12 of this quench (grid max|dlam| over bonds:
-3.0e-7 @K8 -> 1.6e-3 @K10 -> 4.5e-1 @K12; lanes saturates 1-2 steps
-earlier) — the Vidal-form 1/lambda update amplifies f32 noise ~30x/step
-once small-but-kept Schmidt values appear.  On identical inputs the two
-kernels are equal quality (true K=8 thetas: |ds| = 1.19e-7 vs f64 LAPACK,
-identical truncated reconstruction, both modes).
+per-step tracking vs a float64 numpy reference showed BOTH modes leaving
+the f64 trajectory at K~9-12 of this quench (max|dlam| over bonds:
+6.0e-6 @K8 -> 3.0e-3 @K9 -> 4.8e-1 @K10; lanes saturates 1-2 steps
+earlier) — noise-floor singular directions inverted by the S^-1 unwrap.
+Root cause + fix (tebd.INV_S_REL relative floor, trajectory then flat at
+~1e-6 vs f64 through K=14): see examples/ab_tebd_f32_stability.py.
+On identical inputs the two kernels are equal quality (true K=8 thetas:
+|ds| = 1.19e-7 vs f64 LAPACK, identical truncated reconstruction).
 """
 
 import os

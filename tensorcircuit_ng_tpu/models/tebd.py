@@ -119,6 +119,20 @@ def _safe_inv(x: Tensor, eps: float = 1e-12) -> Tensor:
     return jnp.where(x > eps, 1.0 / jnp.where(x > eps, x, 1.0), 0.0)
 
 
+#: RELATIVE floor for the S^-1 unwrap: singular directions below
+#: ``INV_S_REL * s_max`` are dropped from the new site tensors (their
+#: Schmidt weight is < INV_S_REL^2 — physically negligible) instead of
+#: inverted.  The 10-sweep Jacobi recovers u_i = q_i / s_i, so columns at
+#: the f32 noise floor are NOT orthonormal-to-eps the way LAPACK's are;
+#: inverting them injects amplified noise that walks the trajectory off
+#: the f64 track REGARDLESS of sweep count (n=16 dense-oracle probe,
+#: max|dlam| at mid-bond vs exact: abs-1e-12 floor 1.3e-2 @K10 / 2.1e-1
+#: @K20, sweeps=14 no better; rel=1e-6 floor 6.4e-7 @K10 / 1.3e-6 @K20 —
+#: LAPACK-f32-grade tracking).  ``None`` = auto: 1e-6 in f32 (where the
+#: Jacobi kernel runs), 0 in f64 (LAPACK-grade SVDs, no floor needed).
+INV_S_REL: Optional[float] = None
+
+
 class ParallelTEBD:
     """Vidal-form MPS with batched even/odd two-site updates.
 
@@ -324,6 +338,12 @@ class ParallelTEBD:
         nrm = jnp.linalg.norm(s, axis=-1, keepdims=True)
         s_new = s / jnp.where(nrm > 1e-30, nrm, 1.0)
         inv_s = _safe_inv(s).astype(dt)
+        rel = INV_S_REL
+        if rel is None:
+            rel = 1e-6 if jnp.finfo(s.dtype).bits <= 32 else 0.0
+        if rel:
+            # drop (not invert) noise-floor directions — see INV_S_REL note
+            inv_s = jnp.where(s > rel * s[..., :1], inv_s, jnp.zeros_like(inv_s))
         gl_new = jnp.reshape(
             jnp.matmul(
                 theta_nl, jnp.conj(jnp.swapaxes(vh, -1, -2)), precision="highest"

@@ -346,6 +346,63 @@ def test_parallel_tebd_exact_regime():
     assert float(np.asarray(eng.entanglement_entropy(n // 2))) > 0
 
 
+def test_parallel_tebd_inv_s_relative_floor():
+    """The S^-1 unwrap's relative noise floor (INV_S_REL) preserves physics.
+
+    The floor drops (rather than inverts) singular directions below
+    rel * s_max; on chip this is what keeps the f32 Jacobi trajectory on
+    the f64 track (see examples/ab_tebd_f32_stability.py).  Here: the
+    explicit floor and the auto default must both match the dense oracle
+    in the exact regime, and a forced-large floor must visibly truncate."""
+    import scipy.linalg as sl
+    from tensorcircuit_ng_tpu.models import tebd as T
+
+    n, chi = 6, 16
+    hb = 0.8 * np.kron(
+        np.array([[0, 1], [1, 0]]), np.array([[0, 1], [1, 0]])
+    ) + np.kron(np.diag([1.0, -1.0]), np.diag([1.0, -1.0]))
+    gm = sl.expm(-1j * 0.07 * hb)
+    gate = jnp.asarray(gm.astype(np.complex64))
+
+    def embed(gg, i):
+        return np.kron(np.kron(np.eye(2**i), gg), np.eye(2 ** (n - i - 2)))
+
+    psi = np.zeros(2**n, dtype=complex)
+    idx = 0
+    for i in range(0, n, 2):
+        idx |= 1 << (n - 1 - i)
+    psi[idx] = 1.0
+    for _ in range(6):
+        for i in range(0, n - 1, 2):
+            psi = embed(gm, i) @ psi
+        for i in range(1, n - 1, 2):
+            psi = embed(gm, i) @ psi
+    psi /= np.linalg.norm(psi)
+
+    old = T.INV_S_REL
+    try:
+        fids = {}
+        for rel in (None, 0.0, 1e-6):
+            T.INV_S_REL = rel
+            eng = T.ParallelTEBD(n, chi, initial="neel")
+            for _ in range(6):
+                eng.trotter_step(gate)
+            wf = np.array(np.asarray(eng.wavefunction()))
+            fids[rel] = abs(np.vdot(psi, wf / np.linalg.norm(wf)))
+        for rel, f in fids.items():
+            assert f > 0.9999, (rel, f)
+        # a deliberately huge floor truncates the state (sanity that the
+        # knob is actually wired through)
+        T.INV_S_REL = 0.9
+        eng = T.ParallelTEBD(n, chi, initial="neel")
+        for _ in range(6):
+            eng.trotter_step(gate)
+        wf = np.array(np.asarray(eng.wavefunction()))
+        assert abs(np.vdot(psi, wf / np.linalg.norm(wf))) < 0.999
+    finally:
+        T.INV_S_REL = old
+
+
 @pytest.mark.slow
 def test_parallel_tebd_matches_sequential_mps():
     import scipy.linalg as sl

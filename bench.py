@@ -189,8 +189,8 @@ def main() -> None:
                     "unit": "ms/step",
                     "vs_baseline": None,
                     "error": "TPU backend unreachable (axon tunnel down); "
-                    "last measured 2026-08-17: 2.064 ms/step = 8.46x, "
-                    "tebd 31.14 ms",
+                    "last measured 2026-08-20: 1.213 ms/step = 14.39x, "
+                    "tebd 22.5 ms",
                 }
             )
         )

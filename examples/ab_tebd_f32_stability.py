@@ -37,6 +37,13 @@ Measured (n=16 oracle, max|dlam| at the mid bond vs dense):
     sweeps=10 rel=1e-5    K10: 1.0e-05  K20: 1.7e-05  K30: 1.3e-05
     numpy-f32 LAPACK ref  K10: 1.2e-07  K20: 1.5e-07  K30: 1.1e-07
 
+Follow-up hypothesis REFUTED: the fix does NOT rescue the warm-start
+chain (round-4 refutation stands for its own reasons) — warm Jacobi with
+the rel floor still drifts (n=16 oracle, max|dlam| mid-bond: 3.0e-4 @K20
+and 6.1e-2 @K40 at 8 sweeps; worse at 6/5/4) while cold-10 stays at
+1.3e-6/1.8e-6.  The warm pre-rotation error is a separate accumulation
+channel, not the noise-floor inversion.
+
 With rel=1e-6 the f32 engine is LAPACK-f32-grade.  n=60 per-step f64
 tracking (K=14, max over ALL bonds, measured on chip 2026-08-20):
 

@@ -106,4 +106,5 @@ if __name__ == "__main__":
             f"|dlam| = {abs(lam_g - lam_l):.2e}",
             flush=True,
         )
-    kj.LANES = False
+    kj.LANES = True  # restore the production default (lanes won)
+    kj.LANE_GROUP = 2

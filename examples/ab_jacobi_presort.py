@@ -33,6 +33,9 @@ import tensorcircuit_ng_tpu as tc
 from tensorcircuit_ng_tpu.core import kernels_jacobi as kj
 from tensorcircuit_ng_tpu.models import tebd as tebd_mod
 
+kj.LANES = False  # record predates the lane-major kernel (ab_jacobi_lanes.py) - pin the
+# sublane-major grid so the documented numbers reproduce
+
 
 def collect_thetas(n=24, chi=64, steps=6, dt=0.05, seed=0):
     """Run a transverse-field quench with gram SVD and capture the two-site

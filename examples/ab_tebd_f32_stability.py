@@ -29,7 +29,8 @@ Diagnosis chain (each step reproducible with this script):
    noise-floor columns cannot converge in any sweep count, they carry
    no signal.
 
-Measured (n=16 oracle, max|dlam| at the mid bond vs dense):
+Measured (n=16 oracle, max|dlam| at the mid bond vs dense; this script's
+protocol — K=30, snapshots at 10/20/30):
 
     sweeps=10 rel=0       K10: 1.3e-02  K20: 2.1e-01  K30: 7.4e-02
     sweeps=14 rel=0       K10: 4.8e-02  K20: 2.3e-01  K30: 1.1e-01
@@ -67,7 +68,7 @@ import jax.numpy as jnp
 import tensorcircuit_ng_tpu as tc
 from tensorcircuit_ng_tpu.models import tebd as T
 
-n, chi, K = 16, 64, 20
+n, chi, K = 16, 64, 30
 X = np.array([[0, 1], [1, 0.0]])
 Z = np.diag([1.0, -1.0])
 hb = -np.kron(Z, Z) - 0.5 * (np.kron(X, np.eye(2)) + np.kron(np.eye(2), X))
@@ -83,7 +84,7 @@ for k in range(1, K + 1):
         for i in range(p, n - 1, 2):
             t = psi.reshape(2**i, 4, 2 ** (n - i - 2))
             psi = np.einsum("pq,aqb->apb", g64, t).reshape(-1)
-    if k in (5, 10, 15, 20):
+    if k in (10, 20, 30):
         snaps[k] = np.linalg.svd(
             psi.reshape(2 ** (n // 2), -1), compute_uv=False
         )[:chi]

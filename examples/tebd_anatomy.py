@@ -31,6 +31,11 @@ import jax.numpy as jnp
 import tensorcircuit_ng_tpu as tc
 from tensorcircuit_ng_tpu.models import tebd as tebd_mod
 
+from tensorcircuit_ng_tpu.core import kernels_jacobi as _kj
+
+_kj.LANES = False  # record predates the lane-major kernel (ab_jacobi_lanes.py) - pin
+# the sublane-major grid so the documented numbers reproduce
+
 n, chi, K = 60, 64, 50
 X = np.array([[0, 1], [1, 0.0]])
 Z = np.diag([1.0, -1.0])

@@ -13,8 +13,11 @@ Run on TPU (no PYTHONPATH; axon preset): python examples/ab_jacobi_lanes.py
 RESULT (v5e, 2026-08-20): lane-major WINS — LANES default flipped True.
   grid (baseline): 28.82 ms/step  (compile 44 s)
   lanes grp=2:     22.49 ms/step  (compile 17 s)  -> 1.281x
+  lanes grp=4:     22.95 ms/step  (compile 284 s!) (1.256x)
   lanes grp=8:     23.53 ms/step  (1.225x)
   lanes grp=16:    24.10 ms/step  (1.196x)
+Group 2 is both fastest and far cheapest to compile — wider groups grow
+the Mosaic program (more live tiles per round) for no VPU win.
 The |dlam| ~ 2e-2 trajectory difference at K=50 is NOT a kernel defect:
 per-step tracking vs a float64 numpy reference showed BOTH modes leaving
 the f64 trajectory at K~9-12 of this quench (max|dlam| over bonds:

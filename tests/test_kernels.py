@@ -519,10 +519,10 @@ def test_jacobi_svd_lane_major_matches_grid():
     old = (KJ._INTERPRET, KJ.LANES, KJ.LANE_GROUP)
     KJ._INTERPRET = True
     try:
-        for batch in (8, 10):
+        for batch, m in ((8, 32), (10, 32), (8, 48)):  # incl. rectangular m > n
             a = (
-                rng.standard_normal((batch, 32, 32))
-                + 1j * rng.standard_normal((batch, 32, 32))
+                rng.standard_normal((batch, m, 32))
+                + 1j * rng.standard_normal((batch, m, 32))
             ).astype(np.complex64)
             # exercise a decaying spectrum too
             a[0] = a[0] @ np.diag(np.exp(-np.linspace(0, 6, 32))).astype(
